@@ -1,0 +1,218 @@
+"""Token-level conformance tests, html5lib-tests style (FIXTURES.md §2).
+
+The upstream html5lib-tests corpus is not vendorable offline; these cases
+re-create its format and cover the spec areas the reference tests against
+(/root/reference/test/tokenizer-html5lib.zig) INCLUDING the areas the
+reference ignores (its `ignored_tests` ledger at :15-61 — entities, CR
+handling, numeric-reference edge cases), since our target is spec-correct
+behavior (SURVEY.md §2.11 decision).
+
+Expected-output convention mirrors the reference harness: adjacent
+Character tokens coalesced (:224-233); DOCTYPE correctness ==
+!forceQuirks (:189-191); EndTag attrs/selfClosing not compared
+(:306-310); errors matched by spec-id code only (:151-153).
+"""
+
+import pytest
+
+from zhtml_ray.html.tokenizer import (
+    CDATA_SECTION, DATA, PLAINTEXT, RAWTEXT, RCDATA, SCRIPT_DATA, Tokenizer,
+    tokenize,
+)
+
+
+def run(src, state=DATA, last="", collect_input_errors=False):
+    toks, errs = tokenize(src, initial_state=state, last_start_tag=last or None,
+                          collect_input_errors=collect_input_errors)
+    # coalesce Character runs, normalize to html5lib-tests shapes
+    out = []
+    for t in toks:
+        if t[0] == "Character" and out and out[-1][0] == "Character":
+            out[-1] = ("Character", out[-1][1] + t[1])
+        elif t[0] == "StartTag":
+            out.append(("StartTag", t[1], t[2], t[3]))
+        elif t[0] == "EndTag":
+            out.append(("EndTag", t[1]))
+        elif t[0] == "DOCTYPE":
+            out.append(("DOCTYPE", t[1], t[2], t[3], not t[4]))
+        else:
+            out.append((t[0], t[1]))
+    return out, [e[0] for e in errs]
+
+
+# (description, input, expected tokens, expected error codes, state, last_start_tag)
+CASES = [
+    ("plain text", "abc", [("Character", "abc")], [], DATA, ""),
+    ("simple tag", "<p>x</p>",
+     [("StartTag", "p", {}, False), ("Character", "x"), ("EndTag", "p")], [], DATA, ""),
+    ("uppercase lowered", "<DIV CLASS=A>",
+     [("StartTag", "div", {"class": "A"}, False)], [], DATA, ""),
+    ("quote styles", "<a x='1' y=\"2\" z=3 w>",
+     [("StartTag", "a", {"x": "1", "y": "2", "z": "3", "w": ""}, False)], [], DATA, ""),
+    ("duplicate attr first wins", "<a x=1 x=2>",
+     [("StartTag", "a", {"x": "1"}, False)], ["duplicate-attribute"], DATA, ""),
+    ("self closing", "<br/>", [("StartTag", "br", {}, True)], [], DATA, ""),
+    ("end tag with attrs", "</p x=1>",
+     [("EndTag", "p")], ["end-tag-with-attributes"], DATA, ""),
+    ("end tag solidus", "</p/>",
+     [("EndTag", "p")], ["end-tag-with-trailing-solidus"], DATA, ""),
+    ("named entity", "&amp;", [("Character", "&")], [], DATA, ""),
+    ("entity no semicolon legacy", "&amp x", [("Character", "& x")],
+     ["missing-semicolon-after-character-reference"], DATA, ""),
+    ("entity longest match", "&notin;", [("Character", "∉")], [], DATA, ""),
+    ("entity prefix fallback", "&notin", [("Character", "¬in")],
+     ["missing-semicolon-after-character-reference"], DATA, ""),
+    ("unknown named ref", "&noSuchEntity;", [("Character", "&noSuchEntity;")],
+     ["unknown-named-character-reference"], DATA, ""),
+    ("bare ampersand", "& x", [("Character", "& x")], [], DATA, ""),
+    ("amp before nonalnum", "&;", [("Character", "&;")], [], DATA, ""),
+    ("numeric dec", "&#65;", [("Character", "A")], [], DATA, ""),
+    ("numeric hex", "&#x41;", [("Character", "A")], [], DATA, ""),
+    ("numeric hex upper X", "&#X41;", [("Character", "A")], [], DATA, ""),
+    ("numeric no digits", "&#;", [("Character", "&#;")],
+     ["absence-of-digits-in-numeric-character-reference"], DATA, ""),
+    ("numeric hex no digits", "&#x;", [("Character", "&#x;")],
+     ["absence-of-digits-in-numeric-character-reference"], DATA, ""),
+    ("null charref", "&#0;", [("Character", "�")],
+     ["null-character-reference"], DATA, ""),
+    ("surrogate charref", "&#xD83D;", [("Character", "�")],
+     ["surrogate-character-reference"], DATA, ""),
+    ("out of range charref", "&#x110000;", [("Character", "�")],
+     ["character-reference-outside-unicode-range"], DATA, ""),
+    ("windows-1252 remap", "&#x80;", [("Character", "€")],
+     ["control-character-reference"], DATA, ""),
+    ("noncharacter charref", "&#xFFFF;", [("Character", "￿")],
+     ["noncharacter-character-reference"], DATA, ""),
+    ("attr charref", "<a href=\"?a&amp;b\">",
+     [("StartTag", "a", {"href": "?a&b"}, False)], [], DATA, ""),
+    ("attr historical no-decode", "<a href=\"?a&copy=1\">",
+     [("StartTag", "a", {"href": "?a&copy=1"}, False)], [], DATA, ""),
+    ("attr decode at end", "<a href=\"?a&copy\">",
+     [("StartTag", "a", {"href": "?a©"}, False)],
+     ["missing-semicolon-after-character-reference"], DATA, ""),
+    ("comment", "<!--c-->", [("Comment", "c")], [], DATA, ""),
+    ("empty comment", "<!---->", [("Comment", "")], [], DATA, ""),
+    ("comment dashes inside", "<!-- -- -->", [("Comment", " -- ")], [], DATA, ""),
+    ("comment lt bang", "<!--<!-->", [("Comment", "<!")], [], DATA, ""),
+    ("comment end bang", "<!--a--!>", [("Comment", "a")],
+     ["incorrectly-closed-comment"], DATA, ""),
+    ("comment end bang dash", "<!--a--!-->", [("Comment", "a--!")], [], DATA, ""),
+    ("nested comment", "<!--a<!--b-->", [("Comment", "a<!--b")],
+     ["nested-comment"], DATA, ""),
+    ("abrupt empty comment", "<!-->", [("Comment", "")],
+     ["abrupt-closing-of-empty-comment"], DATA, ""),
+    ("abrupt empty comment dash", "<!--->", [("Comment", "")],
+     ["abrupt-closing-of-empty-comment"], DATA, ""),
+    ("eof in comment", "<!--x", [("Comment", "x")], ["eof-in-comment"], DATA, ""),
+    ("bogus comment pi", "<?pi?>", [("Comment", "?pi?")],
+     ["unexpected-question-mark-instead-of-tag-name"], DATA, ""),
+    ("bogus comment bang", "<!x>", [("Comment", "x")],
+     ["incorrectly-opened-comment"], DATA, ""),
+    ("doctype simple", "<!DOCTYPE html>",
+     [("DOCTYPE", "html", None, None, True)], [], DATA, ""),
+    ("doctype lowercase kw", "<!doctype HTML>",
+     [("DOCTYPE", "html", None, None, True)], [], DATA, ""),
+    ("doctype public", '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">',
+     [("DOCTYPE", "html", "-//W3C//DTD HTML 4.01//EN", None, True)], [], DATA, ""),
+    ("doctype public+system",
+     '<!DOCTYPE html PUBLIC "p" "s">',
+     [("DOCTYPE", "html", "p", "s", True)], [], DATA, ""),
+    ("doctype system only", '<!DOCTYPE html SYSTEM "s">',
+     [("DOCTYPE", "html", None, "s", True)], [], DATA, ""),
+    ("doctype missing name", "<!DOCTYPE>",
+     [("DOCTYPE", None, None, None, False)],
+     ["missing-doctype-name"], DATA, ""),
+    ("doctype bogus kw", "<!DOCTYPE html BOGUS>",
+     [("DOCTYPE", "html", None, None, False)],
+     ["invalid-character-sequence-after-doctype-name"], DATA, ""),
+    ("eof in doctype", "<!DOCTYPE html",
+     [("DOCTYPE", "html", None, None, False)], ["eof-in-doctype"], DATA, ""),
+    ("missing end tag name", "</>", [], ["missing-end-tag-name"], DATA, ""),
+    ("invalid first char", "<3>", [("Character", "<3>")],
+     ["invalid-first-character-of-tag-name"], DATA, ""),
+    ("eof before tag name", "<", [("Character", "<")],
+     ["eof-before-tag-name"], DATA, ""),
+    ("eof in tag", "<p class", [], ["eof-in-tag"], DATA, ""),
+    ("null in data raw", "a\x00b", [("Character", "a\x00b")],
+     ["unexpected-null-character"], DATA, ""),
+    ("null in rcdata fffd", "a\x00b", [("Character", "a�b")],
+     ["unexpected-null-character"], RCDATA, "title"),
+    ("rcdata end tag", "x &amp; y</title>",
+     [("Character", "x & y"), ("EndTag", "title")], [], RCDATA, "title"),
+    ("rcdata wrong end tag", "x</div>y</title>",
+     [("Character", "x</div>y"), ("EndTag", "title")], [], RCDATA, "title"),
+    ("rawtext no entities", "a &amp; b</style>",
+     [("Character", "a &amp; b"), ("EndTag", "style")], [], RAWTEXT, "style"),
+    ("script escaped comment", "<!--x--> rest</script>",
+     [("Character", "<!--x--> rest"), ("EndTag", "script")], [], SCRIPT_DATA, "script"),
+    ("script double escaped", "<!--<script>a</script>--></script>",
+     [("Character", "<!--<script>a</script>-->"), ("EndTag", "script")],
+     [], SCRIPT_DATA, "script"),
+    ("script end inside escaped", "<!--</script>x",
+     [("Character", "<!--"), ("EndTag", "script"), ("Character", "x")],
+     [], SCRIPT_DATA, "script"),
+    ("plaintext eats all", "a</plaintext>b",
+     [("Character", "a</plaintext>b")], [], PLAINTEXT, "plaintext"),
+    ("cdata as bogus in html", "<![CDATA[x]]>",
+     [("Comment", "[CDATA[x]]")], ["cdata-in-html-content"], DATA, ""),
+    ("crlf normalized", "a\r\nb\rc", [("Character", "a\nb\nc")], [], DATA, ""),
+    ("multibyte utf8", "héllo 世界", [("Character", "héllo 世界")], [], DATA, ""),
+    ("solidus in tag", "<a / b>", [("StartTag", "a", {"b": ""}, False)],
+     ["unexpected-solidus-in-tag"], DATA, ""),
+    ("equals before attr name", "<a ==x>", [("StartTag", "a", {"=": "x"}, False)],
+     ["unexpected-equals-sign-before-attribute-name"], DATA, ""),
+    ("quote in attr name", "<a x'y=1>", [("StartTag", "a", {"x'y": "1"}, False)],
+     ["unexpected-character-in-attribute-name"], DATA, ""),
+    ("quote in unquoted value", "<a x=a'b>", [("StartTag", "a", {"x": "a'b"}, False)],
+     ["unexpected-character-in-unquoted-attribute-value"], DATA, ""),
+    ("missing attr value", "<a x=>", [("StartTag", "a", {"x": ""}, False)],
+     ["missing-attribute-value"], DATA, ""),
+    ("missing ws between attrs", "<a x='1'y=2>",
+     [("StartTag", "a", {"x": "1", "y": "2"}, False)],
+     ["missing-whitespace-between-attributes"], DATA, ""),
+]
+
+
+@pytest.mark.parametrize("desc,src,want,errs,state,last",
+                         CASES, ids=[c[0] for c in CASES])
+def test_tokenizer(desc, src, want, errs, state, last):
+    got, got_errs = run(src, state=state, last=last)
+    assert got == want, f"{desc}: {got!r} != {want!r}"
+    assert got_errs == errs, f"{desc}: errors {got_errs!r} != {errs!r}"
+
+
+def test_cdata_in_foreign_content():
+    t = Tokenizer("<![CDATA[x <b> y]]>after", collect_input_errors=False)
+    t.allow_cdata = True
+    toks = list(t.tokens())
+    assert toks == [("Character", "x <b> y"), ("Character", "after")]
+    assert t.errors == []
+
+
+def test_line_col():
+    t = Tokenizer("ab\ncd<3", collect_input_errors=False)
+    list(t.tokens())
+    (code, off), = t.errors
+    assert code == "invalid-first-character-of-tag-name"
+    assert t.line_col(off) == (2, 4)
+
+
+def test_input_stream_errors():
+    t = Tokenizer("a\x01b﷐c")
+    list(t.tokens())
+    codes = [c for c, _ in t.errors]
+    assert "control-character-in-input-stream" in codes
+    assert "noncharacter-in-input-stream" in codes
+
+
+def test_state_switch_mid_stream():
+    """Tree builder flips state between pulls (spec: RCDATA elements)."""
+    t = Tokenizer("<title>a<b</title>x", collect_input_errors=False)
+    it = t.tokens()
+    tok = next(it)
+    assert tok[:2] == ("StartTag", "title")
+    t.state = RCDATA  # what the tree builder does
+    rest = list(it)
+    assert ("EndTag", "title", {}, False) in rest
+    text = "".join(x[1] for x in rest if x[0] == "Character")
+    assert text == "a<bx"

@@ -1,0 +1,993 @@
+"""WHATWG HTML5 tokenizer (spec-correct, codepoint-based, pure Python).
+
+Re-implements the semantics of the reference's 80-state machine
+(/root/reference/src/tokenizer.zig:18-99,171-2221) from the WHATWG spec —
+NOT a port. Deliberate fixes vs the reference (SURVEY.md §2.11): input
+preprocessing (CR/LF normalization + input-stream character errors),
+codepoints instead of bytes, correct RCDATA end-tag emission, in-order
+temporary-buffer flush, and the full numeric-reference control remap table.
+
+Design for the Ray hot path:
+  * token runs are coalesced — one ``("Character", text)`` per text run,
+    found with compiled-regex scans (C speed), instead of the reference's
+    one token per byte (/root/reference/src/token.zig:53-65);
+  * the entity table comes from the stdlib ``html.entities.html5``
+    (same public WHATWG data as /root/reference/src/namedCharacterReference.zig)
+    and is module-level — loaded once per worker process, vs per-instance
+    in the reference (/root/reference/src/tokenizer.zig:135,147);
+  * errors are ``(code, offset)`` with lazy line/col resolution.
+
+Tokens (tuples):
+  ("Character", str)                              coalesced run
+  ("StartTag", name, attrs: dict, self_closing)   attrs first-wins
+  ("EndTag", name, attrs: dict, self_closing)
+  ("Comment", data)
+  ("DOCTYPE", name|None, public|None, system|None, force_quirks)
+EOF ends iteration (no EOF tuple is yielded).
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+from html.entities import html5 as _HTML5_ENTITIES
+
+# ---------------------------------------------------------------- entities
+
+_MAX_ENTITY_LEN = max(len(k) for k in _HTML5_ENTITIES)  # 32 ("CounterClockwiseContourIntegral;")
+_ENTITY_LENGTHS_BY_PREFIX: dict[str, tuple[int, ...]] = {}
+for _k in _HTML5_ENTITIES:
+    _ENTITY_LENGTHS_BY_PREFIX.setdefault(_k[:2], ())
+for _p in list(_ENTITY_LENGTHS_BY_PREFIX):
+    _ENTITY_LENGTHS_BY_PREFIX[_p] = tuple(sorted(
+        {len(k) for k in _HTML5_ENTITIES if k.startswith(_p)}, reverse=True))
+
+# numeric character reference remap (WHATWG 13.2.5.80, windows-1252 block)
+_CHARREF_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+_WS = "\t\n\f "  # ASCII whitespace inside tags (CR normalized away)
+
+# fast-path scanners (module-level: compiled once per worker)
+_RE_DATA = re.compile(r"[&<\x00]")
+_RE_RCDATA = re.compile(r"[&<\x00]")
+_RE_RAWTEXT = re.compile(r"[<\x00]")
+_RE_PLAINTEXT = re.compile(r"\x00")
+_RE_TAGNAME = re.compile(r"[^\t\n\f />\x00]*")
+_RE_ATTRNAME = re.compile(r"[^\t\n\f /=>\x00\"'<]*")
+_RE_ATTRVAL_DQ = re.compile(r"[^\"&\x00]*")
+_RE_ATTRVAL_SQ = re.compile(r"[^'&\x00]*")
+_RE_ATTRVAL_UQ = re.compile(r"[^\t\n\f >&\x00\"'<=`]*")
+_RE_ALNUM_RUN = re.compile(r"[A-Za-z0-9]*")
+_RE_DIGITS = re.compile(r"[0-9]+")
+_RE_HEXDIGITS = re.compile(r"[0-9A-Fa-f]+")
+_RE_COMMENT_CHUNK = re.compile(r"[^<\-\x00]*")
+_RE_NONCHAR_CTRL = re.compile(
+    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f﷐-﷯￾￿]")
+
+# named tokenizer states (public: tree builder + conformance harness set these)
+DATA = "data"
+RCDATA = "rcdata"
+RAWTEXT = "rawtext"
+SCRIPT_DATA = "script_data"
+PLAINTEXT = "plaintext"
+CDATA_SECTION = "cdata_section"
+
+
+def preprocess(raw: bytes | str) -> str:
+    """Input-stream preprocessing (the reference's missing piece,
+    /root/reference/test/tokenizer-html5lib.zig:8): decode UTF-8 with
+    U+FFFD replacement, normalize CRLF/CR → LF."""
+    s = raw.decode("utf-8", "replace") if isinstance(raw, (bytes, bytearray)) else raw
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return s
+
+
+class Tokenizer:
+    """Pull-based tokenizer. ``tokens()`` yields token tuples; the tree
+    builder may flip ``self.state`` / ``self.last_start_tag`` between
+    yields (spec: tree construction switches the tokenizer for RCDATA /
+    RAWTEXT / script / PLAINTEXT elements). ``allow_cdata`` mirrors the
+    adjusted-current-node-in-foreign-content condition the reference left
+    as FIXME (/root/reference/src/tokenizer.zig:1240-1248)."""
+
+    def __init__(self, raw: bytes | str, initial_state: str = DATA,
+                 last_start_tag: str | None = None,
+                 collect_input_errors: bool = True):
+        self.s = preprocess(raw)
+        self.n = len(self.s)
+        self.pos = 0
+        self.state = initial_state
+        self.last_start_tag = last_start_tag
+        self.allow_cdata = False  # tree builder sets True in foreign content
+        self.errors: list[tuple[str, int]] = []
+        self._newlines: list[int] | None = None
+        if collect_input_errors:
+            for m in _RE_NONCHAR_CTRL.finditer(self.s):
+                c = m.group()
+                code = ("noncharacter-in-input-stream"
+                        if "﷐" <= c <= "﷯" or c in "￾￿"
+                        else "control-character-in-input-stream")
+                self.errors.append((code, m.start()))
+
+    # ---------------------------------------------------------------- misc
+
+    def line_col(self, offset: int) -> tuple[int, int]:
+        if self._newlines is None:
+            self._newlines = [i for i, ch in enumerate(self.s) if ch == "\n"]
+        line = bisect_right(self._newlines, offset - 1)
+        col = offset - (self._newlines[line - 1] + 1 if line else 0)
+        return line + 1, col + 1
+
+    def _err(self, code: str, offset: int | None = None) -> None:
+        self.errors.append((code, self.pos if offset is None else offset))
+
+    # ---------------------------------------------------------------- main
+
+    def tokens(self):
+        """Yield token tuples until EOF."""
+        dispatch = {
+            DATA: self._data, RCDATA: self._rcdata, RAWTEXT: self._rawtext,
+            SCRIPT_DATA: self._script_data, PLAINTEXT: self._plaintext,
+            CDATA_SECTION: self._cdata_section,
+        }
+        while self.pos < self.n:
+            for tok in dispatch[self.state]():
+                yield tok
+
+    # Each state method processes input until it either emits token(s)
+    # (returned as a list) or changes state; the outer loop re-dispatches.
+
+    # ---------------------------------------------------------------- data
+
+    def _data(self):
+        s, pos, n = self.s, self.pos, self.n
+        out = []
+        m = _RE_DATA.search(s, pos)
+        if m is None:
+            if pos < n:
+                out.append(("Character", s[pos:n]))
+            self.pos = n
+            return out
+        if m.start() > pos:
+            out.append(("Character", s[pos:m.start()]))
+            self.pos = m.start()
+            return out
+        c = s[pos]
+        if c == "\x00":
+            self._err("unexpected-null-character")
+            self.pos = pos + 1
+            out.append(("Character", "\x00"))  # data state emits NUL raw
+            return out
+        if c == "&":
+            self.pos = pos + 1
+            text = self._consume_charref(in_attr=False)
+            if text:
+                out.append(("Character", text))
+            return out
+        # "<"
+        self.pos = pos + 1
+        return self._tag_open()
+
+    def _rcdata(self):
+        s, pos, n = self.s, self.pos, self.n
+        out = []
+        m = _RE_RCDATA.search(s, pos)
+        if m is None:
+            if pos < n:
+                out.append(("Character", s[pos:n]))
+            self.pos = n
+            return out
+        if m.start() > pos:
+            out.append(("Character", s[pos:m.start()]))
+            self.pos = m.start()
+            return out
+        c = s[pos]
+        if c == "\x00":
+            self._err("unexpected-null-character")
+            self.pos = pos + 1
+            return [("Character", "�")]
+        if c == "&":
+            self.pos = pos + 1
+            text = self._consume_charref(in_attr=False)
+            return [("Character", text)] if text else []
+        return self._rawtext_lt(RCDATA)
+
+    def _rawtext(self):
+        return self._raw_common(_RE_RAWTEXT, RAWTEXT)
+
+    def _script_data(self):
+        return self._raw_common(_RE_RAWTEXT, SCRIPT_DATA)
+
+    def _raw_common(self, rx, state):
+        s, pos, n = self.s, self.pos, self.n
+        m = rx.search(s, pos)
+        if m is None:
+            out = [("Character", s[pos:n])] if pos < n else []
+            self.pos = n
+            return out
+        if m.start() > pos:
+            self.pos = m.start()
+            return [("Character", s[pos:m.start()])]
+        if s[pos] == "\x00":
+            self._err("unexpected-null-character")
+            self.pos = pos + 1
+            return [("Character", "�")]
+        return self._rawtext_lt(state)
+
+    def _plaintext(self):
+        s, pos, n = self.s, self.pos, self.n
+        m = _RE_PLAINTEXT.search(s, pos)
+        if m is None:
+            out = [("Character", s[pos:n])] if pos < n else []
+            self.pos = n
+            return out
+        out = []
+        if m.start() > pos:
+            out.append(("Character", s[pos:m.start()]))
+        self._err("unexpected-null-character", m.start())
+        out.append(("Character", "�"))
+        self.pos = m.start() + 1
+        return out
+
+    # --------------------------------------------------- rcdata/rawtext "<"
+
+    def _rawtext_lt(self, state):
+        """'<' seen in RCDATA / RAWTEXT / script data. Handles the
+        less-than-sign + end-tag-open + end-tag-name states (the area with
+        reference bugs §2.11.1-2: we DO emit the appropriate end tag)."""
+        s, n = self.s, self.n
+        pos = self.pos  # at '<'
+        if state == SCRIPT_DATA and s.startswith("<!--", pos):
+            self.pos = pos + 4
+            return [("Character", "<!--")] + self._script_escaped(dash_dash=True)
+        if pos + 1 < n and s[pos + 1] == "/":
+            m = _RE_ALNUM_RUN.match(s, pos + 2)
+            name = m.group()
+            if name:
+                end = m.end()
+                lname = name.lower()
+                if lname == self.last_start_tag and end < n and s[end] in "\t\n\f />":
+                    # appropriate end tag → real end-tag token
+                    self.pos = end
+                    self.state = DATA
+                    return self._finish_end_tag_simple(lname)
+            # not appropriate: emit "</" + let text continue
+            self.pos = pos + 2
+            return [("Character", "</")]
+        self.pos = pos + 1
+        return [("Character", "<")]
+
+    def _finish_end_tag_simple(self, name):
+        """After an appropriate end-tag name in RCDATA/RAWTEXT/script:
+        parse the rest of the tag via the shared attribute machinery."""
+        tag = _TagBuilder(self, "EndTag", name)
+        return tag.run_after_name()
+
+    # ------------------------------------------------------- script escaped
+
+    def _script_escaped(self, dash_dash: bool):
+        """Script data escaped (+ double-escaped) states, entered after
+        '<!--'. Emits character tokens until '-->' or EOF; returns to
+        SCRIPT_DATA (or emits end tag if appropriate '</script' found)."""
+        s, n = self.s, self.n
+        out = []
+        pos = self.pos
+        dashes = 2 if dash_dash else 0
+        double = False
+        while pos < n:
+            c = s[pos]
+            if c == "-":
+                out.append(("Character", "-"))
+                dashes += 1
+                pos += 1
+            elif c == ">" and dashes >= 2:
+                out.append(("Character", ">"))
+                self.pos = pos + 1
+                self.state = SCRIPT_DATA
+                return out
+            elif c == "\x00":
+                self.errors.append(("unexpected-null-character", pos))
+                out.append(("Character", "�"))
+                dashes = 0
+                pos += 1
+            elif c == "<":
+                if not double and s.startswith("</", pos):
+                    m = _RE_ALNUM_RUN.match(s, pos + 2)
+                    name = m.group().lower()
+                    if (name == self.last_start_tag and m.end() < n
+                            and s[m.end()] in "\t\n\f />"):
+                        self.pos = m.end()
+                        self.state = DATA
+                        return out + self._finish_end_tag_simple(name)
+                    out.append(("Character", "</"))
+                    pos += 2
+                elif not double and s.startswith("<script", pos) and \
+                        (pos + 7 >= n or s[pos + 7] in "\t\n\f />"):
+                    # double-escape start
+                    ln = min(pos + 8, n)
+                    out.append(("Character", s[pos:ln]))
+                    double = True
+                    pos = ln
+                elif double and s.startswith("</script", pos) and \
+                        (pos + 8 >= n or s[pos + 8] in "\t\n\f />"):
+                    ln = min(pos + 9, n)
+                    out.append(("Character", s[pos:ln]))
+                    double = False
+                    pos = ln
+                else:
+                    out.append(("Character", "<"))
+                    pos += 1
+                dashes = 0
+            else:
+                m = re.compile(r"[^<>\-\x00]*").match(s, pos)
+                out.append(("Character", m.group()))
+                pos = m.end()
+                dashes = 0
+        self.pos = n
+        self.errors.append(("eof-in-script-html-comment-like-text", n))
+        return out
+
+    # ------------------------------------------------------------- tag open
+
+    def _tag_open(self):
+        """After '<' in data state."""
+        s, n = self.s, self.n
+        pos = self.pos
+        if pos >= n:
+            self._err("eof-before-tag-name", n)
+            return [("Character", "<")]
+        c = s[pos]
+        if c == "!":
+            self.pos = pos + 1
+            return self._markup_declaration_open()
+        if c == "/":
+            return self._end_tag_open(pos + 1)
+        if c.isascii() and c.isalpha():
+            return self._tag_name("StartTag", pos)
+        if c == "?":
+            self._err("unexpected-question-mark-instead-of-tag-name", pos)
+            return self._bogus_comment(pos)
+        self._err("invalid-first-character-of-tag-name", pos)
+        return [("Character", "<")]  # reconsume c in data
+
+    def _end_tag_open(self, pos):
+        s, n = self.s, self.n
+        if pos >= n:
+            self._err("eof-before-tag-name", n)
+            self.pos = n
+            return [("Character", "</")]
+        c = s[pos]
+        if c.isascii() and c.isalpha():
+            return self._tag_name("EndTag", pos)
+        if c == ">":
+            self._err("missing-end-tag-name", pos)
+            self.pos = pos + 1
+            return []
+        self._err("invalid-first-character-of-tag-name", pos)
+        return self._bogus_comment(pos)
+
+    def _tag_name(self, kind, pos):
+        s, n = self.s, self.n
+        m = _RE_TAGNAME.match(s, pos)
+        raw = m.group()
+        pos = m.end()
+        name = raw.lower()
+        if "\x00" in name:
+            for i, ch in enumerate(raw):
+                if ch == "\x00":
+                    self._err("unexpected-null-character", m.start() + i)
+            name = name.replace("\x00", "�")
+        self.pos = pos
+        tag = _TagBuilder(self, kind, name)
+        return tag.run_after_name()
+
+    # ----------------------------------------------------- markup decl open
+
+    def _markup_declaration_open(self):
+        s, n = self.s, self.n
+        pos = self.pos
+        if s.startswith("--", pos):
+            self.pos = pos + 2
+            return self._comment()
+        if s[pos:pos + 7].lower() == "doctype":
+            self.pos = pos + 7
+            return self._doctype()
+        if s.startswith("[CDATA[", pos):
+            if self.allow_cdata:
+                self.pos = pos + 7
+                self.state = CDATA_SECTION
+                return []
+            self._err("cdata-in-html-content", pos)
+            return self._bogus_comment(pos, preserve=True)
+        self._err("incorrectly-opened-comment", pos)
+        return self._bogus_comment(pos)
+
+    def _bogus_comment(self, pos, preserve: bool = False):
+        """Bogus comment state: everything to '>' (or EOF) is the data.
+        ``preserve``: keep '[CDATA[...'."""
+        s, n = self.s, self.n
+        end = s.find(">", pos)
+        if end == -1:
+            data = s[pos:n]
+            self.pos = n
+        else:
+            data = s[pos:end]
+            self.pos = end + 1
+        if "\x00" in data:
+            self._err("unexpected-null-character", pos)
+            data = data.replace("\x00", "�")
+        return [("Comment", data)]
+
+    # -------------------------------------------------------------- comment
+
+    def _comment(self):
+        """Comment state family, entered after '<!--'."""
+        s, n = self.s, self.n
+        pos = self.pos
+        buf = []
+        # comment start state
+        if pos < n and s[pos] == "-":
+            if pos + 1 < n and s[pos + 1] == ">":
+                self._err("abrupt-closing-of-empty-comment", pos + 1)
+                self.pos = pos + 2
+                return [("Comment", "")]
+            if pos + 1 < n and s[pos + 1] == "-":
+                # comment end state directly
+                pos2, tok = self._comment_end(pos + 2, buf)
+                if tok is not None:
+                    return tok
+                pos = pos2
+            else:
+                buf.append("-")
+                pos += 1
+        elif pos < n and s[pos] == ">":
+            self._err("abrupt-closing-of-empty-comment", pos)
+            self.pos = pos + 1
+            return [("Comment", "")]
+        while True:
+            if pos >= n:
+                self._err("eof-in-comment", n)
+                self.pos = n
+                return [("Comment", "".join(buf))]
+            m = _RE_COMMENT_CHUNK.match(s, pos)
+            if m.end() > pos:
+                buf.append(m.group())
+                pos = m.end()
+                continue
+            c = s[pos]
+            if c == "\x00":
+                self._err("unexpected-null-character", pos)
+                buf.append("�")
+                pos += 1
+            elif c == "<":
+                # comment less-than sign state: <! inside comment may nest
+                buf.append("<")
+                pos += 1
+                while pos < n and s[pos] == "<":
+                    buf.append("<")
+                    pos += 1
+                if pos < n and s[pos] == "!":
+                    buf.append("!")
+                    pos += 1
+                    if s.startswith("--", pos):
+                        # comment-end-bang via less-than-sign-bang-dash-dash
+                        if pos + 2 < n and s[pos + 2] == ">":
+                            pos2, tok = self._comment_end(pos + 2, buf, from_bang=True)
+                        else:
+                            self._err("nested-comment", pos)
+                            pos2, tok = self._comment_end(pos + 2, buf)
+                        if tok is not None:
+                            return tok
+                        pos = pos2
+            else:  # "-" → comment end dash
+                if pos + 1 >= n:
+                    self._err("eof-in-comment", n)
+                    self.pos = n
+                    return [("Comment", "".join(buf))]
+                if s[pos + 1] == "-":
+                    pos2, tok = self._comment_end(pos + 2, buf)
+                    if tok is not None:
+                        return tok
+                    pos = pos2
+                else:
+                    buf.append("-")
+                    pos += 1
+
+    def _comment_end(self, pos, buf, from_bang: bool = False):
+        """Comment end state (after '--'). Returns (new_pos, token|None)."""
+        s, n = self.s, self.n
+        while True:
+            if pos >= n:
+                self._err("eof-in-comment", n)
+                self.pos = n
+                return pos, [("Comment", "".join(buf))]
+            c = s[pos]
+            if c == ">":
+                self.pos = pos + 1
+                return pos, [("Comment", "".join(buf))]
+            if c == "!" and not from_bang:
+                # comment end bang state
+                pos += 1
+                if pos < n and s[pos] == "-":
+                    buf.append("--!")
+                    return pos, None  # '-' unconsumed → main loop's dash branch = comment-end-dash
+                if pos >= n:
+                    self._err("eof-in-comment", n)
+                    self.pos = n
+                    return pos, [("Comment", "".join(buf))]
+                if s[pos] == ">":
+                    self._err("incorrectly-closed-comment", pos)
+                    self.pos = pos + 1
+                    return pos, [("Comment", "".join(buf))]
+                buf.append("--!")
+                return pos, None
+            if c == "-":
+                buf.append("-")
+                pos += 1
+                continue
+            buf.append("--")
+            return pos, None
+
+    # -------------------------------------------------------------- doctype
+
+    def _doctype(self):
+        s, n = self.s, self.n
+        pos = self.pos
+        name = None
+        public = None
+        system = None
+        force_quirks = False
+
+        def eof_tok():
+            self._err("eof-in-doctype", n)
+            self.pos = n
+            return [("DOCTYPE", name, public, system, True)]
+
+        if pos >= n:
+            return eof_tok()
+        if s[pos] in _WS:
+            pos += 1
+        elif s[pos] == ">":
+            pass
+        else:
+            self._err("missing-whitespace-before-doctype-name", pos)
+        # before doctype name
+        while pos < n and s[pos] in _WS:
+            pos += 1
+        if pos >= n:
+            return eof_tok()
+        if s[pos] == ">":
+            self._err("missing-doctype-name", pos)
+            self.pos = pos + 1
+            return [("DOCTYPE", None, None, None, True)]
+        # doctype name
+        m = re.compile(r"[^\t\n\f >\x00]*").match(s, pos)
+        raw = m.group()
+        if "\x00" in raw:
+            self._err("unexpected-null-character", pos)
+        name = raw.lower().replace("\x00", "�")
+        pos = m.end()
+        # after doctype name
+        while True:
+            while pos < n and s[pos] in _WS:
+                pos += 1
+            if pos >= n:
+                return eof_tok()
+            if s[pos] == ">":
+                self.pos = pos + 1
+                return [("DOCTYPE", name, public, system, force_quirks)]
+            kw = s[pos:pos + 6].lower()
+            if kw == "public":
+                pos += 6
+                public, system, force_quirks, pos, tok = \
+                    self._doctype_ids(pos, "public", name)
+                if tok is not None:
+                    return tok
+                continue
+            if kw == "system":
+                pos += 6
+                _pub, system, force_quirks, pos, tok = \
+                    self._doctype_ids(pos, "system", name)
+                if tok is not None:
+                    return tok
+                continue
+            self._err("invalid-character-sequence-after-doctype-name", pos)
+            force_quirks = True
+            pos, tok = self._bogus_doctype(pos, name, public, system)
+            if tok is not None:
+                return tok
+
+    def _doctype_ids(self, pos, which, name):
+        """PUBLIC/SYSTEM keyword seen; parse quoted identifier(s).
+        Returns (public, system, force_quirks, pos, token|None)."""
+        s, n = self.s, self.n
+        public = None
+        system = None
+        force_quirks = False
+
+        def read_quoted(pos, missing_code, abrupt_code):
+            nonlocal force_quirks
+            quote = s[pos]
+            end = s.find(quote, pos + 1)
+            gt = s.find(">", pos + 1)
+            if end == -1 or (gt != -1 and gt < end):
+                self._err(abrupt_code, pos)
+                force_quirks = True
+                if gt == -1:
+                    val = s[pos + 1:n].replace("\x00", "�")
+                    return val, n, True  # eof
+                val = s[pos + 1:gt].replace("\x00", "�")
+                return val, gt, False
+            val = s[pos + 1:end]
+            if "\x00" in val:
+                self._err("unexpected-null-character", pos)
+                val = val.replace("\x00", "�")
+            return val, end + 1, False
+
+        # after PUBLIC/SYSTEM keyword
+        had_ws = False
+        while pos < n and s[pos] in _WS:
+            pos += 1
+            had_ws = True
+        if pos >= n:
+            self._err("eof-in-doctype", n)
+            self.pos = n
+            return public, system, True, n, [("DOCTYPE", name, public, system, True)]
+        c = s[pos]
+        if c in "\"'":
+            if not had_ws:
+                self._err("missing-whitespace-after-doctype-%s-keyword" % which, pos)
+            code_missing = "missing-doctype-%s-identifier" % which
+            code_abrupt = "abrupt-doctype-%s-identifier" % which
+            val, pos, at_eof = read_quoted(pos, code_missing, code_abrupt)
+            if which == "public":
+                public = val
+            else:
+                system = val
+            if at_eof:
+                self._err("eof-in-doctype", n)
+                self.pos = n
+                return public, system, True, n, [("DOCTYPE", name, public, system, True)]
+            if force_quirks:
+                if pos < n and s[pos] == ">":
+                    self.pos = pos + 1
+                    return public, system, True, pos, [("DOCTYPE", name, public, system, True)]
+            if which == "public":
+                # between public and (optional) system id
+                had_ws2 = False
+                while pos < n and s[pos] in _WS:
+                    pos += 1
+                    had_ws2 = True
+                if pos >= n:
+                    self._err("eof-in-doctype", n)
+                    self.pos = n
+                    return public, system, True, n, [("DOCTYPE", name, public, system, True)]
+                if s[pos] in "\"'":
+                    if not had_ws2:
+                        self._err("missing-whitespace-between-doctype-public-and-system-identifiers", pos)
+                    val, pos, at_eof = read_quoted(
+                        pos, "missing-doctype-system-identifier",
+                        "abrupt-doctype-system-identifier")
+                    system = val
+                    if at_eof:
+                        self._err("eof-in-doctype", n)
+                        self.pos = n
+                        return public, system, True, n, [("DOCTYPE", name, public, system, True)]
+            return public, system, force_quirks, pos, None
+        if c == ">":
+            self._err("missing-doctype-%s-identifier" % which, pos)
+            self.pos = pos + 1
+            return public, system, True, pos, [("DOCTYPE", name, public, system, True)]
+        self._err("missing-quote-before-doctype-%s-identifier" % which, pos)
+        pos2, tok = self._bogus_doctype(pos, name, public, system)
+        return public, system, True, pos2, tok
+
+    def _bogus_doctype(self, pos, name, public, system):
+        s, n = self.s, self.n
+        end = s.find(">", pos)
+        if end == -1:
+            self.pos = n
+            return n, [("DOCTYPE", name, public, system, True)]
+        self.pos = end + 1
+        return end + 1, [("DOCTYPE", name, public, system, True)]
+
+    # ---------------------------------------------------------------- cdata
+
+    def _cdata_section(self):
+        s, n = self.s, self.n
+        pos = self.pos
+        end = s.find("]]>", pos)
+        if end == -1:
+            self._err("eof-in-cdata", n)
+            out = [("Character", s[pos:n])] if pos < n else []
+            self.pos = n
+            self.state = DATA
+            return out
+        out = [("Character", s[pos:end])] if end > pos else []
+        self.pos = end + 3
+        self.state = DATA
+        return out
+
+    # ---------------------------------------------------- character refs
+
+    def _consume_charref(self, in_attr: bool) -> str:
+        """'&' consumed; returns replacement text (or literal fallback)."""
+        s, n = self.s, self.n
+        pos = self.pos
+        if pos >= n:
+            return "&"
+        c = s[pos]
+        if c == "#":
+            return self._numeric_charref(pos + 1)
+        if not (c.isascii() and c.isalnum()):
+            return "&"
+        # named: longest match from the WHATWG table (same data as
+        # /root/reference/src/namedCharacterReference.zig, via stdlib)
+        avail = s[pos:pos + _MAX_ENTITY_LEN]
+        lengths = _ENTITY_LENGTHS_BY_PREFIX.get(avail[:2], ())
+        match_name = None
+        for ln in lengths:
+            if ln <= len(avail):
+                cand = avail[:ln]
+                if cand in _HTML5_ENTITIES:
+                    match_name = cand
+                    break
+        if match_name is None:
+            # ambiguous ampersand: emit run verbatim; error iff run;-terminated
+            m = _RE_ALNUM_RUN.match(s, pos)
+            run = m.group()
+            if run and m.end() < n and s[m.end()] == ";":
+                self._err("unknown-named-character-reference", m.end())
+            self.pos = pos  # run chars re-emitted via return text below
+            # consume the run as plain text to avoid re-scanning it char by char
+            self.pos = m.end()
+            return "&" + run
+        end = pos + len(match_name)
+        if not match_name.endswith(";"):
+            nxt = s[end] if end < n else ""
+            if in_attr and (nxt == "=" or (nxt.isascii() and nxt.isalnum())):
+                # historical attribute rule: literal
+                m = _RE_ALNUM_RUN.match(s, pos)
+                self.pos = m.end()
+                return "&" + m.group()
+            self._err("missing-semicolon-after-character-reference", end)
+        self.pos = end
+        return _HTML5_ENTITIES[match_name]
+
+    def _numeric_charref(self, pos) -> str:
+        s, n = self.s, self.n
+        hexa = pos < n and s[pos] in "xX"
+        if hexa:
+            m = _RE_HEXDIGITS.match(s, pos + 1)
+        else:
+            m = _RE_DIGITS.match(s, pos)
+        if m is None or m.group() == "":
+            self._err("absence-of-digits-in-numeric-character-reference", pos)
+            if hexa:  # flush "&#x" (original case), reconsume rest
+                self.pos = pos + 1
+                return "&#" + s[pos]
+            self.pos = pos
+            return "&#"
+        digits = m.group()
+        end = m.end()
+        if end < n and s[end] == ";":
+            end += 1
+        else:
+            self._err("missing-semicolon-after-character-reference", end)
+        self.pos = end
+        code = int(digits, 16 if hexa else 10)
+        if code == 0:
+            self._err("null-character-reference", pos)
+            return "�"
+        if code > 0x10FFFF:
+            self._err("character-reference-outside-unicode-range", pos)
+            return "�"
+        if 0xD800 <= code <= 0xDFFF:
+            self._err("surrogate-character-reference", pos)
+            return "�"
+        if (0xFDD0 <= code <= 0xFDEF) or (code & 0xFFFE) == 0xFFFE:
+            self._err("noncharacter-character-reference", pos)
+        elif code == 0x0D or (code < 0x20 and code not in (0x09, 0x0A, 0x0C)) \
+                or (0x7F <= code <= 0x9F):
+            self._err("control-character-reference", pos)
+            code = _CHARREF_REMAP.get(code, code)
+        return chr(code)
+
+
+class _TagBuilder:
+    """Shared attribute machinery for start and end tags: before/attr-name/
+    after-name/value states with first-wins duplicate handling (reference:
+    /root/reference/src/tokenizer.zig:2412-2427)."""
+
+    __slots__ = ("t", "kind", "name", "attrs", "self_closing", "dup_seen")
+
+    def __init__(self, t: Tokenizer, kind: str, name: str):
+        self.t = t
+        self.kind = kind
+        self.name = name
+        self.attrs: dict[str, str] = {}
+        self.self_closing = False
+
+    def _emit(self):
+        t = self.t
+        if self.kind == "StartTag":
+            t.last_start_tag = self.name
+            return [("StartTag", self.name, self.attrs, self.self_closing)]
+        if self.attrs:
+            t._err("end-tag-with-attributes")
+        if self.self_closing:
+            t._err("end-tag-with-trailing-solidus")
+        return [("EndTag", self.name, self.attrs, self.self_closing)]
+
+    def _eof(self):
+        self.t._err("eof-in-tag", self.t.n)
+        self.t.pos = self.t.n
+        return []
+
+    def run_after_name(self):
+        """Tokenizer is positioned at the char that ended the tag name
+        (whitespace, '/', '>', or EOF)."""
+        t = self.t
+        s, n = t.s, t.n
+        pos = t.pos
+        while True:
+            # before attribute name
+            while pos < n and s[pos] in _WS:
+                pos += 1
+            if pos >= n:
+                t.pos = pos
+                return self._eof()
+            c = s[pos]
+            if c == ">":
+                t.pos = pos + 1
+                return self._emit()
+            if c == "/":
+                # self-closing start tag state
+                if pos + 1 < n and s[pos + 1] == ">":
+                    self.self_closing = True
+                    t.pos = pos + 2
+                    return self._emit()
+                if pos + 1 >= n:
+                    t.pos = n
+                    return self._eof()
+                t._err("unexpected-solidus-in-tag", pos)
+                pos += 1
+                continue
+            if c == "=":
+                t._err("unexpected-equals-sign-before-attribute-name", pos)
+                pos, done = self._attr(pos, eq_name_start=True)
+            else:
+                pos, done = self._attr(pos)
+            if done is not None:
+                return done
+
+    def _attr(self, pos, eq_name_start=False):
+        """Attribute name [+ value]. Returns (pos, emitted|None)."""
+        t = self.t
+        s, n = t.s, t.n
+        start = pos
+        if eq_name_start:
+            pos += 1  # '=' becomes first name char
+        m = _RE_ATTRNAME.match(s, pos)
+        pos = m.end()
+        # chars "'< in names: error but included
+        extra = []
+        while pos < n and s[pos] in "\"'<\x00":
+            if s[pos] == "\x00":
+                t._err("unexpected-null-character", pos)
+                extra.append((pos, "�"))
+            else:
+                t._err("unexpected-character-in-attribute-name", pos)
+                extra.append((pos, s[pos]))
+            pos += 1
+            m2 = _RE_ATTRNAME.match(s, pos)
+            pos = m2.end()
+        raw = s[start:pos]
+        if extra or "\x00" in raw:
+            raw = raw.replace("\x00", "�")
+        name = raw.lower()
+        # after attribute name
+        while pos < n and s[pos] in _WS:
+            pos += 1
+        if pos >= n:
+            t.pos = n
+            return pos, self._eof()
+        c = s[pos]
+        if c != "=":
+            self._store(name, "", pos)
+            return pos, None  # '>' '/' or next name handled by caller
+        pos += 1
+        # before attribute value
+        while pos < n and s[pos] in _WS:
+            pos += 1
+        if pos >= n:
+            t.pos = n
+            return pos, self._eof()
+        c = s[pos]
+        if c == ">":
+            t._err("missing-attribute-value", pos)
+            self._store(name, "", pos)
+            t.pos = pos + 1
+            return pos + 1, self._emit()
+        if c in "\"'":
+            rx = _RE_ATTRVAL_DQ if c == '"' else _RE_ATTRVAL_SQ
+            quote = c
+            pos += 1
+            buf = []
+            while True:
+                m = rx.match(s, pos)
+                buf.append(m.group())
+                pos = m.end()
+                if pos >= n:
+                    t.pos = n
+                    self._store(name, "".join(buf), start)
+                    return pos, self._eof()
+                c2 = s[pos]
+                if c2 == quote:
+                    pos += 1
+                    break
+                if c2 == "&":
+                    t.pos = pos + 1
+                    buf.append(t._consume_charref(in_attr=True))
+                    pos = t.pos
+                else:  # NUL
+                    t._err("unexpected-null-character", pos)
+                    buf.append("�")
+                    pos += 1
+            self._store(name, "".join(buf), start)
+            # after attribute value (quoted)
+            if pos < n and s[pos] not in "\t\n\f />":
+                t._err("missing-whitespace-between-attributes", pos)
+            return pos, None
+        # unquoted
+        buf = []
+        while True:
+            m = _RE_ATTRVAL_UQ.match(s, pos)
+            buf.append(m.group())
+            pos = m.end()
+            if pos >= n:
+                t.pos = n
+                self._store(name, "".join(buf), start)
+                return pos, self._eof()
+            c2 = s[pos]
+            if c2 in "\t\n\f >":
+                break
+            if c2 == "&":
+                t.pos = pos + 1
+                buf.append(t._consume_charref(in_attr=True))
+                pos = t.pos
+            elif c2 == "\x00":
+                t._err("unexpected-null-character", pos)
+                buf.append("�")
+                pos += 1
+            else:  # " ' < = `
+                t._err("unexpected-character-in-unquoted-attribute-value", pos)
+                buf.append(c2)
+                pos += 1
+        self._store(name, "".join(buf), start)
+        return pos, None
+
+    def _store(self, name, value, at):
+        if name in self.attrs:
+            self.t._err("duplicate-attribute", at)  # first occurrence wins
+        else:
+            self.attrs[name] = value
+
+
+def tokenize(raw: bytes | str, initial_state: str = DATA,
+             last_start_tag: str | None = None,
+             collect_input_errors: bool = True):
+    """Convenience: full token list + errors for one document."""
+    t = Tokenizer(raw, initial_state=initial_state,
+                  last_start_tag=last_start_tag,
+                  collect_input_errors=collect_input_errors)
+    toks = list(t.tokens())
+    return toks, t.errors
