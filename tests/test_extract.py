@@ -1,0 +1,91 @@
+"""Extraction-layer tests: block scoring on hand-built documents +
+golden-file determinism (SURVEY.md §5.3-4)."""
+
+import pyarrow.parquet as pq
+
+from zhtml_ray.html.extract import extract_document
+
+ARTICLE = """<!DOCTYPE html><html><body>
+<header><h1>Site Name</h1>
+<nav><ul><li><a href=/a>Home</a><li><a href=/b>About</a>
+<li><a href=/c>Contact</a></ul></nav></header>
+<main><article>
+<h2>The Article Title Sentence Here</h2>
+<p>This is the first long paragraph of real article content with plenty of
+words in it so that the density classifier will clearly mark it as content
+rather than boilerplate, which requires a healthy number of words.</p>
+<p>The second paragraph also carries substantial meaningful prose content
+and continues the discussion at length with many words of actual text.</p>
+</article></main>
+<aside><div><a href=/x>related one</a></div><div><a href=/y>related two</a></div></aside>
+<footer><a href=/p>Privacy</a> <a href=/t>Terms</a> <a href=/i>Imprint</a></footer>
+</body></html>"""
+
+
+def test_article_kept_boilerplate_dropped():
+    out = extract_document(ARTICLE)
+    text = out["extracted_text"]
+    assert "first long paragraph" in text
+    assert "second paragraph" in text
+    assert "The Article Title" in text  # heading attaches to article
+    assert "Privacy" not in text  # footer dropped
+    assert "related one" not in text  # aside dropped
+    assert "Home" not in text  # nav dropped
+
+
+def test_spans_are_utf8_byte_offsets():
+    out = extract_document("<!DOCTYPE html><body><p>héllo wörld plus enough "
+                           "words words words words words words words words "
+                           "words words words words words words</p>")
+    text_bytes = out["extracted_text"].encode("utf-8")
+    assert out["spans"], "expected at least one span"
+    for s in out["spans"]:
+        seg = text_bytes[s["start"]:s["end"]]
+        seg.decode("utf-8")  # must fall on codepoint boundaries
+        assert seg.strip()
+    assert out["spans"][-1]["end"] == len(text_bytes)
+
+
+def test_link_dense_block_dropped():
+    html = ("<!DOCTYPE html><body><div>" +
+            " ".join(f'<a href="/{i}">link {i} here</a>' for i in range(30)) +
+            "</div><p>" + "word " * 45 + "</p></body>")
+    out = extract_document(html)
+    assert "link 5 here" not in out["extracted_text"]
+    assert "word word" in out["extracted_text"]
+
+
+def test_empty_and_hostile_inputs():
+    assert extract_document(b"")["extracted_text"] == ""
+    assert extract_document(b"\x00\xff\xfe garbage <<<>>>")["n_nodes"] > 0
+    out = extract_document(b"<table><table><table>" * 100)
+    assert out["n_nodes"] > 0
+
+
+def test_error_codes_present():
+    out = extract_document("<p>x<3</p>")
+    assert "invalid-first-character-of-tag-name" in out["error_codes"]
+
+
+def test_determinism_repeat_runs():
+    from zhtml_ray.sources.pages import gen_html
+    h = gen_html(7, "en")
+    a = extract_document(h)
+    b = extract_document(h)
+    assert a == b
+
+
+def test_matches_committed_golden():
+    """The pinned oracle: single-process extraction must be byte-identical
+    to the committed golden file (regenerate via tools/gen_golden.py only
+    on deliberate semantics changes)."""
+    from zhtml_ray.sources.pages import gen_pages_table
+    golden = pq.read_table("tests/golden/golden_500.parquet")
+    pages = gen_pages_table(500, seed=42)
+    urls = pages["url"].to_pylist()
+    htmls = pages["html"].to_pylist()
+    gtext = dict(zip(golden["url"].to_pylist(),
+                     golden["extracted_text"].to_pylist()))
+    for url, h in zip(urls, htmls):
+        out = extract_document(h)
+        assert out["extracted_text"] == gtext[url], f"mismatch at {url}"

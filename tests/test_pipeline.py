@@ -1,0 +1,64 @@
+"""Ray pipeline tests: distributed extraction must be byte-identical to
+the committed golden table at any parallelism/partitioning (SURVEY.md
+§5.3, the determinism invariant of BASELINE.json's metric)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, tmp_path_factory):
+    import ray.data as rd
+    from zhtml_ray.sources.pages import write_pages_dataset
+    out = str(tmp_path_factory.mktemp("pages"))
+    write_pages_dataset(out, 500, rows_per_file=100)
+    return rd.read_parquet(out, columns=["url", "html", "lang"])
+
+
+def _golden_map():
+    golden = pq.read_table("tests/golden/golden_500.parquet")
+    return dict(zip(golden["url"].to_pylist(),
+                    golden["extracted_text"].to_pylist()))
+
+
+@pytest.mark.parametrize("batch_size,concurrency", [(64, None), (7, 2)])
+def test_distributed_matches_golden(pages_ds, batch_size, concurrency):
+    from zhtml_ray.pipelines.extract import extract_pages
+    ds = extract_pages(pages_ds, batch_size=batch_size,
+                       concurrency=concurrency)
+    rows = ds.take_all()
+    assert len(rows) == 500
+    gold = _golden_map()
+    for r in rows:
+        assert r["ok"], f"{r['url']} failed: {r['fail_reason']}"
+        assert r["extracted_text"] == gold[r["url"]], r["url"]
+
+
+def test_repartitioned_matches_golden(pages_ds):
+    from zhtml_ray.pipelines.extract import extract_pages
+    ds = extract_pages(pages_ds.repartition(17), batch_size=13)
+    gold = _golden_map()
+    for r in ds.take_all():
+        assert r["extracted_text"] == gold[r["url"]], r["url"]
+
+
+def test_write_parquet_roundtrip(pages_ds, tmp_path):
+    from zhtml_ray.pipelines.extract import extract_pages
+    out = str(tmp_path / "out")
+    extract_pages(pages_ds, include_spans=True).write_parquet(out)
+    back = pq.read_table(out)
+    assert back.num_rows == 500
+    assert set(back.column_names) >= {"url", "extracted_text", "spans",
+                                      "quirks", "error_codes", "ok"}
+
+
+def test_entry_contract(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+    ds = e.entry()
+    n = ds.count() if hasattr(ds, "count") else len(ds)
+    assert n >= 0
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q), "every oracle key must have a query"

@@ -1,0 +1,138 @@
+"""Tree-construction conformance tests, html5lib-tests serialization
+format (SURVEY.md §5.2 — the part the reference declared but never built,
+/root/reference/src/parser.zig:130-133)."""
+
+import pytest
+
+from zhtml_ray.html.dom import QUIRKS_LIMITED, QUIRKS_NO, QUIRKS_YES
+from zhtml_ray.html.treebuilder import parse
+from zhtml_ray.html.dom import serialize
+
+
+def tree(src):
+    return serialize(parse(src).document)
+
+
+CASES = [
+    ("full document",
+     "<!DOCTYPE html><html><head><title>T</title></head><body><p>hi</p></body></html>",
+     '| <!DOCTYPE html>\n| <html>\n|   <head>\n|     <title>\n|       "T"\n'
+     '|   <body>\n|     <p>\n|       "hi"'),
+    ("implied structure", "<p>x",
+     '| <html>\n|   <head>\n|   <body>\n|     <p>\n|       "x"'),
+    ("unclosed p siblings", "<p>one<p>two",
+     '| <html>\n|   <head>\n|   <body>\n|     <p>\n|       "one"\n|     <p>\n|       "two"'),
+    ("adoption agency", "<b><i>x</b>y</i>",
+     '| <html>\n|   <head>\n|   <body>\n|     <b>\n|       <i>\n|         "x"\n'
+     '|     <i>\n|       "y"'),
+    ("adoption agency block", "<p>1<b>2<div>3</b>4</div>",
+     '| <html>\n|   <head>\n|   <body>\n|     <p>\n|       "1"\n|       <b>\n'
+     '|         "2"\n|     <div>\n|       <b>\n|         "3"\n|       "4"'),
+    ("foster parenting", "<table>x<tr><td>c</td></tr></table>",
+     '| <html>\n|   <head>\n|   <body>\n|     "x"\n|     <table>\n|       <tbody>\n'
+     '|         <tr>\n|           <td>\n|             "c"'),
+    ("implied tbody", "<table><tr><td>c</table>",
+     '| <html>\n|   <head>\n|   <body>\n|     <table>\n|       <tbody>\n'
+     '|         <tr>\n|           <td>\n|             "c"'),
+    ("li closes li", "<ul><li>a<li>b</ul>",
+     '| <html>\n|   <head>\n|   <body>\n|     <ul>\n|       <li>\n|         "a"\n'
+     '|       <li>\n|         "b"'),
+    ("dd dt", "<dl><dt>t<dd>d</dl>",
+     '| <html>\n|   <head>\n|   <body>\n|     <dl>\n|       <dt>\n|         "t"\n'
+     '|       <dd>\n|         "d"'),
+    ("heading pops heading", "<h1>a<h2>b",
+     '| <html>\n|   <head>\n|   <body>\n|     <h1>\n|       "a"\n|     <h2>\n|       "b"'),
+    ("svg foreign", "<svg><circle r=1 /></svg>x",
+     '| <html>\n|   <head>\n|   <body>\n|     <svg svg>\n|       <svg circle>\n'
+     '|         r="1"\n|     "x"'),
+    ("svg case fix", "<svg><foreignobject><p>h</p></foreignobject></svg>",
+     '| <html>\n|   <head>\n|   <body>\n|     <svg svg>\n|       <svg foreignObject>\n'
+     '|         <p>\n|           "h"'),
+    ("math integration point", "<math><mi>x</mi></math>",
+     '| <html>\n|   <head>\n|   <body>\n|     <math math>\n|       <math mi>\n'
+     '|         "x"'),
+    ("foreign breakout", "<svg><p>html</p></svg>",
+     '| <html>\n|   <head>\n|   <body>\n|     <svg svg>\n|     <p>\n|       "html"'),
+    ("template in head", "<template><td>t</td></template>",
+     '| <html>\n|   <head>\n|     <template>\n|       <td>\n|         "t"\n|   <body>'),
+    ("select options", "<select><option>a<option>b</select>",
+     '| <html>\n|   <head>\n|   <body>\n|     <select>\n|       <option>\n'
+     '|         "a"\n|       <option>\n|         "b"'),
+    ("pre newline stripped", "<pre>\nkeep</pre>",
+     '| <html>\n|   <head>\n|   <body>\n|     <pre>\n|       "keep"'),
+    ("textarea rcdata", "<textarea><b>x</b></textarea>",
+     '| <html>\n|   <head>\n|   <body>\n|     <textarea>\n|       "<b>x</b>"'),
+    ("script rawtext", "<script>if (a<b) {}</script>",
+     '| <html>\n|   <head>\n|     <script>\n|       "if (a<b) {}"\n|   <body>'),
+    ("comment placement", "<!--a--><html><!--b--><body>x</body><!--c-->",
+     '| <!-- a -->\n| <html>\n|   <!-- b -->\n|   <head>\n|   <body>\n'
+     '|     "x"\n|   <!-- c -->'),
+    ("nobr reopen", "<nobr>a<nobr>b",
+     '| <html>\n|   <head>\n|   <body>\n|     <nobr>\n|       "a"\n|     <nobr>\n'
+     '|       "b"'),
+    ("button closes button", "<button>a<button>b",
+     '| <html>\n|   <head>\n|   <body>\n|     <button>\n|       "a"\n'
+     '|     <button>\n|       "b"'),
+    ("a reopen via afe", "<a href=x>1<p>2</a>3",
+     '| <html>\n|   <head>\n|   <body>\n|     <a>\n|       href="x"\n|       "1"\n'
+     '|     <p>\n|       <a>\n|         href="x"\n|         "2"\n|       "3"'),
+    ("frameset", "<frameset><frame src=a></frameset>",
+     '| <html>\n|   <head>\n|   <frameset>\n|     <frame>\n|       src="a"'),
+    ("plaintext", "<plaintext>a<b>c",
+     '| <html>\n|   <head>\n|   <body>\n|     <plaintext>\n|       "a<b>c"'),
+]
+
+
+@pytest.mark.parametrize("desc,src,want", CASES, ids=[c[0] for c in CASES])
+def test_tree(desc, src, want):
+    got = tree(src)
+    assert got == want, f"{desc}:\n--- got ---\n{got}\n--- want ---\n{want}"
+
+
+@pytest.mark.parametrize("src,quirks", [
+    ("<!DOCTYPE html><p>x", QUIRKS_NO),
+    ("<p>x", QUIRKS_YES),  # missing doctype
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN"><p>x',
+     QUIRKS_YES),  # no system id → full quirks
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+     '"http://www.w3.org/TR/html4/loose.dtd"><p>x', QUIRKS_LIMITED),
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN"><p>x',
+     QUIRKS_LIMITED),
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 3.2 Final//EN"><p>x', QUIRKS_YES),
+    ('<!DOCTYPE html SYSTEM '
+     '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"><p>x',
+     QUIRKS_YES),
+    ("<!doctype HTML><p>x", QUIRKS_NO),
+])
+def test_quirks(src, quirks):
+    assert parse(src).document.quirks == quirks
+
+
+def test_table_in_quirks_does_not_close_p():
+    # quirks mode: <table> does NOT close an open <p>
+    doc = parse("<p>a<table><tr><td>c</table>").document  # quirks (no doctype)
+    body = doc.children[0].children[1]
+    p = body.children[0]
+    assert p.name == "p"
+    assert any(ch.name == "table" for ch in p.children if ch.kind == 2)
+    # standards mode: it does
+    doc2 = parse("<!DOCTYPE html><p>a<table><tr><td>c</table>").document
+    body2 = doc2.children[1].children[1]
+    assert [c.name for c in body2.children if c.kind == 2] == ["p", "table"]
+
+
+def test_eof_inside_table():
+    doc = parse("<table><tr><td>x").document
+    assert "x" in serialize(doc)
+
+
+def test_deep_nesting_no_recursion_error():
+    src = "<div>" * 2000 + "x"
+    doc = parse(src).document
+    assert doc is not None
+
+
+def test_error_positions_sorted():
+    r = parse("<p>a\x00b<3")
+    offs = [o for _, o in r.errors]
+    assert offs == sorted(offs)

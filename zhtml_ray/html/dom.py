@@ -1,0 +1,129 @@
+"""DOM for tree construction + columnar flattening.
+
+The reference declares a pointer-tree Node union
+(/root/reference/src/node.zig:7-15) with Document bookkeeping
+(:17-64) and namespace enums (:81-99); Text/PI are stubs (:151-157).
+Here: a minimal mutable tree for the builder, plus ``flatten()`` to the
+index-linked node table SURVEY.md §1.3 maps into Arrow
+(id/parent/kind/tag/ns/attrs/text/depth) — columnar-friendly, not
+pointer-linked, which is what crosses stage boundaries in Ray.
+"""
+
+from __future__ import annotations
+
+DOCUMENT = 0
+DOCTYPE = 1
+ELEMENT = 2
+TEXT = 3
+COMMENT = 4
+
+NS_HTML = 0
+NS_MATHML = 1
+NS_SVG = 2
+
+NS_URIS = {
+    NS_HTML: "http://www.w3.org/1999/xhtml",
+    NS_MATHML: "http://www.w3.org/1998/Math/MathML",
+    NS_SVG: "http://www.w3.org/2000/svg",
+}
+
+QUIRKS_NO = 0
+QUIRKS_LIMITED = 1
+QUIRKS_YES = 2
+
+
+class Node:
+    __slots__ = ("kind", "name", "ns", "attrs", "parts", "parent", "children")
+
+    def __init__(self, kind, name=None, ns=NS_HTML, attrs=None):
+        self.kind = kind
+        self.name = name
+        self.ns = ns
+        self.attrs = attrs
+        self.parts = None  # text/comment content as list-of-str (O(1) append)
+        self.parent = None
+        self.children = []
+
+    @property
+    def text(self):
+        return "".join(self.parts) if self.parts else ""
+
+    def append(self, child):
+        child.parent = self
+        self.children.append(child)
+
+    def insert_before(self, child, ref):
+        child.parent = self
+        self.children.insert(self.children.index(ref), child)
+
+    def remove(self, child):
+        self.children.remove(child)
+        child.parent = None
+
+    def __repr__(self):
+        k = {DOCUMENT: "#doc", DOCTYPE: "#doctype", ELEMENT: self.name,
+             TEXT: "#text", COMMENT: "#comment"}[self.kind]
+        return f"<{k} {len(self.children)}c>"
+
+
+class Document(Node):
+    __slots__ = ("quirks", "doctype_name", "doctype_public", "doctype_system")
+
+    def __init__(self):
+        super().__init__(DOCUMENT)
+        self.quirks = QUIRKS_NO
+        self.doctype_name = None
+        self.doctype_public = None
+        self.doctype_system = None
+
+
+def flatten(doc: Document):
+    """Depth-first flatten to parallel lists (→ Arrow list<struct> column):
+    (parent, kind, tag, ns, attr_keys, attr_vals, text, depth). Root
+    document is node 0 with parent -1."""
+    parents, kinds, tags, nss, akeys, avals, texts, depths = \
+        [], [], [], [], [], [], [], []
+
+    stack = [(doc, -1, 0)]
+    while stack:
+        node, parent, depth = stack.pop()
+        idx = len(parents)
+        parents.append(parent)
+        kinds.append(node.kind)
+        tags.append(node.name or "")
+        nss.append(node.ns)
+        if node.attrs:
+            akeys.append(list(node.attrs.keys()))
+            avals.append(list(node.attrs.values()))
+        else:
+            akeys.append([])
+            avals.append([])
+        texts.append(node.text if node.kind in (TEXT, COMMENT) else "")
+        depths.append(depth)
+        for ch in reversed(node.children):
+            stack.append((ch, idx, depth + 1))
+    return {
+        "parent": parents, "kind": kinds, "tag": tags, "ns": nss,
+        "attr_keys": akeys, "attr_vals": avals, "text": texts, "depth": depths,
+    }
+
+
+def serialize(node: Node, indent: int = 0) -> str:
+    """html5lib-tests tree-construction format (debug/conformance)."""
+    out = []
+    pad = "| " + "  " * (indent - 1) if indent else ""
+    if node.kind == ELEMENT:
+        prefix = {NS_HTML: "", NS_MATHML: "math ", NS_SVG: "svg "}[node.ns]
+        out.append(f"{pad}<{prefix}{node.name}>")
+        if node.attrs:
+            for k in sorted(node.attrs):
+                out.append("| " + "  " * indent + f'{k}="{node.attrs[k]}"')
+    elif node.kind == TEXT:
+        out.append(f'{pad}"{node.text}"')
+    elif node.kind == COMMENT:
+        out.append(f"{pad}<!-- {node.text} -->")
+    elif node.kind == DOCTYPE:
+        out.append(f"{pad}<!DOCTYPE {node.name or ''}>")
+    for ch in node.children:
+        out.append(serialize(ch, indent + 1))
+    return "\n".join(x for x in out if x)

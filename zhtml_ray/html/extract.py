@@ -1,0 +1,196 @@
+"""Main-content extraction: boilerplate removal over the parsed DOM.
+
+This is the north-star layer (`BASELINE.json:north_star`) the reference
+does not have (SURVEY.md §2.2 M12): block-level segmentation of the node
+tree + text-density / link-density scoring, Boilerpipe/trafilatura-style.
+
+Pinned deterministic algorithm (THE byte-identical-per-url oracle — any
+change here invalidates golden files, regenerate via tests/gen_golden.py):
+
+1. Flatten the DOM depth-first (dom.flatten order == node_id order).
+2. Drop non-content subtrees (script/style/template/head/…, see _SKIP).
+3. Segment into blocks: each text node belongs to its nearest
+   block-level ancestor (_BLOCK tags); consecutive text nodes with the
+   same nearest-block ancestor form one block, whitespace-normalized.
+4. Classify each block content/boilerplate:
+   a. any nav/aside/footer/form ancestor → boilerplate;
+   b. h1-h6/caption blocks → content iff the next non-heading block is
+      content (titles attach to their article);
+   c. else the Boilerpipe "NumWordsRules" decision rule (Kohlschütter
+      et al., WSDM 2010) over (words, link-density) of prev/curr/next.
+5. extracted_text = "\n\n".join(content block texts); spans carry
+   (start, end) BYTE offsets into extracted_text's UTF-8 encoding,
+   the block's nearest-block-ancestor node_id, and kind = block tag.
+"""
+
+from __future__ import annotations
+
+from zhtml_ray.html.dom import ELEMENT, NS_HTML, TEXT, flatten
+from zhtml_ray.html.treebuilder import parse
+
+_SKIP = frozenset((
+    "script", "style", "template", "noscript", "noframes", "iframe", "svg",
+    "math", "head", "textarea", "select", "datalist", "object", "embed",
+    "applet", "frameset", "frame", "button", "input", "label", "audio",
+    "video", "canvas", "map",
+))
+
+_BLOCK = frozenset((
+    "address", "article", "aside", "blockquote", "body", "caption", "center",
+    "dd", "details", "dialog", "dir", "div", "dl", "dt", "fieldset",
+    "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5",
+    "h6", "header", "hgroup", "hr", "li", "listing", "main", "menu", "nav",
+    "ol", "p", "plaintext", "pre", "section", "summary", "table", "tbody",
+    "td", "tfoot", "th", "thead", "tr", "ul", "xmp", "html",
+))
+
+_HARD_BOILER = frozenset(("nav", "aside", "footer", "form"))
+_HEADING = frozenset(("h1", "h2", "h3", "h4", "h5", "h6", "caption"))
+
+
+def _segment(flat) -> list[dict]:
+    """Blocks in document order from the flattened node arrays."""
+    parent = flat["parent"]
+    kind = flat["kind"]
+    tag = flat["tag"]
+    ns = flat["ns"]
+    text = flat["text"]
+    depth = flat["depth"]
+    n = len(parent)
+
+    # per-node: nearest block ancestor id, link flag, hard-boilerplate flag
+    nearest_block = [0] * n
+    in_link = [False] * n
+    hard_boiler = [False] * n
+    skip = [False] * n
+    for i in range(1, n):
+        p = parent[i]
+        if skip[p]:
+            skip[i] = True
+            continue
+        if kind[i] == ELEMENT:
+            t = tag[i]
+            if ns[i] != NS_HTML or t in _SKIP:
+                skip[i] = True
+                continue
+            nearest_block[i] = i if t in _BLOCK else nearest_block[p]
+            in_link[i] = in_link[p] or t == "a"
+            hard_boiler[i] = hard_boiler[p] or t in _HARD_BOILER
+        else:
+            nearest_block[i] = nearest_block[p]
+            in_link[i] = in_link[p]
+            hard_boiler[i] = hard_boiler[p]
+
+    blocks: list[dict] = []
+    cur = None
+    for i in range(1, n):
+        if kind[i] != TEXT or skip[i]:
+            continue
+        t = text[i]
+        if not t or t.isspace():
+            continue
+        b = nearest_block[i]
+        if cur is None or cur["node_id"] != b:
+            cur = {"node_id": b, "parts": [], "link_chars": 0, "chars": 0,
+                   "tag": tag[b] if b else "body",
+                   "boiler": hard_boiler[i]}
+            blocks.append(cur)
+        norm = " ".join(t.split())
+        if not norm:
+            continue
+        cur["parts"].append(norm)
+        cur["chars"] += len(norm)
+        if in_link[i]:
+            cur["link_chars"] += len(norm)
+    out = []
+    for b in blocks:
+        txt = " ".join(b["parts"])
+        if not txt:
+            continue
+        words = len(txt.split())
+        out.append({
+            "node_id": b["node_id"], "tag": b["tag"], "text": txt,
+            "words": words,
+            "link_density": (b["link_chars"] / b["chars"]) if b["chars"] else 0.0,
+            "boiler": b["boiler"],
+            "heading": b["tag"] in _HEADING,
+        })
+    return out
+
+
+def _classify(blocks: list[dict]) -> None:
+    """Sets block['content'] in place. Boilerpipe NumWordsRules core."""
+    n = len(blocks)
+
+    def feat(i):
+        if i < 0 or i >= n:
+            return 0, 0.0
+        return blocks[i]["words"], blocks[i]["link_density"]
+
+    for i, b in enumerate(blocks):
+        if b["boiler"]:
+            b["content"] = False
+            continue
+        if b["heading"]:
+            b["content"] = None  # resolved in the heading pass below
+            continue
+        w_c, ld_c = b["words"], b["link_density"]
+        w_p, ld_p = feat(i - 1)
+        w_n, _ = feat(i + 1)
+        if ld_c > 0.333333:
+            b["content"] = False
+        elif ld_p <= 0.555556:
+            b["content"] = w_c > 16 or w_n > 15 or w_p > 4
+        else:
+            b["content"] = w_c > 40 or w_n > 17
+    # heading pass: content iff next resolved block is content
+    for i in range(n - 1, -1, -1):
+        if blocks[i]["content"] is None:
+            nxt = None
+            for j in range(i + 1, n):
+                if blocks[j]["content"] is not None:
+                    nxt = blocks[j]["content"]
+                    break
+            blocks[i]["content"] = bool(nxt)
+
+
+def extract_from_flat(flat) -> dict:
+    """Extraction over already-flattened node arrays → dict with
+    extracted_text + spans (byte offsets into UTF-8 extracted_text)."""
+    blocks = _segment(flat)
+    _classify(blocks)
+    texts = []
+    spans = []
+    byte_off = 0
+    sep = b"\n\n"
+    first = True
+    for b in blocks:
+        if not b["content"]:
+            continue
+        bt = b["text"].encode("utf-8")
+        if not first:
+            byte_off += len(sep)
+        start = byte_off
+        byte_off += len(bt)
+        texts.append(b["text"])
+        spans.append({"start": start, "end": byte_off,
+                      "node_id": b["node_id"], "kind": b["tag"]})
+        first = False
+    return {"extracted_text": "\n\n".join(texts), "spans": spans}
+
+
+def extract_document(raw, include_nodes: bool = False) -> dict:
+    """Full per-document kernel: tokenize → tree → flatten → extract.
+    Returns the output-row dict for the (url, extracted_text, spans, ...)
+    table of SURVEY.md §1.3."""
+    result = parse(raw)
+    doc = result.document
+    flat = flatten(doc)
+    out = extract_from_flat(flat)
+    out["quirks"] = doc.quirks
+    out["doctype_name"] = doc.doctype_name or ""
+    out["error_codes"] = [c for c, _ in result.errors]
+    out["n_nodes"] = len(flat["parent"])
+    if include_nodes:
+        out["nodes"] = flat
+    return out

@@ -1,0 +1,1926 @@
+"""WHATWG HTML5 tree construction (spec-correct, error-recovering).
+
+Builds the full insertion-mode machine the reference only skeletoned:
+the 23-mode enum is declared at /root/reference/src/parser.zig:18-42 but
+only Initial/BeforeHtml are partially implemented (:146-280, SURVEY.md
+§2.11.9); this module implements the spec algorithm new — open-element
+stack, active-formatting-elements list (Noah's-Ark clause), adoption
+agency, foster parenting, RCDATA/RAWTEXT switching, foreign content.
+
+Quirks-mode classification mirrors /root/reference/src/parser.zig:175-245
+(the spec's public/system-id prefix table).
+
+Character tokens arrive as coalesced runs from our tokenizer (not
+per-codepoint like the reference, /root/reference/src/token.zig:53-65);
+modes that treat whitespace specially split runs as needed.
+"""
+
+from __future__ import annotations
+
+from zhtml_ray.html import tokenizer as tkz
+from zhtml_ray.html.dom import (
+    COMMENT, DOCTYPE, DOCUMENT, ELEMENT, NS_HTML, NS_MATHML, NS_SVG,
+    QUIRKS_LIMITED, QUIRKS_NO, QUIRKS_YES, TEXT, Document, Node,
+)
+
+_WS = "\t\n\f\r "
+
+SPECIAL = {
+    (NS_HTML, n) for n in (
+        "address applet area article aside base basefont bgsound blockquote "
+        "body br button caption center col colgroup dd details dir div dl dt "
+        "embed fieldset figcaption figure footer form frame frameset h1 h2 h3 "
+        "h4 h5 h6 head header hgroup hr html iframe img input keygen li link "
+        "listing main marquee menu meta nav noembed noframes noscript object "
+        "ol p param plaintext pre script search section select source style "
+        "summary table tbody td template textarea tfoot th thead title tr "
+        "track ul wbr xmp").split()
+} | {(NS_MATHML, n) for n in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")} \
+  | {(NS_SVG, n) for n in ("foreignObject", "desc", "title")}
+
+FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split())
+
+_SCOPE_BASE = {
+    (NS_HTML, n) for n in ("applet", "caption", "html", "table", "td", "th",
+                            "marquee", "object", "template")
+} | {(NS_MATHML, n) for n in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")} \
+  | {(NS_SVG, n) for n in ("foreignObject", "desc", "title")}
+_SCOPE_LIST = _SCOPE_BASE | {(NS_HTML, "ol"), (NS_HTML, "ul")}
+_SCOPE_BUTTON = _SCOPE_BASE | {(NS_HTML, "button")}
+_SCOPE_TABLE = {(NS_HTML, "html"), (NS_HTML, "table"), (NS_HTML, "template")}
+
+IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
+    "caption colgroup tbody td tfoot th thead tr".split())
+
+# quirks tables (spec; mirrors /root/reference/src/parser.zig:175-236)
+_QUIRKS_PUBLIC_EXACT = {
+    "-//w3o//dtd w3 html strict 3.0//en//",
+    "-/w3c/dtd html 4.0 transitional/en",
+    "html",
+}
+_QUIRKS_SYSTEM_EXACT = {
+    "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"}
+_QUIRKS_PUBLIC_PREFIX = tuple(p.lower() for p in (
+    "+//Silmaril//dtd html Pro v0r11 19970101//",
+    "-//AS//DTD HTML 3.0 asWedit + extensions//",
+    "-//AdvaSoft Ltd//DTD HTML 3.0 asWedit + extensions//",
+    "-//IETF//DTD HTML 2.0 Level 1//", "-//IETF//DTD HTML 2.0 Level 2//",
+    "-//IETF//DTD HTML 2.0 Strict Level 1//",
+    "-//IETF//DTD HTML 2.0 Strict Level 2//", "-//IETF//DTD HTML 2.0 Strict//",
+    "-//IETF//DTD HTML 2.0//", "-//IETF//DTD HTML 2.1E//",
+    "-//IETF//DTD HTML 3.0//", "-//IETF//DTD HTML 3.2 Final//",
+    "-//IETF//DTD HTML 3.2//", "-//IETF//DTD HTML 3//",
+    "-//IETF//DTD HTML Level 0//", "-//IETF//DTD HTML Level 1//",
+    "-//IETF//DTD HTML Level 2//", "-//IETF//DTD HTML Level 3//",
+    "-//IETF//DTD HTML Strict Level 0//", "-//IETF//DTD HTML Strict Level 1//",
+    "-//IETF//DTD HTML Strict Level 2//", "-//IETF//DTD HTML Strict Level 3//",
+    "-//IETF//DTD HTML Strict//", "-//IETF//DTD HTML//",
+    "-//Metrius//DTD Metrius Presentational//",
+    "-//Microsoft//DTD Internet Explorer 2.0 HTML Strict//",
+    "-//Microsoft//DTD Internet Explorer 2.0 HTML//",
+    "-//Microsoft//DTD Internet Explorer 2.0 Tables//",
+    "-//Microsoft//DTD Internet Explorer 3.0 HTML Strict//",
+    "-//Microsoft//DTD Internet Explorer 3.0 HTML//",
+    "-//Microsoft//DTD Internet Explorer 3.0 Tables//",
+    "-//Netscape Comm. Corp.//DTD HTML//",
+    "-//Netscape Comm. Corp.//DTD Strict HTML//",
+    "-//O'Reilly and Associates//DTD HTML 2.0//",
+    "-//O'Reilly and Associates//DTD HTML Extended 1.0//",
+    "-//O'Reilly and Associates//DTD HTML Extended Relaxed 1.0//",
+    "-//SQ//DTD HTML 2.0 HoTMetaL + extensions//",
+    "-//SoftQuad Software//DTD HoTMetaL PRO 6.0::19990601::extensions to HTML 4.0//",
+    "-//SoftQuad//DTD HoTMetaL PRO 4.0::19971010::extensions to HTML 4.0//",
+    "-//Spyglass//DTD HTML 2.0 Extended//",
+    "-//Sun Microsystems Corp.//DTD HotJava HTML//",
+    "-//Sun Microsystems Corp.//DTD HotJava Strict HTML//",
+    "-//W3C//DTD HTML 3 1995-03-24//", "-//W3C//DTD HTML 3.2 Draft//",
+    "-//W3C//DTD HTML 3.2 Final//", "-//W3C//DTD HTML 3.2//",
+    "-//W3C//DTD HTML 3.2S Draft//", "-//W3C//DTD HTML 4.0 Frameset//",
+    "-//W3C//DTD HTML 4.0 Transitional//",
+    "-//W3C//DTD HTML Experimental 19960712//",
+    "-//W3C//DTD HTML Experimental 970421//", "-//W3C//DTD W3 HTML//",
+    "-//W3O//DTD W3 HTML 3.0//", "-//WebTechs//DTD Mozilla HTML 2.0//",
+    "-//WebTechs//DTD Mozilla HTML//",
+))
+_QUIRKS_PUBLIC_PREFIX_NOSYS = tuple(p.lower() for p in (
+    "-//W3C//DTD HTML 4.01 Frameset//", "-//W3C//DTD HTML 4.01 Transitional//"))
+_LIMITED_PUBLIC_PREFIX = tuple(p.lower() for p in (
+    "-//W3C//DTD XHTML 1.0 Frameset//", "-//W3C//DTD XHTML 1.0 Transitional//"))
+
+_SVG_TAG_FIX = {t.lower(): t for t in (
+    "altGlyph altGlyphDef altGlyphItem animateColor animateMotion "
+    "animateTransform clipPath feBlend feColorMatrix feComponentTransfer "
+    "feComposite feConvolveMatrix feDiffuseLighting feDisplacementMap "
+    "feDistantLight feDropShadow feFlood feFuncA feFuncB feFuncG feFuncR "
+    "feGaussianBlur feImage feMerge feMergeNode feMorphology feOffset "
+    "fePointLight feSpecularLighting feSpotLight feTile feTurbulence "
+    "foreignObject glyphRef linearGradient radialGradient textPath").split()}
+
+_SVG_ATTR_FIX = {a.lower(): a for a in (
+    "attributeName attributeType baseFrequency baseProfile calcMode "
+    "clipPathUnits diffuseConstant edgeMode filterUnits glyphRef "
+    "gradientTransform gradientUnits kernelMatrix kernelUnitLength "
+    "keyPoints keySplines keyTimes lengthAdjust limitingConeAngle "
+    "markerHeight markerUnits markerWidth maskContentUnits maskUnits "
+    "numOctaves pathLength patternContentUnits patternTransform "
+    "patternUnits pointsAtX pointsAtY pointsAtZ preserveAlpha "
+    "preserveAspectRatio primitiveUnits refX refY repeatCount repeatDur "
+    "requiredExtensions requiredFeatures specularConstant specularExponent "
+    "spreadMethod startOffset stdDeviation stitchTiles surfaceScale "
+    "systemLanguage tableValues targetX targetY textLength viewBox "
+    "viewTarget xChannelSelector yChannelSelector zoomAndPan").split()}
+
+_BREAKOUT = frozenset((
+    "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4 "
+    "h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small "
+    "span strong strike sub sup table tt u ul var").split())
+
+_BLOCK_CLOSES_P = frozenset((
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer header hgroup main menu nav ol p "
+    "search section summary ul").split())
+
+_IN_HEAD_PASSTHROUGH = frozenset((
+    "base basefont bgsound link meta noframes script style template "
+    "title").split())
+
+_TABLE_SECTION = frozenset(("tbody", "tfoot", "thead"))
+_CELLS = frozenset(("td", "th"))
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+
+class ParseResult:
+    __slots__ = ("document", "errors")
+
+    def __init__(self, document, errors):
+        self.document = document
+        self.errors = errors
+
+
+class TreeBuilder:
+    def __init__(self, collect_errors: bool = True):
+        self.collect_errors = collect_errors
+
+    # ------------------------------------------------------------ lifecycle
+
+    def parse(self, raw) -> ParseResult:
+        t = tkz.Tokenizer(raw, collect_input_errors=self.collect_errors)
+        self.tokenizer = t
+        self.doc = Document()
+        self.mode = "initial"
+        self.original_mode = None
+        self.stack: list[Node] = []
+        self.afe: list[Node | None] = []  # None = marker
+        self.head: Node | None = None
+        self.form: Node | None = None
+        self.frameset_ok = True
+        self.foster = False
+        self.template_modes: list[str] = []
+        self.pending_text: list[str] = []
+        self.skip_newline = False
+        self.done = False
+        self.errors: list[tuple[str, int]] = []
+
+        for tok in t.tokens():
+            if self.done:
+                break
+            self.process(tok)
+            # adjusted-current-node → CDATA allowed in foreign content
+            t.allow_cdata = bool(self.stack) and self.stack[-1].ns != NS_HTML
+        if not self.done:
+            self.process(("EOF",))
+        errors = sorted(t.errors + self.errors, key=lambda e: e[1])
+        return ParseResult(self.doc, errors)
+
+    # ------------------------------------------------------------- plumbing
+
+    def err(self, code):
+        if self.collect_errors:
+            self.errors.append((code, self.tokenizer.pos))
+
+    def current(self):
+        return self.stack[-1] if self.stack else None
+
+    def process(self, tok):
+        """Tree-construction dispatcher (HTML vs foreign content)."""
+        if not self.stack:
+            return self.process_html(tok)
+        node = self.stack[-1]
+        if node.ns == NS_HTML:
+            return self.process_html(tok)
+        kind = tok[0]
+        if kind == "EOF":
+            return self.process_html(tok)
+        mathml_tip = node.ns == NS_MATHML and node.name in (
+            "mi", "mo", "mn", "ms", "mtext")
+        html_ip = (node.ns == NS_SVG and node.name in ("foreignObject", "desc", "title")) \
+            or (node.ns == NS_MATHML and node.name == "annotation-xml"
+                and (node.attrs or {}).get("encoding", "").lower()
+                in ("text/html", "application/xhtml+xml"))
+        if mathml_tip and (kind == "Character"
+                           or (kind == "StartTag" and tok[1] not in ("mglyph", "malignmark"))):
+            return self.process_html(tok)
+        if node.ns == NS_MATHML and node.name == "annotation-xml" \
+                and kind == "StartTag" and tok[1] == "svg":
+            return self.process_html(tok)
+        if html_ip and kind in ("StartTag", "Character"):
+            return self.process_html(tok)
+        return self.process_foreign(tok)
+
+    def process_html(self, tok):
+        getattr(self, "mode_" + self.mode)(tok)
+
+    def reprocess(self, tok):
+        self.process(tok)
+
+    # ------------------------------------------------------------ insertion
+
+    def appropriate_place(self, override=None):
+        """Returns (parent, before_node|None)."""
+        target = override if override is not None else self.stack[-1]
+        if self.foster and target.ns == NS_HTML and target.name in (
+                "table", "tbody", "tfoot", "thead", "tr"):
+            # find last table in stack
+            for i in range(len(self.stack) - 1, -1, -1):
+                el = self.stack[i]
+                if el.name == "template" and el.ns == NS_HTML:
+                    return el, None
+                if el.name == "table" and el.ns == NS_HTML:
+                    if el.parent is not None:
+                        return el.parent, el
+                    return self.stack[i - 1], None
+            return self.stack[0], None
+        return target, None
+
+    def _insert_node(self, node, override=None):
+        parent, before = self.appropriate_place(override)
+        if before is None:
+            parent.append(node)
+        else:
+            parent.insert_before(node, before)
+
+    def insert_element(self, name, attrs, ns=NS_HTML, push=True):
+        node = Node(ELEMENT, name, ns, attrs or {})
+        self._insert_node(node)
+        if push:
+            self.stack.append(node)
+        return node
+
+    def insert_text(self, data, override=None):
+        parent, before = self.appropriate_place(override)
+        if before is None:
+            kids = parent.children
+            if kids and kids[-1].kind == TEXT:
+                kids[-1].parts.append(data)
+                return
+            node = Node(TEXT)
+            node.parts = [data]
+            parent.append(node)
+        else:
+            idx = parent.children.index(before)
+            if idx > 0 and parent.children[idx - 1].kind == TEXT:
+                parent.children[idx - 1].parts.append(data)
+                return
+            node = Node(TEXT)
+            node.parts = [data]
+            parent.insert_before(node, before)
+
+    def insert_comment(self, data, parent=None):
+        node = Node(COMMENT)
+        node.parts = [data]
+        if parent is not None:
+            parent.append(node)
+        else:
+            self._insert_node(node)
+
+    # ---------------------------------------------------------- stack utils
+
+    def in_scope(self, name, scope=_SCOPE_BASE):
+        names = name if isinstance(name, (frozenset, set, tuple)) else (name,)
+        for node in reversed(self.stack):
+            if node.ns == NS_HTML and node.name in names:
+                return True
+            if (node.ns, node.name) in scope:
+                return False
+        return False
+
+    def in_select_scope(self, name):
+        for node in reversed(self.stack):
+            if node.ns == NS_HTML and node.name == name:
+                return True
+            if not (node.ns == NS_HTML and node.name in ("optgroup", "option")):
+                return False
+        return False
+
+    def pop_until(self, names):
+        if isinstance(names, str):
+            names = (names,)
+        while self.stack:
+            node = self.stack.pop()
+            if node.ns == NS_HTML and node.name in names:
+                return node
+        return None
+
+    def generate_implied_end(self, exclude=None, thorough=False):
+        names = IMPLIED_END_THOROUGH if thorough else IMPLIED_END
+        while self.stack:
+            node = self.stack[-1]
+            if node.ns == NS_HTML and node.name in names and node.name != exclude:
+                self.stack.pop()
+            else:
+                return
+
+    def close_p(self):
+        if self.in_scope("p", _SCOPE_BUTTON):
+            self.generate_implied_end(exclude="p")
+            if not (self.current().name == "p" and self.current().ns == NS_HTML):
+                self.err("unexpected-open-elements-on-p-close")
+            self.pop_until("p")
+
+    def is_special(self, node):
+        return (node.ns, node.name) in SPECIAL
+
+    # ------------------------------------------------ active formatting
+
+    def push_afe(self, node):
+        # Noah's Ark: max 3 identical entries since last marker
+        count = 0
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is None:
+                break
+            if e.name == node.name and e.ns == node.ns and e.attrs == node.attrs:
+                count += 1
+                if count == 3:
+                    self.afe.pop(i)
+                    break
+        self.afe.append(node)
+
+    def reconstruct_afe(self):
+        afe = self.afe
+        if not afe:
+            return
+        entry = afe[-1]
+        if entry is None or entry in self.stack:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            i -= 1
+            e = afe[i]
+            if e is None or e in self.stack:
+                i += 1
+                break
+        for j in range(i, len(afe)):
+            e = afe[j]
+            clone = self.insert_element(e.name, dict(e.attrs), e.ns)
+            afe[j] = clone
+
+    def clear_afe_to_marker(self):
+        while self.afe:
+            e = self.afe.pop()
+            if e is None:
+                return
+
+    # --------------------------------------------------- adoption agency
+
+    def adoption_agency(self, name):
+        cur = self.current()
+        if cur is not None and cur.ns == NS_HTML and cur.name == name \
+                and cur not in self.afe:
+            self.stack.pop()
+            return
+        for _ in range(8):
+            fmt = None
+            for e in reversed(self.afe):
+                if e is None:
+                    break
+                if e.name == name:
+                    fmt = e
+                    break
+            if fmt is None:
+                self._any_other_end_tag(name)
+                return
+            if fmt not in self.stack:
+                self.err("adoption-agency-1.2")
+                self.afe.remove(fmt)
+                return
+            if not self.in_scope(name):
+                self.err("adoption-agency-4.4")
+                return
+            if fmt is not self.current():
+                self.err("adoption-agency-1.3")
+            fmt_si = self.stack.index(fmt)
+            furthest = None
+            for i in range(fmt_si + 1, len(self.stack)):
+                if self.is_special(self.stack[i]):
+                    furthest = self.stack[i]
+                    furthest_si = i
+                    break
+            if furthest is None:
+                del self.stack[fmt_si:]
+                self.afe.remove(fmt)
+                return
+            common = self.stack[fmt_si - 1]
+            bookmark = self.afe.index(fmt)
+            node = furthest
+            node_si = furthest_si
+            last = furthest
+            inner = 0
+            while True:
+                inner += 1
+                node_si -= 1
+                node = self.stack[node_si]
+                if node is fmt:
+                    break
+                if inner > 3 and node in self.afe:
+                    self.afe.remove(node)
+                if node not in self.afe:
+                    del self.stack[node_si]
+                    if node_si < furthest_si:
+                        furthest_si -= 1
+                    continue
+                clone = Node(ELEMENT, node.name, node.ns, dict(node.attrs))
+                self.afe[self.afe.index(node)] = clone
+                self.stack[node_si] = clone
+                node = clone
+                if last is furthest:
+                    bookmark = self.afe.index(clone) + 1
+                if last.parent is not None:
+                    last.parent.remove(last)
+                node.append(last)
+                last = node
+            if last.parent is not None:
+                last.parent.remove(last)
+            parent, before = self.appropriate_place(override=common)
+            if before is None:
+                parent.append(last)
+            else:
+                parent.insert_before(last, before)
+            clone = Node(ELEMENT, fmt.name, fmt.ns, dict(fmt.attrs))
+            for ch in list(furthest.children):
+                furthest.remove(ch)
+                clone.append(ch)
+            furthest.append(clone)
+            if fmt in self.afe:
+                idx = self.afe.index(fmt)
+                self.afe.remove(fmt)
+                if idx < bookmark:
+                    bookmark -= 1
+                self.afe.insert(bookmark, clone)
+            self.stack.remove(fmt)
+            self.stack.insert(self.stack.index(furthest) + 1, clone)
+
+    def _any_other_end_tag(self, name):
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.ns == NS_HTML and node.name == name:
+                self.generate_implied_end(exclude=name)
+                if self.current() is not node:
+                    self.err("unexpected-end-tag")
+                del self.stack[i:]
+                return
+            if self.is_special(node):
+                self.err("unexpected-end-tag")
+                return
+
+    # -------------------------------------------------------- text helpers
+
+    def _strip_leading_newline(self, data):
+        if self.skip_newline:
+            self.skip_newline = False
+            if data.startswith("\n"):
+                return data[1:]
+        return data
+
+    def _generic_raw_text(self, name, attrs, state):
+        self.insert_element(name, attrs)
+        self.tokenizer.state = state
+        self.original_mode = self.mode
+        self.mode = "text"
+
+    def reset_insertion_mode(self):
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            last = i == 0
+            name = node.name if node.ns == NS_HTML else None
+            if name == "select":
+                mode = "in_select"
+                for j in range(i - 1, 0, -1):
+                    anc = self.stack[j]
+                    if anc.ns == NS_HTML and anc.name == "template":
+                        break
+                    if anc.ns == NS_HTML and anc.name == "table":
+                        mode = "in_select_in_table"
+                        break
+                self.mode = mode
+                return
+            if name in _CELLS and not last:
+                self.mode = "in_cell"
+                return
+            if name == "tr":
+                self.mode = "in_row"
+                return
+            if name in _TABLE_SECTION:
+                self.mode = "in_table_body"
+                return
+            if name == "caption":
+                self.mode = "in_caption"
+                return
+            if name == "colgroup":
+                self.mode = "in_column_group"
+                return
+            if name == "table":
+                self.mode = "in_table"
+                return
+            if name == "template":
+                self.mode = self.template_modes[-1]
+                return
+            if name == "head" and not last:
+                self.mode = "in_head"
+                return
+            if name == "body":
+                self.mode = "in_body"
+                return
+            if name == "frameset":
+                self.mode = "in_frameset"
+                return
+            if name == "html":
+                self.mode = "before_head" if self.head is None else "after_head"
+                return
+            if last:
+                self.mode = "in_body"
+                return
+
+    # ================================================================ modes
+
+    def mode_initial(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1].lstrip(_WS)
+            if not data:
+                return
+            tok = ("Character", data)
+        elif kind == "Comment":
+            self.insert_comment(tok[1], self.doc)
+            return
+        elif kind == "DOCTYPE":
+            name, public, system, force_quirks = tok[1], tok[2], tok[3], tok[4]
+            self.doc.doctype_name = name
+            self.doc.doctype_public = public
+            self.doc.doctype_system = system
+            node = Node(DOCTYPE, name or "")
+            self.doc.append(node)
+            if name != "html" or (public is not None and public != "") \
+                    or (system not in (None, "about:legacy-compat")):
+                if not (name == "html" and public is None
+                        and system in (None, "about:legacy-compat")):
+                    self.err("unknown-doctype")
+            self.doc.quirks = self._classify_quirks(name, public, system,
+                                                    force_quirks)
+            self.mode = "before_html"
+            return
+        self.err("expected-doctype-but-got-" +
+                 {"StartTag": "start-tag", "EndTag": "end-tag",
+                  "EOF": "eof"}.get(kind, "chars"))
+        self.doc.quirks = QUIRKS_YES
+        self.mode = "before_html"
+        self.reprocess(tok)
+
+    def _classify_quirks(self, name, public, system, force_quirks):
+        pl = public.lower() if public is not None else None
+        sl = system.lower() if system is not None else None
+        if force_quirks or name != "html":
+            return QUIRKS_YES
+        if pl is not None:
+            if pl in _QUIRKS_PUBLIC_EXACT:
+                return QUIRKS_YES
+            if pl.startswith(_QUIRKS_PUBLIC_PREFIX):
+                return QUIRKS_YES
+            if sl is None and pl.startswith(_QUIRKS_PUBLIC_PREFIX_NOSYS):
+                return QUIRKS_YES
+            if pl.startswith(_LIMITED_PUBLIC_PREFIX):
+                return QUIRKS_LIMITED
+            if sl is not None and pl.startswith(_QUIRKS_PUBLIC_PREFIX_NOSYS):
+                return QUIRKS_LIMITED
+        if sl is not None and sl in _QUIRKS_SYSTEM_EXACT:
+            return QUIRKS_YES
+        return QUIRKS_NO
+
+    def mode_before_html(self, tok):
+        kind = tok[0]
+        if kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        if kind == "Comment":
+            self.insert_comment(tok[1], self.doc)
+            return
+        if kind == "Character":
+            data = tok[1].lstrip(_WS)
+            if not data:
+                return
+            tok = ("Character", data)
+        elif kind == "StartTag" and tok[1] == "html":
+            node = Node(ELEMENT, "html", NS_HTML, tok[2])
+            self.doc.append(node)
+            self.stack.append(node)
+            self.mode = "before_head"
+            return
+        elif kind == "EndTag" and tok[1] not in ("head", "body", "html", "br"):
+            self.err("unexpected-end-tag-before-html")
+            return
+        node = Node(ELEMENT, "html", NS_HTML, {})
+        self.doc.append(node)
+        self.stack.append(node)
+        self.mode = "before_head"
+        self.reprocess(tok)
+
+    def mode_before_head(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1].lstrip(_WS)
+            if not data:
+                return
+            tok = ("Character", data)
+        elif kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        elif kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        elif kind == "StartTag":
+            if tok[1] == "html":
+                return self.mode_in_body(tok)
+            if tok[1] == "head":
+                self.head = self.insert_element("head", tok[2])
+                self.mode = "in_head"
+                return
+        elif kind == "EndTag" and tok[1] not in ("head", "body", "html", "br"):
+            self.err("end-tag-after-implied-root")
+            return
+        self.head = self.insert_element("head", {})
+        self.mode = "in_head"
+        self.reprocess(tok)
+
+    def mode_in_head(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1]
+            ws = data[:len(data) - len(data.lstrip(_WS))]
+            if ws:
+                self.insert_text(ws)
+            rest = data[len(ws):]
+            if not rest:
+                return
+            tok = ("Character", rest)
+        elif kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        elif kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        elif kind == "StartTag":
+            name = tok[1]
+            if name == "html":
+                return self.mode_in_body(tok)
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self.insert_element(name, tok[2], push=False)
+                return
+            if name == "title":
+                return self._generic_raw_text(name, tok[2], tkz.RCDATA)
+            if name in ("noframes", "style", "noscript"):
+                # scripting disabled → noscript parsed; keep content visible
+                if name == "noscript":
+                    self.insert_element(name, tok[2])
+                    self.mode = "in_head_noscript"
+                    return
+                return self._generic_raw_text(name, tok[2], tkz.RAWTEXT)
+            if name == "script":
+                return self._generic_raw_text(name, tok[2], tkz.SCRIPT_DATA)
+            if name == "template":
+                self.insert_element(name, tok[2])
+                self.afe.append(None)
+                self.frameset_ok = False
+                self.mode = "in_template"
+                self.template_modes.append("in_template")
+                return
+            if name == "head":
+                self.err("two-heads-are-not-better-than-one")
+                return
+        elif kind == "EndTag":
+            name = tok[1]
+            if name == "head":
+                self.stack.pop()
+                self.mode = "after_head"
+                return
+            if name == "template":
+                if not any(n.name == "template" and n.ns == NS_HTML
+                           for n in self.stack):
+                    self.err("unexpected-end-tag")
+                    return
+                self.generate_implied_end(thorough=True)
+                if self.current().name != "template":
+                    self.err("unexpected-open-elements-on-template-close")
+                self.pop_until("template")
+                self.clear_afe_to_marker()
+                if self.template_modes:
+                    self.template_modes.pop()
+                self.reset_insertion_mode()
+                return
+            if name not in ("body", "html", "br"):
+                self.err("unexpected-end-tag")
+                return
+        self.stack.pop()  # head
+        self.mode = "after_head"
+        self.reprocess(tok)
+
+    def mode_in_head_noscript(self, tok):
+        kind = tok[0]
+        if kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        if kind == "StartTag":
+            if tok[1] == "html":
+                return self.mode_in_body(tok)
+            if tok[1] in ("basefont", "bgsound", "link", "meta", "noframes",
+                          "style"):
+                return self.mode_in_head(tok)
+            if tok[1] in ("head", "noscript"):
+                self.err("unexpected-start-tag")
+                return
+        elif kind == "EndTag":
+            if tok[1] == "noscript":
+                self.stack.pop()
+                self.mode = "in_head"
+                return
+            if tok[1] != "br":
+                self.err("unexpected-end-tag")
+                return
+        elif kind == "Character":
+            data = tok[1]
+            ws = data[:len(data) - len(data.lstrip(_WS))]
+            if ws:
+                self.insert_text(ws)
+            rest = data[len(ws):]
+            if not rest:
+                return
+            tok = ("Character", rest)
+        elif kind == "Comment":
+            return self.mode_in_head(tok)
+        self.err("eof-in-head-noscript" if kind == "EOF" else "unexpected-in-head-noscript")
+        self.stack.pop()
+        self.mode = "in_head"
+        self.reprocess(tok)
+
+    def mode_after_head(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1]
+            ws = data[:len(data) - len(data.lstrip(_WS))]
+            if ws:
+                self.insert_text(ws)
+            rest = data[len(ws):]
+            if not rest:
+                return
+            tok = ("Character", rest)
+        elif kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        elif kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        elif kind == "StartTag":
+            name = tok[1]
+            if name == "html":
+                return self.mode_in_body(tok)
+            if name == "body":
+                self.insert_element("body", tok[2])
+                self.frameset_ok = False
+                self.mode = "in_body"
+                return
+            if name == "frameset":
+                self.insert_element("frameset", tok[2])
+                self.mode = "in_frameset"
+                return
+            if name in _IN_HEAD_PASSTHROUGH:
+                self.err("unexpected-start-tag-out-of-my-head")
+                self.stack.append(self.head)
+                self.mode_in_head(tok)
+                if self.head in self.stack:
+                    self.stack.remove(self.head)
+                return
+            if name == "head":
+                self.err("unexpected-start-tag")
+                return
+        elif kind == "EndTag":
+            if tok[1] == "template":
+                return self.mode_in_head(tok)
+            if tok[1] not in ("body", "html", "br"):
+                self.err("unexpected-end-tag")
+                return
+        self.insert_element("body", {})
+        self.mode = "in_body"
+        self.reprocess(tok)
+
+    # ------------------------------------------------------------- in body
+
+    def mode_in_body(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = self._strip_leading_newline(tok[1])
+            if not data:
+                return
+            if "\x00" in data:
+                self.err("invalid-codepoint")
+                data = data.replace("\x00", "")
+                if not data:
+                    return
+            self.reconstruct_afe()
+            self.insert_text(data)
+            if self.frameset_ok and data.strip(_WS):
+                self.frameset_ok = False
+            return
+        if kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        if kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        if kind == "StartTag":
+            return self._in_body_start(tok)
+        if kind == "EndTag":
+            return self._in_body_end(tok)
+        # EOF
+        if self.template_modes:
+            return self.mode_in_template(tok)
+        for node in self.stack:
+            if node.name not in ("dd", "dt", "li", "p", "tbody", "td", "tfoot",
+                                 "th", "thead", "tr", "body", "html"):
+                self.err("expected-closing-tag-but-got-eof")
+                break
+        self.done = True
+
+    def _in_body_start(self, tok):
+        _, name, attrs, self_closing = tok
+        if name == "html":
+            self.err("non-html-root")
+            if any(n.name == "template" and n.ns == NS_HTML for n in self.stack):
+                return
+            html = self.stack[0]
+            for k, v in attrs.items():
+                html.attrs.setdefault(k, v)
+            return
+        if name in _IN_HEAD_PASSTHROUGH:
+            return self.mode_in_head(tok)
+        if name == "body":
+            self.err("unexpected-start-tag")
+            if len(self.stack) < 2 or self.stack[1].name != "body" or \
+                    any(n.name == "template" and n.ns == NS_HTML
+                        for n in self.stack):
+                return
+            self.frameset_ok = False
+            body = self.stack[1]
+            for k, v in attrs.items():
+                body.attrs.setdefault(k, v)
+            return
+        if name == "frameset":
+            self.err("unexpected-start-tag")
+            if len(self.stack) < 2 or self.stack[1].name != "body" \
+                    or not self.frameset_ok:
+                return
+            body = self.stack[1]
+            if body.parent is not None:
+                body.parent.remove(body)
+            del self.stack[1:]
+            self.insert_element("frameset", attrs)
+            self.mode = "in_frameset"
+            return
+        if name in _BLOCK_CLOSES_P:
+            self.close_p()
+            self.insert_element(name, attrs)
+            return
+        if name in _HEADINGS:
+            self.close_p()
+            if self.current().name in _HEADINGS and self.current().ns == NS_HTML:
+                self.err("unexpected-start-tag")
+                self.stack.pop()
+            self.insert_element(name, attrs)
+            return
+        if name in ("pre", "listing"):
+            self.close_p()
+            self.insert_element(name, attrs)
+            self.skip_newline = True
+            self.frameset_ok = False
+            return
+        if name == "form":
+            if self.form is not None and not any(
+                    n.name == "template" and n.ns == NS_HTML for n in self.stack):
+                self.err("unexpected-start-tag")
+                return
+            self.close_p()
+            node = self.insert_element("form", attrs)
+            if not any(n.name == "template" and n.ns == NS_HTML
+                       for n in self.stack):
+                self.form = node
+            return
+        if name == "li":
+            self.frameset_ok = False
+            for node in reversed(self.stack):
+                if node.ns == NS_HTML and node.name == "li":
+                    self.generate_implied_end(exclude="li")
+                    if self.current().name != "li":
+                        self.err("unexpected-open-elements-on-li-close")
+                    self.pop_until("li")
+                    break
+                if self.is_special(node) and node.name not in ("address", "div", "p"):
+                    break
+            self.close_p()
+            self.insert_element("li", attrs)
+            return
+        if name in ("dd", "dt"):
+            self.frameset_ok = False
+            for node in reversed(self.stack):
+                if node.ns == NS_HTML and node.name in ("dd", "dt"):
+                    self.generate_implied_end(exclude=node.name)
+                    if self.current() is not node:
+                        self.err("unexpected-open-elements-on-dd-close")
+                    self.pop_until(("dd", "dt"))
+                    break
+                if self.is_special(node) and node.name not in ("address", "div", "p"):
+                    break
+            self.close_p()
+            self.insert_element(name, attrs)
+            return
+        if name == "plaintext":
+            self.close_p()
+            self.insert_element(name, attrs)
+            self.tokenizer.state = tkz.PLAINTEXT
+            return
+        if name == "button":
+            if self.in_scope("button"):
+                self.err("unexpected-start-tag")
+                self.generate_implied_end()
+                self.pop_until("button")
+            self.reconstruct_afe()
+            self.insert_element(name, attrs)
+            self.frameset_ok = False
+            return
+        if name == "a":
+            for e in reversed(self.afe):
+                if e is None:
+                    break
+                if e.name == "a":
+                    self.err("unexpected-start-tag-implies-end-tag")
+                    self.adoption_agency("a")
+                    if e in self.afe:
+                        self.afe.remove(e)
+                    if e in self.stack:
+                        self.stack.remove(e)
+                    break
+            self.reconstruct_afe()
+            node = self.insert_element(name, attrs)
+            self.push_afe(node)
+            return
+        if name in FORMATTING:
+            if name == "nobr" and self.in_scope("nobr"):
+                self.err("unexpected-start-tag-implies-end-tag")
+                self.adoption_agency("nobr")
+                self.reconstruct_afe()
+            self.reconstruct_afe()
+            node = self.insert_element(name, attrs)
+            self.push_afe(node)
+            return
+        if name in ("applet", "marquee", "object"):
+            self.reconstruct_afe()
+            self.insert_element(name, attrs)
+            self.afe.append(None)
+            self.frameset_ok = False
+            return
+        if name == "table":
+            if self.doc.quirks != QUIRKS_YES:
+                self.close_p()
+            self.insert_element(name, attrs)
+            self.frameset_ok = False
+            self.mode = "in_table"
+            return
+        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+            self.reconstruct_afe()
+            self.insert_element(name, attrs, push=False)
+            self.frameset_ok = False
+            return
+        if name == "input":
+            self.reconstruct_afe()
+            self.insert_element(name, attrs, push=False)
+            if attrs.get("type", "").lower() != "hidden":
+                self.frameset_ok = False
+            return
+        if name in ("param", "source", "track"):
+            self.insert_element(name, attrs, push=False)
+            return
+        if name == "hr":
+            self.close_p()
+            self.insert_element(name, attrs, push=False)
+            self.frameset_ok = False
+            return
+        if name == "image":
+            self.err("image-start-tag")
+            return self._in_body_start(("StartTag", "img", attrs, self_closing))
+        if name == "textarea":
+            self.insert_element(name, attrs)
+            self.skip_newline = True
+            self.tokenizer.state = tkz.RCDATA
+            self.original_mode = self.mode
+            self.frameset_ok = False
+            self.mode = "text"
+            return
+        if name == "xmp":
+            self.close_p()
+            self.reconstruct_afe()
+            self.frameset_ok = False
+            return self._generic_raw_text(name, attrs, tkz.RAWTEXT)
+        if name == "iframe":
+            self.frameset_ok = False
+            return self._generic_raw_text(name, attrs, tkz.RAWTEXT)
+        if name == "noembed":
+            return self._generic_raw_text(name, attrs, tkz.RAWTEXT)
+        if name == "select":
+            self.reconstruct_afe()
+            self.insert_element(name, attrs)
+            self.frameset_ok = False
+            if self.mode in ("in_table", "in_caption", "in_table_body",
+                             "in_row", "in_cell"):
+                self.mode = "in_select_in_table"
+            else:
+                self.mode = "in_select"
+            return
+        if name in ("optgroup", "option"):
+            if self.current().name == "option" and self.current().ns == NS_HTML:
+                self.stack.pop()
+            self.reconstruct_afe()
+            self.insert_element(name, attrs)
+            return
+        if name in ("rb", "rtc"):
+            if self.in_scope("ruby"):
+                self.generate_implied_end()
+                if self.current().name != "ruby":
+                    self.err("unexpected-start-tag")
+            self.insert_element(name, attrs)
+            return
+        if name in ("rp", "rt"):
+            if self.in_scope("ruby"):
+                self.generate_implied_end(exclude="rtc")
+                if self.current().name not in ("ruby", "rtc"):
+                    self.err("unexpected-start-tag")
+            self.insert_element(name, attrs)
+            return
+        if name == "math":
+            self.reconstruct_afe()
+            attrs = self._adjust_foreign_attrs(attrs, NS_MATHML)
+            node = self.insert_element(name, attrs, ns=NS_MATHML)
+            if self_closing:
+                self.stack.pop()
+            return
+        if name == "svg":
+            self.reconstruct_afe()
+            attrs = self._adjust_foreign_attrs(attrs, NS_SVG)
+            node = self.insert_element(name, attrs, ns=NS_SVG)
+            if self_closing:
+                self.stack.pop()
+            return
+        if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
+                    "td", "tfoot", "th", "thead", "tr"):
+            self.err("unexpected-start-tag-ignored")
+            return
+        self.reconstruct_afe()
+        self.insert_element(name, attrs)
+
+    def _in_body_end(self, tok):
+        name = tok[1]
+        if name == "template":
+            return self.mode_in_head(tok)
+        if name == "body":
+            if not self.in_scope("body"):
+                self.err("unexpected-end-tag")
+                return
+            self._check_unclosed_on_body_end()
+            self.mode = "after_body"
+            return
+        if name == "html":
+            if not self.in_scope("body"):
+                self.err("unexpected-end-tag")
+                return
+            self._check_unclosed_on_body_end()
+            self.mode = "after_body"
+            self.reprocess(tok)
+            return
+        if name in _BLOCK_CLOSES_P and name != "p" or name in (
+                "button", "listing", "pre"):
+            if not self.in_scope(name):
+                self.err("unexpected-end-tag")
+                return
+            self.generate_implied_end()
+            if self.current().name != name:
+                self.err("end-tag-too-early")
+            self.pop_until(name)
+            return
+        if name == "form":
+            if not any(n.name == "template" and n.ns == NS_HTML
+                       for n in self.stack):
+                node = self.form
+                self.form = None
+                if node is None or not self.in_scope("form"):
+                    self.err("unexpected-end-tag")
+                    return
+                self.generate_implied_end()
+                if self.current() is not node:
+                    self.err("end-tag-too-early-ignored")
+                if node in self.stack:
+                    self.stack.remove(node)
+            else:
+                if not self.in_scope("form"):
+                    self.err("unexpected-end-tag")
+                    return
+                self.generate_implied_end()
+                if self.current().name != "form":
+                    self.err("end-tag-too-early-ignored")
+                self.pop_until("form")
+            return
+        if name == "p":
+            if not self.in_scope("p", _SCOPE_BUTTON):
+                self.err("unexpected-end-tag")
+                self.insert_element("p", {})
+            self.close_p()
+            return
+        if name == "li":
+            if not self.in_scope("li", _SCOPE_LIST):
+                self.err("unexpected-end-tag")
+                return
+            self.generate_implied_end(exclude="li")
+            if self.current().name != "li":
+                self.err("end-tag-too-early")
+            self.pop_until("li")
+            return
+        if name in ("dd", "dt"):
+            if not self.in_scope(name):
+                self.err("unexpected-end-tag")
+                return
+            self.generate_implied_end(exclude=name)
+            if self.current().name != name:
+                self.err("end-tag-too-early")
+            self.pop_until(name)
+            return
+        if name in _HEADINGS:
+            if not self.in_scope(_HEADINGS):
+                self.err("unexpected-end-tag")
+                return
+            self.generate_implied_end()
+            if self.current().name != name:
+                self.err("end-tag-too-early")
+            self.pop_until(_HEADINGS)
+            return
+        if name in FORMATTING:
+            return self.adoption_agency(name)
+        if name in ("applet", "marquee", "object"):
+            if not self.in_scope(name):
+                self.err("unexpected-end-tag")
+                return
+            self.generate_implied_end()
+            if self.current().name != name:
+                self.err("end-tag-too-early")
+            self.pop_until(name)
+            self.clear_afe_to_marker()
+            return
+        if name == "br":
+            self.err("unexpected-end-tag-treated-as")
+            self.reconstruct_afe()
+            self.insert_element("br", {}, push=False)
+            self.frameset_ok = False
+            return
+        self._any_other_end_tag(name)
+
+    def _check_unclosed_on_body_end(self):
+        for node in self.stack:
+            if node.name not in ("dd", "dt", "li", "optgroup", "option", "p",
+                                 "rb", "rp", "rt", "rtc", "tbody", "td",
+                                 "tfoot", "th", "thead", "tr", "body", "html"):
+                self.err("expected-one-end-tag-but-got-another")
+                break
+
+    # ---------------------------------------------------------------- text
+
+    def mode_text(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            self.insert_text(self._strip_leading_newline(tok[1]))
+            return
+        if kind == "EOF":
+            self.err("expected-named-closing-tag-but-got-eof")
+            self.stack.pop()
+            self.mode = self.original_mode
+            self.reprocess(tok)
+            return
+        # any end tag
+        self.stack.pop()
+        self.mode = self.original_mode
+
+    # --------------------------------------------------------------- table
+
+    def _clear_to_context(self, names):
+        while self.stack:
+            node = self.stack[-1]
+            if node.ns == NS_HTML and node.name in names:
+                return
+            self.stack.pop()
+
+    def mode_in_table(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            cur = self.current()
+            if cur.ns == NS_HTML and cur.name in ("table", "tbody", "tfoot",
+                                                  "thead", "tr"):
+                self.pending_text = []
+                self.original_mode = self.mode
+                self.mode = "in_table_text"
+                return self.mode_in_table_text(tok)
+            return self._in_table_anything_else(tok)
+        if kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        if kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        if kind == "StartTag":
+            name = tok[1]
+            if name == "caption":
+                self._clear_to_context(("table", "template", "html"))
+                self.afe.append(None)
+                self.insert_element(name, tok[2])
+                self.mode = "in_caption"
+                return
+            if name == "colgroup":
+                self._clear_to_context(("table", "template", "html"))
+                self.insert_element(name, tok[2])
+                self.mode = "in_column_group"
+                return
+            if name == "col":
+                self._clear_to_context(("table", "template", "html"))
+                self.insert_element("colgroup", {})
+                self.mode = "in_column_group"
+                return self.reprocess(tok)
+            if name in _TABLE_SECTION:
+                self._clear_to_context(("table", "template", "html"))
+                self.insert_element(name, tok[2])
+                self.mode = "in_table_body"
+                return
+            if name in ("td", "th", "tr"):
+                self._clear_to_context(("table", "template", "html"))
+                self.insert_element("tbody", {})
+                self.mode = "in_table_body"
+                return self.reprocess(tok)
+            if name == "table":
+                self.err("unexpected-start-tag-implies-end-tag")
+                if not self.in_scope("table", _SCOPE_TABLE):
+                    return
+                self.pop_until("table")
+                self.reset_insertion_mode()
+                return self.reprocess(tok)
+            if name in ("style", "script", "template"):
+                return self.mode_in_head(tok)
+            if name == "input":
+                if tok[2].get("type", "").lower() == "hidden":
+                    self.err("unexpected-hidden-input-in-table")
+                    self.insert_element(name, tok[2], push=False)
+                    return
+                return self._in_table_anything_else(tok)
+            if name == "form":
+                self.err("unexpected-form-in-table")
+                if self.form is None and not any(
+                        n.name == "template" and n.ns == NS_HTML
+                        for n in self.stack):
+                    self.form = self.insert_element(name, tok[2], push=False)
+                return
+            return self._in_table_anything_else(tok)
+        if kind == "EndTag":
+            name = tok[1]
+            if name == "table":
+                if not self.in_scope("table", _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self.pop_until("table")
+                self.reset_insertion_mode()
+                return
+            if name in ("body", "caption", "col", "colgroup", "html",
+                        "tbody", "td", "tfoot", "th", "thead", "tr"):
+                self.err("unexpected-end-tag")
+                return
+            if name == "template":
+                return self.mode_in_head(tok)
+            return self._in_table_anything_else(tok)
+        # EOF
+        return self.mode_in_body(tok)
+
+    def _in_table_anything_else(self, tok):
+        self.err("unexpected-token-in-table")
+        self.foster = True
+        self.mode_in_body(tok)
+        self.foster = False
+
+    def mode_in_table_text(self, tok):
+        if tok[0] == "Character":
+            data = tok[1]
+            if "\x00" in data:
+                self.err("invalid-codepoint")
+                data = data.replace("\x00", "")
+            if data:
+                self.pending_text.append(data)
+            return
+        text = "".join(self.pending_text)
+        self.pending_text = []
+        if text:
+            if text.strip(_WS):
+                # non-whitespace → foster-parent via in-body rules
+                self.err("foster-parenting-character")
+                self.foster = True
+                self.reconstruct_afe()
+                self.insert_text(text)
+                self.frameset_ok = False
+                self.foster = False
+            else:
+                self.insert_text(text)
+        self.mode = self.original_mode
+        self.reprocess(tok)
+
+    def mode_in_caption(self, tok):
+        kind = tok[0]
+        if kind == "StartTag" and tok[1] in (
+                "caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
+                "thead", "tr") or (kind == "EndTag" and tok[1] == "table"):
+            if not self.in_scope("caption", _SCOPE_TABLE):
+                self.err("unexpected-token")
+                return
+            self.generate_implied_end()
+            if self.current().name != "caption":
+                self.err("expected-caption")
+            self.pop_until("caption")
+            self.clear_afe_to_marker()
+            self.mode = "in_table"
+            return self.reprocess(tok)
+        if kind == "EndTag":
+            if tok[1] == "caption":
+                if not self.in_scope("caption", _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self.generate_implied_end()
+                if self.current().name != "caption":
+                    self.err("expected-caption")
+                self.pop_until("caption")
+                self.clear_afe_to_marker()
+                self.mode = "in_table"
+                return
+            if tok[1] in ("body", "col", "colgroup", "html", "tbody", "td",
+                          "tfoot", "th", "thead", "tr"):
+                self.err("unexpected-end-tag")
+                return
+        return self.mode_in_body(tok)
+
+    def mode_in_column_group(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1]
+            ws = data[:len(data) - len(data.lstrip(_WS))]
+            if ws:
+                self.insert_text(ws)
+            rest = data[len(ws):]
+            if not rest:
+                return
+            tok = ("Character", rest)
+        elif kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        elif kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        elif kind == "StartTag":
+            if tok[1] == "html":
+                return self.mode_in_body(tok)
+            if tok[1] == "col":
+                self.insert_element("col", tok[2], push=False)
+                return
+            if tok[1] == "template":
+                return self.mode_in_head(tok)
+        elif kind == "EndTag":
+            if tok[1] == "colgroup":
+                if self.current().name != "colgroup":
+                    self.err("unexpected-end-tag")
+                    return
+                self.stack.pop()
+                self.mode = "in_table"
+                return
+            if tok[1] == "col":
+                self.err("unexpected-end-tag")
+                return
+            if tok[1] == "template":
+                return self.mode_in_head(tok)
+        elif kind == "EOF":
+            return self.mode_in_body(tok)
+        if self.current().name != "colgroup":
+            self.err("unexpected-token")
+            return
+        self.stack.pop()
+        self.mode = "in_table"
+        self.reprocess(tok)
+
+    def mode_in_table_body(self, tok):
+        kind = tok[0]
+        if kind == "StartTag":
+            name = tok[1]
+            if name == "tr":
+                self._clear_to_context(("tbody", "tfoot", "thead", "template",
+                                        "html"))
+                self.insert_element(name, tok[2])
+                self.mode = "in_row"
+                return
+            if name in _CELLS:
+                self.err("unexpected-cell-in-table-body")
+                self._clear_to_context(("tbody", "tfoot", "thead", "template",
+                                        "html"))
+                self.insert_element("tr", {})
+                self.mode = "in_row"
+                return self.reprocess(tok)
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot",
+                        "thead"):
+                if not self.in_scope(_TABLE_SECTION, _SCOPE_TABLE):
+                    self.err("unexpected-start-tag")
+                    return
+                self._clear_to_context(("tbody", "tfoot", "thead", "template",
+                                        "html"))
+                self.stack.pop()
+                self.mode = "in_table"
+                return self.reprocess(tok)
+        elif kind == "EndTag":
+            name = tok[1]
+            if name in _TABLE_SECTION:
+                if not self.in_scope(name, _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self._clear_to_context(("tbody", "tfoot", "thead", "template",
+                                        "html"))
+                self.stack.pop()
+                self.mode = "in_table"
+                return
+            if name == "table":
+                if not self.in_scope(_TABLE_SECTION, _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self._clear_to_context(("tbody", "tfoot", "thead", "template",
+                                        "html"))
+                self.stack.pop()
+                self.mode = "in_table"
+                return self.reprocess(tok)
+            if name in ("body", "caption", "col", "colgroup", "html", "td",
+                        "th", "tr"):
+                self.err("unexpected-end-tag")
+                return
+        return self.mode_in_table(tok)
+
+    def mode_in_row(self, tok):
+        kind = tok[0]
+        if kind == "StartTag":
+            name = tok[1]
+            if name in _CELLS:
+                self._clear_to_context(("tr", "template", "html"))
+                self.insert_element(name, tok[2])
+                self.mode = "in_cell"
+                self.afe.append(None)
+                return
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot",
+                        "thead", "tr"):
+                if not self.in_scope("tr", _SCOPE_TABLE):
+                    self.err("unexpected-start-tag")
+                    return
+                self._clear_to_context(("tr", "template", "html"))
+                self.stack.pop()
+                self.mode = "in_table_body"
+                return self.reprocess(tok)
+        elif kind == "EndTag":
+            name = tok[1]
+            if name == "tr":
+                if not self.in_scope("tr", _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self._clear_to_context(("tr", "template", "html"))
+                self.stack.pop()
+                self.mode = "in_table_body"
+                return
+            if name == "table":
+                if not self.in_scope("tr", _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self._clear_to_context(("tr", "template", "html"))
+                self.stack.pop()
+                self.mode = "in_table_body"
+                return self.reprocess(tok)
+            if name in _TABLE_SECTION:
+                if not self.in_scope(name, _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                if not self.in_scope("tr", _SCOPE_TABLE):
+                    return
+                self._clear_to_context(("tr", "template", "html"))
+                self.stack.pop()
+                self.mode = "in_table_body"
+                return self.reprocess(tok)
+            if name in ("body", "caption", "col", "colgroup", "html", "td",
+                        "th"):
+                self.err("unexpected-end-tag")
+                return
+        return self.mode_in_table(tok)
+
+    def mode_in_cell(self, tok):
+        kind = tok[0]
+        if kind == "StartTag" and tok[1] in (
+                "caption", "col", "colgroup", "tbody", "td", "tfoot", "th",
+                "thead", "tr"):
+            if not self.in_scope(_CELLS, _SCOPE_TABLE):
+                self.err("unexpected-start-tag")
+                return
+            self._close_cell()
+            return self.reprocess(tok)
+        if kind == "EndTag":
+            name = tok[1]
+            if name in _CELLS:
+                if not self.in_scope(name, _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self.generate_implied_end()
+                if self.current().name != name:
+                    self.err("expected-cell")
+                self.pop_until(name)
+                self.clear_afe_to_marker()
+                self.mode = "in_row"
+                return
+            if name in ("body", "caption", "col", "colgroup", "html"):
+                self.err("unexpected-end-tag")
+                return
+            if name in ("table", "tbody", "tfoot", "thead", "tr"):
+                if not self.in_scope(name, _SCOPE_TABLE):
+                    self.err("unexpected-end-tag")
+                    return
+                self._close_cell()
+                return self.reprocess(tok)
+        return self.mode_in_body(tok)
+
+    def _close_cell(self):
+        self.generate_implied_end()
+        if self.current().name not in _CELLS:
+            self.err("expected-cell")
+        self.pop_until(_CELLS)
+        self.clear_afe_to_marker()
+        self.mode = "in_row"
+
+    # -------------------------------------------------------------- select
+
+    def mode_in_select(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1]
+            if "\x00" in data:
+                self.err("invalid-codepoint")
+                data = data.replace("\x00", "")
+            if data:
+                self.insert_text(data)
+            return
+        if kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        if kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        if kind == "StartTag":
+            name = tok[1]
+            if name == "html":
+                return self.mode_in_body(tok)
+            if name == "option":
+                if self.current().name == "option":
+                    self.stack.pop()
+                self.insert_element(name, tok[2])
+                return
+            if name == "optgroup":
+                if self.current().name == "option":
+                    self.stack.pop()
+                if self.current().name == "optgroup":
+                    self.stack.pop()
+                self.insert_element(name, tok[2])
+                return
+            if name == "select":
+                self.err("unexpected-select-in-select")
+                if not self.in_select_scope("select"):
+                    return
+                self.pop_until("select")
+                self.reset_insertion_mode()
+                return
+            if name in ("input", "keygen", "textarea"):
+                self.err("unexpected-input-in-select")
+                if not self.in_select_scope("select"):
+                    return
+                self.pop_until("select")
+                self.reset_insertion_mode()
+                return self.reprocess(tok)
+            if name in ("script", "template"):
+                return self.mode_in_head(tok)
+        elif kind == "EndTag":
+            name = tok[1]
+            if name == "optgroup":
+                if self.current().name == "option" and len(self.stack) > 1 \
+                        and self.stack[-2].name == "optgroup":
+                    self.stack.pop()
+                if self.current().name == "optgroup":
+                    self.stack.pop()
+                else:
+                    self.err("unexpected-end-tag")
+                return
+            if name == "option":
+                if self.current().name == "option":
+                    self.stack.pop()
+                else:
+                    self.err("unexpected-end-tag")
+                return
+            if name == "select":
+                if not self.in_select_scope("select"):
+                    self.err("unexpected-end-tag")
+                    return
+                self.pop_until("select")
+                self.reset_insertion_mode()
+                return
+            if name == "template":
+                return self.mode_in_head(tok)
+        elif kind == "EOF":
+            return self.mode_in_body(tok)
+        self.err("unexpected-token-in-select")
+
+    def mode_in_select_in_table(self, tok):
+        kind = tok[0]
+        tables = ("caption", "table", "tbody", "tfoot", "thead", "tr", "td",
+                  "th")
+        if kind == "StartTag" and tok[1] in tables:
+            self.err("unexpected-table-element-start-tag-in-select-in-table")
+            self.pop_until("select")
+            self.reset_insertion_mode()
+            return self.reprocess(tok)
+        if kind == "EndTag" and tok[1] in tables:
+            self.err("unexpected-table-element-end-tag-in-select-in-table")
+            if not self.in_scope(tok[1], _SCOPE_TABLE):
+                return
+            self.pop_until("select")
+            self.reset_insertion_mode()
+            return self.reprocess(tok)
+        return self.mode_in_select(tok)
+
+    # ------------------------------------------------------------ template
+
+    def mode_in_template(self, tok):
+        kind = tok[0]
+        if kind in ("Character", "Comment", "DOCTYPE"):
+            return self.mode_in_body(tok)
+        if kind == "StartTag":
+            name = tok[1]
+            if name in _IN_HEAD_PASSTHROUGH:
+                return self.mode_in_head(tok)
+            if name in ("caption", "colgroup", "tbody", "tfoot", "thead"):
+                self.template_modes[-1] = "in_table"
+                self.mode = "in_table"
+                return self.reprocess(tok)
+            if name == "col":
+                self.template_modes[-1] = "in_column_group"
+                self.mode = "in_column_group"
+                return self.reprocess(tok)
+            if name == "tr":
+                self.template_modes[-1] = "in_table_body"
+                self.mode = "in_table_body"
+                return self.reprocess(tok)
+            if name in _CELLS:
+                self.template_modes[-1] = "in_row"
+                self.mode = "in_row"
+                return self.reprocess(tok)
+            self.template_modes[-1] = "in_body"
+            self.mode = "in_body"
+            return self.reprocess(tok)
+        if kind == "EndTag":
+            if tok[1] == "template":
+                return self.mode_in_head(tok)
+            self.err("unexpected-end-tag")
+            return
+        # EOF
+        if not any(n.name == "template" and n.ns == NS_HTML
+                   for n in self.stack):
+            self.done = True
+            return
+        self.err("eof-in-template")
+        self.pop_until("template")
+        self.clear_afe_to_marker()
+        if self.template_modes:
+            self.template_modes.pop()
+        self.reset_insertion_mode()
+        self.reprocess(tok)
+
+    # ---------------------------------------------------------- after body
+
+    def mode_after_body(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            if not tok[1].strip(_WS):
+                return self.mode_in_body(tok)
+            data = tok[1]
+        elif kind == "Comment":
+            self.insert_comment(tok[1], self.stack[0])
+            return
+        elif kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        elif kind == "StartTag" and tok[1] == "html":
+            return self.mode_in_body(tok)
+        elif kind == "EndTag" and tok[1] == "html":
+            self.mode = "after_after_body"
+            return
+        elif kind == "EOF":
+            self.done = True
+            return
+        self.err("unexpected-token-after-body")
+        self.mode = "in_body"
+        self.reprocess(tok)
+
+    def mode_after_after_body(self, tok):
+        kind = tok[0]
+        if kind == "Comment":
+            self.insert_comment(tok[1], self.doc)
+            return
+        if kind == "DOCTYPE" or (kind == "Character" and not tok[1].strip(_WS)) \
+                or (kind == "StartTag" and tok[1] == "html"):
+            return self.mode_in_body(tok)
+        if kind == "EOF":
+            self.done = True
+            return
+        self.err("unexpected-token-after-after-body")
+        self.mode = "in_body"
+        self.reprocess(tok)
+
+    # ------------------------------------------------------------ frameset
+
+    def mode_in_frameset(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self.insert_text(ws)
+            if ws != tok[1]:
+                self.err("unexpected-char-in-frameset")
+            return
+        if kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        if kind == "StartTag":
+            if tok[1] == "html":
+                return self.mode_in_body(tok)
+            if tok[1] == "frameset":
+                self.insert_element("frameset", tok[2])
+                return
+            if tok[1] == "frame":
+                self.insert_element("frame", tok[2], push=False)
+                return
+            if tok[1] == "noframes":
+                return self.mode_in_head(tok)
+        elif kind == "EndTag" and tok[1] == "frameset":
+            if self.current().name == "html":
+                self.err("unexpected-frameset-in-frameset-innerhtml")
+                return
+            self.stack.pop()
+            if self.current().name != "frameset":
+                self.mode = "after_frameset"
+            return
+        elif kind == "EOF":
+            if self.current().name != "html":
+                self.err("eof-in-frameset")
+            self.done = True
+            return
+        self.err("unexpected-token-in-frameset")
+
+    def mode_after_frameset(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self.insert_text(ws)
+            if ws != tok[1]:
+                self.err("unexpected-char-after-frameset")
+            return
+        if kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        if kind == "StartTag":
+            if tok[1] == "html":
+                return self.mode_in_body(tok)
+            if tok[1] == "noframes":
+                return self.mode_in_head(tok)
+        elif kind == "EndTag" and tok[1] == "html":
+            self.mode = "after_after_frameset"
+            return
+        elif kind == "EOF":
+            self.done = True
+            return
+        self.err("unexpected-token-after-frameset")
+
+    def mode_after_after_frameset(self, tok):
+        kind = tok[0]
+        if kind == "Comment":
+            self.insert_comment(tok[1], self.doc)
+            return
+        if kind == "DOCTYPE" or (kind == "Character" and not tok[1].strip(_WS)) \
+                or (kind == "StartTag" and tok[1] == "html"):
+            return self.mode_in_body(tok)
+        if kind == "StartTag" and tok[1] == "noframes":
+            return self.mode_in_head(tok)
+        if kind == "EOF":
+            self.done = True
+            return
+        self.err("expected-eof-but-got-" + kind.lower())
+
+    # ----------------------------------------------------- foreign content
+
+    def _adjust_foreign_attrs(self, attrs, ns):
+        if not attrs:
+            return attrs
+        out = {}
+        for k, v in attrs.items():
+            if ns == NS_SVG and k in _SVG_ATTR_FIX:
+                k = _SVG_ATTR_FIX[k]
+            elif ns == NS_MATHML and k == "definitionurl":
+                k = "definitionURL"
+            out[k] = v
+        return out
+
+    def process_foreign(self, tok):
+        kind = tok[0]
+        if kind == "Character":
+            data = tok[1]
+            if "\x00" in data:
+                self.err("invalid-codepoint-in-foreign-content")
+                data = data.replace("\x00", "�")
+            self.insert_text(data)
+            if self.frameset_ok and data.strip(_WS):
+                self.frameset_ok = False
+            return
+        if kind == "Comment":
+            self.insert_comment(tok[1])
+            return
+        if kind == "DOCTYPE":
+            self.err("unexpected-doctype")
+            return
+        if kind == "StartTag":
+            name, attrs, self_closing = tok[1], tok[2], tok[3]
+            if name in _BREAKOUT or (
+                    name == "font" and any(a in attrs for a in
+                                           ("color", "face", "size"))):
+                self.err("unexpected-html-element-in-foreign-content")
+                while self.stack:
+                    node = self.stack[-1]
+                    if node.ns == NS_HTML:
+                        break
+                    if (node.ns == NS_MATHML and node.name in
+                            ("mi", "mo", "mn", "ms", "mtext")) or \
+                       (node.ns == NS_SVG and node.name in
+                            ("foreignObject", "desc", "title")) or \
+                       (node.ns == NS_MATHML and node.name == "annotation-xml"
+                            and (node.attrs or {}).get("encoding", "").lower()
+                            in ("text/html", "application/xhtml+xml")):
+                        break
+                    self.stack.pop()
+                return self.process(tok)
+            cur_ns = self.stack[-1].ns
+            # adjusted current node namespace governs the new element
+            ns = cur_ns if cur_ns != NS_HTML else NS_HTML
+            if ns == NS_SVG:
+                name = _SVG_TAG_FIX.get(name, name)
+            attrs = self._adjust_foreign_attrs(attrs, ns)
+            self.insert_element(name, attrs, ns=ns)
+            if self_closing:
+                self.stack.pop()
+            return
+        if kind == "EndTag":
+            name = tok[1]
+            node = self.stack[-1]
+            if node.name.lower() != name:
+                self.err("unexpected-end-tag")
+            for i in range(len(self.stack) - 1, 0, -1):
+                node = self.stack[i]
+                if node.ns == NS_HTML:
+                    return self.process_html(tok)
+                if node.name.lower() == name:
+                    del self.stack[i:]
+                    return
+            return
+
+
+def parse(raw) -> ParseResult:
+    """Parse one document → (Document tree, sorted (code, offset) errors)."""
+    return TreeBuilder().parse(raw)

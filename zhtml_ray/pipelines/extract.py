@@ -1,0 +1,69 @@
+"""Flagship pipeline: pages parquet → parse+extract → (url, extracted_text,
+spans, …). The lifecycle of SURVEY.md §3.4.
+
+The synthetic pages table is derived deterministically per scale factor
+(FIXTURES.md §1: smoke=500 / correctness=5,000 / bench=50,000 rows,
+seed=42) and cached under /tmp — the driver's sf dirs carry the TPC-H-ish
+tables; the HTML pages table is this repo's own deterministic fixture
+(`BASELINE.json:input_hint` shape).
+"""
+
+from __future__ import annotations
+
+import os
+
+from zhtml_ray.sources.pages import write_pages_dataset
+
+# FIXTURES.md scales, keyed by the sf token in the dir name
+_SF_PAGES = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+_PAGES_CACHE_ROOT = os.environ.get("ZHTML_RAY_PAGES_CACHE",
+                                   "/tmp/zhtml_ray_pages")
+
+
+def n_pages_for(sf_dir: str) -> int:
+    token = os.path.basename(os.path.normpath(sf_dir))
+    if token in _SF_PAGES:
+        return _SF_PAGES[token]
+    return 500
+
+
+def pages_dir_for(sf_dir: str, mega_docs: int = 0, seed: int = 42) -> str:
+    """Materialize (once; cached, deterministic) the pages table matching
+    this scale factor; returns the parquet directory."""
+    n = n_pages_for(sf_dir)
+    out = os.path.join(_PAGES_CACHE_ROOT, f"n{n}_seed{seed}_mega{mega_docs}")
+    write_pages_dataset(out, n, seed=seed, rows_per_file=1000,
+                        mega_docs=mega_docs)
+    return out
+
+
+def extract_pages(ds, include_spans: bool = True, batch_size: int = 64,
+                  concurrency=None, num_cpus: float = 1.0):
+    """pages Dataset → extraction Dataset (the core map_batches stage).
+
+    batch_size=64 ≈ 0.2–1 MB of html per batch at typical page sizes;
+    parse cost ∝ html bytes, so batches stay seconds-scale and the
+    streaming executor pipelines read → parse → sink. ``concurrency=None``
+    uses stateless tasks (one per block) — the kernel's warm state is
+    module-level, so tasks are as warm as actors after first touch and
+    autoscale better; pass an int/(min,max) to pin an actor pool instead.
+    """
+    from zhtml_ray.stages.parse_extract import ParseExtractBatch
+
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
+                  num_cpus=num_cpus)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        return ds.map_batches(ParseExtractBatch, fn_constructor_kwargs={
+            "include_spans": include_spans}, **kwargs)
+    return ds.map_batches(ParseExtractBatch(include_spans=include_spans),
+                          **kwargs)
+
+
+def run_extract(sf_dir: str, include_spans: bool = True, **knobs):
+    """End-to-end: derive pages for sf_dir, read, extract. Lazy Dataset."""
+    import ray.data as rd
+
+    pages_dir = pages_dir_for(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html", "lang"])
+    return extract_pages(ds, include_spans=include_spans, **knobs)

@@ -1,0 +1,205 @@
+"""Driver-contract queries: every implemented operator/pipeline gets an
+entry here (name → callable(sf_dir)), plus matching DuckDB oracle SQL
+where the operator is SQL-expressible (CORRECTNESS gate, see
+__ray_entry__.py). Column names match the SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+
+def _lineitem(sf_dir, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+# --------------------------------------------------------------- extraction
+
+def q_extract(sf_dir: str):
+    """Flagship: synthetic pages @ this scale → parse+extract (no SQL
+    oracle — HTML parsing is not SQL-expressible; driver checks rows)."""
+    from zhtml_ray.pipelines.extract import run_extract
+    return run_extract(sf_dir)
+
+
+def q_extract_error_histogram(sf_dir: str):
+    """Error-code histogram over the extraction run (SURVEY.md §2.5):
+    explode error_codes → groupby(code).count()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.pipelines.extract import run_extract
+
+    ds = run_extract(sf_dir, include_spans=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        codes = batch.column("error_codes")
+        flat = pc.list_flatten(codes)
+        return pa.table({"code": flat})
+
+    ds = ds.map_batches(explode, batch_format="pyarrow")
+    return ds.groupby("code").count().sort("code")
+
+
+# ------------------------------------------------------- TPC-H-ish queries
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with batch-level pre-aggregation
+    (partial combine inside map_batches → tiny final groupby; the
+    at-scale pattern from SURVEY.md §2.5)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_linestatus", "l_quantity",
+                            "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"],
+                          pa.scalar(__import__("datetime").datetime(1998, 9, 2))))
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("disc_price", disc_price)
+        tbl = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_discount", "sum"),
+            ("l_quantity", "count"),
+        ])
+        return tbl.rename_columns([
+            "l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc_price",
+            "p_disc", "p_n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_price", alias_name="sum_base_price"),
+        Sum("p_disc_price", alias_name="sum_disc_price"),
+        Sum("p_disc", alias_name="sum_disc"),
+        Sum("p_n", alias_name="count_order"),
+    )
+    import pandas as pd
+    pdf = agg.to_pandas()
+    pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
+    pdf["avg_price"] = pdf["sum_base_price"] / pdf["count_order"]
+    pdf["avg_disc"] = pdf["sum_disc"] / pdf["count_order"]
+    pdf = pdf.drop(columns=["sum_disc"])
+    return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)  AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       count(*) AS count_order,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_revenue(sf_dir: str):
+    """Vectorized filter + computed column, zero-copy Arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount",
+                            "l_shipdate"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        import datetime
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"],
+                             pa.scalar(datetime.datetime(1997, 1, 1))),
+            pc.greater(batch["l_discount"], pa.scalar(0.05)))
+        batch = batch.filter(keep)
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "revenue": rev})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FILTER_REVENUE = """
+SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
+"""
+
+
+def q_cust_nation_region(sf_dir: str):
+    """Broadcast (map-side) join: dimension tables shipped once via
+    ray.put, looked up per batch — no shuffle (SURVEY.md §2.4)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "n_name",
+                                                "r_name"]]
+    dim_ref = ray.put(dim.set_index("n_nationkey"))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    class Join:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.join(self.dim, on="c_nationkey")
+            return out[["c_custkey", "c_acctbal", "n_name", "r_name"]]
+
+    return ds.map_batches(Join, batch_format="pandas", concurrency=2)
+
+
+SQL_CUST_NATION_REGION = """
+SELECT c_custkey, c_acctbal, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Top-k by sort (distributed sort + limit)."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "extract": q_extract,
+        "extract_error_histogram": q_extract_error_histogram,
+        "q1_pricing_summary": q1_pricing_summary,
+        "filter_revenue": q_filter_revenue,
+        "cust_nation_region": q_cust_nation_region,
+        "top_orders": q_top_orders,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": SQL_Q1,
+        "filter_revenue": SQL_FILTER_REVENUE,
+        "cust_nation_region": SQL_CUST_NATION_REGION,
+        "top_orders": SQL_TOP_ORDERS,
+    }

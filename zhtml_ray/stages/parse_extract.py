@@ -1,0 +1,99 @@
+"""The core Ray Data stage: per-document parse + extract as a batch UDF.
+
+Actor-pool pattern (SURVEY.md §2.3): module import cost (entity table,
+compiled regexes — the state the reference rebuilds per tokenizer
+instance, /root/reference/src/tokenizer.zig:135,147) is paid once per
+worker process; per-batch work is Arrow in / Arrow out. The parse itself
+is irreducibly sequential per document (one state machine per row,
+/root/reference/src/tokenizer.zig:2302-2323) but vectorized at the batch
+boundary.
+
+Per-row failure isolation: a hostile/malformed document yields an error
+row (ok=False, empty text) — exceptions never escape the UDF; untrusted
+web bytes must not kill a 100 TB job.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from zhtml_ray.html.extract import extract_document
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("start", pa.int64()), ("end", pa.int64()),
+    ("node_id", pa.int32()), ("kind", pa.string()),
+]))
+
+OUT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("extracted_text", pa.large_string()),
+    ("spans", SPAN_TYPE),
+    ("quirks", pa.int8()),
+    ("doctype_name", pa.string()),
+    ("error_codes", pa.list_(pa.string())),
+    ("n_nodes", pa.int32()),
+    ("html_bytes", pa.int64()),
+    ("ok", pa.bool_()),
+    ("fail_reason", pa.string()),
+])
+
+
+class ParseExtractBatch:
+    """Callable class → Ray actor pool via
+    ``ds.map_batches(ParseExtractBatch, batch_format="pyarrow",
+    concurrency=N, batch_size=B)``.
+
+    ``include_spans=False`` drops the spans column (cheaper output when a
+    downstream stage only needs text). ``passthrough`` lists input columns
+    copied to the output (url is always kept)."""
+
+    def __init__(self, include_spans: bool = True,
+                 passthrough: tuple[str, ...] = ("lang",)):
+        self.include_spans = include_spans
+        self.passthrough = passthrough
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        n = len(urls)
+        texts = [""] * n
+        spans = [[] for _ in range(n)]
+        quirks = [0] * n
+        doctypes = [""] * n
+        errcodes = [[] for _ in range(n)]
+        nnodes = [0] * n
+        ok = [True] * n
+        fail = [""] * n
+        hbytes = [0] * n
+        for i in range(n):
+            raw = htmls[i]
+            hbytes[i] = len(raw) if raw is not None else 0
+            try:
+                out = extract_document(raw if raw is not None else b"")
+                texts[i] = out["extracted_text"]
+                spans[i] = out["spans"]
+                quirks[i] = out["quirks"]
+                doctypes[i] = out["doctype_name"]
+                errcodes[i] = out["error_codes"]
+                nnodes[i] = out["n_nodes"]
+            except Exception as e:  # noqa: BLE001 — per-row isolation
+                ok[i] = False
+                fail[i] = f"{type(e).__name__}: {e}"[:500]
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "extracted_text": pa.array(texts, pa.large_string()),
+            "spans": pa.array(spans, SPAN_TYPE),
+            "quirks": pa.array(quirks, pa.int8()),
+            "doctype_name": pa.array(doctypes, pa.string()),
+            "error_codes": pa.array(errcodes, pa.list_(pa.string())),
+            "n_nodes": pa.array(nnodes, pa.int32()),
+            "html_bytes": pa.array(hbytes, pa.int64()),
+            "ok": pa.array(ok, pa.bool_()),
+            "fail_reason": pa.array(fail, pa.string()),
+        }
+        if not self.include_spans:
+            del cols["spans"]
+        for name in self.passthrough:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
