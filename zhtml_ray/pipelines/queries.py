@@ -186,7 +186,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    from zhtml_ray.pipelines import ops_queries
+    out = {
         "extract": q_extract,
         "extract_error_histogram": q_extract_error_histogram,
         "q1_pricing_summary": q1_pricing_summary,
@@ -194,12 +195,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_nation_region": q_cust_nation_region,
         "top_orders": q_top_orders,
     }
+    out.update(ops_queries.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from zhtml_ray.pipelines import ops_queries
+    out = {
         "q1_pricing_summary": SQL_Q1,
         "filter_revenue": SQL_FILTER_REVENUE,
         "cust_nation_region": SQL_CUST_NATION_REGION,
         "top_orders": SQL_TOP_ORDERS,
     }
+    out.update(ops_queries.oracle_sql())
+    return out
