@@ -29,11 +29,11 @@ def prepare_pages(sf_dir: str) -> tuple[str, int, int]:
     for this scale. Untimed. Returns (dir, n_rows, html_bytes)."""
     import ray
     from zhtml_ray.pipelines.extract import n_pages_for, _PAGES_CACHE_ROOT
-    from zhtml_ray.sources.pages import write_pages_dataset
+    from zhtml_ray.sources.pages import FIXTURE_VERSION
 
     n = n_pages_for(sf_dir)
     out = os.path.join(_PAGES_CACHE_ROOT,
-                       f"n{n}_seed42_mega{MEGA_DOCS}")
+                       f"v{FIXTURE_VERSION}_n{n}_seed42_mega{MEGA_DOCS}")
     done = os.path.join(out, ".done")
     if not os.path.exists(done):
         @ray.remote
@@ -76,11 +76,10 @@ def prepare_pages(sf_dir: str) -> tuple[str, int, int]:
 
 
 def bench_extract(pages_dir: str, out_dir: str) -> float:
-    import ray.data as rd
-    from zhtml_ray.pipelines.extract import extract_pages
-    ds = rd.read_parquet(pages_dir, columns=["url", "html", "lang"])
+    from zhtml_ray.stages.skew import extract_with_skew_routing
     t0 = time.time()
-    extract_pages(ds, include_spans=True).write_parquet(out_dir)
+    ds = extract_with_skew_routing(pages_dir)  # giants → batch_size=1 path
+    ds.write_parquet(out_dir)
     return time.time() - t0
 
 

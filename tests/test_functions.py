@@ -106,16 +106,12 @@ def test_real_decode_is_stubbed():
         multimodal.real_decode_image(b"x", 4, 4)
 
 
-def test_brute_force_topk_math():
-    # pure-numpy check of the per-batch kernel
-    import ray  # noqa: F401 — BruteForceTopK reads from the object store
+def test_brute_force_topk_math(ray_session):
+    # pure-numpy check of the per-batch kernel (object store via fixture)
+    import ray as _ray
     rng = np.random.RandomState(0)
     emb = rng.standard_normal((50, 16)).astype(np.float32)
     qv = emb[:2]  # queries are rows 0,1 → top hit must be themselves
-    import ray as _ray
-    if not _ray.is_initialized():
-        _ray.init(address="local", num_cpus=2, include_dashboard=False,
-                  logging_level="ERROR")
     ref = _ray.put(qv)
     k = similarity.BruteForceTopK(ref, k=3, key="vec_id", col="embedding")
     batch = pa.table({"vec_id": pa.array(range(50), pa.int64()),

@@ -1,0 +1,87 @@
+"""North-rule tests: checkpoint/resume without recompute (SURVEY.md
+§5.5) and mega-doc skew handling (§5.6)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shards(ray_session, tmp_path_factory):
+    from zhtml_ray.sources.pages import write_pages_dataset
+    out = str(tmp_path_factory.mktemp("shards"))
+    return write_pages_dataset(out, 300, rows_per_file=50)
+
+
+def test_resume_skips_completed_partitions(shards, tmp_path):
+    from zhtml_ray.stages.manifest import (
+        completed_partitions, run_partitioned)
+    out_dir = str(tmp_path / "out")
+
+    # first run "killed" after 2 partitions
+    r1 = run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                         fail_after=2)
+    assert r1["partitions_ran"] == 2
+    assert not r1["complete"]
+    done_before = completed_partitions(out_dir)
+    mtimes = {p: os.path.getmtime(p)
+              for p in glob.glob(os.path.join(out_dir, "_manifests", "*.json"))}
+
+    # resume: must run ONLY the remaining partitions, not recompute
+    r2 = run_partitioned(shards, out_dir, group_size=2, overlap=2)
+    assert r2["complete"]
+    assert r2["partitions_previously_done"] == 2
+    assert r2["partitions_ran"] == r2["partitions_total"] - 2
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"completed manifest {p} was rewritten"
+
+    # identical output to a fresh single-shot run (same checksum)
+    out2 = str(tmp_path / "fresh")
+    r3 = run_partitioned(shards, out2, group_size=2, overlap=2)
+    assert r3["checksum"] == r2["checksum"]
+    assert r3["rows"] == r2["rows"] == 300
+
+
+def test_manifest_lineage_fields(shards, tmp_path):
+    from zhtml_ray.stages.manifest import run_partitioned
+    out_dir = str(tmp_path / "out")
+    run_partitioned(shards[:2], out_dir, group_size=1, overlap=1)
+    m = json.load(open(sorted(glob.glob(os.path.join(
+        out_dir, "_manifests", "part-*.json")))[0]))
+    assert set(m) >= {"partition_id", "input_files", "rows", "checksum",
+                      "error_counts", "wall_s", "output_dir", "html_bytes"}
+    assert m["rows"] == 50
+    assert m["input_files"]  # lineage: input shard paths recorded
+    assert sum(m["error_counts"].values()) > 0
+
+
+def test_skew_routing_matches_unrouted(ray_session, tmp_path):
+    from zhtml_ray.sources.pages import write_pages_dataset
+    from zhtml_ray.stages.skew import extract_with_skew_routing
+    from zhtml_ray.pipelines.extract import extract_pages
+    import ray.data as rd
+
+    out = str(tmp_path / "pages")
+    # 100 normal docs + 2 "mega" docs (small threshold makes them giants)
+    write_pages_dataset(out, 100, rows_per_file=50, mega_docs=2)
+    routed = extract_with_skew_routing(out, threshold=20_000)
+    plain = extract_pages(
+        rd.read_parquet(out, columns=["url", "html", "lang"]))
+    a = {r["url"]: r["extracted_text"] for r in routed.take_all()}
+    b = {r["url"]: r["extracted_text"] for r in plain.take_all()}
+    assert a == b
+    assert len(a) == 102
+
+
+def test_salt_and_spread(ray_session, tmp_path):
+    import ray.data as rd
+    from zhtml_ray.sources.pages import write_pages_dataset
+    from zhtml_ray.stages.skew import add_salt
+    out = str(tmp_path / "pages")
+    write_pages_dataset(out, 100, rows_per_file=100)
+    ds = add_salt(rd.read_parquet(out, columns=["url"]), buckets=8)
+    salts = [r["salt"] for r in ds.take_all()]
+    assert len(set(salts)) > 4  # spread across buckets
+    assert all(0 <= s < 8 for s in salts)

@@ -20,3 +20,29 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Workaround: this container has fsspec without aiohttp, so importing
+# fsspec.implementations.http raises — and under concurrent Ray Data
+# reads (threaded sub-executions) the failed import can race into a
+# plain ImportError that ray.data.datasource.path_util doesn't catch.
+# Install a sentinel module so the import always succeeds; Ray only uses
+# HTTPFileSystem in isinstance checks, never instantiates it here.
+
+
+def _patch_fsspec_http() -> None:
+    import sys
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel for isinstance checks only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_patch_fsspec_http()

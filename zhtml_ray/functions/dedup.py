@@ -133,17 +133,39 @@ class LshBandExplode:
         })
 
 
+_STAGE_CACHE: dict = {}
+
+
+def _cached_minhash(col, num_perm, shingle_k, seed):
+    k = ("mh", col, num_perm, shingle_k, seed)
+    if k not in _STAGE_CACHE:
+        _STAGE_CACHE[k] = MinHashBatch(col=col, num_perm=num_perm,
+                                       shingle_k=shingle_k, seed=seed)
+    return _STAGE_CACHE[k]
+
+
+def _cached_lsh_explode(key, bands, num_perm):
+    k = ("lsh", key, bands, num_perm)
+    if k not in _STAGE_CACHE:
+        _STAGE_CACHE[k] = LshBandExplode(key=key, bands=bands,
+                                         num_perm=num_perm)
+    return _STAGE_CACHE[k]
+
+
 def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
                             num_perm: int = 128, bands: int = 32,
                             shingle_k: int = 3, seed: int = 42):
     """documents → candidate (key_a, key_b) pairs sharing any LSH band.
-    Shuffle cost: one groupby on (band_id, band_hash)."""
-    sigs = ds.map_batches(MinHashBatch, fn_constructor_kwargs=dict(
-        col=col, num_perm=num_perm, shingle_k=shingle_k, seed=seed),
-        batch_format="pyarrow", concurrency=4)
-    exploded = sigs.map_batches(LshBandExplode, fn_constructor_kwargs=dict(
-        key=key, bands=bands, num_perm=num_perm),
-        batch_format="pyarrow", concurrency=4)
+    Shuffle cost: one groupby on (band_id, band_hash).
+
+    Stateless task stages (NOT actor pools): the per-worker state is just
+    the permutation params, cached module-level per process — pinning
+    actor pools here reserved every CPU and starved the downstream sort
+    (the classic pool-sizing pitfall)."""
+    mh = _cached_minhash(col, num_perm, shingle_k, seed)
+    le = _cached_lsh_explode(key, bands, num_perm)
+    sigs = ds.map_batches(mh, batch_format="pyarrow")
+    exploded = sigs.map_batches(le, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ks = sorted(g[key].unique())

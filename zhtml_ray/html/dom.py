@@ -77,35 +77,49 @@ class Document(Node):
         self.doctype_system = None
 
 
-def flatten(doc: Document):
+def flatten(doc: Document, with_attrs: bool = True):
     """Depth-first flatten to parallel lists (→ Arrow list<struct> column):
     (parent, kind, tag, ns, attr_keys, attr_vals, text, depth). Root
-    document is node 0 with parent -1."""
-    parents, kinds, tags, nss, akeys, avals, texts, depths = \
-        [], [], [], [], [], [], [], []
+    document is node 0 with parent -1. ``with_attrs=False`` skips the
+    attribute columns (the extractor doesn't read them — cheaper);
+    node ids are identical either way (same walk order)."""
+    parents, kinds, tags, nss, texts, depths = [], [], [], [], [], []
+    akeys: list = []
+    avals: list = []
 
     stack = [(doc, -1, 0)]
     while stack:
         node, parent, depth = stack.pop()
         idx = len(parents)
         parents.append(parent)
-        kinds.append(node.kind)
+        kind = node.kind
+        kinds.append(kind)
         tags.append(node.name or "")
         nss.append(node.ns)
-        if node.attrs:
-            akeys.append(list(node.attrs.keys()))
-            avals.append(list(node.attrs.values()))
-        else:
-            akeys.append([])
-            avals.append([])
-        texts.append(node.text if node.kind in (TEXT, COMMENT) else "")
+        if with_attrs:
+            if node.attrs:
+                akeys.append(list(node.attrs.keys()))
+                avals.append(list(node.attrs.values()))
+            else:
+                akeys.append([])
+                avals.append([])
+        parts = node.parts
+        texts.append("".join(parts) if parts and kind in (TEXT, COMMENT)
+                     else "")
         depths.append(depth)
-        for ch in reversed(node.children):
-            stack.append((ch, idx, depth + 1))
-    return {
+        children = node.children
+        if children:
+            d1 = depth + 1
+            for ch in reversed(children):
+                stack.append((ch, idx, d1))
+    out = {
         "parent": parents, "kind": kinds, "tag": tags, "ns": nss,
-        "attr_keys": akeys, "attr_vals": avals, "text": texts, "depth": depths,
+        "text": texts, "depth": depths,
     }
+    if with_attrs:
+        out["attr_keys"] = akeys
+        out["attr_vals"] = avals
+    return out
 
 
 def serialize(node: Node, indent: int = 0) -> str:

@@ -185,7 +185,7 @@ def extract_document(raw, include_nodes: bool = False) -> dict:
     table of SURVEY.md §1.3."""
     result = parse(raw)
     doc = result.document
-    flat = flatten(doc)
+    flat = flatten(doc, with_attrs=include_nodes)
     out = extract_from_flat(flat)
     out["quirks"] = doc.quirks
     out["doctype_name"] = doc.doctype_name or ""

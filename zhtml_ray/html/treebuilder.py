@@ -182,6 +182,9 @@ class TreeBuilder:
         self.skip_newline = False
         self.done = False
         self.errors: list[tuple[str, int]] = []
+        # mode dispatch table (avoids getattr+string-concat per token)
+        self._modes = {name[5:]: getattr(self, name) for name in dir(self)
+                       if name.startswith("mode_")}
 
         for tok in t.tokens():
             if self.done:
@@ -230,7 +233,7 @@ class TreeBuilder:
         return self.process_foreign(tok)
 
     def process_html(self, tok):
-        getattr(self, "mode_" + self.mode)(tok)
+        self._modes[self.mode](tok)
 
     def reprocess(self, tok):
         self.process(tok)

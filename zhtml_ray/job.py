@@ -1,0 +1,69 @@
+"""Job entry point for ``ray job submit`` (north rule: "run via ray job
+submit on a fixed-size multi-node Ray cluster", resumable mid-dataset).
+
+    ray job submit -- python -m zhtml_ray.job \
+        --input '/data/pages/*.parquet' --output /data/extracted --resume
+
+Partition manifests under <output>/_manifests make ``--resume`` skip
+completed partitions entirely (stages/manifest.py). Without --resume the
+output directory must not already contain manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="zhtml_ray.job")
+    p.add_argument("--input", required=True,
+                   help="glob or directory of pages parquet shards")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--resume", action="store_true",
+                   help="skip partitions with completed manifests")
+    p.add_argument("--group-size", type=int, default=4,
+                   help="input shards per partition (resume granularity)")
+    p.add_argument("--overlap", type=int, default=2,
+                   help="concurrent partition sub-executions")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--no-spans", action="store_true")
+    args = p.parse_args(argv)
+
+    import os
+    if os.path.isdir(args.input):
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    else:
+        files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+
+    from zhtml_ray.stages.manifest import completed_partitions, run_partitioned
+    if not args.resume and completed_partitions(args.output):
+        print(f"{args.output} already has manifests; pass --resume to "
+              "continue or choose a fresh output dir", file=sys.stderr)
+        return 2
+
+    import ray
+    if not ray.is_initialized():  # driver-owned session (guarded)
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        summary = run_partitioned(
+            files, args.output, group_size=args.group_size,
+            overlap=args.overlap,
+            extract_kwargs={"batch_size": args.batch_size,
+                            "include_spans": not args.no_spans})
+        print(json.dumps(summary))
+        return 0 if summary["complete"] else 1
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

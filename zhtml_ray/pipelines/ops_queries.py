@@ -95,9 +95,31 @@ def q_simhash(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Near-dup over embeddings ∪ perturbed copies (vec_id+10⁶, small
+    seeded noise) so the operator demonstrably finds the planted pairs —
+    random vectors alone have no near-dups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
     from zhtml_ray.functions.dedup import embedding_neardup
-    return embedding_neardup(_emb(sf_dir), key="vec_id", col="embedding",
-                             threshold=0.9)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    emb = np.asarray(t["embedding"].to_pylist(), np.float32)
+    rng = np.random.RandomState(42)
+    take = ids % 10 == 0  # every 10th vector gets a near-duplicate
+    dup_emb = emb[take] + rng.standard_normal(emb[take].shape).astype(
+        np.float32) * 0.01
+    dup = pa.table({
+        "vec_id": pa.array((ids[take] + 1_000_000).tolist(), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in dup_emb],
+                              t.schema.field("embedding").type),
+        "label": pa.array([0] * int(take.sum()), pa.int32()),
+    })
+    ds = rd.from_arrow(t).union(rd.from_arrow(dup))
+    out = embedding_neardup(ds, key="vec_id", col="embedding", threshold=0.98)
+    return out.select_columns(["key_a", "key_b"])
 
 
 # -------------------------------------------------------------- similarity
@@ -245,7 +267,8 @@ def q_frame_sample(sf_dir: str):
     from zhtml_ray.functions.multimodal import FrameSampler, gen_media_table
     tbl = gen_media_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl)
-    return ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=32)
+    return ds.map_batches(FrameSampler(fps=1.0), batch_format="pyarrow",
+                          batch_size=32)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -185,11 +185,35 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def q_links(sf_dir: str):
+    """Out-link (web-graph edge) extraction from the parsed DOM — the
+    reference Document's links collection as a derived table
+    (/root/reference/src/node.zig:28-33)."""
+    import ray.data as rd
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return ds.map_batches(LinksBatch(), batch_format="pyarrow", batch_size=64)
+
+
+def q_token_stats(sf_dir: str):
+    """Per-document tokenizer statistics (token counts by kind, error
+    count) — the tokenizer-level debug output of SURVEY.md §1.3."""
+    import ray.data as rd
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.stages.node_table import TokenStatsBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    return ds.map_batches(TokenStatsBatch(), batch_format="pyarrow",
+                          batch_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from zhtml_ray.pipelines import ops_queries
     out = {
         "extract": q_extract,
         "extract_error_histogram": q_extract_error_histogram,
+        "links": q_links,
+        "token_stats": q_token_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "filter_revenue": q_filter_revenue,
         "cust_nation_region": q_cust_nation_region,

@@ -26,6 +26,9 @@ import pyarrow as pa
 
 _LANGS = ["en", "es", "de", "fr", "zh"]
 
+# bump when the generated schema/content changes (cache-dir key component)
+FIXTURE_VERSION = 2
+
 _VOCAB = {
     "en": ("the quick brown fox jumps over lazy dog while autumn rivers carry "
            "bright leaves toward distant quiet harbors beneath silver morning light").split(),
@@ -183,6 +186,9 @@ def gen_pages_table(n_rows: int, seed: int = 42, start: int = 0,
         "html": pa.array(htmls, pa.binary()),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
+        # CC-index-style length column: enables row-group pruning for the
+        # giant-doc skew path (stages/skew.py) without reading payloads
+        "html_len": pa.array([len(h) for h in htmls], pa.int64()),
     })
 
 

@@ -1,0 +1,170 @@
+"""Checkpoint / resume / lineage for partitioned runs (north rule:
+"resumes mid-dataset without recomputing completed blocks; every
+partition writes lineage records and checkpoint manifests").
+
+Partition = a contiguous group of input shard files (deterministic ids
+from the sorted input list). Each partition is one streaming Ray Data
+sub-execution: read → extract → write to a temp dir → atomic rename →
+manifest record. On resume, completed partition ids are loaded and
+their input shards are skipped BEFORE any read is issued.
+
+The manifest row doubles as lineage + metrics:
+  {partition_id, input_files, rows, html_bytes, out_rows, checksum,
+   error_counts, wall_s, output_dir}
+
+checksum = sum of crc32(url || extracted_text) over rows (mod 2^64) —
+order-insensitive, so any parallelism/partitioning that produces the
+same per-url bytes yields the same checksum.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+
+
+def partition_plan(input_files: list[str], group_size: int = 4) -> list[dict]:
+    files = sorted(input_files)
+    return [{"partition_id": i // group_size,
+             "input_files": files[i:i + group_size]}
+            for i in range(0, len(files), group_size)]
+
+
+def _manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "_manifests", f"part-{pid:06d}.json")
+
+
+def completed_partitions(out_dir: str) -> dict[int, dict]:
+    out = {}
+    for p in glob.glob(os.path.join(out_dir, "_manifests", "part-*.json")):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+            out[m["partition_id"]] = m
+        except (json.JSONDecodeError, KeyError, OSError):
+            continue  # torn write → partition treated as incomplete
+    return out
+
+
+def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from zhtml_ray.pipelines.extract import extract_pages
+
+    pid = part["partition_id"]
+    t0 = time.time()
+    final_dir = os.path.join(out_dir, f"part-{pid:06d}")
+    tmp_dir = final_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+
+    ds = rd.read_parquet(part["input_files"], columns=["url", "html", "lang"])
+    out = extract_pages(ds, **extract_kwargs)
+    out.write_parquet(tmp_dir)
+    os.replace(tmp_dir, final_dir)
+
+    # lineage metrics from the written partition (local scan, cheap vs parse)
+    rows = 0
+    checksum = 0
+    html_bytes = 0
+    err_counts: dict[str, int] = {}
+    scan = pads.dataset(final_dir).scanner(
+        columns=["url", "extracted_text", "error_codes", "html_bytes"])
+    for b in scan.to_batches():
+        rows += b.num_rows
+        urls = b.column(0).to_pylist()
+        texts = b.column(1).to_pylist()
+        for u, t in zip(urls, texts):
+            checksum = (checksum + zlib.crc32(
+                u.encode() + b"\x00" + (t or "").encode())) & 0xFFFFFFFFFFFFFFFF
+        for codes in b.column(2).to_pylist():
+            for c in codes:
+                err_counts[c] = err_counts.get(c, 0) + 1
+        html_bytes += sum(b.column(3).to_pylist())
+
+    manifest = {
+        "partition_id": pid,
+        "input_files": part["input_files"],
+        "rows": rows,
+        "html_bytes": html_bytes,
+        "checksum": checksum,
+        "error_counts": err_counts,
+        "wall_s": round(time.time() - t0, 3),
+        "output_dir": final_dir,
+    }
+    mp = _manifest_path(out_dir, pid)
+    os.makedirs(os.path.dirname(mp), exist_ok=True)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mp)
+    return manifest
+
+
+def run_partitioned(input_files: list[str], out_dir: str,
+                    group_size: int = 4, overlap: int = 2,
+                    extract_kwargs: dict | None = None,
+                    fail_after: int | None = None) -> dict:
+    """Resumable partitioned extraction run.
+
+    ``overlap`` sub-executions run concurrently (each is itself a
+    streaming pipeline, so this mainly hides per-execution setup).
+    ``fail_after`` aborts after N newly completed partitions — test hook
+    for the kill/resume test. Returns a summary dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    # the plan is pinned on first run: a resume with a different
+    # group_size must not re-number partitions
+    plan_path = os.path.join(out_dir, "_manifests", "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            stored = json.load(f)
+        group_size = stored["group_size"]
+        if sorted(input_files) != stored["input_files"]:
+            raise ValueError(
+                "resume with a different input file list than the original "
+                f"run (see {plan_path}); use a fresh output dir")
+    else:
+        os.makedirs(os.path.dirname(plan_path), exist_ok=True)
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"group_size": group_size,
+                       "input_files": sorted(input_files)}, f)
+        os.replace(tmp, plan_path)
+    plan = partition_plan(input_files, group_size)
+    done = completed_partitions(out_dir)
+    todo = [p for p in plan if p["partition_id"] not in done]
+    extract_kwargs = extract_kwargs or {}
+
+    ran = []
+    if fail_after is not None:
+        todo_now = todo[:fail_after]
+    else:
+        todo_now = todo
+    if overlap > 1 and len(todo_now) > 1:
+        with ThreadPoolExecutor(max_workers=overlap) as pool:
+            ran = list(pool.map(
+                lambda p: _run_one_partition(p, out_dir, extract_kwargs),
+                todo_now))
+    else:
+        ran = [_run_one_partition(p, out_dir, extract_kwargs)
+               for p in todo_now]
+    all_done = completed_partitions(out_dir)
+    return {
+        "partitions_total": len(plan),
+        "partitions_previously_done": len(done),
+        "partitions_ran": len(ran),
+        "partitions_done": len(all_done),
+        "complete": len(all_done) == len(plan),
+        "rows": sum(m["rows"] for m in all_done.values()),
+        "checksum": sum(m["checksum"] for m in all_done.values())
+                    & 0xFFFFFFFFFFFFFFFF,
+        "wall_s_sum": round(sum(m["wall_s"] for m in all_done.values()), 3),
+    }

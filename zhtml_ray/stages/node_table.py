@@ -1,0 +1,129 @@
+"""DOM-derived tables beyond extraction: the flattened node table
+(SURVEY.md §1.3) and per-document projections (links/images/forms —
+the collections the reference's Document tracks,
+/root/reference/src/node.zig:28-33, here derived columns instead of
+mutable lists).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from zhtml_ray.html.dom import ELEMENT, TEXT, flatten
+from zhtml_ray.html.treebuilder import parse
+
+NODE_TYPE = pa.list_(pa.struct([
+    ("parent", pa.int32()), ("kind", pa.int8()), ("tag", pa.string()),
+    ("ns", pa.int8()), ("depth", pa.int32()),
+    ("attr_keys", pa.list_(pa.string())),
+    ("attr_vals", pa.list_(pa.string())),
+    ("text", pa.string()),
+]))
+
+
+class NodeTableBatch:
+    """pages → (url, nodes:list<struct>) — the full DOM as a columnar,
+    index-linked table per document (debug / downstream-analysis sink)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        out = []
+        for h in htmls:
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+                n = len(flat["parent"])
+                out.append([{
+                    "parent": flat["parent"][i], "kind": flat["kind"][i],
+                    "tag": flat["tag"][i], "ns": flat["ns"][i],
+                    "depth": flat["depth"][i],
+                    "attr_keys": flat["attr_keys"][i],
+                    "attr_vals": flat["attr_vals"][i],
+                    "text": flat["text"][i],
+                } for i in range(n)])
+            except Exception:  # noqa: BLE001 per-row isolation
+                out.append([])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "nodes": pa.array(out, NODE_TYPE)})
+
+
+class LinksBatch:
+    """pages → exploded out-link table (url, href, anchor_text, rel) —
+    CC-style web-graph edge extraction from the parsed DOM."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_out, hrefs, anchors, rels = [], [], [], []
+        for url, h in zip(batch["url"].to_pylist(),
+                          batch["html"].to_pylist()):
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+            except Exception:  # noqa: BLE001
+                continue
+            parent = flat["parent"]
+            kind = flat["kind"]
+            tag = flat["tag"]
+            text = flat["text"]
+            n = len(parent)
+            # for each <a>: href attr + concatenated descendant text
+            open_a: list[tuple[int, int, str, str]] = []  # (idx, depth, href, rel)
+            depth = flat["depth"]
+            anchor_parts: dict[int, list[str]] = {}
+            a_meta: dict[int, tuple[str, str]] = {}
+            stack: list[int] = []
+            for i in range(n):
+                while stack and depth[i] <= depth[stack[-1]]:
+                    stack.pop()
+                if kind[i] == ELEMENT and tag[i] == "a":
+                    ks = flat["attr_keys"][i]
+                    vs = flat["attr_vals"][i]
+                    attrs = dict(zip(ks, vs))
+                    a_meta[i] = (attrs.get("href", ""), attrs.get("rel", ""))
+                    anchor_parts[i] = []
+                    stack.append(i)
+                elif kind[i] == TEXT and stack:
+                    for a_idx in stack:
+                        anchor_parts[a_idx].append(text[i])
+            for i, (href, rel) in a_meta.items():
+                urls_out.append(url)
+                hrefs.append(href)
+                anchors.append(" ".join(" ".join(anchor_parts[i]).split()))
+                rels.append(rel)
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor_text": pa.array(anchors, pa.string()),
+            "rel": pa.array(rels, pa.string()),
+        })
+
+
+class TokenStatsBatch:
+    """pages → per-document token-stream statistics (counts by token
+    kind + parse-error count) — the tokenizer-level debug output of
+    SURVEY.md §1.3 as cheap aggregates instead of a huge token column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zhtml_ray.html.tokenizer import Tokenizer
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        cols = {"url": urls, "n_start_tags": [], "n_end_tags": [],
+                "n_comments": [], "n_chars": [], "n_doctypes": [],
+                "n_errors": []}
+        for h in htmls:
+            counts = {"StartTag": 0, "EndTag": 0, "Comment": 0,
+                      "Character": 0, "DOCTYPE": 0}
+            t = Tokenizer(h or b"")
+            try:
+                for tok in t.tokens():
+                    if tok[0] == "Character":
+                        counts["Character"] += len(tok[1])
+                    else:
+                        counts[tok[0]] += 1
+            except Exception:  # noqa: BLE001
+                pass
+            cols["n_start_tags"].append(counts["StartTag"])
+            cols["n_end_tags"].append(counts["EndTag"])
+            cols["n_comments"].append(counts["Comment"])
+            cols["n_chars"].append(counts["Character"])
+            cols["n_doctypes"].append(counts["DOCTYPE"])
+            cols["n_errors"].append(len(t.errors))
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
