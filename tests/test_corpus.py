@@ -1,0 +1,101 @@
+"""html5lib-tests-format conformance runner (SURVEY.md §2.1 S3).
+
+Re-creates the reference harness protocol
+(/root/reference/test/tokenizer-html5lib.zig:79-258): JSON ``.test``
+files with input / expected token list / expected error codes /
+``initialStates`` / ``lastStartTag``; adjacent Character tokens
+coalesced; DOCTYPE "correctness" == not force_quirks; EndTag
+attrs/selfClosing not compared; errors matched by code multiset.
+Drop upstream html5lib-tests ``.test`` files into tests/corpus/tokenizer/
+and they run unmodified (minus unsupported ``doubleEscaped``)."""
+
+import glob
+import json
+import os
+from collections import Counter
+
+import pytest
+
+from zhtml_ray.html import tokenizer as tkz
+
+_STATE_MAP = {
+    "Data state": tkz.DATA,
+    "RCDATA state": tkz.RCDATA,
+    "RAWTEXT state": tkz.RAWTEXT,
+    "Script data state": tkz.SCRIPT_DATA,
+    "PLAINTEXT state": tkz.PLAINTEXT,
+    "CDATA section state": tkz.CDATA_SECTION,
+}
+
+_CORPUS = sorted(glob.glob(os.path.join(
+    os.path.dirname(__file__), "corpus", "tokenizer", "*.test")))
+
+
+def _load_cases():
+    cases = []
+    for path in _CORPUS:
+        with open(path) as f:
+            data = json.load(f)
+        for t in data["tests"]:
+            if t.get("doubleEscaped"):
+                continue  # upstream escape convention not needed here
+            states = t.get("initialStates", ["Data state"])
+            for st in states:
+                cases.append((os.path.basename(path), st, t))
+    return cases
+
+
+def _normalize(tokens):
+    out = []
+    for tok in tokens:
+        if tok[0] == "Character":
+            if out and out[-1][0] == "Character":
+                out[-1][1] += tok[1]
+            else:
+                out.append(["Character", tok[1]])
+        elif tok[0] == "StartTag":
+            out.append(["StartTag", tok[1], dict(tok[2])])
+        elif tok[0] == "EndTag":
+            out.append(["EndTag", tok[1]])
+        elif tok[0] == "Comment":
+            out.append(["Comment", tok[1]])
+        elif tok[0] == "DOCTYPE":
+            out.append(["DOCTYPE", tok[1], tok[2], tok[3], not tok[4]])
+    return out
+
+
+def _normalize_expected(expected):
+    out = []
+    for tok in expected:
+        tok = list(tok)
+        if tok[0] == "StartTag":
+            out.append(["StartTag", tok[1], tok[2] if len(tok) > 2 else {}])
+        elif tok[0] == "Character" and out and out[-1][0] == "Character":
+            out[-1][1] += tok[1]
+        else:
+            out.append(tok)
+    return out
+
+
+CASES = _load_cases()
+
+
+@pytest.mark.parametrize(
+    "fname,state,case", CASES,
+    ids=[f"{c[2]['description']}[{c[1].split()[0]}]" for c in CASES])
+def test_corpus_case(fname, state, case):
+    toks, errors = tkz.tokenize(
+        case["input"], initial_state=_STATE_MAP[state],
+        last_start_tag=case.get("lastStartTag"),
+        collect_input_errors=False)
+    got = _normalize(toks)
+    want = _normalize_expected(case["output"])
+    assert got == want, f"{case['description']}: {got!r} != {want!r}"
+    want_errs = Counter(e["code"] for e in case.get("errors", []))
+    got_errs = Counter(c for c, _ in errors)
+    assert got_errs == want_errs, (
+        f"{case['description']}: errors {dict(got_errs)} != {dict(want_errs)}")
+
+
+def test_corpus_nonempty():
+    assert len(CASES) >= 39

@@ -39,6 +39,9 @@ def extract_with_skew_routing(paths, threshold: int = DEFAULT_GIANT_BYTES,
     giant = rd.read_parquet(paths, columns=cols,
                             filter=pc.field("html_len") > threshold)
     a = extract_pages(small, batch_size=small_batch_size)
+    # giants cluster into one input block (dedicated shard layout) —
+    # split to one-row blocks so each giant parses on its own core
+    giant = giant.repartition(32)
     b = extract_pages(giant, batch_size=1, num_cpus=giant_num_cpus)
     return a.union(b)
 
