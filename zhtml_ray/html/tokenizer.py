@@ -68,6 +68,30 @@ _RE_ALNUM_RUN = re.compile(r"[A-Za-z0-9]*")
 _RE_DIGITS = re.compile(r"[0-9]+")
 _RE_HEXDIGITS = re.compile(r"[0-9A-Fa-f]+")
 _RE_COMMENT_CHUNK = re.compile(r"[^<\-\x00]*")
+
+# Fused fast path: one regex per whole "simple" tag (ASCII-alnum name,
+# well-formed attrs, no charrefs / NULs / error-triggering characters).
+# Anything it can't match falls back to the spec state machine with zero
+# side effects — semantics are identical, only dispatch overhead is saved.
+_RE_FAST_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"                       # tag name
+    r"((?:[\t\n\f ]+[^\t\n\f /=>\x00\"'<]+"          # ws + attr name
+    r"(?:=(?:\"[^\"&\x00]*\"|'[^'&\x00]*'"           # quoted value
+    r"|[^\t\n\f >&\x00\"'<=`]+))?)*)"                # unquoted (≥1) / none
+    r"[\t\n\f ]*(/?)>")
+_RE_FAST_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)[\t\n\f ]*>")
+
+# Start tags after which the tree builder may flip the tokenizer state
+# (RCDATA / RAWTEXT / script data / PLAINTEXT elements) — the batched
+# data-state loop must stop so the flip lands before the next token.
+_FLIP_TAGS = frozenset((
+    "script", "style", "title", "textarea", "xmp", "iframe",
+    "noembed", "noframes", "noscript", "plaintext", "select",
+))
+_RE_FAST_ATTR = re.compile(
+    r"[\t\n\f ]+([^\t\n\f /=>\x00\"'<]+)"
+    r"(?:=(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)'"
+    r"|([^\t\n\f >&\x00\"'<=`]+)))?")
 _RE_NONCHAR_CTRL = re.compile(
     "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f﷐-﷯￾￿]")
 
@@ -148,33 +172,76 @@ class Tokenizer:
     # ---------------------------------------------------------------- data
 
     def _data(self):
-        s, pos, n = self.s, self.pos, self.n
+        """Data state, batched: emits as many tokens as possible per call
+        via the fused fast-path regexes (text runs / simple tags /
+        charrefs / NULs), stopping before anything that needs the spec
+        state machine or may flip tokenizer state (_FLIP_TAGS, since the
+        tree builder flips state between yields)."""
+        s, n = self.s, self.n
+        pos = self.pos
         out = []
-        m = _RE_DATA.search(s, pos)
-        if m is None:
-            if pos < n:
-                out.append(("Character", s[pos:n]))
-            self.pos = n
-            return out
-        if m.start() > pos:
-            out.append(("Character", s[pos:m.start()]))
-            self.pos = m.start()
-            return out
-        c = s[pos]
-        if c == "\x00":
-            self._err("unexpected-null-character")
-            self.pos = pos + 1
-            out.append(("Character", "\x00"))  # data state emits NUL raw
-            return out
-        if c == "&":
-            self.pos = pos + 1
-            text = self._consume_charref(in_attr=False)
-            if text:
-                out.append(("Character", text))
-            return out
-        # "<"
-        self.pos = pos + 1
-        return self._tag_open()
+        append = out.append
+        search = _RE_DATA.search
+        fast_start = _RE_FAST_START.match
+        fast_end = _RE_FAST_END.match
+        while pos < n:
+            m = search(s, pos)
+            if m is None:
+                append(("Character", s[pos:n]))
+                pos = n
+                break
+            if m.start() > pos:
+                append(("Character", s[pos:m.start()]))
+                pos = m.start()
+            c = s[pos]
+            if c == "<":
+                fm = fast_start(s, pos)
+                if fm is not None:
+                    name = fm.group(1).lower()
+                    attrs = {}
+                    raw_attrs = fm.group(2)
+                    if raw_attrs:
+                        base = fm.start(2)
+                        for am in _RE_FAST_ATTR.finditer(raw_attrs):
+                            aname = am.group(1).lower()
+                            if aname in attrs:
+                                self._err("duplicate-attribute",
+                                          base + am.start(1))
+                            else:
+                                v = am.group(2)
+                                if v is None:
+                                    v = am.group(3)
+                                if v is None:
+                                    v = am.group(4)
+                                attrs[aname] = v if v is not None else ""
+                    pos = fm.end()
+                    self.last_start_tag = name
+                    append(("StartTag", name, attrs, fm.group(3) == "/"))
+                    if name in _FLIP_TAGS:
+                        break
+                    continue
+                fm = fast_end(s, pos)
+                if fm is not None:
+                    pos = fm.end()
+                    append(("EndTag", fm.group(1).lower(), {}, False))
+                    continue
+                if out:
+                    break  # next call takes the slow path at '<'
+                self.pos = pos + 1
+                return self._tag_open()
+            if c == "&":
+                self.pos = pos + 1
+                text = self._consume_charref(in_attr=False)
+                pos = self.pos
+                if text:
+                    append(("Character", text))
+                continue
+            # NUL: data state emits it raw
+            self._err("unexpected-null-character", pos)
+            append(("Character", "\x00"))
+            pos += 1
+        self.pos = pos
+        return out
 
     def _rcdata(self):
         s, pos, n = self.s, self.pos, self.n
