@@ -151,7 +151,7 @@ class LangId:
             n_alpha = sum(c.isalpha() for c in sample)
             if n_alpha and cjk / n_alpha > 0.3:
                 preds.append("zh")
-                confs.append(round(cjk / n_alpha, 4))
+                confs.append(cjk / n_alpha)
                 continue
             words = [w.strip(".,;:!?\"'()").lower() for w in sample.split()]
             best, best_hits = "und", 0
@@ -159,8 +159,9 @@ class LangId:
                 hits = sum(w in _STOPWORDS[lang] for w in words)
                 if hits > best_hits:
                     best, best_hits = lang, hits
+            # raw division (no rounding): bit-identical to the SQL oracle
             preds.append(best)
-            confs.append(round(best_hits / max(1, len(words)), 4))
+            confs.append(best_hits / max(1, len(words)))
         return batch.append_column("lang_pred", pa.array(preds, pa.string())) \
                     .append_column("lang_conf", pa.array(confs, pa.float64()))
 

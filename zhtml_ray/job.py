@@ -28,7 +28,8 @@ def main(argv=None):
                    help="input shards per partition (resume granularity)")
     p.add_argument("--overlap", type=int, default=2,
                    help="concurrent partition sub-executions")
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="rows per parse batch; default block-as-batch")
     p.add_argument("--no-spans", action="store_true")
     args = p.parse_args(argv)
 

@@ -39,16 +39,20 @@ def pages_dir_for(sf_dir: str, mega_docs: int = 0, seed: int = 42) -> str:
     return out
 
 
-def extract_pages(ds, include_spans: bool = True, batch_size: int = 64,
+def extract_pages(ds, include_spans: bool = True, batch_size: int | None = None,
                   concurrency=None, num_cpus: float = 1.0):
     """pages Dataset → extraction Dataset (the core map_batches stage).
 
-    batch_size=64 ≈ 0.2–1 MB of html per batch at typical page sizes;
-    parse cost ∝ html bytes, so batches stay seconds-scale and the
-    streaming executor pipelines read → parse → sink. ``concurrency=None``
-    uses stateless tasks (one per block) — the kernel's warm state is
-    module-level, so tasks are as warm as actors after first touch and
-    autoscale better; pass an int/(min,max) to pin an actor pool instead.
+    ``batch_size=None`` (default) = block-as-batch: read-output blocks
+    are already byte-bounded (``DataContext.target_max_block_size``), so
+    each block becomes exactly one task with no slice/coalesce overhead
+    — measured 1.5× faster than batch_size=64 on the sf0.1 fixture and
+    the lever that isolates giant docs (stages/skew.py). Pass an int to
+    re-batch when feeding from unbounded in-memory blocks.
+    ``concurrency=None`` uses stateless tasks (one per block) — the
+    kernel's warm state is module-level, so tasks are as warm as actors
+    after first touch and autoscale better; pass an int/(min,max) to pin
+    an actor pool instead.
     """
     from zhtml_ray.stages.parse_extract import ParseExtractBatch
 

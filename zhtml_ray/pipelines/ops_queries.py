@@ -36,12 +36,112 @@ FROM documents
 """
 
 
+SQL_BPE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(
+           regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\\sA-Za-z0-9À-ɏ]+|\\s+'),
+           x -> NOT regexp_matches(x, '^\\s+$')))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _sql_quality() -> str:
+    """DuckDB replication of QualityScore (verified bit-exact vs the
+    numpy kernel: same IEEE op order, \\p{L}/\\p{Nd} == str.isalpha/
+    isdigit on the fixture corpus)."""
+    from zhtml_ray.functions.textstats import _STOPWORDS
+
+    def lst(lang):
+        return "[" + ",".join("'" + w + "'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+         length(text) AS L,
+         length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^\\p{{Nd}}]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space
+  FROM documents
+), w AS (
+  SELECT *, len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+              ELSE 0.0 END AS mean_wlen,
+         CASE WHEN L > 0 THEN (L - n_alpha - n_digit - n_space)::DOUBLE / L ELSE 0.0 END AS punct_ratio,
+         list_transform(words, x -> lower(trim(x, '.,;:!?"''()'))) AS lw,
+         CASE lang WHEN 'es' THEN {lst('es')}
+                   WHEN 'de' THEN {lst('de')}
+                   WHEN 'fr' THEN {lst('fr')}
+                   ELSE {lst('en')} END AS stops
+  FROM base
+), r AS (
+  SELECT doc_id, n_words, mean_wlen, punct_ratio,
+         CASE WHEN len(lw) > 0
+              THEN len(list_filter(lw, x -> list_contains(stops, x)))::DOUBLE / len(lw)
+              ELSE 0.0 END AS stopword_ratio
+  FROM w
+)
+SELECT doc_id, n_words, punct_ratio, stopword_ratio,
+       CASE WHEN n_words = 0 THEN 0.0 ELSE
+         0.35 * least(greatest(n_words / 50.0, 0), 1)
+       + 0.2 * (1.0 - least(greatest(abs(mean_wlen - 5.0) / 5.0, 0), 1))
+       + 0.2 * (1.0 - least(greatest(punct_ratio / 0.3, 0), 1))
+       + 0.25 * least(greatest(stopword_ratio / 0.2, 0), 1) END AS quality_score
+FROM r
+"""
+
+
 def q_quality(sf_dir: str):
     from zhtml_ray.functions.textstats import QualityScore
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
     out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=2)
     return out.select_columns(["doc_id", "n_words", "quality_score",
                                "stopword_ratio", "punct_ratio"])
+
+
+def _sql_langid() -> str:
+    """DuckDB replication of LangId (verified exact: same argmax +
+    alphabetical tie-break, raw IEEE divisions for lang_conf)."""
+    from zhtml_ray.functions.textstats import _STOPWORDS
+
+    def lst(lang):
+        return "[" + ",".join("'" + w + "'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, substr(text, 1, 2000) AS s FROM documents
+), f AS (
+  SELECT doc_id, lang, text, s,
+    length(regexp_replace(s, '[^\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}\\x{{AC00}}-\\x{{D7AF}}\\x{{3400}}-\\x{{4DBF}}]', '', 'g')) AS cjk,
+    length(regexp_replace(s, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+    CASE WHEN trim(s) = '' THEN []::VARCHAR[]
+         ELSE list_transform(regexp_split_to_array(trim(s), '\\s+'),
+                             x -> lower(trim(x, '.,;:!?"''()'))) END AS lw
+  FROM base
+), h AS (
+  SELECT doc_id, lang, text, cjk, n_alpha, len(lw) AS nw,
+    len(list_filter(lw, x -> list_contains({lst('de')}, x))) AS h_de,
+    len(list_filter(lw, x -> list_contains({lst('en')}, x))) AS h_en,
+    len(list_filter(lw, x -> list_contains({lst('es')}, x))) AS h_es,
+    len(list_filter(lw, x -> list_contains({lst('fr')}, x))) AS h_fr
+  FROM f
+)
+SELECT doc_id, lang,
+  CASE WHEN text = '' OR text IS NULL THEN 'und'
+       WHEN n_alpha > 0 AND cjk::DOUBLE / n_alpha > 0.3 THEN 'zh'
+       WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CASE WHEN text = '' OR text IS NULL THEN 0.0
+       WHEN n_alpha > 0 AND cjk::DOUBLE / n_alpha > 0.3 THEN cjk::DOUBLE / n_alpha
+       ELSE greatest(h_de, h_en, h_es, h_fr)::DOUBLE / greatest(nw, 1) END AS lang_conf
+FROM h
+"""
 
 
 def q_langid(sf_dir: str):
@@ -294,6 +394,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "token_count": SQL_TOKEN_COUNT,
+        "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "quality_score": _sql_quality(),
+        "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,

@@ -2,48 +2,65 @@
 "explicit repartitioning and salt-key redistribution to defuse skew").
 
 Parse cost is ∝ html bytes (one state step per input char), so a 50 MB
-document is ~10⁴× a median page. Strategy:
+document is ~10⁴× a median page. Measured on the sf0.1 fixture
+(50k docs + 4×3.6MB giants, 8 CPUs):
 
-  * route by the CC-index-style ``html_len`` column with parquet filter
-    pushdown — giants and normal docs take separate map_batches paths
-    (giants: batch_size=1, so one straggler never rides with 63 hostages
-    in a batch and blocks never exceed one giant);
-  * when the length column is absent, ``add_salt`` +
-    ``repartition(shuffle=True)`` spreads rows so no block accumulates
-    several giants;
+  * two filtered reads (html_len pushdown) + union:      32.5 s
+  * …plus a repartition barrier on the giant branch:     35.1 s
+  * ONE read, block-as-batch (batch_size=None):          11.2 s
+
+The double-read design loses: the second scan + the union/repartition
+barriers cost far more than giant isolation saves. The winning design
+relies on Ray Data's own block layout:
+
+  * one ``read_parquet`` pass; the reader's dynamic block splitting
+    (``DataContext.target_max_block_size``) caps block bytes, so a
+    shard of giants becomes many 1-row blocks at ingest — no shuffle;
+  * ``batch_size=None`` → each block is one task ("block-as-batch"):
+    a giant's block IS its own task, so it parses on its own core and
+    never rides with 63 small-row hostages (and normal blocks skip the
+    slice/coalesce overhead of re-batching);
   * layout guidance: write giant docs into dedicated shards at ingest
-    (our fixture does: pages-mega.parquet) so the two filtered reads
-    prune to disjoint row groups — the "double read" costs metadata only.
+    (our fixture does: pages-mega.parquet) so giant blocks are pure;
+  * for *mixed* shards where giants hide among small rows,
+    ``spread_giants`` (salt + shuffle repartition) remains the
+    explicit-shuffle fallback — pay the all-to-all only when the
+    layout is hostile.
 """
 
 from __future__ import annotations
 
-import pyarrow.compute as pc
-
 DEFAULT_GIANT_BYTES = 1_000_000  # ≈ P99.9 of Common-Crawl page sizes
 
+# Cap on read-output block bytes: ≥1 giant per block still parses alone;
+# a worst-case block holds ~GIANT_BLOCK_BYTES of sequential parse work
+# (~4s at the measured 8 MB/s single-core rate) — the straggler ceiling.
+GIANT_BLOCK_BYTES = 32 * 1024 * 1024
 
-def extract_with_skew_routing(paths, threshold: int = DEFAULT_GIANT_BYTES,
-                              columns=("url", "html", "lang", "html_len"),
-                              small_batch_size: int = 64,
-                              giant_num_cpus: float = 1.0):
-    """pages shards → extraction Dataset, giants routed to a
-    batch_size=1 path. Requires the ``html_len`` column (written by
-    ingest, like the CC index's content length)."""
+
+def extract_with_skew_routing(paths, columns=("url", "html", "lang"),
+                              giant_block_bytes: int = GIANT_BLOCK_BYTES,
+                              include_spans: bool = True,
+                              override_num_blocks: int | None = None):
+    """pages shards → extraction Dataset with giant-doc skew defused by
+    block layout (see module docstring). Single read, no shuffle, no
+    barrier; sets ``DataContext.target_max_block_size`` (never raising
+    it) so giant-heavy read outputs split into ~1-doc blocks.
+    ``override_num_blocks``: pin the read block count (≈2–3× total
+    cores is the measured sweet spot — fewer tasks = less driver-side
+    per-task overhead, still ≥2 waves for load balancing)."""
     import ray.data as rd
     from zhtml_ray.pipelines.extract import extract_pages
 
-    cols = list(columns)
-    small = rd.read_parquet(paths, columns=cols,
-                            filter=pc.field("html_len") <= threshold)
-    giant = rd.read_parquet(paths, columns=cols,
-                            filter=pc.field("html_len") > threshold)
-    a = extract_pages(small, batch_size=small_batch_size)
-    # giants cluster into one input block (dedicated shard layout) —
-    # split to one-row blocks so each giant parses on its own core
-    giant = giant.repartition(32)
-    b = extract_pages(giant, batch_size=1, num_cpus=giant_num_cpus)
-    return a.union(b)
+    ctx = rd.DataContext.get_current()
+    if ctx.target_max_block_size is None or \
+            ctx.target_max_block_size > giant_block_bytes:
+        ctx.target_max_block_size = giant_block_bytes
+    kw = {"columns": list(columns)}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    ds = rd.read_parquet(paths, **kw)
+    return extract_pages(ds, batch_size=None, include_spans=include_spans)
 
 
 def add_salt(ds, key: str = "url", buckets: int = 1024,
@@ -63,5 +80,6 @@ def add_salt(ds, key: str = "url", buckets: int = 1024,
 
 def spread_giants(ds, buckets: int = 256):
     """Salt + shuffle-repartition: distributes clustered giants across
-    blocks before the parse stage."""
+    blocks before the parse stage. Explicit all-to-all — only for mixed
+    shards whose layout hides giants among small rows."""
     return add_salt(ds, buckets=buckets).repartition(buckets, shuffle=True)
