@@ -110,17 +110,31 @@ def bench_extract(pages_dir: str, out_dir: str) -> float:
 
 
 def bench_error_histogram(pages_dir: str) -> float:
+    """Parse → error-code histogram. Counts are pre-aggregated inside
+    map_batches (partial combine), so the groupby shuffles ~50 rows per
+    block instead of ~40 exploded codes per doc — the at-scale pattern
+    (SURVEY.md §2.5)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.dataset as pads
     import ray.data as rd
+    from ray.data.aggregate import Sum
     from zhtml_ray.pipelines.extract import extract_pages
-    ds = rd.read_parquet(pages_dir, columns=["url", "html", "lang"])
+
+    n_rows = pads.dataset(pages_dir).count_rows()
+    blocks = max(2 * NUM_CPUS, n_rows // 1000)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html", "lang"],
+                         override_num_blocks=blocks)
     t0 = time.time()
     ds = extract_pages(ds, include_spans=False)
-    ds = ds.map_batches(
-        lambda t: pa.table({"code": pc.list_flatten(t.column("error_codes"))}),
-        batch_format="pyarrow")
-    ds.groupby("code").count().to_pandas()
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.list_flatten(t.column("error_codes")))
+        return pa.table({"code": vc.field("values"),
+                         "p_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials.groupby("code").aggregate(Sum("p_n", alias_name="n")).to_pandas()
     return time.time() - t0
 
 

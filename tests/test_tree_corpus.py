@@ -1,0 +1,103 @@
+"""html5lib-tests tree-construction-format conformance runner
+(SURVEY.md §5.2; BASELINE.md "tree-construction conformance").
+
+Runs ``.dat`` files from tests/corpus/tree/ in the upstream
+html5lib-tests format: ``#data`` / ``#errors`` / ``#document`` sections,
+expected trees in the ``| ``-indented serialization our
+``dom.serialize`` emits (sorted attrs, template ``content`` line,
+``<!DOCTYPE name "pub" "sys">``). Drop upstream ``tree-construction/
+*.dat`` files in and they run unmodified, except:
+
+  * ``#document-fragment`` cases are skipped (fragment parsing is
+    declared-unused in the reference too, /root/reference/src/parser.zig:50);
+  * ``#script-on`` cases are skipped (scripting disabled, the usual
+    data-pipeline configuration);
+  * ``#errors`` content is parsed but not compared (error *recovery* is
+    asserted via the tree; tokenizer-level error codes are covered by
+    tests/test_corpus.py).
+
+The vendored corpus here is regenerated-equivalent (no network in this
+sandbox): spec-derived cases covering the areas the reference pinned but
+never finished (/root/reference/src/parser.zig:18-42,130-133).
+"""
+
+import glob
+import os
+
+import pytest
+
+from zhtml_ray.html.dom import serialize
+from zhtml_ray.html.treebuilder import parse
+
+_CORPUS = sorted(glob.glob(os.path.join(
+    os.path.dirname(__file__), "corpus", "tree", "*.dat")))
+
+
+def _parse_dat(path):
+    cases = []
+    with open(path, newline="") as f:
+        content = f.read()
+    blocks = content.split("\n\n#data\n")
+    for i, block in enumerate(blocks):
+        if i == 0:
+            if not block.startswith("#data\n"):
+                continue
+            block = block[len("#data\n"):]
+        section = "data"
+        data, doc, frag, script_on = [], [], None, False
+        for line in block.split("\n"):
+            if line == "#errors":
+                section = "errors"
+            elif line == "#new-errors":
+                section = "errors"
+            elif line == "#document":
+                section = "document"
+            elif line == "#document-fragment":
+                section = "fragment"
+            elif line == "#script-on":
+                script_on = True
+            elif line == "#script-off":
+                pass
+            elif section == "data":
+                data.append(line)
+            elif section == "document":
+                doc.append(line)
+            elif section == "fragment":
+                frag = line
+        # trailing blank line of the block belongs to the file format
+        while doc and doc[-1] == "":
+            doc.pop()
+        cases.append({
+            "file": os.path.basename(path),
+            "data": "\n".join(data),
+            "document": "\n".join(doc),
+            "fragment": frag,
+            "script_on": script_on,
+        })
+    return cases
+
+
+def _load():
+    out = []
+    for path in _CORPUS:
+        out.extend(_parse_dat(path))
+    return out
+
+
+_CASES = _load()
+
+
+@pytest.mark.parametrize("case", _CASES,
+                         ids=[f"{c['file']}:{i}" for i, c in enumerate(_CASES)])
+def test_tree_construction(case):
+    if case["fragment"] is not None:
+        pytest.skip("fragment parsing not supported")
+    if case["script_on"]:
+        pytest.skip("scripting disabled")
+    got = serialize(parse(case["data"]).document)
+    assert got == case["document"], (
+        f"input: {case['data']!r}\nexpected:\n{case['document']}\ngot:\n{got}")
+
+
+def test_corpus_nonempty():
+    assert len(_CASES) >= 40

@@ -54,7 +54,8 @@ CASES = [
     ("foreign breakout", "<svg><p>html</p></svg>",
      '| <html>\n|   <head>\n|   <body>\n|     <svg svg>\n|     <p>\n|       "html"'),
     ("template in head", "<template><td>t</td></template>",
-     '| <html>\n|   <head>\n|     <template>\n|       <td>\n|         "t"\n|   <body>'),
+     '| <html>\n|   <head>\n|     <template>\n|       content\n'
+     '|         <td>\n|           "t"\n|   <body>'),
     ("select options", "<select><option>a<option>b</select>",
      '| <html>\n|   <head>\n|   <body>\n|     <select>\n|       <option>\n'
      '|         "a"\n|       <option>\n|         "b"'),

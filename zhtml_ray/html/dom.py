@@ -123,21 +123,33 @@ def flatten(doc: Document, with_attrs: bool = True):
 
 
 def serialize(node: Node, indent: int = 0) -> str:
-    """html5lib-tests tree-construction format (debug/conformance)."""
+    """html5lib-tests tree-construction format (conformance harness):
+    sorted attributes, quoted text, ``<!DOCTYPE name "pub" "sys">`` when
+    ids are present, template children under a ``content`` line."""
     out = []
     pad = "| " + "  " * (indent - 1) if indent else ""
+    child_indent = indent + 1
     if node.kind == ELEMENT:
         prefix = {NS_HTML: "", NS_MATHML: "math ", NS_SVG: "svg "}[node.ns]
         out.append(f"{pad}<{prefix}{node.name}>")
         if node.attrs:
             for k in sorted(node.attrs):
                 out.append("| " + "  " * indent + f'{k}="{node.attrs[k]}"')
+        if node.name == "template" and node.ns == NS_HTML:
+            out.append("| " + "  " * indent + "content")
+            child_indent = indent + 2
     elif node.kind == TEXT:
         out.append(f'{pad}"{node.text}"')
     elif node.kind == COMMENT:
         out.append(f"{pad}<!-- {node.text} -->")
     elif node.kind == DOCTYPE:
-        out.append(f"{pad}<!DOCTYPE {node.name or ''}>")
+        if node.attrs is not None:
+            out.append(f'{pad}<!DOCTYPE {node.name or ""} '
+                       f'"{node.attrs["public"]}" "{node.attrs["system"]}">')
+        elif node.name:
+            out.append(f"{pad}<!DOCTYPE {node.name}>")
+        else:
+            out.append(f"{pad}<!DOCTYPE >")
     for ch in node.children:
-        out.append(serialize(ch, indent + 1))
+        out.append(serialize(ch, child_indent))
     return "\n".join(x for x in out if x)

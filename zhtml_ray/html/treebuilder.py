@@ -574,6 +574,9 @@ class TreeBuilder:
             self.doc.doctype_public = public
             self.doc.doctype_system = system
             node = Node(DOCTYPE, name or "")
+            if public is not None or system is not None:
+                # carried for html5lib-format serialization
+                node.attrs = {"public": public or "", "system": system or ""}
             self.doc.append(node)
             if name != "html" or (public is not None and public != "") \
                     or (system not in (None, "about:legacy-compat")):
