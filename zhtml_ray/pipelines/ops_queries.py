@@ -345,6 +345,23 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# ------------------------------------------------------------- pdf/layout
+
+def q_pdf_extract(sf_dir: str):
+    """PDF text + layout extraction (north rule: "PDF/layout parse"):
+    deterministic synthetic PDFs (functions/pdf.py fixture; the
+    generating text is the oracle, asserted in tests/test_pdf.py) →
+    actor-pool map_batches → (doc_id, text, n_pages). Rows-only for the
+    driver — PDF parsing is not SQL-expressible."""
+    import ray.data as rd
+    from zhtml_ray.functions.pdf import PdfExtractBatch, gen_pdf_table
+    tbl = gen_pdf_table(_media_rows_for(sf_dir))
+    ds = rd.from_arrow(tbl.select(["doc_id", "pdf"]))
+    out = ds.map_batches(PdfExtractBatch, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+    return out.select_columns(["doc_id", "text", "n_pages"])
+
+
 # -------------------------------------------------------------- multimodal
 
 def _media_rows_for(sf_dir: str) -> int:
@@ -386,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "pdf_extract": q_pdf_extract,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
     }
