@@ -62,3 +62,22 @@ def test_entry_contract(ray_session):
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q), "every oracle key must have a query"
+
+
+def test_read_html_files_source(ray_session, tmp_path):
+    """Loose .html files → same extraction as the parquet path
+    (SURVEY.md §2.1 S1)."""
+    from zhtml_ray.sources.pages import gen_pages_table, read_html_files
+    from zhtml_ray.pipelines.extract import extract_pages
+    from zhtml_ray.html.extract import extract_document
+
+    t = gen_pages_table(5)
+    for i in range(5):
+        (tmp_path / f"doc{i}.html").write_bytes(t.column("html")[i].as_py())
+    ds = extract_pages(read_html_files(str(tmp_path)), include_spans=False)
+    rows = {r["url"].rsplit("/", 1)[-1]: r["extracted_text"]
+            for r in ds.take_all()}
+    assert len(rows) == 5
+    for i in range(5):
+        expect = extract_document(t.column("html")[i].as_py())["extracted_text"]
+        assert rows[f"doc{i}.html"] == expect

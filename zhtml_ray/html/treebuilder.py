@@ -186,12 +186,16 @@ class TreeBuilder:
         self._modes = {name[5:]: getattr(self, name) for name in dir(self)
                        if name.startswith("mode_")}
 
+        self.ever_foreign = False  # no foreign element ever pushed →
+        # the foreign-content dispatch + allow_cdata updates are no-ops
         for tok in t.tokens():
             if self.done:
                 break
             self.process(tok)
-            # adjusted-current-node → CDATA allowed in foreign content
-            t.allow_cdata = bool(self.stack) and self.stack[-1].ns != NS_HTML
+            if self.ever_foreign:
+                # adjusted-current-node → CDATA allowed in foreign content
+                t.allow_cdata = bool(self.stack) and \
+                    self.stack[-1].ns != NS_HTML
         if not self.done:
             self.process(("EOF",))
         errors = sorted(t.errors + self.errors, key=lambda e: e[1])
@@ -208,7 +212,7 @@ class TreeBuilder:
 
     def process(self, tok):
         """Tree-construction dispatcher (HTML vs foreign content)."""
-        if not self.stack:
+        if not self.ever_foreign or not self.stack:
             return self.process_html(tok)
         node = self.stack[-1]
         if node.ns == NS_HTML:
@@ -266,6 +270,8 @@ class TreeBuilder:
 
     def insert_element(self, name, attrs, ns=NS_HTML, push=True):
         node = Node(ELEMENT, name, ns, attrs or {})
+        if ns != NS_HTML:
+            self.ever_foreign = True
         self._insert_node(node)
         if push:
             self.stack.append(node)

@@ -223,3 +223,23 @@ def read_pages(paths_or_dir, columns: list[str] | None = None):
     """``ray.data.read_parquet`` over pages shards with column pruning."""
     import ray.data as rd
     return rd.read_parquet(paths_or_dir, columns=columns)
+
+
+def read_html_files(paths_or_dir):
+    """Loose ``.html`` files → pages-shaped Dataset (url=file path,
+    html=raw bytes) — SURVEY.md §2.1 S1's testing-time source
+    (the reference's ``Tokenizer.initWithFile``,
+    /root/reference/src/tokenizer.zig:127-137, generalized to a
+    distributed read). Parquet shards remain the at-scale layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths_or_dir, include_paths=True)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("path"),
+            "html": pa.array(batch.column("bytes").to_pylist(), pa.binary()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
