@@ -85,3 +85,32 @@ def test_salt_and_spread(ray_session, tmp_path):
     salts = [r["salt"] for r in ds.take_all()]
     assert len(set(salts)) > 4  # spread across buckets
     assert all(0 <= s < 8 for s in salts)
+
+
+def test_job_cli_resume_flow(shards, ray_session, tmp_path, capsys):
+    """The `python -m zhtml_ray.job` CLI: fresh run → complete; rerun
+    without --resume → refused; with --resume → no-op completion. Run
+    in-process (main() must reuse — and NOT tear down — the session)."""
+    import json as _json
+    import ray
+    from zhtml_ray.job import main
+
+    out = str(tmp_path / "out")
+    rc = main(["--input", shards[0].rsplit("/", 1)[0], "--output", out,
+               "--group-size", "3"])
+    assert rc == 0
+    s1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["complete"] and s1["rows"] == 300
+
+    # without --resume: refuse to clobber
+    assert main(["--input", shards[0].rsplit("/", 1)[0],
+                 "--output", out]) == 2
+
+    # with --resume: everything already done, nothing recomputed
+    rc = main(["--input", shards[0].rsplit("/", 1)[0], "--output", out,
+               "--group-size", "3", "--resume"])
+    assert rc == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["complete"] and s2["partitions_ran"] == 0
+    assert s2["checksum"] == s1["checksum"]
+    assert ray.is_initialized()  # CLI must not kill the caller's session

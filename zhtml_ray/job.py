@@ -49,7 +49,8 @@ def main(argv=None):
         return 2
 
     import ray
-    if not ray.is_initialized():  # driver-owned session (guarded)
+    owns_session = not ray.is_initialized()
+    if owns_session:  # only the CLI owns a session (guarded)
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
     try:
@@ -63,7 +64,8 @@ def main(argv=None):
         print(json.dumps(summary))
         return 0 if summary["complete"] else 1
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller's session
+            ray.shutdown()
 
 
 if __name__ == "__main__":
