@@ -14,7 +14,9 @@ The manifest row doubles as lineage + metrics:
 
 checksum = sum of crc32(url || extracted_text) over rows (mod 2^64) —
 order-insensitive, so any parallelism/partitioning that produces the
-same per-url bytes yields the same checksum.
+same per-url bytes yields the same checksum. The per-row crc is
+computed inside the distributed parse tasks (row_crc column), so the
+manifest scan only reads O(rows)-sized columns, never the text.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import json
 import os
 import shutil
 import time
-import zlib
+
 from concurrent.futures import ThreadPoolExecutor
 
 
@@ -52,7 +54,6 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
 
 
 def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray.data as rd
@@ -71,24 +72,22 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     out.write_parquet(tmp_dir)
     os.replace(tmp_dir, final_dir)
 
-    # lineage metrics from the written partition (local scan, cheap vs parse)
+    # lineage metrics from the written partition: column-pruned scan of
+    # the small columns only (row_crc computed inside the parse tasks,
+    # so extracted text is never re-read here — O(rows), not O(bytes))
     rows = 0
     checksum = 0
     html_bytes = 0
     err_counts: dict[str, int] = {}
     scan = pads.dataset(final_dir).scanner(
-        columns=["url", "extracted_text", "error_codes", "html_bytes"])
+        columns=["row_crc", "error_codes", "html_bytes"])
     for b in scan.to_batches():
         rows += b.num_rows
-        urls = b.column(0).to_pylist()
-        texts = b.column(1).to_pylist()
-        for u, t in zip(urls, texts):
-            checksum = (checksum + zlib.crc32(
-                u.encode() + b"\x00" + (t or "").encode())) & 0xFFFFFFFFFFFFFFFF
-        for codes in b.column(2).to_pylist():
-            for c in codes:
-                err_counts[c] = err_counts.get(c, 0) + 1
-        html_bytes += sum(b.column(3).to_pylist())
+        checksum = (checksum + int(pc.sum(b.column(0)).as_py() or 0)) \
+            & 0xFFFFFFFFFFFFFFFF
+        for c in pc.list_flatten(b.column(1)).to_pylist():
+            err_counts[c] = err_counts.get(c, 0) + 1
+        html_bytes += int(pc.sum(b.column(2)).as_py() or 0)
 
     manifest = {
         "partition_id": pid,

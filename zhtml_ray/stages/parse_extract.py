@@ -33,6 +33,7 @@ OUT_SCHEMA = pa.schema([
     ("error_codes", pa.list_(pa.string())),
     ("n_nodes", pa.int32()),
     ("html_bytes", pa.int64()),
+    ("row_crc", pa.int64()),
     ("ok", pa.bool_()),
     ("fail_reason", pa.string()),
 ])
@@ -79,8 +80,14 @@ class ParseExtractBatch:
             except Exception as e:  # noqa: BLE001 — per-row isolation
                 ok[i] = False
                 fail[i] = f"{type(e).__name__}: {e}"[:500]
+        # per-row content checksum, computed where the data already is:
+        # manifests sum it without re-reading text driver-side
+        import zlib
+        crcs = [zlib.crc32(u.encode() + b"\x00" + t.encode())
+                for u, t in zip(urls, texts)]
         cols = {
             "url": pa.array(urls, pa.string()),
+            "row_crc": pa.array(crcs, pa.int64()),
             "extracted_text": pa.array(texts, pa.large_string()),
             "spans": pa.array(spans, SPAN_TYPE),
             "quirks": pa.array(quirks, pa.int8()),
