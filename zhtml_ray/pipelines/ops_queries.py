@@ -289,13 +289,25 @@ def q_events_window(sf_dir: str):
     agg = partials.groupby(["user_id", "w"]).aggregate(
         Sum("p_sum", alias_name="sum_value"),
         Sum("p_n", alias_name="n_events"))
-    return agg
+
+    def _round(t: pa.Table) -> pa.Table:
+        # float sums are associativity-sensitive (partial-combine here vs
+        # sequential oracle): pin 6 decimals with the IDENTICAL IEEE
+        # formula floor(x*1e6 + 0.5)/1e6 on both sides (engine round()
+        # implementations differ in the last ulp)
+        pinned = pc.divide(pc.floor(pc.add(
+            pc.multiply(t["sum_value"], pa.scalar(1e6)), pa.scalar(0.5))),
+            pa.scalar(1e6))
+        return t.set_column(t.column_names.index("sum_value"), "sum_value",
+                            pinned)
+
+    return agg.map_batches(_round, batch_format="pyarrow")
 
 
 SQL_EVENTS_WINDOW = """
 SELECT user_id,
        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w,
-       sum(value) AS sum_value,
+       floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """

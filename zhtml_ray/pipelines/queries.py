@@ -85,18 +85,25 @@ def q1_pricing_summary(sf_dir: str):
     pdf["avg_price"] = pdf["sum_base_price"] / pdf["count_order"]
     pdf["avg_disc"] = pdf["sum_disc"] / pdf["count_order"]
     pdf = pdf.drop(columns=["sum_disc"])
+    # float SUMS are associativity-sensitive (tree-parallel here vs
+    # sequential in the oracle): pin 2/6 decimals on BOTH sides so the
+    # driver's value-hash sees identical bytes
+    for c in ("sum_base_price", "sum_disc_price"):
+        pdf[c] = pdf[c].round(2)
+    for c in ("avg_qty", "avg_price", "avg_disc"):
+        pdf[c] = pdf[c].round(6)
     return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)  AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        count(*) AS count_order,
-       avg(l_quantity) AS avg_qty,
-       avg(l_extendedprice) AS avg_price,
-       avg(l_discount) AS avg_disc
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+       round(sum(l_discount) / count(*), 6) AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
