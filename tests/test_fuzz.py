@@ -1,0 +1,67 @@
+"""Property-based robustness: untrusted web bytes must never crash the
+kernel (SURVEY.md §4.3 "per-doc failure isolation" — here we assert the
+kernel itself is total, so the per-row try/except in the batch UDF is a
+second line of defense, not load-bearing for ordinary garbage)."""
+
+from hypothesis import given, settings, strategies as st
+
+from zhtml_ray.html.extract import extract_document
+from zhtml_ray.html.tokenizer import Tokenizer
+
+
+# tag soup fragments mixed with arbitrary text, bytes and charrefs
+_soup = st.lists(st.one_of(
+    st.text(max_size=40),
+    st.sampled_from([
+        "<", ">", "</", "<!", "<!--", "-->", "<!doctype", "<![CDATA[", "]]>",
+        "<p", "<p>", "</p>", "<table>", "<td>", "</table>", "<b>", "</b>",
+        "<svg>", "<math>", "<script>", "</script>", "<style>", "</style>",
+        "<a href='", "<a href=\"", "=", "'", "\"", "/>", "&", "&amp", "&#",
+        "&#x", ";", "\x00", "\r\n", "<template>", "</template>",
+        "<select>", "<textarea>", "<title>", "<frameset>", "<li>", "<dd>",
+    ])), max_size=30).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_extract_never_raises_on_tag_soup(s):
+    out = extract_document(s)
+    assert isinstance(out["extracted_text"], str)
+    assert out["n_nodes"] >= 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_extract_never_raises_on_bytes(b):
+    out = extract_document(b)
+    assert isinstance(out["extracted_text"], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_soup)
+def test_extraction_deterministic(s):
+    a = extract_document(s)
+    b = extract_document(s)
+    assert a["extracted_text"] == b["extracted_text"]
+    assert a["spans"] == b["spans"]
+    assert a["error_codes"] == b["error_codes"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_soup)
+def test_tokenizer_terminates_and_covers_input(s):
+    t = Tokenizer(s)
+    n_toks = sum(1 for _ in t.tokens())
+    assert t.pos == t.n  # consumed everything, no infinite loop
+    assert n_toks >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(_soup)
+def test_spans_index_into_extracted_text(s):
+    out = extract_document(s)
+    raw = out["extracted_text"].encode("utf-8")
+    for sp in out["spans"]:
+        assert 0 <= sp["start"] <= sp["end"] <= len(raw)
+        # span decodes cleanly back to text (offsets on codepoint edges)
+        raw[sp["start"]:sp["end"]].decode("utf-8")
