@@ -89,3 +89,23 @@ def test_matches_committed_golden():
     for url, h in zip(urls, htmls):
         out = extract_document(h)
         assert out["extracted_text"] == gtext[url], f"mismatch at {url}"
+
+
+def test_fused_tree_path_equals_flat_path():
+    """The fused DFS (_segment_tree, hot path) must produce the same
+    blocks/spans as the array path (extract_from_flat) on varied pages."""
+    from zhtml_ray.html.treebuilder import parse
+    from zhtml_ray.html.dom import flatten
+    from zhtml_ray.html import extract as ex
+    from zhtml_ray.sources.pages import gen_pages_table
+
+    t = gen_pages_table(40, start=123)
+    for raw in t.column("html").to_pylist():
+        doc = parse(raw).document
+        a = ex.extract_from_flat(flatten(doc, with_attrs=False))
+        blocks, n_nodes = ex._segment_tree(doc)
+        ex._classify(blocks)
+        b = ex._assemble(blocks)
+        assert a["extracted_text"] == b["extracted_text"]
+        assert a["spans"] == b["spans"]
+        assert n_nodes == len(flatten(doc, with_attrs=False)["parent"])

@@ -154,11 +154,9 @@ def _classify(blocks: list[dict]) -> None:
             blocks[i]["content"] = bool(nxt)
 
 
-def extract_from_flat(flat) -> dict:
-    """Extraction over already-flattened node arrays → dict with
-    extracted_text + spans (byte offsets into UTF-8 extracted_text)."""
-    blocks = _segment(flat)
-    _classify(blocks)
+def _assemble(blocks: list[dict]) -> dict:
+    """Classified blocks → extracted_text + spans (byte offsets into the
+    UTF-8 encoding of extracted_text)."""
     texts = []
     spans = []
     byte_off = 0
@@ -179,18 +177,96 @@ def extract_from_flat(flat) -> dict:
     return {"extracted_text": "\n\n".join(texts), "spans": spans}
 
 
+def extract_from_flat(flat) -> dict:
+    """Extraction over already-flattened node arrays → dict with
+    extracted_text + spans (byte offsets into UTF-8 extracted_text)."""
+    blocks = _segment(flat)
+    _classify(blocks)
+    return _assemble(blocks)
+
+
+def _segment_tree(doc) -> tuple[list[dict], int]:
+    """Fused flatten+segment: one DFS over the node tree producing the
+    same blocks (and node ids) as ``_segment(flatten(doc))`` without
+    materializing the parallel arrays — the hot path. Equivalence is
+    asserted by tests/test_extract.py and the golden harness.
+    Returns (blocks, n_nodes)."""
+    blocks: list[dict] = []
+    cur = None
+    idx = 0
+    # (node, nearest_block_id, nearest_block_tag, in_link, hard, skip)
+    stack = [(doc, 0, "body", False, False, False)]
+    while stack:
+        node, nb, nb_tag, in_link, hard, skip = stack.pop()
+        my = idx
+        idx += 1
+        kind = node.kind
+        if my and not skip:  # root keeps defaults (matches _segment i>=1)
+            if kind == ELEMENT:
+                t = node.name
+                if node.ns != NS_HTML or t in _SKIP:
+                    skip = True
+                else:
+                    if t in _BLOCK:
+                        nb, nb_tag = my, t
+                    if not in_link and t == "a":
+                        in_link = True
+                    if not hard and t in _HARD_BOILER:
+                        hard = True
+            elif kind == TEXT:
+                parts = node.parts
+                txt = "".join(parts) if parts else ""
+                if txt and not txt.isspace():
+                    if cur is None or cur["node_id"] != nb:
+                        cur = {"node_id": nb, "parts": [], "link_chars": 0,
+                               "chars": 0, "tag": nb_tag if nb else "body",
+                               "boiler": hard}
+                        blocks.append(cur)
+                    norm = " ".join(txt.split())
+                    if norm:
+                        cur["parts"].append(norm)
+                        cur["chars"] += len(norm)
+                        if in_link:
+                            cur["link_chars"] += len(norm)
+        # skipped subtrees are still descended: node ids must stay
+        # aligned with flatten's DFS order (spans carry node_id)
+        children = node.children
+        if children:
+            for ch in reversed(children):
+                stack.append((ch, nb, nb_tag, in_link, hard, skip))
+    out = []
+    for b in blocks:
+        txt = " ".join(b["parts"])
+        if not txt:
+            continue
+        words = len(txt.split())
+        out.append({
+            "node_id": b["node_id"], "tag": b["tag"], "text": txt,
+            "words": words,
+            "link_density": (b["link_chars"] / b["chars"]) if b["chars"] else 0.0,
+            "boiler": b["boiler"],
+            "heading": b["tag"] in _HEADING,
+        })
+    return out, idx
+
+
 def extract_document(raw, include_nodes: bool = False) -> dict:
     """Full per-document kernel: tokenize → tree → flatten → extract.
     Returns the output-row dict for the (url, extracted_text, spans, ...)
     table of SURVEY.md §1.3."""
     result = parse(raw)
     doc = result.document
-    flat = flatten(doc, with_attrs=include_nodes)
-    out = extract_from_flat(flat)
+    if include_nodes:
+        flat = flatten(doc, with_attrs=True)
+        out = extract_from_flat(flat)
+        out["n_nodes"] = len(flat["parent"])
+        out["nodes"] = flat
+    else:
+        blocks, n_nodes = _segment_tree(doc)
+        _classify(blocks)
+        out = _assemble(blocks)
+        out["n_nodes"] = n_nodes
     out["quirks"] = doc.quirks
     out["doctype_name"] = doc.doctype_name or ""
     out["error_codes"] = [c for c, _ in result.errors]
-    out["n_nodes"] = len(flat["parent"])
-    if include_nodes:
-        out["nodes"] = flat
     return out
