@@ -122,3 +122,42 @@ def test_brute_force_topk_math(ray_session):
                                      ascending=[True, False])
     top = df.groupby("query_id").head(1)
     assert top["vec_id"].tolist() == [0, 1]
+
+
+def test_ngram_jaccard_pairs_match_brute_force(ray_session):
+    """LSH-blocked exact n-gram Jaccard must find every brute-force
+    pair ≥ threshold (32 bands × 4 rows → detect prob ≈ 1-2e-8 at 0.8)."""
+    import numpy as np
+    import ray.data as rd
+    from zhtml_ray.functions.dedup import (
+        _shingles, minhash_candidate_pairs, verify_jaccard_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, key="doc_id", col="text",
+                                   clique_limit=64)
+    got = verify_jaccard_pairs(cand, ds, key="doc_id", col="text",
+                               threshold=0.8).to_pandas()
+    got_pairs = {tuple(sorted((a, b))) for a, b in zip(got.key_a, got.key_b)}
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sets = [set(_shingles(s or "", 3).tolist())
+            for s in t.column("text").to_pylist()]
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            si, sj = sets[i], sets[j]
+            if not si or not sj:
+                continue
+            jac = len(si & sj) / len(si | sj)
+            if jac >= 0.8:
+                expect.add(tuple(sorted((ids[i], ids[j]))))
+    # every true pair found; no false positives (exact verify step)
+    missing = expect - got_pairs
+    assert not missing, f"missed {len(missing)} of {len(expect)}"
+    for a, b in got_pairs:
+        ia, ib = ids.index(a), ids.index(b)
+        jac = len(sets[ia] & sets[ib]) / len(sets[ia] | sets[ib])
+        assert jac >= 0.8

@@ -154,9 +154,17 @@ def _cached_lsh_explode(key, bands, num_perm):
 
 def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
                             num_perm: int = 128, bands: int = 32,
-                            shingle_k: int = 3, seed: int = 42):
+                            shingle_k: int = 3, seed: int = 42,
+                            clique_limit: int = 0):
     """documents → candidate (key_a, key_b) pairs sharing any LSH band.
     Shuffle cost: one groupby on (band_id, band_hash).
+
+    ``clique_limit=0`` (default): each bucket emits pairs with its
+    smallest member only (star) — sufficient for connected-component
+    clustering and immune to O(n²) hot buckets. ``clique_limit=K``:
+    buckets up to K emit ALL pairs (needed when the *pair list itself*
+    is the product, e.g. the n-gram-Jaccard pair query); larger buckets
+    fall back to star (logged odds are they're boilerplate collisions).
 
     Stateless task stages (NOT actor pools): the per-worker state is just
     the permutation params, cached module-level per process — pinning
@@ -172,12 +180,16 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
         if len(ks) < 2:
             return pd.DataFrame({"key_a": [], "key_b": []})
         a, b = [], []
-        # bucket → pairs with the smallest member (star, not clique):
-        # enough for connected components, avoids O(n²) hot buckets
-        root = ks[0]
-        for other in ks[1:]:
-            a.append(root)
-            b.append(other)
+        if 0 < len(ks) <= clique_limit:
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    a.append(ks[i])
+                    b.append(ks[j])
+        else:
+            root = ks[0]
+            for other in ks[1:]:
+                a.append(root)
+                b.append(other)
         return pd.DataFrame({"key_a": a, "key_b": b})
 
     cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
@@ -194,6 +206,12 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
     import ray
 
     cand = pairs_ds.to_pandas()
+    if len(cand) > 0:
+        # the same pair surfaces from every band it collides in —
+        # canonicalize + dedup before paying for verification
+        lo = cand[["key_a", "key_b"]].min(axis=1)
+        hi = cand[["key_a", "key_b"]].max(axis=1)
+        cand = pd.DataFrame({"key_a": lo, "key_b": hi}).drop_duplicates()
     if len(cand) == 0:
         return pairs_ds
     need = set(cand["key_a"]) | set(cand["key_b"])

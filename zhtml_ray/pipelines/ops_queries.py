@@ -187,6 +187,22 @@ def q_minhash_dedup(sf_dir: str):
     return out.select_columns(["doc_id", "cluster", "is_dup"])
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Standalone n-gram Jaccard near-dup pairs: LSH candidate blocking
+    → EXACT word-3-gram Jaccard per pair (the brief's "n-gram Jaccard"
+    dedup) → pairs ≥ 0.8 with their similarity. Rows-only for the
+    driver (candidate blocking is not SQL-expressible); pair recall is
+    asserted against brute force in tests/test_functions.py."""
+    from zhtml_ray.functions.dedup import (
+        minhash_candidate_pairs, verify_jaccard_pairs)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, key="doc_id", col="text",
+                                   clique_limit=64)
+    out = verify_jaccard_pairs(cand, ds, key="doc_id", col="text",
+                               threshold=0.8)
+    return out
+
+
 def q_simhash(sf_dir: str):
     from zhtml_ray.functions.dedup import SimHashBatch
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -409,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
