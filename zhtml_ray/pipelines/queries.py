@@ -192,6 +192,32 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def q_top_docs_by_length(sf_dir: str):
+    """Top-k largest documents (SURVEY.md §2.6 diagnostics: distributed
+    sort + limit; the length column is computed vectorized per batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text_len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        })
+
+    out = ds.map_batches(with_len, batch_format="pyarrow")
+    return out.sort(["text_len", "doc_id"], descending=[True, True]).limit(10)
+
+
+SQL_TOP_DOCS_BY_LENGTH = """
+SELECT doc_id, length(text) AS text_len
+FROM documents ORDER BY text_len DESC, doc_id DESC LIMIT 10
+"""
+
+
 def q_links(sf_dir: str):
     """Out-link (web-graph edge) extraction from the parsed DOM — the
     reference Document's links collection as a derived table
@@ -200,7 +226,7 @@ def q_links(sf_dir: str):
     from zhtml_ray.pipelines.extract import pages_dir_for
     from zhtml_ray.stages.node_table import LinksBatch
     ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
-    return ds.map_batches(LinksBatch(), batch_format="pyarrow", batch_size=64)
+    return ds.map_batches(LinksBatch(), batch_format="pyarrow")
 
 
 def q_token_stats(sf_dir: str):
@@ -210,8 +236,7 @@ def q_token_stats(sf_dir: str):
     from zhtml_ray.pipelines.extract import pages_dir_for
     from zhtml_ray.stages.node_table import TokenStatsBatch
     ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
-    return ds.map_batches(TokenStatsBatch(), batch_format="pyarrow",
-                          batch_size=64)
+    return ds.map_batches(TokenStatsBatch(), batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -225,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_revenue": q_filter_revenue,
         "cust_nation_region": q_cust_nation_region,
         "top_orders": q_top_orders,
+        "top_docs_by_length": q_top_docs_by_length,
     }
     out.update(ops_queries.queries())
     return out
@@ -237,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_revenue": SQL_FILTER_REVENUE,
         "cust_nation_region": SQL_CUST_NATION_REGION,
         "top_orders": SQL_TOP_ORDERS,
+        "top_docs_by_length": SQL_TOP_DOCS_BY_LENGTH,
     }
     out.update(ops_queries.oracle_sql())
     return out
