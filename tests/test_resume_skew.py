@@ -114,3 +114,20 @@ def test_job_cli_resume_flow(shards, ray_session, tmp_path, capsys):
     assert s2["complete"] and s2["partitions_ran"] == 0
     assert s2["checksum"] == s1["checksum"]
     assert ray.is_initialized()  # CLI must not kill the caller's session
+
+
+def test_giant_document_completes(ray_session):
+    """SURVEY.md §5.6: a multi-MB doc among small ones parses on its own
+    block without OOM and yields nonempty extraction."""
+    from zhtml_ray.sources.pages import gen_pages_table
+    from zhtml_ray.pipelines.extract import extract_pages
+    import ray.data as rd
+
+    t = gen_pages_table(20, mega_docs=1)  # 1 × ~3.6 MB + 20 small
+    ds = extract_pages(rd.from_arrow(t.select(["url", "html", "lang"])),
+                       include_spans=False)
+    out = ds.to_pandas()
+    assert len(out) == 21
+    assert out["ok"].all()
+    giant = out[out["html_bytes"] > 1_000_000]
+    assert len(giant) == 1 and giant["extracted_text"].str.len().iloc[0] > 1000

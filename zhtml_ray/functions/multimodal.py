@@ -99,6 +99,64 @@ class ImageFeatures:
         })
 
 
+def _fake_decode_audio(payload: bytes, duration_ms: int,
+                       rate: int = 16000) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: seeded float32 PCM."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(),
+                          "big")
+    rng = np.random.RandomState(seed)
+    n = max(1, int(rate * duration_ms / 1000))
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode → framed RMS energy + zero-crossing rate
+    (25 ms frames, 10 ms hop — the standard ASR front-end framing).
+    Vectorized numpy over the PCM; the decode is the stubbed kernel."""
+
+    def __init__(self, decode=None, rate: int = 16000,
+                 frame_ms: int = 25, hop_ms: int = 10):
+        self.decode = decode or _fake_decode_audio
+        self.rate = rate
+        self.frame = rate * frame_ms // 1000
+        self.hop = rate * hop_ms // 1000
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        out_id, n_frames, rms_mean, zcr_mean, ok = [], [], [], [], []
+        for mid, kind, p, dur in zip(ids, kinds, payloads, durs):
+            if kind != "audio":
+                continue
+            out_id.append(mid)
+            try:
+                pcm = self.decode(p, max(dur, 1), self.rate)
+                if len(pcm) < self.frame:
+                    pcm = np.pad(pcm, (0, self.frame - len(pcm)))
+                frames = np.lib.stride_tricks.sliding_window_view(
+                    pcm, self.frame)[::self.hop]
+                rms = np.sqrt((frames ** 2).mean(axis=1))
+                zc = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                n_frames.append(len(frames))
+                rms_mean.append(float(rms.mean()))
+                zcr_mean.append(float(zc.mean()))
+                ok.append(True)
+            except NotImplementedError:
+                n_frames.append(0)
+                rms_mean.append(0.0)
+                zcr_mean.append(0.0)
+                ok.append(False)
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+            "rms_mean": pa.array(rms_mean, pa.float32()),
+            "zcr_mean": pa.array(zcr_mean, pa.float32()),
+            "decoded": pa.array(ok, pa.bool_()),
+        })
+
+
 class FrameSampler:
     """Video frame-sampling plumbing: emits (media_id, frame_idx) rows at
     a fixed fps over the declared duration — the decode of each frame is

@@ -407,6 +407,17 @@ def q_media_features(sf_dir: str):
                           batch_size=32, concurrency=2)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio feature extraction (framed RMS/ZCR over stub-decoded PCM)
+    — actor-pool map_batches with byte-budgeted batches."""
+    import ray.data as rd
+    from zhtml_ray.functions.multimodal import AudioFeatures, gen_media_table
+    tbl = gen_media_table(_media_rows_for(sf_dir))
+    ds = rd.from_arrow(tbl)
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=32, concurrency=2)
+
+
 def q_frame_sample(sf_dir: str):
     import ray.data as rd
     from zhtml_ray.functions.multimodal import FrameSampler, gen_media_table
@@ -434,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "pdf_extract": q_pdf_extract,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
     }
 
