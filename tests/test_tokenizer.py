@@ -216,3 +216,88 @@ def test_state_switch_mid_stream():
     assert ("EndTag", "title", {}, False) in rest
     text = "".join(x[1] for x in rest if x[0] == "Character")
     assert text == "a<bx"
+
+
+class TestFastPathEquivalence:
+    """The fused-tag fast path must be token-for-token identical to the
+    spec state machine: disable the fast regexes and diff full token +
+    error streams over fixture pages and adversarial soup."""
+
+    @staticmethod
+    def _slow_tokenize(s):
+        import re as _re
+        from zhtml_ray.html import tokenizer as tkz
+        never = _re.compile(r"(?!x)x")
+        saved = (tkz._RE_FAST_START, tkz._RE_FAST_END)
+        tkz._RE_FAST_START, tkz._RE_FAST_END = never, never
+        try:
+            t = tkz.Tokenizer(s)
+            toks = list(t.tokens())
+            errs = sorted(c for c, _ in t.errors)
+        finally:
+            tkz._RE_FAST_START, tkz._RE_FAST_END = saved
+        return toks, errs
+
+    @staticmethod
+    def _fast_tokenize(s):
+        from zhtml_ray.html import tokenizer as tkz
+        t = tkz.Tokenizer(s)
+        toks = list(t.tokens())
+        return toks, sorted(c for c, _ in t.errors)
+
+    @staticmethod
+    def _coalesce(toks):
+        out = []
+        for t in toks:
+            if t[0] == "Character" and out and out[-1][0] == "Character":
+                out[-1] = ("Character", out[-1][1] + t[1])
+            else:
+                out.append(tuple(t) if t[0] != "StartTag"
+                           else (t[0], t[1], tuple(sorted(t[2].items())), t[3]))
+        return out
+
+    def test_fixture_pages(self):
+        from zhtml_ray.sources.pages import gen_pages_table
+        t = gen_pages_table(60, start=777)
+        for raw in t.column("html").to_pylist():
+            s = raw.decode("utf-8", "replace")
+            ft, fe = self._fast_tokenize(s)
+            st, se = self._slow_tokenize(s)
+            assert self._coalesce(ft) == self._coalesce(st)
+            assert fe == se
+
+    def test_adversarial_soup(self):
+        cases = [
+            "<a href=x/>", "<a href=/x/>", "<a href= x>", "<a href=>",
+            "<a x=1 x=2>", "<a x='1'y=2>", "<a  b\t=\n'c' />", "<a/b>",
+            "<a b=c&d>", "<a b='&amp;'>", "<a b=`x`>", "<A B=C>",
+            "<br/><BR/>", "</div >", "</div/>", "</div x=1>",
+            "<foo-bar baz=1>", "<a\fb=c>", "<a b==c>", "<a =>", "<a ==>",
+            "<p title=\"a<b\">", "<p title='it''s'>", "<input value=a=b>",
+            "x<y", "a < b", "<", "</", "<!", "<a", "<a ", "<a b", "<a b=",
+            "<a b='unterminated", "text&amp;<b>more&lt;</b>",
+        ]
+        for s in cases:
+            ft, fe = self._fast_tokenize(s)
+            st, se = self._slow_tokenize(s)
+            assert self._coalesce(ft) == self._coalesce(st), s
+            assert fe == se, s
+
+    def test_hypothesis_soup(self):
+        from hypothesis import given, settings, strategies as st
+
+        soup = st.lists(st.one_of(
+            st.text(alphabet="abc<>=/'\"& \t\n`!?-;#x0", max_size=8),
+            st.sampled_from(["<a ", "href=", "'v'", '"v"', "/>", "<b>",
+                             "</b>", "&amp;", "<!--", "-->"])),
+            max_size=12).map("".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(soup)
+        def check(s):
+            ft, fe = self._fast_tokenize(s)
+            st_, se = self._slow_tokenize(s)
+            assert self._coalesce(ft) == self._coalesce(st_), repr(s)
+            assert fe == se, repr(s)
+
+        check()
