@@ -65,3 +65,34 @@ def test_spans_index_into_extracted_text(s):
         assert 0 <= sp["start"] <= sp["end"] <= len(raw)
         # span decodes cleanly back to text (offsets on codepoint edges)
         raw[sp["start"]:sp["end"]].decode("utf-8")
+
+
+@settings(max_examples=120, deadline=None)
+@given(_soup)
+def test_fused_segment_tree_equals_flat_on_soup(s):
+    """The fused DFS hot path and the array path must agree on arbitrary
+    tag soup, not just fixture pages."""
+    from zhtml_ray.html import extract as ex
+    from zhtml_ray.html.dom import flatten
+    from zhtml_ray.html.treebuilder import parse
+
+    doc = parse(s).document
+    a = ex.extract_from_flat(flatten(doc, with_attrs=False))
+    blocks, n_nodes = ex._segment_tree(doc)
+    ex._classify(blocks)
+    b = ex._assemble(blocks)
+    assert a["extracted_text"] == b["extracted_text"]
+    assert a["spans"] == b["spans"]
+    assert n_nodes == len(flatten(doc, with_attrs=False)["parent"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_batch_udf_never_raises(b):
+    import pyarrow as pa
+    from zhtml_ray.functions.pdf import PdfExtractBatch
+    out = PdfExtractBatch()(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "pdf": pa.array([b"%PDF-1.4\n" + b], pa.binary()),
+    }))
+    assert out.num_rows == 1
