@@ -873,8 +873,20 @@ class TreeBuilder:
                 break
         self.done = True
 
+    _IN_BODY_PLAIN = frozenset((
+        # common inline tags with NO special in-body rule (spec "any
+        # other start tag") — one set test short-circuits the chain
+        "span", "abbr", "cite", "q", "kbd", "samp", "var", "dfn", "bdi",
+        "bdo", "data", "time", "mark", "sub", "sup", "picture", "label",
+        "output", "meter", "progress", "ins", "del",
+    ))
+
     def _in_body_start(self, tok):
         _, name, attrs, self_closing = tok
+        if name in self._IN_BODY_PLAIN:
+            self.reconstruct_afe()
+            self.insert_element(name, attrs)
+            return
         if name == "html":
             self.err("non-html-root")
             if any(n.name == "template" and n.ns == NS_HTML for n in self.stack):
