@@ -154,6 +154,8 @@ def main():
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from zhtml_ray.stages.skew import cap_block_size
+    cap_block_size()  # session-scoped giant-block byte cap
 
     pages_dir, n_rows, html_bytes = prepare_pages(SF_DIR)
     # warm page cache: one untimed metadata+first-column read

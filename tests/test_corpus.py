@@ -54,7 +54,8 @@ def _normalize(tokens):
             else:
                 out.append(["Character", tok[1]])
         elif tok[0] == "StartTag":
-            out.append(["StartTag", tok[1], dict(tok[2])])
+            # self-closing flag IS compared (html5lib optional 4th elem)
+            out.append(["StartTag", tok[1], dict(tok[2]), bool(tok[3])])
         elif tok[0] == "EndTag":
             out.append(["EndTag", tok[1]])
         elif tok[0] == "Comment":
@@ -69,7 +70,8 @@ def _normalize_expected(expected):
     for tok in expected:
         tok = list(tok)
         if tok[0] == "StartTag":
-            out.append(["StartTag", tok[1], tok[2] if len(tok) > 2 else {}])
+            out.append(["StartTag", tok[1], tok[2] if len(tok) > 2 else {},
+                        bool(tok[3]) if len(tok) > 3 else False])
         elif tok[0] == "Character" and out and out[-1][0] == "Character":
             out[-1][1] += tok[1]
         else:

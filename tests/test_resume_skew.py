@@ -66,7 +66,7 @@ def test_skew_routing_matches_unrouted(ray_session, tmp_path):
     out = str(tmp_path / "pages")
     # 100 normal docs + 2 "mega" docs (small threshold makes them giants)
     write_pages_dataset(out, 100, rows_per_file=50, mega_docs=2)
-    routed = extract_with_skew_routing(out, giant_block_bytes=20_000)
+    routed = extract_with_skew_routing(out)
     plain = extract_pages(
         rd.read_parquet(out, columns=["url", "html", "lang"]))
     a = {r["url"]: r["extracted_text"] for r in routed.take_all()}

@@ -164,7 +164,8 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
     clustering and immune to O(n²) hot buckets. ``clique_limit=K``:
     buckets up to K emit ALL pairs (needed when the *pair list itself*
     is the product, e.g. the n-gram-Jaccard pair query); larger buckets
-    fall back to star (logged odds are they're boilerplate collisions).
+    fall back to star with a warning logged per oversized bucket (at
+    crawl scale these are overwhelmingly boilerplate collisions).
 
     Stateless task stages (NOT actor pools): the per-worker state is just
     the permutation params, cached module-level per process — pinning
@@ -186,6 +187,13 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
                     a.append(ks[i])
                     b.append(ks[j])
         else:
+            if clique_limit and len(ks) > clique_limit:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "LSH bucket of %d keys exceeds clique_limit=%d: "
+                    "emitting star pairs only — within-bucket pairs not "
+                    "touching the smallest member are dropped from the "
+                    "pair list", len(ks), clique_limit)
             root = ks[0]
             for other in ks[1:]:
                 a.append(root)

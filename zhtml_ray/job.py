@@ -56,6 +56,8 @@ def main(argv=None):
     try:
         from ray.data import DataContext
         DataContext.get_current().enable_progress_bars = False
+        from zhtml_ray.stages.skew import cap_block_size
+        cap_block_size()  # session-scoped giant-block byte cap
         summary = run_partitioned(
             files, args.output, group_size=args.group_size,
             overlap=args.overlap,

@@ -55,16 +55,22 @@ def _sql_quality() -> str:
     def lst(lang):
         return "[" + ",".join("'" + w + "'" for w in sorted(_STOPWORDS[lang])) + "]"
 
+    # NOTE: SQL trim() strips ASCII space only; Python str.split()
+    # handles all whitespace — use a regexp trim so leading/trailing
+    # \n/\t don't create phantom empty words
     return f"""
 WITH base AS (
   SELECT doc_id, text, lang,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS wtext,
          length(text) AS L,
          length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^\\p{{Nd}}]', '', 'g')) AS n_digit,
          length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space
   FROM documents
+), base2 AS (
+  SELECT *, CASE WHEN wtext = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(wtext, '\\s+') END AS words
+  FROM base
 ), w AS (
   SELECT *, len(words)::BIGINT AS n_words,
          CASE WHEN len(words) > 0
@@ -76,7 +82,7 @@ WITH base AS (
                    WHEN 'de' THEN {lst('de')}
                    WHEN 'fr' THEN {lst('fr')}
                    ELSE {lst('en')} END AS stops
-  FROM base
+  FROM base2
 ), r AS (
   SELECT doc_id, n_words, mean_wlen, punct_ratio,
          CASE WHEN len(lw) > 0
@@ -117,9 +123,11 @@ WITH base AS (
   SELECT doc_id, lang, text, s,
     length(regexp_replace(s, '[^\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}\\x{{AC00}}-\\x{{D7AF}}\\x{{3400}}-\\x{{4DBF}}]', '', 'g')) AS cjk,
     length(regexp_replace(s, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
-    CASE WHEN trim(s) = '' THEN []::VARCHAR[]
-         ELSE list_transform(regexp_split_to_array(trim(s), '\\s+'),
-                             x -> lower(trim(x, '.,;:!?"''()'))) END AS lw
+    CASE WHEN regexp_replace(s, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+         ELSE list_transform(
+             regexp_split_to_array(
+                 regexp_replace(s, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+             x -> lower(trim(x, '.,;:!?"''()'))) END AS lw
   FROM base
 ), h AS (
   SELECT doc_id, lang, text, cjk, n_alpha, len(lw) AS nw,

@@ -86,24 +86,28 @@ def q1_pricing_summary(sf_dir: str):
     pdf["avg_disc"] = pdf["sum_disc"] / pdf["count_order"]
     pdf = pdf.drop(columns=["sum_disc"])
     # float SUMS are associativity-sensitive (tree-parallel here vs
-    # sequential in the oracle): pin 2/6 decimals on BOTH sides so the
-    # driver's value-hash sees identical bytes
+    # sequential in the oracle): pin decimals with the IDENTICAL IEEE
+    # formula floor(x*10^d + 0.5)/10^d on BOTH sides — engine round()
+    # implementations differ on exact halves (pandas half-even vs
+    # DuckDB half-away). Values are all positive here.
+    import numpy as np
     for c in ("sum_base_price", "sum_disc_price"):
-        pdf[c] = pdf[c].round(2)
+        pdf[c] = np.floor(pdf[c] * 1e2 + 0.5) / 1e2
     for c in ("avg_qty", "avg_price", "avg_disc"):
-        pdf[c] = pdf[c].round(6)
+        pdf[c] = np.floor(pdf[c] * 1e6 + 0.5) / 1e6
     return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)  AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+           AS sum_disc_price,
        count(*) AS count_order,
-       round(sum(l_quantity) / count(*), 6) AS avg_qty,
-       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
-       round(sum(l_discount) / count(*), 6) AS avg_disc
+       floor(sum(l_quantity) / count(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
+       floor(sum(l_extendedprice) / count(*) * 1e6 + 0.5) / 1e6 AS avg_price,
+       floor(sum(l_discount) / count(*) * 1e6 + 0.5) / 1e6 AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus

@@ -237,9 +237,12 @@ def read_html_files(paths_or_dir):
     ds = rd.read_binary_files(paths_or_dir, include_paths=True)
 
     def to_pages(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         return pa.table({
             "url": batch.column("path"),
-            "html": pa.array(batch.column("bytes").to_pylist(), pa.binary()),
+            # zero-copy type adjustment — never round-trip blobs
+            # through Python lists
+            "html": pc.cast(batch.column("bytes"), pa.binary()),
         })
 
     return ds.map_batches(to_pages, batch_format="pyarrow")

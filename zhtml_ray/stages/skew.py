@@ -38,24 +38,34 @@ DEFAULT_GIANT_BYTES = 1_000_000  # ≈ P99.9 of Common-Crawl page sizes
 GIANT_BLOCK_BYTES = 32 * 1024 * 1024
 
 
+def cap_block_size(max_bytes: int = GIANT_BLOCK_BYTES) -> None:
+    """Session-scoped: cap ``DataContext.target_max_block_size`` (never
+    raising it) so giant-heavy read outputs split into ~1-doc blocks.
+    Call this from the process that OWNS the Ray session (bench.py,
+    job.py, a user's driver) — it is a global knob, so the library
+    stages themselves never touch it."""
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    if ctx.target_max_block_size is None or \
+            ctx.target_max_block_size > max_bytes:
+        ctx.target_max_block_size = max_bytes
+
+
 def extract_with_skew_routing(paths, columns=("url", "html", "lang"),
-                              giant_block_bytes: int = GIANT_BLOCK_BYTES,
                               include_spans: bool = True,
                               override_num_blocks: int | None = None):
     """pages shards → extraction Dataset with giant-doc skew defused by
     block layout (see module docstring). Single read, no shuffle, no
-    barrier; sets ``DataContext.target_max_block_size`` (never raising
-    it) so giant-heavy read outputs split into ~1-doc blocks.
+    barrier, no global-context mutation (session owners call
+    ``cap_block_size`` for the belt-and-braces byte cap; the read's own
+    per-file splitting already lands fixture giants 1-per-block).
     ``override_num_blocks``: pin the read block count (≈2–3× total
     cores is the measured sweet spot — fewer tasks = less driver-side
     per-task overhead, still ≥2 waves for load balancing)."""
     import ray.data as rd
     from zhtml_ray.pipelines.extract import extract_pages
 
-    ctx = rd.DataContext.get_current()
-    if ctx.target_max_block_size is None or \
-            ctx.target_max_block_size > giant_block_bytes:
-        ctx.target_max_block_size = giant_block_bytes
     kw = {"columns": list(columns)}
     if override_num_blocks is not None:
         kw["override_num_blocks"] = override_num_blocks
