@@ -196,6 +196,110 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def q_brand_revenue(sf_dir: str):
+    """Broadcast join + partial aggregation combined: the part dimension
+    (small side) ships once via ray.put as a key→brand array lookup;
+    revenue is pre-aggregated per brand inside each batch, then a tiny
+    final groupby (SURVEY.md §2.4 + §2.5 patterns composed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(keys)
+    brands = np.asarray(part["p_brand"].to_pylist(), object)[order]
+    lookup_ref = ray.put((keys[order], brands))
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    class Partial:
+        def __init__(self):
+            self.keys, self.brands = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = np.asarray(batch["l_partkey"].to_pylist(), np.int64)
+            idx = np.searchsorted(self.keys, pk)
+            brand = self.brands[idx]  # fixture FKs always resolve
+            rev = pc.multiply(batch["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          batch["l_discount"])).to_numpy()
+            t = pa.table({"p_brand": pa.array(brand.tolist(), pa.string()),
+                          "rev": pa.array(rev)})
+            return t.group_by("p_brand").aggregate([("rev", "sum")]) \
+                    .rename_columns(["p_brand", "p_rev"])
+
+    partials = ds.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+    agg = partials.groupby("p_brand").aggregate(
+        Sum("p_rev", alias_name="revenue"))
+    pdf = agg.to_pandas()
+    # decimal-pin the float sum identically to the oracle (see q1)
+    import numpy as _np
+    pdf["revenue"] = _np.floor(pdf["revenue"] * 1e2 + 0.5) / 1e2
+    return pdf.sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+           AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_big_discount_orders(sf_dir: str):
+    """Semi-join: orders having ≥1 lineitem with discount > 0.08 —
+    the distinct qualifying order-key set is built with a per-batch
+    dedup + groupby (never a full shuffle join), then the small side
+    broadcasts back over orders."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_discount"])
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater(batch["l_discount"], 0.08))
+        return pa.table({"l_orderkey": pc.unique(keep["l_orderkey"])})
+
+    # Dataset.unique() returns the distinct values driver-side — small
+    # by construction (order keys with a high-discount item)
+    key_set = set(li.map_batches(qualifying, batch_format="pyarrow")
+                  .unique("l_orderkey"))
+    ref = ray.put(key_set)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = pa.array([k in self.keys
+                           for k in batch["o_orderkey"].to_pylist()])
+            return batch.filter(ok)
+
+    return orders.map_batches(Semi, batch_format="pyarrow", concurrency=2)
+
+
+SQL_BIG_DISCOUNT_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08)
+"""
+
+
 def q_top_docs_by_length(sf_dir: str):
     """Top-k largest documents (SURVEY.md §2.6 diagnostics: distributed
     sort + limit; the length column is computed vectorized per batch)."""
@@ -255,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_nation_region": q_cust_nation_region,
         "top_orders": q_top_orders,
         "top_docs_by_length": q_top_docs_by_length,
+        "brand_revenue": q_brand_revenue,
+        "big_discount_orders": q_big_discount_orders,
     }
     out.update(ops_queries.queries())
     return out
@@ -268,6 +374,8 @@ def oracle_sql() -> dict[str, str]:
         "cust_nation_region": SQL_CUST_NATION_REGION,
         "top_orders": SQL_TOP_ORDERS,
         "top_docs_by_length": SQL_TOP_DOCS_BY_LENGTH,
+        "brand_revenue": SQL_BRAND_REVENUE,
+        "big_discount_orders": SQL_BIG_DISCOUNT_ORDERS,
     }
     out.update(ops_queries.oracle_sql())
     return out
