@@ -182,3 +182,22 @@ def test_audio_features(ray_session):
         AudioFeatures, batch_format="pyarrow", batch_size=7, concurrency=2).to_pandas()
     assert out.sort_values("media_id").reset_index(drop=True).equals(
         out2.sort_values("media_id").reset_index(drop=True))
+
+
+def test_clique_limit_star_fallback(ray_session, caplog):
+    """Buckets above clique_limit fall back to star pairs and warn —
+    the silent-recall-cap guard."""
+    import logging
+    import pyarrow as pa
+    import ray.data as rd
+    from zhtml_ray.functions.dedup import minhash_candidate_pairs
+
+    text = "the same exact duplicated text repeated for every document here"
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array([text] * 5)})
+    with caplog.at_level(logging.WARNING, logger="zhtml_ray.functions.dedup"):
+        out = minhash_candidate_pairs(rd.from_arrow(t), clique_limit=3) \
+            .to_pandas().drop_duplicates()
+    # star over 5 identical docs: pairs only with the smallest doc_id
+    assert set(out.key_a) == {0}
+    assert set(out.key_b) == {1, 2, 3, 4}
