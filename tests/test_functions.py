@@ -201,3 +201,95 @@ def test_clique_limit_star_fallback(ray_session, caplog):
     # star over 5 identical docs: pairs only with the smallest doc_id
     assert set(out.key_a) == {0}
     assert set(out.key_b) == {1, 2, 3, 4}
+
+
+def test_brute_force_topk_tie_break(ray_session):
+    """Equal cosines at the k boundary: the kernel must keep the rows
+    the oracle's deterministic (cosine DESC, key ASC) order keeps —
+    never an arbitrary argpartition survivor (ADVICE r1)."""
+    import ray as _ray
+    # 6 identical vectors → all cosines tie at 1.0; k=3 must keep ids 0,1,2
+    v = [1.0, 0.0, 0.0, 0.0]
+    batch = pa.table({"vec_id": pa.array([5, 3, 0, 4, 1, 2], pa.int64()),
+                      "embedding": pa.array([v] * 6, pa.list_(pa.float32()))})
+    ref = _ray.put(np.asarray([v], np.float32))
+    k = similarity.BruteForceTopK(ref, k=3, key="vec_id", col="embedding")
+    out = k(batch).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == [0, 1, 2]
+
+
+def test_label_propagation_chain(ray_session):
+    """Distributed min-label propagation: a 5-node chain (diameter 4)
+    needs multiple rounds; every node must land on the min label."""
+    import ray.data as rd
+    edges = pa.table({"key_a": pa.array([1, 2, 3, 4], pa.int64()),
+                      "key_b": pa.array([2, 3, 4, 5], pa.int64()),})
+    labels = dedup.label_propagation(rd.from_arrow(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["lbl"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_label_propagation_two_components(ray_session):
+    import ray.data as rd
+    edges = pa.table({"key_a": pa.array([1, 10], pa.int64()),
+                      "key_b": pa.array([2, 11], pa.int64())})
+    labels = dedup.label_propagation(rd.from_arrow(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["lbl"]))
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_join_path_matches_broadcast(ray_session):
+    """broadcast_budget=0 forces the hash-partitioned left-join
+    assignment; output must equal the broadcast path."""
+    import ray.data as rd
+    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * 3 + \
+            ["totally different words live in this one document"] + \
+            ["alpha beta gamma delta epsilon zeta eta iota"]
+    t = _tbl(texts)
+    a = dedup.minhash_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup.minhash_dedup(rd.from_arrow(t), broadcast_budget=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "cluster", "is_dup"]
+    assert a[cols].equals(b[cols])
+    assert not a.loc[a.doc_id == 0, "is_dup"].item()
+    assert set(a.loc[a.cluster == 0, "doc_id"]) >= {0, 1, 2}
+
+
+def test_embedding_neardup_bucket_cap(ray_session):
+    """A planted hot bucket (many near-identical vectors) beyond
+    bucket_cap must fall back to star verification (O(n) pairs) and
+    still link every member to the min-key root."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16).astype(np.float32)
+    n = 40
+    vecs = [list(map(float, base + rng.standard_normal(16).astype(np.float32)
+                     * 1e-3)) for _ in range(n)]
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    out = dedup.embedding_neardup(rd.from_arrow(t), threshold=0.99,
+                                  bucket_cap=8).to_pandas()
+    # star fallback: every pair anchors at vec 0, exactly n-1 pairs
+    assert set(out["key_a"]) == {0}
+    assert set(out["key_b"]) == set(range(1, n))
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    """IVF with n_probe=4/8 centroids must reach recall@10 ≥ 0.9 vs the
+    exact brute-force result on the sf0.001 embeddings."""
+    import ray.data as rd
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:5], np.float64)
+    exact = similarity.brute_force_topk(ds, q, k=10)
+    approx = similarity.ivf_topk(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                                 q, k=10, n_probe=4, n_centroids=8)
+    recalls = []
+    for qid in range(5):
+        e = set(exact.loc[exact.query_id == qid, "vec_id"])
+        a = set(approx.loc[approx.query_id == qid, "vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls

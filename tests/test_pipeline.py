@@ -81,3 +81,17 @@ def test_read_html_files_source(ray_session, tmp_path):
     for i in range(5):
         expect = extract_document(t.column("html")[i].as_py())["extracted_text"]
         assert rows[f"doc{i}.html"] == expect
+
+
+def test_big_discount_orders_join_path_matches_broadcast(ray_session):
+    """broadcast_budget=0 forces the hash-partitioned left_semi join;
+    rows must equal the broadcast pc.is_in path."""
+    from zhtml_ray.pipelines.queries import q_big_discount_orders
+    sf = "/root/testdata/sf0.001"
+    a = q_big_discount_orders(sf).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    b = q_big_discount_orders(sf, broadcast_budget=0).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert a[["o_orderkey", "o_totalprice"]].equals(
+        b[["o_orderkey", "o_totalprice"]])
+    assert len(a) > 0

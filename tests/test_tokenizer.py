@@ -301,3 +301,25 @@ class TestFastPathEquivalence:
             assert fe == se, repr(s)
 
         check()
+
+
+def test_comment_bang_dashdash_at_eof():
+    """'<!--' inside a comment hitting EOF: comment-less-than-sign-bang-
+    dash-dash reconsumes in comment-end → only eof-in-comment, no
+    spurious nested-comment (WHATWG 13.2.5.51)."""
+    toks, errs = run("<!-- a <!--")
+    assert toks == [("Comment", " a <!")]
+    assert errs == ["eof-in-comment"]
+
+
+def test_comment_bang_dashdash_gt():
+    # '<!-->' closes via comment-end with no nested-comment error
+    toks, errs = run("<!-- a <!-->x")
+    assert toks == [("Comment", " a <!"), ("Character", "x")]
+    assert errs == []
+
+
+def test_comment_nested_error_still_fires():
+    toks, errs = run("<!-- a <!-- b -->")
+    assert toks == [("Comment", " a <!-- b ")]
+    assert errs == ["nested-comment"]

@@ -137,3 +137,26 @@ def test_error_positions_sorted():
     r = parse("<p>a\x00b<3")
     offs = [o for _, o in r.errors]
     assert offs == sorted(offs)
+
+
+class TestPreNewlineSkip:
+    """The <pre>/<listing>/<textarea> leading-newline skip applies only
+    to the token IMMEDIATELY after the start tag (ADVICE r1: the flag
+    must not survive an intervening non-Character token)."""
+
+    def test_newline_directly_after_pre_dropped(self):
+        assert tree("<body><pre>\nX</pre>") == (
+            '| <html>\n|   <head>\n|   <body>\n|     <pre>\n|       "X"')
+
+    def test_newline_after_close_kept(self):
+        assert tree("<body><pre></pre>\nX") == (
+            '| <html>\n|   <head>\n|   <body>\n|     <pre>\n|     "\nX"')
+
+    def test_newline_after_comment_kept(self):
+        assert tree("<body><pre><!--c-->\nX</pre>") == (
+            '| <html>\n|   <head>\n|   <body>\n|     <pre>\n'
+            '|       <!-- c -->\n|       "\nX"')
+
+    def test_textarea_newline_dropped(self):
+        assert tree("<body><textarea>\nX</textarea>") == (
+            '| <html>\n|   <head>\n|   <body>\n|     <textarea>\n|       "X"')

@@ -205,39 +205,74 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
     return cand
 
 
+def dedup_candidate_pairs(pairs_ds):
+    """Canonicalize (lo, hi) + distinct the candidate pair list — fully
+    distributed (the same pair surfaces from every band it collides in):
+    vectorized canon map, then one hash-partitioned groupby. Returns a
+    materialized Dataset (it is reused as the small side downstream)."""
+    import pyarrow.compute as pc
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key_a": pc.min_element_wise(batch["key_a"], batch["key_b"]),
+            "key_b": pc.max_element_wise(batch["key_a"], batch["key_b"]),
+        })
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (pairs_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby(["key_a", "key_b"])
+            .map_groups(first, batch_format="pandas")
+            .materialize())
+
+
+def gather_candidate_texts(docs_ds, key_values, key: str = "doc_id",
+                           col: str = "text"):
+    """Fetch the texts of the candidate keys with a DISTRIBUTED filter:
+    the key set broadcasts once via ray.put and each task keeps only its
+    matching rows with ``pc.is_in`` — the full corpus never streams
+    through the driver; only the (small) filtered result does."""
+    import pyarrow.compute as pc
+    import ray
+
+    kref = ray.put(pa.array(sorted(key_values)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[key], value_set=ray.get(kref))
+        t = batch.filter(m)
+        return pa.table({key: t[key], col: t[col]})
+
+    texts = {}
+    small = docs_ds.map_batches(keep, batch_format="pyarrow")
+    for batch in small.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for k, t in zip(batch[key].to_pylist(), batch[col].to_pylist()):
+            texts[k] = t
+    return texts
+
+
 def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
                          col: str = "text", shingle_k: int = 3,
                          threshold: float = 0.8):
-    """Verify candidate pairs with true shingle Jaccard. The text lookup
-    is a broadcast of the *candidate* docs only (small side by
-    construction), shipped once via ray.put."""
+    """Verify candidate pairs with true shingle Jaccard. Pair dedup is
+    distributed (groupby), the corpus is filtered to candidates with a
+    distributed ``pc.is_in`` pass, and only the candidate texts (the
+    small side by construction) are broadcast for map-side lookup."""
+    import pyarrow.compute as pc
     import ray
+    from zhtml_ray.stages.util import autoscale_pool
 
-    cand = pairs_ds.to_pandas()
-    if len(cand) > 0:
-        # the same pair surfaces from every band it collides in —
-        # canonicalize + dedup before paying for verification
-        lo = cand[["key_a", "key_b"]].min(axis=1)
-        hi = cand[["key_a", "key_b"]].max(axis=1)
-        cand = pd.DataFrame({"key_a": lo, "key_b": hi}).drop_duplicates()
-    if len(cand) == 0:
-        return pairs_ds
-    need = set(cand["key_a"]) | set(cand["key_b"])
-    texts = {}
-    for batch in docs_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        ks = batch[key].to_pylist()
-        ts = batch[col].to_pylist()
-        for k, t in zip(ks, ts):
-            if k in need:
-                texts[k] = t
-    ref = ray.put(texts)
-
-    import ray.data as rd
-    pairs = rd.from_pandas(cand)
+    pairs = dedup_candidate_pairs(pairs_ds)
+    if pairs.count() == 0:
+        return pairs
+    # distinct candidate keys: computed on the already-materialized
+    # (small) pair list, not on the corpus
+    need = set(pairs.unique("key_a")) | set(pairs.unique("key_b"))
+    tref = ray.put(gather_candidate_texts(docs_ds, need, key=key, col=col))
 
     class Verify:
         def __init__(self):
-            self.texts = ray.get(ref)
+            self.texts = ray.get(tref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             sims = []
@@ -254,50 +289,159 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
             batch["jaccard"] = sims
             return batch
 
-    out = pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
-    return out.filter(lambda r: r["jaccard"] >= threshold)
+    out = pairs.map_batches(Verify, batch_format="pandas",
+                            concurrency=autoscale_pool(0.5))
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+
+    return out.map_batches(thresh, batch_format="pyarrow")
+
+
+def label_propagation(edges, max_rounds: int = 8):
+    """Connected components over an edge Dataset (key_a, key_b) by
+    bounded-round min-label propagation, expressed entirely in Ray Data
+    — NO driver-side union-find (the verified pair list is O(corpus) at
+    crawl-scale dup rates).
+
+    Per round: every node's current label is sent to each neighbor and
+    to itself (one groupby to co-locate a node's label with its edge
+    endpoints), then each node keeps the min label received (second
+    groupby). Early-stops when a round changes nothing (the changed
+    count is a tiny distributed aggregate). Rounds needed = component
+    diameter; LSH star pairs keep diameters small.
+
+    Returns Dataset[(node, cluster)] for nodes that appear in edges.
+    """
+    import pyarrow.compute as pc
+
+    edges = edges.materialize()  # reused every round
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch["key_a"].combine_chunks()
+        b = batch["key_b"].combine_chunks()
+        node = pa.concat_arrays([a, b])
+        peer = pa.concat_arrays([b, a])
+        return pa.table({"node": node, "peer": peer,
+                         "lbl": pa.nulls(len(node), node.type)})
+
+    edges_bidir = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    # Arrow-native group fns throughout: a pandas map_groups would
+    # upcast nullable int64 keys to float64 (NaN padding), silently
+    # changing the label dtype and breaking the typed join downstream.
+    def init_labels(g: pa.Table) -> pa.Table:
+        n = g["node"].combine_chunks()[:1]
+        return pa.table({"node": n, "lbl": n})
+
+    labels = (edges_bidir.groupby("node")
+              .map_groups(init_labels, batch_format="pyarrow").materialize())
+
+    def as_msgs(batch: pa.Table) -> pa.Table:
+        # label rows join the same groupby keyspace as edge rows
+        return pa.table({"node": batch["node"],
+                         "peer": pa.nulls(batch.num_rows,
+                                          batch["node"].type),
+                         "lbl": batch["lbl"]})
+
+    def send(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = g["node"].type
+        own_rows = g["lbl"].combine_chunks().drop_null()
+        if len(own_rows) == 0:
+            return pa.table({"dst": pa.array([], t), "lbl": pa.array([], t),
+                             "is_self": pa.array([], pa.bool_())})
+        own = pc.min(own_rows)
+        peers = g["peer"].combine_chunks().drop_null()
+        node0 = g["node"].combine_chunks()[:1]
+        dst = pa.concat_arrays([node0, peers])
+        lbl = pa.array([own.as_py()] * len(dst), t)
+        is_self = pa.array([True] + [False] * len(peers), pa.bool_())
+        return pa.table({"dst": dst, "lbl": lbl, "is_self": is_self})
+
+    def receive(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = g["dst"].type
+        new = pc.min(g["lbl"])
+        olds = g.filter(g["is_self"].combine_chunks())["lbl"]
+        old = pc.min(olds).as_py() if len(olds) else None
+        return pa.table({
+            "node": g["dst"].combine_chunks()[:1],
+            "lbl": pa.array([new.as_py()], t),
+            "changed": pa.array([int(new.as_py() != old)], pa.int64()),
+        })
+
+    for _ in range(max_rounds):
+        msgs = labels.map_batches(as_msgs, batch_format="pyarrow") \
+                     .union(edges_bidir)
+        sent = msgs.groupby("node").map_groups(send, batch_format="pyarrow")
+        new_labels = (sent.groupby("dst")
+                      .map_groups(receive, batch_format="pyarrow")
+                      .materialize())
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+    return labels
 
 
 def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
                   num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
-                  threshold: float = 0.8, seed: int = 42):
-    """Full near-dedup: LSH candidates → Jaccard verify → connected
-    components (min-label propagation on the driver over the verified
-    pair set, which is tiny relative to the corpus) → (key, cluster)."""
+                  threshold: float = 0.8, seed: int = 42,
+                  broadcast_budget: int = 2_000_000):
+    """Full near-dedup: LSH candidates → Jaccard verify → distributed
+    min-label-propagation connected components → (key, cluster).
+
+    Cluster assignment back onto the corpus: broadcast the (node →
+    cluster) table when it fits ``broadcast_budget`` rows, else a
+    hash-partitioned left join (``Dataset.join``) so no unbounded dict
+    ever lands on the driver."""
+    import ray
+    from zhtml_ray.stages.util import autoscale_pool, shuffle_partitions
+
     cand = minhash_candidate_pairs(ds, key=key, col=col, num_perm=num_perm,
                                    bands=bands, shingle_k=shingle_k, seed=seed)
     verified = verify_jaccard_pairs(cand, ds, key=key, col=col,
                                     shingle_k=shingle_k, threshold=threshold)
-    pairs = verified.to_pandas()
-    parent: dict = {}
+    labels = label_propagation(verified.select_columns(["key_a", "key_b"]))
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    n_labels = labels.count()
+    if n_labels <= broadcast_budget:
+        lt = labels.to_pandas()
+        ref = ray.put(dict(zip(lt["node"], lt["lbl"])))
 
-    for a, b in zip(pairs.get("key_a", []), pairs.get("key_b", [])):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
-            parent[hi] = lo
-    cluster_map = {k: find(k) for k in list(parent)}
-    import ray
-    ref = ray.put(cluster_map)
+        class Assign:
+            def __init__(self):
+                self.m = ray.get(ref)
 
-    class Assign:
-        def __init__(self):
-            self.m = ray.get(ref)
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ks = batch[key].to_pylist()
+                cl = [self.m.get(k, k) for k in ks]
+                dup = [self.m.get(k, k) != k for k in ks]
+                return batch.append_column("cluster", pa.array(cl)) \
+                            .append_column("is_dup", pa.array(dup, pa.bool_()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ks = batch[key].to_pylist()
-            cl = [self.m.get(k, k) for k in ks]
-            dup = [self.m.get(k, k) != k for k in ks]
-            return batch.append_column("cluster", pa.array(cl)) \
-                        .append_column("is_dup", pa.array(dup, pa.bool_()))
+        return ds.map_batches(Assign, batch_format="pyarrow",
+                              concurrency=autoscale_pool(0.5))
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+    # big-label path: hash-partitioned left join, then fill unmatched.
+    # drop_empty_blocks: map_groups emits 0-row EMPTY-schema blocks that
+    # pyarrow's hash join rejects on the build side.
+    from zhtml_ray.stages.util import drop_empty_blocks
+    labels = drop_empty_blocks(
+        labels.rename_columns({"node": key, "lbl": "cluster"}))
+    joined = ds.join(labels, "left_outer",
+                     num_partitions=shuffle_partitions(), on=(key,))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cl = pc.coalesce(batch["cluster"], batch[key])
+        dup = pc.not_equal(cl, batch[key])
+        return batch.drop_columns(["cluster"]) \
+                    .append_column("cluster", cl) \
+                    .append_column("is_dup", dup)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -365,8 +509,17 @@ class HyperplaneLsh:
 
 def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
                       dim: int | None = None, threshold: float = 0.95,
-                      n_planes: int = 12, seed: int = 42):
-    """Near-dup by cosine within hyperplane-LSH buckets → pair list."""
+                      n_planes: int = 12, seed: int = 42,
+                      bucket_cap: int = 1024):
+    """Near-dup by cosine within hyperplane-LSH buckets → pair list.
+
+    Buckets up to ``bucket_cap`` verify all pairs (O(n²) matmul on a
+    bounded n); a hot bucket beyond the cap falls back to star
+    verification against its min-key member (O(n) pairs, same fallback
+    as the MinHash path's ``clique_limit``) so one degenerate bucket —
+    e.g. near-zero embeddings all hashing together — can't go O(n²)."""
+    from zhtml_ray.stages.util import autoscale_pool
+
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[col])
@@ -374,17 +527,30 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
     bucketed = ds.map_batches(
         HyperplaneLsh, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
                                                   seed=seed, col=col),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+        order = np.argsort(g[key].to_numpy())
+        g = g.iloc[order]
         emb = np.stack(g[col].to_numpy())
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         norm[norm == 0] = 1
         emb = emb / norm
-        sim = emb @ emb.T
         keys = g[key].to_numpy()
+        if len(g) > bucket_cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "LSH bucket of %d vectors exceeds bucket_cap=%d: star "
+                "verification against the min-key member only", len(g),
+                bucket_cap)
+            sim = emb[1:] @ emb[0]
+            mask = sim >= threshold
+            return pd.DataFrame({"key_a": np.full(mask.sum(), keys[0]),
+                                 "key_b": keys[1:][mask],
+                                 "cosine": sim[mask].astype(float)})
+        sim = emb @ emb.T
         ia, ib = np.triu_indices(len(g), k=1)
         mask = sim[ia, ib] >= threshold
         return pd.DataFrame({"key_a": keys[ia[mask]],

@@ -40,13 +40,20 @@ class BruteForceTopK:
         keys = np.asarray(batch[self.key].to_pylist())
         sims = self.q @ emb.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         qid_out, key_out, sim_out = [], [], []
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
+            row = sims[qi]
+            # tie-inclusive selection: keep EVERY element equal to the
+            # k-th largest cosine, then order by (-cosine, key) so the
+            # batch-level truncation agrees with the oracle's
+            # deterministic tie-break (cosine DESC, key ASC)
+            kth = np.partition(-row, k - 1)[k - 1]
+            cand = np.nonzero(-row <= kth)[0]
+            order = np.lexsort((keys[cand], -row[cand]))
+            for j in cand[order[:k]]:
                 qid_out.append(qi)
                 key_out.append(keys[j])
-                sim_out.append(float(sims[qi, j]))
+                sim_out.append(float(row[j]))
         return pa.table({
             "query_id": pa.array(qid_out, pa.int32()),
             self.key: pa.array(key_out),
@@ -62,11 +69,13 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
     import ray
     import ray.data as rd
 
+    from zhtml_ray.stages.util import autoscale_pool
+
     qref = ray.put(np.asarray(query_vectors, np.float32))
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key, col=col),
-        batch_format="pyarrow", concurrency=4)
+        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     # global merge: tiny (n_batches × n_queries × k rows)
     pdf = partials.to_pandas()
     out = (pdf.sort_values(["query_id", "cosine", key],
@@ -82,9 +91,16 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
 def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
                     sample: int = 2048, iters: int = 10, seed: int = 42):
     """K-means (Lloyd) on a driver-side sample — the coarse quantizer.
-    Deterministic: seeded init, fixed iterations."""
+    Deterministic: seeded init, fixed iterations.
+
+    The sample is a seeded `ds.random_sample` across ALL blocks — taking
+    the first blocks would train the quantizer on one shard's
+    distribution at scale (skewed centroids, bad probe recall)."""
+    n = ds.count()
+    frac = min(1.0, (sample * 2.0) / max(n, 1))
+    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     arr = []
-    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+    for b in sampled.iter_batches(batch_size=1024, batch_format="pyarrow"):
         arr.append(np.asarray(b[col].to_pylist(), np.float32))
         if sum(a.shape[0] for a in arr) >= sample:
             break
@@ -125,10 +141,12 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_probe: int = 4,
 
     cent = train_centroids(ds, n_centroids=n_centroids, col=col, seed=seed)
     cref = ray.put(cent)
+    from zhtml_ray.stages.util import autoscale_pool
     assigned = ds.map_batches(IvfAssign,
                               fn_constructor_kwargs=dict(centroids_ref=cref,
                                                          col=col),
-                              batch_format="pyarrow", concurrency=2)
+                              batch_format="pyarrow",
+                              concurrency=autoscale_pool(0.5))
     q = _normalize(np.asarray(query_vectors, np.float32))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe_cells for c in row})

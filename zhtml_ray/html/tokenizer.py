@@ -545,11 +545,15 @@ class Tokenizer:
                     buf.append("!")
                     pos += 1
                     if s.startswith("--", pos):
-                        # comment-end-bang via less-than-sign-bang-dash-dash
+                        # comment-end-bang via less-than-sign-bang-dash-dash.
+                        # '>' or EOF reconsume in comment-end with no error;
+                        # only a real following char that isn't '>' is a
+                        # nested-comment parse error.
                         if pos + 2 < n and s[pos + 2] == ">":
                             pos2, tok = self._comment_end(pos + 2, buf, from_bang=True)
                         else:
-                            self._err("nested-comment", pos)
+                            if pos + 2 < n:
+                                self._err("nested-comment", pos)
                             pos2, tok = self._comment_end(pos + 2, buf)
                         if tok is not None:
                             return tok

@@ -212,6 +212,11 @@ class TreeBuilder:
 
     def process(self, tok):
         """Tree-construction dispatcher (HTML vs foreign content)."""
+        # The <pre>/<listing>/<textarea> leading-newline skip applies only to
+        # the token IMMEDIATELY after the start tag; any intervening
+        # non-Character token (comment, tag) cancels it.
+        if self.skip_newline and tok[0] != "Character":
+            self.skip_newline = False
         if not self.ever_foreign or not self.stack:
             return self.process_html(tok)
         node = self.stack[-1]

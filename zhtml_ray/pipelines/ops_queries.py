@@ -7,6 +7,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from zhtml_ray.stages.util import autoscale_pool
+
 
 def _docs(sf_dir, columns=None):
     import ray.data as rd
@@ -28,11 +30,15 @@ def q_token_count(sf_dir: str):
 
 
 SQL_TOKEN_COUNT = """
+-- regexp trim, not trim(): SQL trim() strips ASCII spaces only while the
+-- engine's str.split() treats \\n/\\t/\\f as whitespace too
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       CASE WHEN wtext = '' THEN 0
+            ELSE len(regexp_split_to_array(wtext, '\\s+')) END
            ::BIGINT AS n_tokens
-FROM documents
+FROM (SELECT doc_id,
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS wtext
+      FROM documents)
 """
 
 
@@ -103,7 +109,7 @@ FROM r
 def q_quality(sf_dir: str):
     from zhtml_ray.functions.textstats import QualityScore
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
-    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "n_words", "quality_score",
                                "stopword_ratio", "punct_ratio"])
 
@@ -155,21 +161,21 @@ FROM h
 def q_langid(sf_dir: str):
     from zhtml_ray.functions.textstats import LangId
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
 
 
 def q_fingerprint(sf_dir: str):
     from zhtml_ray.functions.textstats import Fingerprint
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "fingerprint", "content_hash"])
 
 
 def q_bpe_token_count(sf_dir: str):
     from zhtml_ray.functions.textstats import BpeTokenCount
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(BpeTokenCount, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(BpeTokenCount, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "n_bpe_tokens"])
 
 
@@ -214,7 +220,7 @@ def q_ngram_jaccard(sf_dir: str):
 def q_simhash(sf_dir: str):
     from zhtml_ray.functions.dedup import SimHashBatch
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(SimHashBatch, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(SimHashBatch, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "simhash", "simhash_b0"])
 
 
@@ -394,7 +400,7 @@ def q_pdf_extract(sf_dir: str):
     tbl = gen_pdf_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl.select(["doc_id", "pdf"]))
     out = ds.map_batches(PdfExtractBatch, batch_format="pyarrow",
-                         batch_size=64, concurrency=2)
+                         batch_size=64, concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "text", "n_pages"])
 
 
@@ -412,7 +418,7 @@ def q_media_features(sf_dir: str):
     tbl = gen_media_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl)
     return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=32, concurrency=2)
+                          batch_size=32, concurrency=autoscale_pool(0.5))
 
 
 def q_audio_features(sf_dir: str):
@@ -423,7 +429,7 @@ def q_audio_features(sf_dir: str):
     tbl = gen_media_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl)
     return ds.map_batches(AudioFeatures, batch_format="pyarrow",
-                          batch_size=32, concurrency=2)
+                          batch_size=32, concurrency=autoscale_pool(0.5))
 
 
 def q_frame_sample(sf_dir: str):

@@ -147,31 +147,37 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
 
 def q_cust_nation_region(sf_dir: str):
     """Broadcast (map-side) join: dimension tables shipped once via
-    ray.put, looked up per batch — no shuffle (SURVEY.md §2.4)."""
-    import pandas as pd
+    ray.put, looked up per batch with zero-copy Arrow `pc.index_in` +
+    `pc.take` — no shuffle, no pandas conversion (SURVEY.md §2.4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
-    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    dim = nation.merge(region, left_on="n_regionkey",
-                       right_on="r_regionkey")[["n_nationkey", "n_name",
-                                                "r_name"]]
-    dim_ref = ray.put(dim.set_index("n_nationkey"))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey") \
+                .select(["n_nationkey", "n_name", "r_name"]).combine_chunks()
+    dim_ref = ray.put((dim["n_nationkey"].combine_chunks(),
+                       dim["n_name"].combine_chunks(),
+                       dim["r_name"].combine_chunks()))
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey", "c_acctbal"])
 
-    class Join:
-        def __init__(self):
-            self.dim = ray.get(dim_ref)
+    def join(batch: pa.Table) -> pa.Table:
+        keys, n_name, r_name = ray.get(dim_ref)  # local-store get, zero-copy
+        idx = pc.index_in(batch["c_nationkey"],
+                          value_set=pc.cast(keys, batch["c_nationkey"].type))
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_acctbal": batch["c_acctbal"],
+            "n_name": pc.take(n_name, idx),
+            "r_name": pc.take(r_name, idx),
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.join(self.dim, on="c_nationkey")
-            return out[["c_custkey", "c_acctbal", "n_name", "r_name"]]
-
-    return ds.map_batches(Join, batch_format="pandas", concurrency=2)
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 SQL_CUST_NATION_REGION = """
@@ -187,7 +193,10 @@ def q_top_orders(sf_dir: str):
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
-    return ds.sort("o_totalprice", descending=True).limit(10)
+    # secondary key matches the oracle's deterministic tie-break so a
+    # totalprice tie straddling the top-10 boundary picks the same rows
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
 
 
 SQL_TOP_ORDERS = """
@@ -236,7 +245,9 @@ def q_brand_revenue(sf_dir: str):
             return t.group_by("p_brand").aggregate([("rev", "sum")]) \
                     .rename_columns(["p_brand", "p_rev"])
 
-    partials = ds.map_batches(Partial, batch_format="pyarrow", concurrency=2)
+    from zhtml_ray.stages.util import autoscale_pool
+    partials = ds.map_batches(Partial, batch_format="pyarrow",
+                              concurrency=autoscale_pool(0.5))
     agg = partials.groupby("p_brand").aggregate(
         Sum("p_rev", alias_name="revenue"))
     pdf = agg.to_pandas()
@@ -255,15 +266,20 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
-def q_big_discount_orders(sf_dir: str):
-    """Semi-join: orders having ≥1 lineitem with discount > 0.08 —
-    the distinct qualifying order-key set is built with a per-batch
-    dedup + groupby (never a full shuffle join), then the small side
-    broadcasts back over orders."""
+def q_big_discount_orders(sf_dir: str, broadcast_budget: int = 1_000_000):
+    """Semi-join: orders having ≥1 lineitem with discount > 0.08.
+    The qualifying key set is made distinct DISTRIBUTED (per-batch
+    `pc.unique` partial + hash-partitioned groupby); if it fits
+    ``broadcast_budget`` rows it broadcasts for a map-side `pc.is_in`
+    filter, otherwise a hash-partitioned ``left_semi`` join — so there
+    is never an unbounded driver-side key set."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
+
+    import pandas as pd
+    from zhtml_ray.stages.util import shuffle_partitions
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_discount"])
@@ -272,25 +288,35 @@ def q_big_discount_orders(sf_dir: str):
         keep = batch.filter(pc.greater(batch["l_discount"], 0.08))
         return pa.table({"l_orderkey": pc.unique(keep["l_orderkey"])})
 
-    # Dataset.unique() returns the distinct values driver-side — small
-    # by construction (order keys with a high-discount item)
-    key_set = set(li.map_batches(qualifying, batch_format="pyarrow")
-                  .unique("l_orderkey"))
-    ref = ray.put(key_set)
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    # distributed distinct (hash-partitioned groupby on the key only —
+    # the discount column never shuffles); materialized in the object
+    # store, NOT on the driver
+    distinct = (li.map_batches(qualifying, batch_format="pyarrow")
+                .groupby("l_orderkey")
+                .map_groups(first, batch_format="pandas")
+                .materialize())
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])
 
-    class Semi:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    if distinct.count() <= broadcast_budget:
+        # small key set: broadcast once, vectorized pc.is_in per batch
+        keys = pa.array(sorted(distinct.to_pandas()["l_orderkey"]))
+        ref = ray.put(keys)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = pa.array([k in self.keys
-                           for k in batch["o_orderkey"].to_pylist()])
-            return batch.filter(ok)
+        def semi(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["o_orderkey"], value_set=ray.get(ref)))
 
-    return orders.map_batches(Semi, batch_format="pyarrow", concurrency=2)
+        return orders.map_batches(semi, batch_format="pyarrow")
+
+    # big key set: hash-partitioned semi-join, no driver materialization
+    return orders.join(distinct, "left_semi",
+                       num_partitions=shuffle_partitions(),
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
 
 SQL_BIG_DISCOUNT_ORDERS = """

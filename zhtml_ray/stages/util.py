@@ -1,0 +1,52 @@
+"""Shared stage-sizing helpers.
+
+Hard-coded actor-pool sizes (``concurrency=2``) starve stages on a real
+cluster; pools here are sized from ``ray.cluster_resources()`` at
+pipeline-construction time and expressed as autoscaling ``(min, max)``
+ranges so a small input spins up few actors while a 256-node cluster can
+scale each stage to its share of the CPUs.
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 4) -> int:
+    import ray
+    if not ray.is_initialized():
+        return default
+    return int(ray.cluster_resources().get("CPU", default) or default)
+
+
+def autoscale_pool(frac: float = 0.5, lo: int = 1,
+                   hi: int | None = None) -> tuple[int, int]:
+    """(min, max) for an autoscaling actor pool: max = frac of cluster
+    CPUs (≥2), optionally capped. Use frac<1 for stages that coexist
+    with other pools in the same pipeline so no stage starves the rest."""
+    mx = max(2, int(cluster_cpus() * frac))
+    if hi is not None:
+        mx = min(mx, hi)
+    return (lo, mx)
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a (small, already-materialized) Dataset from its non-empty
+    block refs. Ray's groupby.map_groups can emit 0-row blocks with an
+    EMPTY schema (the UDF never runs for them), and pyarrow's hash join
+    rejects a shuffle partition built from such a block ("no match for
+    key field"). Zero-copy: only object refs move, blocks stay put."""
+    import ray.data as rd
+    ds = ds.materialize()
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ds
+    return rd.from_arrow_refs(refs)
+
+
+def shuffle_partitions(rows_hint: int | None = None) -> int:
+    """Partition count for hash-shuffle operators (joins): ~2 waves of
+    tasks per CPU, floor 8."""
+    return max(8, cluster_cpus() * 2)
