@@ -109,3 +109,19 @@ def test_fused_tree_path_equals_flat_path():
         assert a["extracted_text"] == b["extracted_text"]
         assert a["spans"] == b["spans"]
         assert n_nodes == len(flatten(doc, with_attrs=False)["parent"])
+
+
+def test_thresholds_config_default_pinned():
+    """ST6: thresholds are per-actor config; the default instance must
+    reproduce the pinned oracle byte-identically, and a non-default
+    instance must actually change classification."""
+    from zhtml_ray.html.extract import ExtractThresholds, extract_document
+    html = (b"<html><body><p>" + b"word " * 30 + b"</p>"
+            b"<p>short nav text</p></body></html>")
+    base = extract_document(html)
+    same = extract_document(html, thresholds=ExtractThresholds())
+    assert base == same
+    strict = extract_document(
+        html, thresholds=ExtractThresholds(curr_words=1000, next_words=1000,
+                                           prev_words=1000))
+    assert strict["extracted_text"] != base["extracted_text"]

@@ -48,6 +48,28 @@ _HARD_BOILER = frozenset(("nav", "aside", "footer", "form"))
 _HEADING = frozenset(("h1", "h2", "h3", "h4", "h5", "h6", "caption"))
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ExtractThresholds:
+    """Per-actor extraction config (SURVEY.md §2.3 ST6), threaded through
+    ``fn_constructor_kwargs`` into the actor pool. The DEFAULTS ARE THE
+    PINNED ORACLE — the golden harness runs with `None`/default; only
+    non-default instances change output."""
+
+    max_link_density: float = 0.333333
+    prev_link_density: float = 0.555556
+    curr_words: int = 16
+    next_words: int = 15
+    prev_words: int = 4
+    curr_words_linky: int = 40
+    next_words_linky: int = 17
+
+
+_DEFAULT_THRESHOLDS = ExtractThresholds()
+
+
 def _segment(flat) -> list[dict]:
     """Blocks in document order from the flattened node arrays."""
     parent = flat["parent"]
@@ -118,7 +140,8 @@ def _segment(flat) -> list[dict]:
     return out
 
 
-def _classify(blocks: list[dict]) -> None:
+def _classify(blocks: list[dict],
+              th: ExtractThresholds = _DEFAULT_THRESHOLDS) -> None:
     """Sets block['content'] in place. Boilerpipe NumWordsRules core."""
     n = len(blocks)
 
@@ -137,12 +160,13 @@ def _classify(blocks: list[dict]) -> None:
         w_c, ld_c = b["words"], b["link_density"]
         w_p, ld_p = feat(i - 1)
         w_n, _ = feat(i + 1)
-        if ld_c > 0.333333:
+        if ld_c > th.max_link_density:
             b["content"] = False
-        elif ld_p <= 0.555556:
-            b["content"] = w_c > 16 or w_n > 15 or w_p > 4
+        elif ld_p <= th.prev_link_density:
+            b["content"] = (w_c > th.curr_words or w_n > th.next_words
+                            or w_p > th.prev_words)
         else:
-            b["content"] = w_c > 40 or w_n > 17
+            b["content"] = w_c > th.curr_words_linky or w_n > th.next_words_linky
     # heading pass: content iff next resolved block is content
     for i in range(n - 1, -1, -1):
         if blocks[i]["content"] is None:
@@ -177,11 +201,12 @@ def _assemble(blocks: list[dict]) -> dict:
     return {"extracted_text": "\n\n".join(texts), "spans": spans}
 
 
-def extract_from_flat(flat) -> dict:
+def extract_from_flat(flat,
+                      thresholds: ExtractThresholds | None = None) -> dict:
     """Extraction over already-flattened node arrays → dict with
     extracted_text + spans (byte offsets into UTF-8 extracted_text)."""
     blocks = _segment(flat)
-    _classify(blocks)
+    _classify(blocks, thresholds or _DEFAULT_THRESHOLDS)
     return _assemble(blocks)
 
 
@@ -250,20 +275,22 @@ def _segment_tree(doc) -> tuple[list[dict], int]:
     return out, idx
 
 
-def extract_document(raw, include_nodes: bool = False) -> dict:
+def extract_document(raw, include_nodes: bool = False,
+                     thresholds: ExtractThresholds | None = None) -> dict:
     """Full per-document kernel: tokenize → tree → flatten → extract.
     Returns the output-row dict for the (url, extracted_text, spans, ...)
     table of SURVEY.md §1.3."""
+    th = thresholds or _DEFAULT_THRESHOLDS
     result = parse(raw)
     doc = result.document
     if include_nodes:
         flat = flatten(doc, with_attrs=True)
-        out = extract_from_flat(flat)
+        out = extract_from_flat(flat, th)
         out["n_nodes"] = len(flat["parent"])
         out["nodes"] = flat
     else:
         blocks, n_nodes = _segment_tree(doc)
-        _classify(blocks)
+        _classify(blocks, th)
         out = _assemble(blocks)
         out["n_nodes"] = n_nodes
     out["quirks"] = doc.quirks

@@ -40,7 +40,7 @@ def pages_dir_for(sf_dir: str, mega_docs: int = 0, seed: int = 42) -> str:
 
 
 def extract_pages(ds, include_spans: bool = True, batch_size: int | None = None,
-                  concurrency=None, num_cpus: float = 1.0):
+                  concurrency=None, num_cpus: float = 1.0, thresholds=None):
     """pages Dataset → extraction Dataset (the core map_batches stage).
 
     ``batch_size=None`` (default) = block-as-batch: read-output blocks
@@ -61,8 +61,10 @@ def extract_pages(ds, include_spans: bool = True, batch_size: int | None = None,
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
         return ds.map_batches(ParseExtractBatch, fn_constructor_kwargs={
-            "include_spans": include_spans}, **kwargs)
-    return ds.map_batches(ParseExtractBatch(include_spans=include_spans),
+            "include_spans": include_spans,
+            "thresholds": thresholds}, **kwargs)
+    return ds.map_batches(ParseExtractBatch(include_spans=include_spans,
+                                            thresholds=thresholds),
                           **kwargs)
 
 

@@ -1,0 +1,341 @@
+"""Driver-checkable oracles for the non-SQL-expressible pipelines.
+
+The north-star invariant — byte-identical extracted text per url,
+distributed run vs the pinned single-process extractor — was previously
+enforced only inside pytest goldens. Here the pinned oracle output is
+materialized to parquet by a SERIAL, Ray-free run of the same kernels
+(one process, one file at a time, deterministic order), and
+``oracle_sql()`` points DuckDB at it via ``read_parquet``. The driver
+then compares the DISTRIBUTED Ray pipeline against the serial pinned
+run — exactly the golden-file harness of SURVEY.md §5.3, but visible to
+the hard correctness gate.
+
+Layout: goldens are computed once per (fixture version, scale, query)
+into a cache dir, then atomically copied to a FIXED per-query path that
+the static SQL strings reference. Every gate run executes the query
+callable (which refreshes the fixed path for its sf) before its SQL, so
+the fixed path always holds the right scale's golden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOLDEN_ROOT = os.environ.get("ZHTML_RAY_GOLDEN_DIR", "/tmp/zhtml_ray_golden")
+_CURRENT = os.path.join(GOLDEN_ROOT, "current")
+
+
+def golden_sql(name: str) -> str:
+    """The oracle: DuckDB reads the pinned serial output verbatim."""
+    return f"SELECT * FROM read_parquet('{_CURRENT}/{name}.parquet')"
+
+
+def gate_project(tbl: pa.Table) -> pa.Table:
+    """Shared projection for the `extract` gate row: nested columns
+    (spans, error_codes) serialize to canonical JSON strings so the
+    driver's sort+hash compare works on them. Used IDENTICALLY by the
+    distributed query and the serial golden — any divergence is a real
+    engine difference, not a formatting one."""
+    spans_json = [
+        json.dumps([[s["start"], s["end"], s["node_id"], s["kind"]]
+                    for s in row], separators=(",", ":"))
+        for row in tbl["spans"].to_pylist()]
+    err_json = [json.dumps(row, separators=(",", ":"))
+                for row in tbl["error_codes"].to_pylist()]
+    return pa.table({
+        "url": tbl["url"],
+        "extracted_text": tbl["extracted_text"],
+        "spans_json": pa.array(spans_json, pa.string()),
+        "quirks": tbl["quirks"],
+        "doctype_name": tbl["doctype_name"],
+        "errors_json": pa.array(err_json, pa.string()),
+        "n_nodes": tbl["n_nodes"],
+        "html_bytes": tbl["html_bytes"],
+        "row_crc": tbl["row_crc"],
+        "ok": tbl["ok"],
+    })
+
+
+def _pages_files(sf_dir: str) -> list[str]:
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    d = pages_dir_for(sf_dir)
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".parquet"))
+
+
+# serial per-(kind, sf) results cached in-process: error_histogram
+# reuses the extract pass instead of re-parsing the corpus
+_serial_cache: dict = {}
+
+
+def _serial_extract_tables(sf_dir: str) -> list[pa.Table]:
+    key = ("extract", sf_dir)
+    if key not in _serial_cache:
+        from zhtml_ray.stages.parse_extract import ParseExtractBatch
+        fn = ParseExtractBatch(include_spans=True)
+        _serial_cache[key] = [fn(pq.read_table(f, columns=["url", "html"]))
+                              for f in _pages_files(sf_dir)]
+    return _serial_cache[key]
+
+
+def _gen_extract(sf_dir: str) -> pa.Table:
+    return pa.concat_tables(
+        [gate_project(t) for t in _serial_extract_tables(sf_dir)])
+
+
+def _gen_extract_error_histogram(sf_dir: str) -> pa.Table:
+    from collections import Counter
+    c: Counter = Counter()
+    for t in _serial_extract_tables(sf_dir):
+        for codes in t["error_codes"].to_pylist():
+            c.update(codes)
+    codes = sorted(c)
+    return pa.table({"code": pa.array(codes, pa.string()),
+                     "count()": pa.array([c[k] for k in codes], pa.int64())})
+
+
+def _gen_links(sf_dir: str) -> pa.Table:
+    from zhtml_ray.stages.node_table import LinksBatch
+    fn = LinksBatch()
+    return pa.concat_tables(
+        [fn(pq.read_table(f, columns=["url", "html"]))
+         for f in _pages_files(sf_dir)])
+
+
+def _gen_token_stats(sf_dir: str) -> pa.Table:
+    from zhtml_ray.stages.node_table import TokenStatsBatch
+    fn = TokenStatsBatch()
+    return pa.concat_tables(
+        [fn(pq.read_table(f, columns=["url", "html"]))
+         for f in _pages_files(sf_dir)])
+
+
+def _gen_fingerprint(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.textstats import Fingerprint
+    fn = Fingerprint()
+    t = fn(pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]))
+    return t.select(["doc_id", "fingerprint", "content_hash"])
+
+
+def _gen_simhash(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.dedup import SimHashBatch
+    fn = SimHashBatch()
+    t = fn(pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]))
+    return t.select(["doc_id", "simhash", "simhash_b0"])
+
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+
+def _serial_shingle_sets(sf_dir: str, k: int = 3):
+    key = ("shingles", sf_dir, k)
+    if key not in _serial_cache:
+        from zhtml_ray.functions.dedup import _shingles
+        t = _docs_table(sf_dir)
+        _serial_cache[key] = (
+            t["doc_id"].to_pylist(),
+            [set(_shingles(s or "", k).tolist())
+             for s in t["text"].to_pylist()])
+    return _serial_cache[key]
+
+
+def _gen_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """INDEPENDENT oracle: brute-force all-pairs word-3-gram Jaccard ≥
+    0.8 — no LSH blocking. Matching it certifies the engine's blocked
+    path has perfect recall AND precision on this corpus."""
+    ids, sets = _serial_shingle_sets(sf_dir)
+    ka, kb, js = [], [], []
+    for i in range(len(ids)):
+        si = sets[i]
+        for j in range(i + 1, len(ids)):
+            sj = sets[j]
+            if not si and not sj:
+                jac = 1.0
+            elif not si or not sj:
+                jac = 0.0
+            else:
+                jac = len(si & sj) / len(si | sj)
+            if jac >= 0.8:
+                a, b = sorted((ids[i], ids[j]))
+                ka.append(a)
+                kb.append(b)
+                js.append(jac)
+    return pa.table({"key_a": pa.array(ka), "key_b": pa.array(kb),
+                     "jaccard": pa.array(js, pa.float64())})
+
+
+def _gen_minhash_dedup(sf_dir: str) -> pa.Table:
+    """Serial oracle with an INDEPENDENT clustering algorithm: same
+    MinHash/LSH bucketing kernels run in one process, candidate star
+    pairs per bucket, exact-Jaccard verify, then plain UNION-FIND with
+    min-key roots — vs the engine's distributed bounded-round min-label
+    propagation. Equal output certifies the connected components, not
+    just the hashing."""
+    from zhtml_ray.functions.dedup import MinHashBatch, LshBandExplode
+    t = _docs_table(sf_dir)
+    sigs = MinHashBatch()(t)
+    exploded = LshBandExplode()(sigs)
+    # bucket → star pairs with the min member (mirrors clique_limit=0)
+    buckets: dict = {}
+    for bid, bh, k in zip(exploded["band_id"].to_pylist(),
+                          exploded["band_hash"].to_pylist(),
+                          exploded["doc_id"].to_pylist()):
+        buckets.setdefault((bid, bh), set()).add(k)
+    cand = set()
+    for ks in buckets.values():
+        ks = sorted(ks)
+        cand.update((ks[0], o) for o in ks[1:])
+    ids, sets = _serial_shingle_sets(sf_dir)
+    idx = {k: i for i, k in enumerate(ids)}
+
+    def jac(a, b):
+        sa, sb = sets[idx[a]], sets[idx[b]]
+        if not sa and not sb:
+            return 1.0
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        if jac(a, b) >= 0.8:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    cluster = [find(k) for k in ids]
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "cluster": pa.array(cluster),
+        "is_dup": pa.array([c != k for c, k in zip(cluster, ids)],
+                           pa.bool_()),
+    })
+
+
+def _gen_embedding_neardup(sf_dir: str) -> pa.Table:
+    """Serial run of the same hyperplane-LSH bucketing + per-bucket
+    cosine verify (sorted by key, identical float32 op order)."""
+    import numpy as np
+    from zhtml_ray.functions.dedup import HyperplaneLsh
+    from zhtml_ray.pipelines.ops_queries import planted_embeddings
+    t = planted_embeddings(sf_dir)
+    dim = len(t["embedding"][0].as_py())
+    bucketed = HyperplaneLsh(dim=dim, n_planes=12, seed=42)(t)
+    keys = np.asarray(bucketed["vec_id"].to_pylist())
+    emb = np.asarray(bucketed["embedding"].to_pylist(), np.float32)
+    bucks = np.asarray(bucketed["lsh_bucket"].to_pylist())
+    ka, kb = [], []
+    for b in np.unique(bucks):
+        sel = np.nonzero(bucks == b)[0]
+        if len(sel) < 2:
+            continue
+        order = np.argsort(keys[sel])
+        sel = sel[order]
+        m = emb[sel]
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        m = m / norm
+        sim = m @ m.T
+        ia, ib = np.triu_indices(len(sel), k=1)
+        mask = sim[ia, ib] >= 0.98
+        ka.extend(keys[sel][ia[mask]].tolist())
+        kb.extend(keys[sel][ib[mask]].tolist())
+    return pa.table({"key_a": pa.array(ka, pa.int64()),
+                     "key_b": pa.array(kb, pa.int64())})
+
+
+def _gen_pdf_extract(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.pdf import PdfExtractBatch, gen_pdf_table
+    from zhtml_ray.pipelines.ops_queries import _media_rows_for
+    tbl = gen_pdf_table(_media_rows_for(sf_dir))
+    out = PdfExtractBatch()(tbl.select(["doc_id", "pdf"]))
+    return out.select(["doc_id", "text", "n_pages"])
+
+
+def media_feature_project(tbl: pa.Table) -> pa.Table:
+    """Gate projection shared by query and golden: the fixed-size-list
+    feature column rides as a canonical JSON string."""
+    fj = [json.dumps(row, separators=(",", ":"))
+          for row in tbl["feature"].to_pylist()]
+    return pa.table({"media_id": tbl["media_id"],
+                     "feature_json": pa.array(fj, pa.string()),
+                     "decoded": tbl["decoded"]})
+
+
+def _gen_media_features(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.multimodal import ImageFeatures, gen_media_table
+    from zhtml_ray.pipelines.ops_queries import _media_rows_for
+    return media_feature_project(
+        ImageFeatures()(gen_media_table(_media_rows_for(sf_dir))))
+
+
+def _gen_audio_features(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.multimodal import AudioFeatures, gen_media_table
+    from zhtml_ray.pipelines.ops_queries import _media_rows_for
+    return AudioFeatures()(gen_media_table(_media_rows_for(sf_dir)))
+
+
+def _gen_frame_sample(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.multimodal import FrameSampler, gen_media_table
+    from zhtml_ray.pipelines.ops_queries import _media_rows_for
+    return FrameSampler(fps=1.0)(gen_media_table(_media_rows_for(sf_dir)))
+
+
+_GENERATORS = {
+    "extract": _gen_extract,
+    "extract_error_histogram": _gen_extract_error_histogram,
+    "links": _gen_links,
+    "token_stats": _gen_token_stats,
+    "fingerprint": _gen_fingerprint,
+    "simhash": _gen_simhash,
+    "ngram_jaccard": _gen_ngram_jaccard,
+    "minhash_dedup": _gen_minhash_dedup,
+    "embedding_neardup": _gen_embedding_neardup,
+    "pdf_extract": _gen_pdf_extract,
+    "media_features": _gen_media_features,
+    "audio_features": _gen_audio_features,
+    "frame_sample": _gen_frame_sample,
+}
+
+
+def _cache_tag(sf_dir: str) -> str:
+    from zhtml_ray.pipelines.extract import n_pages_for
+    from zhtml_ray.sources.pages import FIXTURE_VERSION
+    token = os.path.basename(os.path.normpath(sf_dir))
+    return f"v{FIXTURE_VERSION}_{token}_n{n_pages_for(sf_dir)}"
+
+
+def ensure_golden(name: str, sf_dir: str) -> str:
+    """Serially compute query ``name``'s pinned expected output for
+    ``sf_dir`` (cached per fixture version + scale) and refresh the
+    fixed path the oracle SQL reads. Returns the fixed path."""
+    cache = os.path.join(GOLDEN_ROOT, _cache_tag(sf_dir))
+    os.makedirs(cache, exist_ok=True)
+    os.makedirs(_CURRENT, exist_ok=True)
+    cached = os.path.join(cache, f"{name}.parquet")
+    if not os.path.exists(cached):
+        tbl = _GENERATORS[name](sf_dir)
+        tmp = cached + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, cached)
+    fixed = os.path.join(_CURRENT, f"{name}.parquet")
+    tmp = fixed + f".tmp.{os.getpid()}"
+    shutil.copyfile(cached, tmp)
+    os.replace(tmp, fixed)
+    return fixed

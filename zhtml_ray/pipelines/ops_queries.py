@@ -167,7 +167,9 @@ def q_langid(sf_dir: str):
 
 def q_fingerprint(sf_dir: str):
     from zhtml_ray.functions.textstats import Fingerprint
+    from zhtml_ray.pipelines.golden import ensure_golden
     ds = _docs(sf_dir, ["doc_id", "text"])
+    ensure_golden("fingerprint", sf_dir)
     out = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "fingerprint", "content_hash"])
 
@@ -195,8 +197,13 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 
 
 def q_minhash_dedup(sf_dir: str):
+    """Oracled against a serial INDEPENDENT clustering (union-find with
+    min-key roots, pipelines/golden.py) — certifies the distributed
+    min-label-propagation connected components, not just the hashing."""
     from zhtml_ray.functions.dedup import minhash_dedup
+    from zhtml_ray.pipelines.golden import ensure_golden
     ds = _docs(sf_dir, ["doc_id", "text"])
+    ensure_golden("minhash_dedup", sf_dir)
     out = minhash_dedup(ds, key="doc_id", col="text")
     return out.select_columns(["doc_id", "cluster", "is_dup"])
 
@@ -205,10 +212,14 @@ def q_ngram_jaccard(sf_dir: str):
     """Standalone n-gram Jaccard near-dup pairs: LSH candidate blocking
     → EXACT word-3-gram Jaccard per pair (the brief's "n-gram Jaccard"
     dedup) → pairs ≥ 0.8 with their similarity. Rows-only for the
-    driver (candidate blocking is not SQL-expressible); pair recall is
-    asserted against brute force in tests/test_functions.py."""
+    driver (candidate blocking is not SQL-expressible); oracled against
+    the serial BRUTE-FORCE all-pairs Jaccard golden — matching it
+    certifies perfect recall AND precision of the blocked path on this
+    corpus."""
     from zhtml_ray.functions.dedup import (
         minhash_candidate_pairs, verify_jaccard_pairs)
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("ngram_jaccard", sf_dir)
     ds = _docs(sf_dir, ["doc_id", "text"])
     cand = minhash_candidate_pairs(ds, key="doc_id", col="text",
                                    clique_limit=64)
@@ -219,20 +230,20 @@ def q_ngram_jaccard(sf_dir: str):
 
 def q_simhash(sf_dir: str):
     from zhtml_ray.functions.dedup import SimHashBatch
+    from zhtml_ray.pipelines.golden import ensure_golden
     ds = _docs(sf_dir, ["doc_id", "text"])
+    ensure_golden("simhash", sf_dir)
     out = ds.map_batches(SimHashBatch, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
     return out.select_columns(["doc_id", "simhash", "simhash_b0"])
 
 
-def q_embedding_neardup(sf_dir: str):
-    """Near-dup over embeddings ∪ perturbed copies (vec_id+10⁶, small
-    seeded noise) so the operator demonstrably finds the planted pairs —
-    random vectors alone have no near-dups."""
+def planted_embeddings(sf_dir: str):
+    """embeddings ∪ perturbed copies (vec_id+10⁶, small seeded noise) so
+    near-dup demonstrably finds the planted pairs — random vectors alone
+    have no near-dups. Shared by the query and its serial golden."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import ray.data as rd
-    from zhtml_ray.functions.dedup import embedding_neardup
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t["vec_id"].to_pylist())
@@ -247,7 +258,16 @@ def q_embedding_neardup(sf_dir: str):
                               t.schema.field("embedding").type),
         "label": pa.array([0] * int(take.sum()), pa.int32()),
     })
-    ds = rd.from_arrow(t).union(rd.from_arrow(dup))
+    return pa.concat_tables([t, dup])
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+    from zhtml_ray.functions.dedup import embedding_neardup
+    from zhtml_ray.pipelines.golden import ensure_golden
+
+    ensure_golden("embedding_neardup", sf_dir)
+    ds = rd.from_arrow(planted_embeddings(sf_dir))
     out = embedding_neardup(ds, key="vec_id", col="embedding", threshold=0.98)
     return out.select_columns(["key_a", "key_b"])
 
@@ -397,6 +417,8 @@ def q_pdf_extract(sf_dir: str):
     driver — PDF parsing is not SQL-expressible."""
     import ray.data as rd
     from zhtml_ray.functions.pdf import PdfExtractBatch, gen_pdf_table
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("pdf_extract", sf_dir)
     tbl = gen_pdf_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl.select(["doc_id", "pdf"]))
     out = ds.map_batches(PdfExtractBatch, batch_format="pyarrow",
@@ -415,10 +437,13 @@ def _media_rows_for(sf_dir: str) -> int:
 def q_media_features(sf_dir: str):
     import ray.data as rd
     from zhtml_ray.functions.multimodal import ImageFeatures, gen_media_table
+    from zhtml_ray.pipelines.golden import ensure_golden, media_feature_project
+    ensure_golden("media_features", sf_dir)
     tbl = gen_media_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl)
-    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=32, concurrency=autoscale_pool(0.5))
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                         batch_size=32, concurrency=autoscale_pool(0.5))
+    return out.map_batches(media_feature_project, batch_format="pyarrow")
 
 
 def q_audio_features(sf_dir: str):
@@ -426,6 +451,8 @@ def q_audio_features(sf_dir: str):
     — actor-pool map_batches with byte-budgeted batches."""
     import ray.data as rd
     from zhtml_ray.functions.multimodal import AudioFeatures, gen_media_table
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("audio_features", sf_dir)
     tbl = gen_media_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl)
     return ds.map_batches(AudioFeatures, batch_format="pyarrow",
@@ -435,6 +462,8 @@ def q_audio_features(sf_dir: str):
 def q_frame_sample(sf_dir: str):
     import ray.data as rd
     from zhtml_ray.functions.multimodal import FrameSampler, gen_media_table
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("frame_sample", sf_dir)
     tbl = gen_media_table(_media_rows_for(sf_dir))
     ds = rd.from_arrow(tbl)
     return ds.map_batches(FrameSampler(fps=1.0), batch_format="pyarrow",
@@ -465,7 +494,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from zhtml_ray.pipelines.golden import golden_sql
     return {
+        "fingerprint": golden_sql("fingerprint"),
+        "simhash": golden_sql("simhash"),
+        "minhash_dedup": golden_sql("minhash_dedup"),
+        "ngram_jaccard": golden_sql("ngram_jaccard"),
+        "embedding_neardup": golden_sql("embedding_neardup"),
+        "pdf_extract": golden_sql("pdf_extract"),
+        "media_features": golden_sql("media_features"),
+        "audio_features": golden_sql("audio_features"),
+        "frame_sample": golden_sql("frame_sample"),
         "token_count": SQL_TOKEN_COUNT,
         "bpe_token_count": SQL_BPE_TOKEN_COUNT,
         "quality_score": _sql_quality(),

@@ -18,10 +18,19 @@ def _lineitem(sf_dir, columns=None):
 # --------------------------------------------------------------- extraction
 
 def q_extract(sf_dir: str):
-    """Flagship: synthetic pages @ this scale → parse+extract (no SQL
-    oracle — HTML parsing is not SQL-expressible; driver checks rows)."""
+    """Flagship: synthetic pages @ this scale → parse+extract. Oracled
+    against the pinned SERIAL single-process run of the same kernels
+    (pipelines/golden.py): the north-star "byte-identical extracted
+    text per url, distributed vs pinned oracle" as a driver-checked
+    row. Nested spans/error columns ride as canonical JSON strings so
+    the gate's sort+hash compare covers them too."""
     from zhtml_ray.pipelines.extract import run_extract
-    return run_extract(sf_dir)
+    from zhtml_ray.pipelines.golden import ensure_golden, gate_project
+
+    ds = run_extract(sf_dir).map_batches(gate_project,
+                                         batch_format="pyarrow")
+    ensure_golden("extract", sf_dir)
+    return ds
 
 
 def q_extract_error_histogram(sf_dir: str):
@@ -39,6 +48,8 @@ def q_extract_error_histogram(sf_dir: str):
         return pa.table({"code": flat})
 
     ds = ds.map_batches(explode, batch_format="pyarrow")
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("extract_error_histogram", sf_dir)
     return ds.groupby("code").count().sort("code")
 
 
@@ -358,8 +369,10 @@ def q_links(sf_dir: str):
     (/root/reference/src/node.zig:28-33)."""
     import ray.data as rd
     from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
     from zhtml_ray.stages.node_table import LinksBatch
     ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
     return ds.map_batches(LinksBatch(), batch_format="pyarrow")
 
 
@@ -368,8 +381,10 @@ def q_token_stats(sf_dir: str):
     count) — the tokenizer-level debug output of SURVEY.md §1.3."""
     import ray.data as rd
     from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
     from zhtml_ray.stages.node_table import TokenStatsBatch
     ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("token_stats", sf_dir)
     return ds.map_batches(TokenStatsBatch(), batch_format="pyarrow")
 
 
@@ -394,7 +409,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from zhtml_ray.pipelines import ops_queries
+    from zhtml_ray.pipelines.golden import golden_sql
     out = {
+        # pinned serial-run goldens (north-star invariant, driver-visible)
+        "extract": golden_sql("extract"),
+        "extract_error_histogram": golden_sql("extract_error_histogram"),
+        "links": golden_sql("links"),
+        "token_stats": golden_sql("token_stats"),
         "q1_pricing_summary": SQL_Q1,
         "filter_revenue": SQL_FILTER_REVENUE,
         "cust_nation_region": SQL_CUST_NATION_REGION,

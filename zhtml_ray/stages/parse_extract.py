@@ -49,9 +49,14 @@ class ParseExtractBatch:
     copied to the output (url is always kept)."""
 
     def __init__(self, include_spans: bool = True,
-                 passthrough: tuple[str, ...] = ("lang",)):
+                 passthrough: tuple[str, ...] = ("lang",),
+                 thresholds=None):
+        """``thresholds``: optional `html.extract.ExtractThresholds` —
+        per-actor extraction config delivered via fn_constructor_kwargs
+        (SURVEY.md §2.3 ST6). None = the pinned oracle defaults."""
         self.include_spans = include_spans
         self.passthrough = passthrough
+        self.thresholds = thresholds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -70,7 +75,8 @@ class ParseExtractBatch:
             raw = htmls[i]
             hbytes[i] = len(raw) if raw is not None else 0
             try:
-                out = extract_document(raw if raw is not None else b"")
+                out = extract_document(raw if raw is not None else b"",
+                                       thresholds=self.thresholds)
                 texts[i] = out["extracted_text"]
                 spans[i] = out["spans"]
                 quirks[i] = out["quirks"]
