@@ -132,6 +132,17 @@ _SVG_ATTR_FIX = {a.lower(): a for a in (
     "systemLanguage tableValues targetX targetY textLength viewBox "
     "viewTarget xChannelSelector yChannelSelector zoomAndPan").split()}
 
+# "adjust foreign attributes" (spec 13.2.6.1): xlink:/xml:/xmlns attrs
+# become namespaced; stored (and serialized) in the html5lib-tests
+# "prefix local" space-joined form
+_FOREIGN_ATTR_FIX = {
+    "xlink:actuate": "xlink actuate", "xlink:arcrole": "xlink arcrole",
+    "xlink:href": "xlink href", "xlink:role": "xlink role",
+    "xlink:show": "xlink show", "xlink:title": "xlink title",
+    "xlink:type": "xlink type", "xml:lang": "xml lang",
+    "xml:space": "xml space", "xmlns:xlink": "xmlns xlink",
+}
+
 _BREAKOUT = frozenset((
     "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4 "
     "h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small "
@@ -1885,6 +1896,8 @@ class TreeBuilder:
                 k = _SVG_ATTR_FIX[k]
             elif ns == NS_MATHML and k == "definitionurl":
                 k = "definitionURL"
+            elif k in _FOREIGN_ATTR_FIX:
+                k = _FOREIGN_ATTR_FIX[k]
             out[k] = v
         return out
 
