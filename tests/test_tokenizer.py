@@ -323,3 +323,17 @@ def test_comment_nested_error_still_fires():
     toks, errs = run("<!-- a <!-- b -->")
     assert toks == [("Comment", " a <!-- b ")]
     assert errs == ["nested-comment"]
+
+
+def test_format_token_pretty_printers():
+    """M13 debug pretty-printers (reference token.zig format impls)."""
+    from zhtml_ray.html.tokenizer import format_token, format_tokens
+    toks, _ = tokenize('<a href="u" x=1>t</a><!--c--><!DOCTYPE html>')
+    dump = format_tokens(toks)
+    assert '<a href="u" x="1">' in dump
+    assert "</a>" in dump
+    assert "<!--c-->" in dump
+    assert "<!DOCTYPE html>" in dump
+    assert format_token(("StartTag", "br", {}, True)) == "<br/>"
+    assert format_token(("DOCTYPE", "x", "p", "s", False)) == \
+        '<!DOCTYPE x PUBLIC "p" "s">'

@@ -8,8 +8,9 @@ expected trees in the ``| ``-indented serialization our
 ``<!DOCTYPE name "pub" "sys">``). Drop upstream ``tree-construction/
 *.dat`` files in and they run unmodified, except:
 
-  * ``#document-fragment`` cases are skipped (fragment parsing is
-    declared-unused in the reference too, /root/reference/src/parser.zig:50);
+  * ``#document-fragment`` cases run through ``parse_fragment``
+    (spec 13.2.9; the API the reference declared but never used,
+    /root/reference/src/parser.zig:50,62-75);
   * ``#script-on`` cases are skipped (scripting disabled, the usual
     data-pipeline configuration);
   * ``#errors`` content is parsed but not compared (error *recovery* is
@@ -90,11 +91,13 @@ _CASES = _load()
 @pytest.mark.parametrize("case", _CASES,
                          ids=[f"{c['file']}:{i}" for i, c in enumerate(_CASES)])
 def test_tree_construction(case):
-    if case["fragment"] is not None:
-        pytest.skip("fragment parsing not supported")
     if case["script_on"]:
         pytest.skip("scripting disabled")
-    got = serialize(parse(case["data"]).document)
+    if case["fragment"] is not None:
+        from zhtml_ray.html.treebuilder import parse_fragment
+        got = serialize(parse_fragment(case["data"], case["fragment"]).document)
+    else:
+        got = serialize(parse(case["data"]).document)
     assert got == case["document"], (
         f"input: {case['data']!r}\nexpected:\n{case['document']}\ngot:\n{got}")
 

@@ -283,9 +283,65 @@ case("xmp rawtext p close", "<p>a<xmp>b</xmp>",
      E("p", None, "a"), E("xmp", None, "b"))
 
 
+def frag_case(desc, data, context, *kids):
+    """#document-fragment case: kids render at top level."""
+    out = []
+    for k in kids:
+        render(k, 0, out)
+    CASES.append((desc, data, "\n".join(out), context))
+
+
+# ------------------------------------------- F16: fragment parsing
+frag_case("fragment td content", "<span>a</span>x", "td",
+          E("span", None, "a"), "x")
+frag_case("fragment tr cells", "<td>x<td>y", "tr",
+          E("td", None, "x"), E("td", None, "y"))
+frag_case("fragment tbody rows", "<tr><td>a<tr><td>b", "tbody",
+          E("tr", None, E("td", None, "a")),
+          E("tr", None, E("td", None, "b")))
+frag_case("fragment table", "<tr><td>c", "table",
+          E("tbody", None, E("tr", None, E("td", None, "c"))))
+frag_case("fragment ul li", "<li>a<li>b", "ul",
+          E("li", None, "a"), E("li", None, "b"))
+frag_case("fragment title rcdata", "a<b>c</b>", "title", "a<b>c</b>")
+frag_case("fragment textarea rcdata", "<p>&amp;", "textarea", "<p>&")
+frag_case("fragment style rawtext", "x&amp;y", "style", "x&amp;y")
+frag_case("fragment script", "a<b>-<!--x", "script", "a<b>-<!--x")
+frag_case("fragment plaintext", "a</plaintext>b", "plaintext",
+          "a</plaintext>b")
+frag_case("fragment div", "<p>one<p>two", "div",
+          E("p", None, "one"), E("p", None, "two"))
+frag_case("fragment select", "<option>a<optgroup>b", "select",
+          E("option", None, "a"), E("optgroup", None, "b"))
+frag_case("fragment template", "<td>x", "template",
+          E("td", None, "x"))
+frag_case("fragment html", "<p>x", "html",
+          E("head"), E("body", None, E("p", None, "x")))
+frag_case("fragment td stray table", "<table><td>x", "td",
+          E("table", None,
+            E("tbody", None, E("tr", None, E("td", None, "x")))))
+frag_case("fragment svg context", "a<circle r='1'>b</circle>", "svg svg",
+          "a", E("svg circle", {"r": "1"}, "b"))
+frag_case("fragment svg breakout", "<svg-x><p>y", "svg path",
+          E("svg svg-x"), E("p", None, "y"))
+frag_case("fragment math context", "<mi>x</mi>", "math math",
+          E("math mi", None, "x"))
+frag_case("fragment form pointer", "<form>x", "form", "x")
+frag_case("fragment frameset context", "<frame>", "frameset", E("frame"))
+frag_case("fragment caption", "<p>x", "caption", E("p", None, "x"))
+frag_case("fragment colgroup", "<col span='2'>", "colgroup",
+          E("col", {"span": "2"}))
+
+
 def main():
     parts = []
-    for desc, data, tree in CASES:
+    for entry in CASES:
+        if len(entry) == 4:
+            desc, data, tree, context = entry
+            parts.append(f"#data\n{data}\n#errors\n#document-fragment\n"
+                         f"{context}\n#document\n{tree}\n")
+            continue
+        desc, data, tree = entry
         parts.append(f"#data\n{data}\n#errors\n#document\n{tree}\n")
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "corpus",
                        "tree", "zhtml_ray2.dat")

@@ -1062,3 +1062,33 @@ def tokenize(raw: bytes | str, initial_state: str = DATA,
                   collect_input_errors=collect_input_errors)
     toks = list(t.tokens())
     return toks, t.errors
+
+
+def format_token(tok) -> str:
+    """Debug pretty-printer for one token (SURVEY.md §2.2 M13 — the
+    reference's Token.format impls, /root/reference/src/token.zig:19-64):
+    StartTag → '<name attr="v">', EndTag → '</name>', Comment →
+    '<!--data-->', DOCTYPE → '<!DOCTYPE name>', Character → the text."""
+    kind = tok[0]
+    if kind == "StartTag":
+        attrs = "".join(f' {k}="{v}"' for k, v in sorted(tok[2].items()))
+        slash = "/" if tok[3] else ""
+        return f"<{tok[1]}{attrs}{slash}>"
+    if kind == "EndTag":
+        return f"</{tok[1]}>"
+    if kind == "Comment":
+        return f"<!--{tok[1]}-->"
+    if kind == "DOCTYPE":
+        name = tok[1] or ""
+        pub = f' PUBLIC "{tok[2]}"' if tok[2] is not None else ""
+        sys_kw = "" if tok[2] is not None else " SYSTEM"
+        sysid = f'{sys_kw} "{tok[3]}"' if tok[3] is not None else ""
+        return f"<!DOCTYPE {name}{pub}{sysid}>".replace("  ", " ")
+    if kind == "Character":
+        return tok[1]
+    return "<EOF>"
+
+
+def format_tokens(tokens) -> str:
+    """Whole-stream debug dump, one token per line."""
+    return "\n".join(format_token(t) for t in tokens)

@@ -176,8 +176,7 @@ class TreeBuilder:
 
     # ------------------------------------------------------------ lifecycle
 
-    def parse(self, raw) -> ParseResult:
-        t = tkz.Tokenizer(raw, collect_input_errors=self.collect_errors)
+    def _init(self, t):
         self.tokenizer = t
         self.doc = Document()
         self.mode = "initial"
@@ -193,24 +192,83 @@ class TreeBuilder:
         self.skip_newline = False
         self.done = False
         self.errors: list[tuple[str, int]] = []
+        self.fragment_context: Node | None = None
         # mode dispatch table (avoids getattr+string-concat per token)
         self._modes = {name[5:]: getattr(self, name) for name in dir(self)
                        if name.startswith("mode_")}
-
         self.ever_foreign = False  # no foreign element ever pushed →
         # the foreign-content dispatch + allow_cdata updates are no-ops
+
+    def _acn(self):
+        """Adjusted current node: the fragment context element when the
+        stack holds only the root (spec 13.2.4.2)."""
+        if not self.stack:
+            return None
+        if len(self.stack) == 1 and self.fragment_context is not None:
+            return self.fragment_context
+        return self.stack[-1]
+
+    def _run(self):
+        t = self.tokenizer
         for tok in t.tokens():
             if self.done:
                 break
             self.process(tok)
             if self.ever_foreign:
                 # adjusted-current-node → CDATA allowed in foreign content
-                t.allow_cdata = bool(self.stack) and \
-                    self.stack[-1].ns != NS_HTML
+                acn = self._acn()
+                t.allow_cdata = acn is not None and acn.ns != NS_HTML
         if not self.done:
             self.process(("EOF",))
+
+    def parse(self, raw) -> ParseResult:
+        t = tkz.Tokenizer(raw, collect_input_errors=self.collect_errors)
+        self._init(t)
+        self._run()
         errors = sorted(t.errors + self.errors, key=lambda e: e[1])
         return ParseResult(self.doc, errors)
+
+    def parse_fragment(self, raw, context: str, context_attrs=None,
+                       context_ns: int = NS_HTML) -> ParseResult:
+        """HTML fragment parsing (spec 13.2.9) — the API surface the
+        reference declared but never used
+        (/root/reference/src/parser.zig:50,62-75). Returns a ParseResult
+        whose document's children ARE the fragment's children."""
+        state = tkz.DATA
+        if context_ns == NS_HTML:
+            if context in ("title", "textarea"):
+                state = tkz.RCDATA
+            elif context in ("style", "xmp", "iframe", "noembed",
+                             "noframes"):
+                state = tkz.RAWTEXT
+            elif context == "script":
+                state = tkz.SCRIPT_DATA
+            elif context == "plaintext":
+                state = tkz.PLAINTEXT
+            # noscript → Data (scripting disabled, the data-pipeline config)
+        t = tkz.Tokenizer(raw, initial_state=state, last_start_tag=context,
+                          collect_input_errors=self.collect_errors)
+        self._init(t)
+        ctx = Node(ELEMENT, context, context_ns, dict(context_attrs or {}))
+        self.fragment_context = ctx
+        self.ever_foreign = context_ns != NS_HTML
+        root = Node(ELEMENT, "html", NS_HTML, {})
+        self.doc.append(root)
+        self.stack.append(root)
+        if context_ns == NS_HTML and context == "template":
+            self.template_modes.append("in_template")
+        self.reset_insertion_mode()
+        if context_ns == NS_HTML and context == "form":
+            self.form = ctx
+        if self.ever_foreign:
+            t.allow_cdata = True
+        self._run()
+        frag = Document()
+        for ch in list(root.children):
+            root.remove(ch)
+            frag.append(ch)
+        errors = sorted(t.errors + self.errors, key=lambda e: e[1])
+        return ParseResult(frag, errors)
 
     # ------------------------------------------------------------- plumbing
 
@@ -230,7 +288,7 @@ class TreeBuilder:
             self.skip_newline = False
         if not self.ever_foreign or not self.stack:
             return self.process_html(tok)
-        node = self.stack[-1]
+        node = self._acn()
         if node.ns == NS_HTML:
             return self.process_html(tok)
         kind = tok[0]
@@ -529,6 +587,8 @@ class TreeBuilder:
         for i in range(len(self.stack) - 1, -1, -1):
             node = self.stack[i]
             last = i == 0
+            if last and self.fragment_context is not None:
+                node = self.fragment_context  # fragment case (spec 13.2.4.1)
             name = node.name if node.ns == NS_HTML else None
             if name == "select":
                 mode = "in_select"
@@ -1937,10 +1997,14 @@ class TreeBuilder:
                             in ("text/html", "application/xhtml+xml")):
                         break
                     self.stack.pop()
-                return self.process(tok)
-            cur_ns = self.stack[-1].ns
+                # spec: reprocess per the current insertion mode "in HTML
+                # content" — NOT the full dispatcher (which would consult
+                # the adjusted current node again and, in the fragment
+                # case with a foreign context element, loop forever)
+                return self.process_html(tok)
             # adjusted current node namespace governs the new element
-            ns = cur_ns if cur_ns != NS_HTML else NS_HTML
+            # (the fragment context when only the root is on the stack)
+            ns = self._acn().ns
             if ns == NS_SVG:
                 name = _SVG_TAG_FIX.get(name, name)
             attrs = self._adjust_foreign_attrs(attrs, ns)
@@ -1966,3 +2030,16 @@ class TreeBuilder:
 def parse(raw) -> ParseResult:
     """Parse one document → (Document tree, sorted (code, offset) errors)."""
     return TreeBuilder().parse(raw)
+
+
+def parse_fragment(raw, context: str, context_attrs=None,
+                   context_ns: int = NS_HTML) -> ParseResult:
+    """Fragment parsing with a context element (spec 13.2.9).
+    ``context`` accepts "td" or the html5lib "svg title"/"math mi"
+    namespace-prefixed form."""
+    if " " in context:
+        prefix, local = context.split(" ", 1)
+        context_ns = {"svg": NS_SVG, "math": NS_MATHML}[prefix]
+        context = local
+    return TreeBuilder().parse_fragment(raw, context, context_attrs,
+                                        context_ns)

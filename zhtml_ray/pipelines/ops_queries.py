@@ -183,6 +183,15 @@ def q_bpe_token_count(sf_dir: str):
 
 # ------------------------------------------------------------------- dedup
 
+def q_qa_sample(sf_dir: str):
+    """Seeded QA sample of the documents table (SURVEY.md §2.6
+    `ds.random_sample`): ~5% of rows for human inspection. Rows-only
+    for the driver — sampling is seeded-deterministic per block layout
+    but not SQL-replicable."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return ds.random_sample(0.05, seed=42)
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: keep min doc_id per distinct text (SQL-oracled)."""
     from zhtml_ray.functions.dedup import exact_dedup
@@ -477,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
+        "qa_sample": q_qa_sample,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
