@@ -131,3 +131,25 @@ def test_giant_document_completes(ray_session):
     assert out["ok"].all()
     giant = out[out["html_bytes"] > 1_000_000]
     assert len(giant) == 1 and giant["extracted_text"].str.len().iloc[0] > 1000
+
+
+def test_error_histogram_from_manifests(shards, tmp_path):
+    """Manifest-merged error histogram (zero re-parse) must equal the
+    histogram computed by re-parsing the same shards."""
+    from collections import Counter
+    import pyarrow.parquet as pq
+    from zhtml_ray.html.extract import extract_document
+    from zhtml_ray.stages.manifest import (
+        error_histogram_from_manifests, run_partitioned)
+
+    out_dir = str(tmp_path / "out")
+    run_partitioned(shards[:2], out_dir, group_size=1, overlap=1)
+    got = error_histogram_from_manifests(out_dir)
+
+    want: Counter = Counter()
+    for shard in shards[:2]:
+        t = pq.read_table(shard, columns=["html"])
+        for h in t["html"].to_pylist():
+            want.update(extract_document(h or b"")["error_codes"])
+    assert got == dict(sorted(want.items()))
+    assert sum(got.values()) > 0

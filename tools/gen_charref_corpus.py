@@ -167,6 +167,26 @@ c("numeric astral", "&#x1F600;", [["Character", "\U0001F600"]])
 c("numeric max valid", "&#x10FFFD;", [["Character", "\U0010FFFD"]])
 
 
+# ---------------------------------------- E. charrefs by tokenizer state
+# RCDATA decodes character references; RAWTEXT / script data / PLAINTEXT
+# pass them through verbatim (spec: only Data and RCDATA consume '&')
+for n in ("amp", "lt", "not", "copy"):
+    ch = html5[n + ";"]
+    c(f"state rcdata &{n};", f"x&{n};y", [["Character", f"x{ch}y"]],
+      initialStates=["RCDATA state"], lastStartTag="title")
+    c(f"state rawtext &{n};", f"x&{n};y", [["Character", f"x&{n};y"]],
+      initialStates=["RAWTEXT state"], lastStartTag="style")
+    c(f"state script &{n};", f"x&{n};y", [["Character", f"x&{n};y"]],
+      initialStates=["Script data state"], lastStartTag="script")
+    c(f"state plaintext &{n};", f"x&{n};y", [["Character", f"x&{n};y"]],
+      initialStates=["PLAINTEXT state"], lastStartTag="plaintext")
+c("state rcdata numeric", "&#x41;&#66;", [["Character", "AB"]],
+  initialStates=["RCDATA state"], lastStartTag="title")
+c("state rcdata legacy missing semi", "&amp x", [["Character", "& x"]],
+  ["missing-semicolon-after-character-reference"],
+  initialStates=["RCDATA state"], lastStartTag="title")
+
+
 def main():
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "corpus",
                        "tokenizer", "zhtml_ray3_charref.test")

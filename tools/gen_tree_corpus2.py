@@ -283,6 +283,78 @@ case("xmp rawtext p close", "<p>a<xmp>b</xmp>",
      E("p", None, "a"), E("xmp", None, "b"))
 
 
+# --------------------------------------- F17: table text / whitespace
+case("ws-only text stays in table", "<table> <tr><td>x",
+     E("table", None, " ",
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("mixed table text fostered", "<table>a b<tr><td>x",
+     "a b", E("table", None,
+              E("tbody", None, E("tr", None, E("td", None, "x")))))
+
+# ------------------------------------------------------ F18: comments
+case("comments around html", "<!--c--><html><!--d--><body>x",
+     raw_tree=("| <!-- c -->\n| <html>\n|   <!-- d -->\n|   <head>\n"
+               "|   <body>\n|     \"x\""))
+case("comment after body", "<p>x</p></body><!--c-->",
+     raw_tree=("| <html>\n|   <head>\n|   <body>\n|     <p>\n"
+               "|       \"x\"\n|   <!-- c -->"))
+case("comment after html", "<p>x</body></html><!--c-->",
+     raw_tree=("| <html>\n|   <head>\n|   <body>\n|     <p>\n"
+               "|       \"x\"\n| <!-- c -->"))
+case("comment in head", "<head><!--c--></head><body>x",
+     raw_tree=("| <html>\n|   <head>\n|     <!-- c -->\n|   <body>\n"
+               "|     \"x\""))
+
+# ------------------------------------------- F19: doctype serialization
+case("doctype system only", '<!DOCTYPE html SYSTEM "s"><p>x',
+     raw_tree=('| <!DOCTYPE html "" "s">\n| <html>\n|   <head>\n'
+               '|   <body>\n|     <p>\n|       "x"'))
+case("doctype public only", '<!DOCTYPE html PUBLIC "p"><p>x',
+     raw_tree=('| <!DOCTYPE html "p" "">\n| <html>\n|   <head>\n'
+               '|   <body>\n|     <p>\n|       "x"'))
+
+# --------------------------------------------- F20: template edge cases
+case("nested templates eof", "<template><template>x",
+     raw_tree=("| <html>\n|   <head>\n|     <template>\n|       content\n"
+               "|         <template>\n|           content\n"
+               "|             \"x\"\n|   <body>"))
+case("template tr td", "<template><tr><td>x</td></tr></template>y",
+     "y",
+     head_kids=(E("template", None,
+                  E("content", None,
+                    E("tr", None, E("td", None, "x")))),))
+
+# --------------------------------------------- F21: select end tags
+case("option end tags", "<select><option>a</option><option>b</select>c",
+     E("select", None, E("option", None, "a"), E("option", None, "b")),
+     "c")
+case("optgroup end pops option", "<select><optgroup><option>a</optgroup></select>",
+     E("select", None, E("optgroup", None, E("option", None, "a"))))
+
+# ------------------------------------------- F22: text after </body>
+case("text after body end", "<p>x</body>y",
+     E("p", None, "xy"))
+# div reprocessed in body still closes the open p (button scope)
+case("tag after body end", "<p>x</body><div>y",
+     E("p", None, "x"), E("div", None, "y"))
+
+# --------------------------------------------- F23: misnested tables
+case("table in table", "<table><table><tr><td>x",
+     E("table"),
+     E("table", None, E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("td outside row", "<table><td>x",
+     E("table", None, E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("tr after tbody close", "<table><tbody></tbody><tr><td>x",
+     E("table", None, E("tbody"),
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+
+# ----------------------------------------------- F24: button scoping
+case("button closes p scope", "<button><p>a</button>b",
+     E("button", None, E("p", None, "a")), "b")
+case("nested button implies close", "<button>a<button>b",
+     E("button", None, "a"), E("button", None, "b"))
+
+
 def frag_case(desc, data, context, *kids):
     """#document-fragment case: kids render at top level."""
     out = []

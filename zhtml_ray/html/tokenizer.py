@@ -355,11 +355,17 @@ class Tokenizer:
                 out.append(("Character", "-"))
                 dashes += 1
                 pos += 1
-            elif c == ">" and dashes >= 2:
+            elif c == ">":
                 out.append(("Character", ">"))
-                self.pos = pos + 1
-                self.state = SCRIPT_DATA
-                return out
+                pos += 1
+                if dashes >= 2:
+                    # '-->' ends the comment-like run (also from double
+                    # escaped: spec ...-double-escaped-dash-dash '>')
+                    self.pos = pos
+                    self.state = SCRIPT_DATA
+                    return out
+                # plain '>' inside escaped text: just a character
+                dashes = 0
             elif c == "\x00":
                 self.errors.append(("unexpected-null-character", pos))
                 out.append(("Character", "�"))
@@ -376,14 +382,15 @@ class Tokenizer:
                         return out + self._finish_end_tag_simple(name)
                     out.append(("Character", "</"))
                     pos += 2
-                elif not double and s.startswith("<script", pos) and \
+                elif not double and s[pos + 1:pos + 7].lower() == "script" and \
                         (pos + 7 >= n or s[pos + 7] in "\t\n\f />"):
-                    # double-escape start
+                    # double-escape start (spec: temp-buffer compare is
+                    # case-insensitive — '<SCRIPT>' double-escapes too)
                     ln = min(pos + 8, n)
                     out.append(("Character", s[pos:ln]))
                     double = True
                     pos = ln
-                elif double and s.startswith("</script", pos) and \
+                elif double and s[pos + 1:pos + 8].lower() == "/script" and \
                         (pos + 8 >= n or s[pos + 8] in "\t\n\f />"):
                     ln = min(pos + 9, n)
                     out.append(("Character", s[pos:ln]))

@@ -958,242 +958,252 @@ class TreeBuilder:
     ))
 
     def _in_body_start(self, tok):
-        _, name, attrs, self_closing = tok
-        if name in self._IN_BODY_PLAIN:
+        # name-keyed dict dispatch (built once at module import; the
+        # fallback IS the spec's "any other start tag")
+        f = _IBS_DISPATCH.get(tok[1])
+        if f is None:
             self.reconstruct_afe()
-            self.insert_element(name, attrs)
+            self.insert_element(tok[1], tok[2])
             return
-        if name == "html":
-            self.err("non-html-root")
-            if any(n.name == "template" and n.ns == NS_HTML for n in self.stack):
-                return
-            html = self.stack[0]
-            for k, v in attrs.items():
-                html.attrs.setdefault(k, v)
-            return
-        if name in _IN_HEAD_PASSTHROUGH:
-            return self.mode_in_head(tok)
-        if name == "body":
-            self.err("unexpected-start-tag")
-            if len(self.stack) < 2 or self.stack[1].name != "body" or \
-                    any(n.name == "template" and n.ns == NS_HTML
-                        for n in self.stack):
-                return
-            self.frameset_ok = False
-            body = self.stack[1]
-            for k, v in attrs.items():
-                body.attrs.setdefault(k, v)
-            return
-        if name == "frameset":
-            self.err("unexpected-start-tag")
-            if len(self.stack) < 2 or self.stack[1].name != "body" \
-                    or not self.frameset_ok:
-                return
-            body = self.stack[1]
-            if body.parent is not None:
-                body.parent.remove(body)
-            del self.stack[1:]
-            self.insert_element("frameset", attrs)
-            self.mode = "in_frameset"
-            return
-        if name in _BLOCK_CLOSES_P:
-            self.close_p()
-            self.insert_element(name, attrs)
-            return
-        if name in _HEADINGS:
-            self.close_p()
-            if self.current().name in _HEADINGS and self.current().ns == NS_HTML:
-                self.err("unexpected-start-tag")
-                self.stack.pop()
-            self.insert_element(name, attrs)
-            return
-        if name in ("pre", "listing"):
-            self.close_p()
-            self.insert_element(name, attrs)
-            self.skip_newline = True
-            self.frameset_ok = False
-            return
-        if name == "form":
-            if self.form is not None and not any(
-                    n.name == "template" and n.ns == NS_HTML for n in self.stack):
-                self.err("unexpected-start-tag")
-                return
-            self.close_p()
-            node = self.insert_element("form", attrs)
-            if not any(n.name == "template" and n.ns == NS_HTML
-                       for n in self.stack):
-                self.form = node
-            return
-        if name == "li":
-            self.frameset_ok = False
-            for node in reversed(self.stack):
-                if node.ns == NS_HTML and node.name == "li":
-                    self.generate_implied_end(exclude="li")
-                    if self.current().name != "li":
-                        self.err("unexpected-open-elements-on-li-close")
-                    self.pop_until("li")
-                    break
-                if self.is_special(node) and node.name not in ("address", "div", "p"):
-                    break
-            self.close_p()
-            self.insert_element("li", attrs)
-            return
-        if name in ("dd", "dt"):
-            self.frameset_ok = False
-            for node in reversed(self.stack):
-                if node.ns == NS_HTML and node.name in ("dd", "dt"):
-                    self.generate_implied_end(exclude=node.name)
-                    if self.current() is not node:
-                        self.err("unexpected-open-elements-on-dd-close")
-                    self.pop_until(("dd", "dt"))
-                    break
-                if self.is_special(node) and node.name not in ("address", "div", "p"):
-                    break
-            self.close_p()
-            self.insert_element(name, attrs)
-            return
-        if name == "plaintext":
-            self.close_p()
-            self.insert_element(name, attrs)
-            self.tokenizer.state = tkz.PLAINTEXT
-            return
-        if name == "button":
-            if self.in_scope("button"):
-                self.err("unexpected-start-tag")
-                self.generate_implied_end()
-                self.pop_until("button")
-            self.reconstruct_afe()
-            self.insert_element(name, attrs)
-            self.frameset_ok = False
-            return
-        if name == "a":
-            for e in reversed(self.afe):
-                if e is None:
-                    break
-                if e.name == "a":
-                    self.err("unexpected-start-tag-implies-end-tag")
-                    self.adoption_agency("a")
-                    if e in self.afe:
-                        self.afe.remove(e)
-                    if e in self.stack:
-                        self.stack.remove(e)
-                    break
-            self.reconstruct_afe()
-            node = self.insert_element(name, attrs)
-            self.push_afe(node)
-            return
-        if name in FORMATTING:
-            if name == "nobr" and self.in_scope("nobr"):
-                self.err("unexpected-start-tag-implies-end-tag")
-                self.adoption_agency("nobr")
-                self.reconstruct_afe()
-            self.reconstruct_afe()
-            node = self.insert_element(name, attrs)
-            self.push_afe(node)
-            return
-        if name in ("applet", "marquee", "object"):
-            self.reconstruct_afe()
-            self.insert_element(name, attrs)
-            self.afe.append(None)
-            self.frameset_ok = False
-            return
-        if name == "table":
-            if self.doc.quirks != QUIRKS_YES:
-                self.close_p()
-            self.insert_element(name, attrs)
-            self.frameset_ok = False
-            self.mode = "in_table"
-            return
-        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
-            self.reconstruct_afe()
-            self.insert_element(name, attrs, push=False)
-            self.frameset_ok = False
-            return
-        if name == "input":
-            self.reconstruct_afe()
-            self.insert_element(name, attrs, push=False)
-            if attrs.get("type", "").lower() != "hidden":
-                self.frameset_ok = False
-            return
-        if name in ("param", "source", "track"):
-            self.insert_element(name, attrs, push=False)
-            return
-        if name == "hr":
-            self.close_p()
-            self.insert_element(name, attrs, push=False)
-            self.frameset_ok = False
-            return
-        if name == "image":
-            self.err("image-start-tag")
-            return self._in_body_start(("StartTag", "img", attrs, self_closing))
-        if name == "textarea":
-            self.insert_element(name, attrs)
-            self.skip_newline = True
-            self.tokenizer.state = tkz.RCDATA
-            self.original_mode = self.mode
-            self.frameset_ok = False
-            self.mode = "text"
-            return
-        if name == "xmp":
-            self.close_p()
-            self.reconstruct_afe()
-            self.frameset_ok = False
-            return self._generic_raw_text(name, attrs, tkz.RAWTEXT)
-        if name == "iframe":
-            self.frameset_ok = False
-            return self._generic_raw_text(name, attrs, tkz.RAWTEXT)
-        if name == "noembed":
-            return self._generic_raw_text(name, attrs, tkz.RAWTEXT)
-        if name == "select":
-            self.reconstruct_afe()
-            self.insert_element(name, attrs)
-            self.frameset_ok = False
-            if self.mode in ("in_table", "in_caption", "in_table_body",
-                             "in_row", "in_cell"):
-                self.mode = "in_select_in_table"
-            else:
-                self.mode = "in_select"
-            return
-        if name in ("optgroup", "option"):
-            if self.current().name == "option" and self.current().ns == NS_HTML:
-                self.stack.pop()
-            self.reconstruct_afe()
-            self.insert_element(name, attrs)
-            return
-        if name in ("rb", "rtc"):
-            if self.in_scope("ruby"):
-                self.generate_implied_end()
-                if self.current().name != "ruby":
-                    self.err("unexpected-start-tag")
-            self.insert_element(name, attrs)
-            return
-        if name in ("rp", "rt"):
-            if self.in_scope("ruby"):
-                self.generate_implied_end(exclude="rtc")
-                if self.current().name not in ("ruby", "rtc"):
-                    self.err("unexpected-start-tag")
-            self.insert_element(name, attrs)
-            return
-        if name == "math":
-            self.reconstruct_afe()
-            attrs = self._adjust_foreign_attrs(attrs, NS_MATHML)
-            node = self.insert_element(name, attrs, ns=NS_MATHML)
-            if self_closing:
-                self.stack.pop()
-            return
-        if name == "svg":
-            self.reconstruct_afe()
-            attrs = self._adjust_foreign_attrs(attrs, NS_SVG)
-            node = self.insert_element(name, attrs, ns=NS_SVG)
-            if self_closing:
-                self.stack.pop()
-            return
-        if name in ("caption", "col", "colgroup", "frame", "head", "tbody",
-                    "td", "tfoot", "th", "thead", "tr"):
-            self.err("unexpected-start-tag-ignored")
-            return
+        return f(self, tok)
+
+    def _ibs_plain(self, tok):
         self.reconstruct_afe()
-        self.insert_element(name, attrs)
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_html(self, tok):
+        self.err("non-html-root")
+        if any(n.name == "template" and n.ns == NS_HTML for n in self.stack):
+            return
+        html = self.stack[0]
+        for k, v in tok[2].items():
+            html.attrs.setdefault(k, v)
+
+    def _ibs_in_head(self, tok):
+        return self.mode_in_head(tok)
+
+    def _ibs_body(self, tok):
+        self.err("unexpected-start-tag")
+        if len(self.stack) < 2 or self.stack[1].name != "body" or \
+                any(n.name == "template" and n.ns == NS_HTML
+                    for n in self.stack):
+            return
+        self.frameset_ok = False
+        body = self.stack[1]
+        for k, v in tok[2].items():
+            body.attrs.setdefault(k, v)
+
+    def _ibs_frameset(self, tok):
+        self.err("unexpected-start-tag")
+        if len(self.stack) < 2 or self.stack[1].name != "body" \
+                or not self.frameset_ok:
+            return
+        body = self.stack[1]
+        if body.parent is not None:
+            body.parent.remove(body)
+        del self.stack[1:]
+        self.insert_element("frameset", tok[2])
+        self.mode = "in_frameset"
+
+    def _ibs_block(self, tok):
+        self.close_p()
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_heading(self, tok):
+        self.close_p()
+        if self.current().name in _HEADINGS and self.current().ns == NS_HTML:
+            self.err("unexpected-start-tag")
+            self.stack.pop()
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_pre(self, tok):
+        self.close_p()
+        self.insert_element(tok[1], tok[2])
+        self.skip_newline = True
+        self.frameset_ok = False
+
+    def _ibs_form(self, tok):
+        if self.form is not None and not any(
+                n.name == "template" and n.ns == NS_HTML for n in self.stack):
+            self.err("unexpected-start-tag")
+            return
+        self.close_p()
+        node = self.insert_element("form", tok[2])
+        if not any(n.name == "template" and n.ns == NS_HTML
+                   for n in self.stack):
+            self.form = node
+
+    def _ibs_li(self, tok):
+        self.frameset_ok = False
+        for node in reversed(self.stack):
+            if node.ns == NS_HTML and node.name == "li":
+                self.generate_implied_end(exclude="li")
+                if self.current().name != "li":
+                    self.err("unexpected-open-elements-on-li-close")
+                self.pop_until("li")
+                break
+            if self.is_special(node) and node.name not in ("address", "div", "p"):
+                break
+        self.close_p()
+        self.insert_element("li", tok[2])
+
+    def _ibs_dd_dt(self, tok):
+        self.frameset_ok = False
+        for node in reversed(self.stack):
+            if node.ns == NS_HTML and node.name in ("dd", "dt"):
+                self.generate_implied_end(exclude=node.name)
+                if self.current() is not node:
+                    self.err("unexpected-open-elements-on-dd-close")
+                self.pop_until(("dd", "dt"))
+                break
+            if self.is_special(node) and node.name not in ("address", "div", "p"):
+                break
+        self.close_p()
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_plaintext(self, tok):
+        self.close_p()
+        self.insert_element(tok[1], tok[2])
+        self.tokenizer.state = tkz.PLAINTEXT
+
+    def _ibs_button(self, tok):
+        if self.in_scope("button"):
+            self.err("unexpected-start-tag")
+            self.generate_implied_end()
+            self.pop_until("button")
+        self.reconstruct_afe()
+        self.insert_element(tok[1], tok[2])
+        self.frameset_ok = False
+
+    def _ibs_a(self, tok):
+        for e in reversed(self.afe):
+            if e is None:
+                break
+            if e.name == "a":
+                self.err("unexpected-start-tag-implies-end-tag")
+                self.adoption_agency("a")
+                if e in self.afe:
+                    self.afe.remove(e)
+                if e in self.stack:
+                    self.stack.remove(e)
+                break
+        self.reconstruct_afe()
+        node = self.insert_element(tok[1], tok[2])
+        self.push_afe(node)
+
+    def _ibs_formatting(self, tok):
+        name = tok[1]
+        if name == "nobr" and self.in_scope("nobr"):
+            self.err("unexpected-start-tag-implies-end-tag")
+            self.adoption_agency("nobr")
+            self.reconstruct_afe()
+        self.reconstruct_afe()
+        node = self.insert_element(name, tok[2])
+        self.push_afe(node)
+
+    def _ibs_applet(self, tok):
+        self.reconstruct_afe()
+        self.insert_element(tok[1], tok[2])
+        self.afe.append(None)
+        self.frameset_ok = False
+
+    def _ibs_table(self, tok):
+        if self.doc.quirks != QUIRKS_YES:
+            self.close_p()
+        self.insert_element(tok[1], tok[2])
+        self.frameset_ok = False
+        self.mode = "in_table"
+
+    def _ibs_void(self, tok):
+        self.reconstruct_afe()
+        self.insert_element(tok[1], tok[2], push=False)
+        self.frameset_ok = False
+
+    def _ibs_input(self, tok):
+        self.reconstruct_afe()
+        self.insert_element(tok[1], tok[2], push=False)
+        if tok[2].get("type", "").lower() != "hidden":
+            self.frameset_ok = False
+
+    def _ibs_param(self, tok):
+        self.insert_element(tok[1], tok[2], push=False)
+
+    def _ibs_hr(self, tok):
+        self.close_p()
+        self.insert_element(tok[1], tok[2], push=False)
+        self.frameset_ok = False
+
+    def _ibs_image(self, tok):
+        self.err("image-start-tag")
+        return self._in_body_start(("StartTag", "img", tok[2], tok[3]))
+
+    def _ibs_textarea(self, tok):
+        self.insert_element(tok[1], tok[2])
+        self.skip_newline = True
+        self.tokenizer.state = tkz.RCDATA
+        self.original_mode = self.mode
+        self.frameset_ok = False
+        self.mode = "text"
+
+    def _ibs_xmp(self, tok):
+        self.close_p()
+        self.reconstruct_afe()
+        self.frameset_ok = False
+        return self._generic_raw_text(tok[1], tok[2], tkz.RAWTEXT)
+
+    def _ibs_iframe(self, tok):
+        self.frameset_ok = False
+        return self._generic_raw_text(tok[1], tok[2], tkz.RAWTEXT)
+
+    def _ibs_noembed(self, tok):
+        return self._generic_raw_text(tok[1], tok[2], tkz.RAWTEXT)
+
+    def _ibs_select(self, tok):
+        self.reconstruct_afe()
+        self.insert_element(tok[1], tok[2])
+        self.frameset_ok = False
+        if self.mode in ("in_table", "in_caption", "in_table_body",
+                         "in_row", "in_cell"):
+            self.mode = "in_select_in_table"
+        else:
+            self.mode = "in_select"
+
+    def _ibs_option(self, tok):
+        if self.current().name == "option" and self.current().ns == NS_HTML:
+            self.stack.pop()
+        self.reconstruct_afe()
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_rb_rtc(self, tok):
+        if self.in_scope("ruby"):
+            self.generate_implied_end()
+            if self.current().name != "ruby":
+                self.err("unexpected-start-tag")
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_rp_rt(self, tok):
+        if self.in_scope("ruby"):
+            self.generate_implied_end(exclude="rtc")
+            if self.current().name not in ("ruby", "rtc"):
+                self.err("unexpected-start-tag")
+        self.insert_element(tok[1], tok[2])
+
+    def _ibs_math(self, tok):
+        self.reconstruct_afe()
+        attrs = self._adjust_foreign_attrs(tok[2], NS_MATHML)
+        self.insert_element(tok[1], attrs, ns=NS_MATHML)
+        if tok[3]:
+            self.stack.pop()
+
+    def _ibs_svg(self, tok):
+        self.reconstruct_afe()
+        attrs = self._adjust_foreign_attrs(tok[2], NS_SVG)
+        self.insert_element(tok[1], attrs, ns=NS_SVG)
+        if tok[3]:
+            self.stack.pop()
+
+    def _ibs_table_ignored(self, tok):
+        self.err("unexpected-start-tag-ignored")
 
     def _in_body_end(self, tok):
         name = tok[1]
@@ -2025,6 +2035,50 @@ class TreeBuilder:
                     del self.stack[i:]
                     return
             return
+
+
+def _build_ibs_dispatch():
+    """in-body StartTag dispatch: every specially-handled name → its
+    handler (branches are name-disjoint, so insertion order only matters
+    for 'a', which overrides its FORMATTING entry)."""
+    T = TreeBuilder
+    d = {}
+    for n in T._IN_BODY_PLAIN:
+        d[n] = T._ibs_plain
+    for n in _IN_HEAD_PASSTHROUGH:
+        d[n] = T._ibs_in_head
+    for n in _BLOCK_CLOSES_P:
+        d[n] = T._ibs_block
+    for n in _HEADINGS:
+        d[n] = T._ibs_heading
+    for n in FORMATTING:
+        d[n] = T._ibs_formatting
+    d.update({
+        "html": T._ibs_html, "body": T._ibs_body, "frameset": T._ibs_frameset,
+        "pre": T._ibs_pre, "listing": T._ibs_pre, "form": T._ibs_form,
+        "li": T._ibs_li, "dd": T._ibs_dd_dt, "dt": T._ibs_dd_dt,
+        "plaintext": T._ibs_plaintext, "button": T._ibs_button,
+        "a": T._ibs_a, "applet": T._ibs_applet, "marquee": T._ibs_applet,
+        "object": T._ibs_applet, "table": T._ibs_table,
+        "area": T._ibs_void, "br": T._ibs_void, "embed": T._ibs_void,
+        "img": T._ibs_void, "keygen": T._ibs_void, "wbr": T._ibs_void,
+        "input": T._ibs_input, "param": T._ibs_param,
+        "source": T._ibs_param, "track": T._ibs_param, "hr": T._ibs_hr,
+        "image": T._ibs_image, "textarea": T._ibs_textarea,
+        "xmp": T._ibs_xmp, "iframe": T._ibs_iframe,
+        "noembed": T._ibs_noembed, "select": T._ibs_select,
+        "optgroup": T._ibs_option, "option": T._ibs_option,
+        "rb": T._ibs_rb_rtc, "rtc": T._ibs_rb_rtc,
+        "rp": T._ibs_rp_rt, "rt": T._ibs_rp_rt,
+        "math": T._ibs_math, "svg": T._ibs_svg,
+    })
+    for n in ("caption", "col", "colgroup", "frame", "head", "tbody",
+              "td", "tfoot", "th", "thead", "tr"):
+        d[n] = T._ibs_table_ignored
+    return d
+
+
+_IBS_DISPATCH = _build_ibs_dispatch()
 
 
 def parse(raw) -> ParseResult:

@@ -167,3 +167,16 @@ def run_partitioned(input_files: list[str], out_dir: str,
                     & 0xFFFFFFFFFFFFFFFF,
         "wall_s_sum": round(sum(m["wall_s"] for m in all_done.values()), 3),
     }
+
+
+def error_histogram_from_manifests(out_dir: str) -> dict[str, int]:
+    """Global error-code histogram of a COMPLETED (or partial) run by
+    merging the per-partition manifest `error_counts` — zero re-parse,
+    zero data read (the at-scale form of the extract_error_histogram
+    diagnostic: the counts were pre-aggregated inside the parse tasks
+    and recorded as partition lineage)."""
+    total: dict[str, int] = {}
+    for m in completed_partitions(out_dir).values():
+        for code, n in (m.get("error_counts") or {}).items():
+            total[code] = total.get(code, 0) + int(n)
+    return dict(sorted(total.items()))
