@@ -96,3 +96,65 @@ def test_pdf_batch_udf_never_raises(b):
         "pdf": pa.array([b"%PDF-1.4\n" + b], pa.binary()),
     }))
     assert out.num_rows == 1
+
+
+class TestTermination:
+    """Watchdog fuzz: the tokenizer+treebuilder must TERMINATE on any
+    byte soup — the script-data '-->' family harbored non-advancing
+    loops (fixed; a DoS on untrusted web bytes). Seeds are biased
+    toward the state-machine areas where a scan can fail to advance:
+    escaped script data, comments, CDATA, doctypes, rawtext end tags."""
+
+    FRAGMENTS = [
+        "<script>", "</script>", "<SCRIPT>", "</SCRIPT >", "<!--", "-->",
+        "--!>", "<!-->", "<!---", "<scripty>", "<script x>", ">", "-",
+        "<", "</", "<![CDATA[", "]]>", "<!DOCTYPE", "PUBLIC", "SYSTEM",
+        '"', "'", "<title>", "</title", "<style>", "</style/>", "&",
+        "&#", "&#x", "&amp", ";", "\x00", "a", " ", "\n", "=", "!",
+        "<svg>", "</svg>", "<textarea>", "<plaintext>", "<template>",
+        "<table>", "<td>", "</p>", "<xmp>",
+    ]
+
+    def _soup(self, rng, k):
+        return "".join(rng.choice(self.FRAGMENTS) for _ in range(k))
+
+    def test_random_soups_terminate(self):
+        import random
+        import signal
+        from zhtml_ray.html.treebuilder import parse
+
+        def alarm(sig, frame):
+            raise TimeoutError("parser failed to terminate")
+
+        old = signal.signal(signal.SIGALRM, alarm)
+        try:
+            rng = random.Random(1234)
+            for i in range(300):
+                src = self._soup(rng, rng.randint(2, 60))
+                signal.alarm(10)
+                parse(src)
+                signal.alarm(0)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    def test_adversarial_script_soups_terminate(self):
+        import itertools
+        import signal
+        from zhtml_ray.html.tokenizer import tokenize
+
+        def alarm(sig, frame):
+            raise TimeoutError("tokenizer failed to terminate")
+
+        old = signal.signal(signal.SIGALRM, alarm)
+        try:
+            parts = ["<!--", "-->", "--!>", "<script>", "</script>", ">",
+                     "-", "<", "x"]
+            for combo in itertools.product(parts, repeat=3):
+                src = "<script>" + "".join(combo)
+                signal.alarm(5)
+                tokenize(src)
+                signal.alarm(0)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)

@@ -68,6 +68,8 @@ _RE_ALNUM_RUN = re.compile(r"[A-Za-z0-9]*")
 _RE_DIGITS = re.compile(r"[0-9]+")
 _RE_HEXDIGITS = re.compile(r"[0-9A-Fa-f]+")
 _RE_COMMENT_CHUNK = re.compile(r"[^<\-\x00]*")
+_RE_SCRIPT_ESC_CHUNK = re.compile(r"[^<>\-\x00]*")
+_RE_DOCTYPE_NAME = re.compile(r"[^\t\n\f >]*")
 
 # Fused fast path: one regex per whole "simple" tag (ASCII-alnum name,
 # well-formed attrs, no charrefs / NULs / error-triggering characters).
@@ -401,7 +403,7 @@ class Tokenizer:
                     pos += 1
                 dashes = 0
             else:
-                m = re.compile(r"[^<>\-\x00]*").match(s, pos)
+                m = _RE_SCRIPT_ESC_CHUNK.match(s, pos)
                 out.append(("Character", m.group()))
                 pos = m.end()
                 dashes = 0
@@ -646,8 +648,8 @@ class Tokenizer:
             self._err("missing-doctype-name", pos)
             self.pos = pos + 1
             return [("DOCTYPE", None, None, None, True)]
-        # doctype name
-        m = re.compile(r"[^\t\n\f >\x00]*").match(s, pos)
+        # doctype name — NUL stays IN the name as U+FFFD (spec 13.2.5.54)
+        m = _RE_DOCTYPE_NAME.match(s, pos)
         raw = m.group()
         if "\x00" in raw:
             self._err("unexpected-null-character", pos)
@@ -696,12 +698,15 @@ class Tokenizer:
             quote = s[pos]
             end = s.find(quote, pos + 1)
             gt = s.find(">", pos + 1)
+            if end == -1 and gt == -1:
+                # EOF inside the identifier: eof-in-doctype ONLY — the
+                # abrupt error is for '>' (spec 13.2.5.58/.64)
+                force_quirks = True
+                val = s[pos + 1:n].replace("\x00", "�")
+                return val, n, True  # eof
             if end == -1 or (gt != -1 and gt < end):
                 self._err(abrupt_code, pos)
                 force_quirks = True
-                if gt == -1:
-                    val = s[pos + 1:n].replace("\x00", "�")
-                    return val, n, True  # eof
                 val = s[pos + 1:gt].replace("\x00", "�")
                 return val, gt, False
             val = s[pos + 1:end]
@@ -738,6 +743,7 @@ class Tokenizer:
                 if pos < n and s[pos] == ">":
                     self.pos = pos + 1
                     return public, system, True, pos, [("DOCTYPE", name, public, system, True)]
+            got_system = which == "system"
             if which == "public":
                 # between public and (optional) system id
                 had_ws2 = False
@@ -755,10 +761,32 @@ class Tokenizer:
                         pos, "missing-doctype-system-identifier",
                         "abrupt-doctype-system-identifier")
                     system = val
+                    got_system = True
                     if at_eof:
                         self._err("eof-in-doctype", n)
                         self.pos = n
                         return public, system, True, n, [("DOCTYPE", name, public, system, True)]
+                elif s[pos] != ">":
+                    # after-public-identifier junk: could have been an
+                    # unquoted system id → quirks (spec 13.2.5.59)
+                    self._err(
+                        "missing-quote-before-doctype-system-identifier", pos)
+                    pos2, tok = self._bogus_doctype(pos, name, public, system)
+                    return public, system, True, pos2, tok
+            if got_system and not force_quirks:
+                # after-system-identifier state: junk is an error but
+                # does NOT set force-quirks (spec 13.2.5.66)
+                p2 = pos
+                while p2 < n and s[p2] in _WS:
+                    p2 += 1
+                if p2 < n and s[p2] != ">":
+                    self._err(
+                        "unexpected-character-after-doctype-system-identifier",
+                        p2)
+                    pos2, tok = self._bogus_doctype(p2, name, public, system,
+                                                    fq=force_quirks)
+                    return public, system, force_quirks, pos2, tok
+                pos = p2
             return public, system, force_quirks, pos, None
         if c == ">":
             self._err("missing-doctype-%s-identifier" % which, pos)
@@ -768,14 +796,14 @@ class Tokenizer:
         pos2, tok = self._bogus_doctype(pos, name, public, system)
         return public, system, True, pos2, tok
 
-    def _bogus_doctype(self, pos, name, public, system):
+    def _bogus_doctype(self, pos, name, public, system, fq: bool = True):
         s, n = self.s, self.n
         end = s.find(">", pos)
         if end == -1:
             self.pos = n
-            return n, [("DOCTYPE", name, public, system, True)]
+            return n, [("DOCTYPE", name, public, system, fq)]
         self.pos = end + 1
-        return end + 1, [("DOCTYPE", name, public, system, True)]
+        return end + 1, [("DOCTYPE", name, public, system, fq)]
 
     # ---------------------------------------------------------------- cdata
 
