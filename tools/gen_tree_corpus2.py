@@ -355,6 +355,29 @@ case("nested button implies close", "<button>a<button>b",
      E("button", None, "a"), E("button", None, "b"))
 
 
+# -------------------- F25: canonical spec misnesting examples (13.2.10)
+# the WHATWG spec's own worked adoption-agency examples, attrs preserved
+case("spec misnest b i p", "<b>A<i>B<p>C</b>D",
+     E("b", None, "A", E("i", None, "B")),
+     E("i", None, E("p", None, E("b", None, "C"), "D")))
+case("spec misnest s b attrs", '<p>1<s id="A">2<b id="B">3</p>4',
+     E("p", None, "1",
+       E("s", {"id": "A"}, "2", E("b", {"id": "B"}, "3"))),
+     E("s", {"id": "A"}, E("b", {"id": "B"}, "4")))
+case("reconstruct keeps attrs", '<p><b class="x">1</p><p>2',
+     E("p", None, E("b", {"class": "x"}, "1")),
+     E("p", None, E("b", {"class": "x"}, "2")))
+
+# ------------------------- F26: markup-declaration-open error recovery
+# (tree-level view of '<!x' bogus comments)
+case("bogus markup declaration", "<!x>y",
+     raw_tree=("| <!-- x -->\n| <html>\n|   <head>\n|   <body>\n"
+               "|     \"y\""))
+case("partial cdata keyword", "<![CDAT>y",
+     raw_tree=("| <!-- [CDAT -->\n| <html>\n|   <head>\n|   <body>\n"
+               "|     \"y\""))
+
+
 def frag_case(desc, data, context, *kids):
     """#document-fragment case: kids render at top level."""
     out = []

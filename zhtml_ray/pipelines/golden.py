@@ -321,6 +321,24 @@ def _cache_tag(sf_dir: str) -> str:
     return f"v{FIXTURE_VERSION}_{token}_n{n_pages_for(sf_dir)}"
 
 
+def pregenerate(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Safety net called from oracle_sql(): materialize every golden for
+    the driver's gate scale up front, so the SQL side never races the
+    query side (works whatever order the driver interleaves them; each
+    query callable still refreshes the fixed path for ITS sf). Never
+    raises — a failed generator surfaces later as that one query's
+    oracle mismatch, not as a broken oracle_sql()."""
+    if not os.path.isdir(sf_dir):
+        return
+    for name in _GENERATORS:
+        try:
+            ensure_golden(name, sf_dir)
+        except Exception:  # noqa: BLE001
+            import logging
+            logging.getLogger(__name__).exception(
+                "golden pregeneration failed for %s", name)
+
+
 def ensure_golden(name: str, sf_dir: str) -> str:
     """Serially compute query ``name``'s pinned expected output for
     ``sf_dir`` (cached per fixture version + scale) and refresh the

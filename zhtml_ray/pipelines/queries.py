@@ -409,7 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from zhtml_ray.pipelines import ops_queries
-    from zhtml_ray.pipelines.golden import golden_sql
+    from zhtml_ray.pipelines.golden import golden_sql, pregenerate
+    pregenerate()  # driver gate scale; no-op re-runs (cached)
     out = {
         # pinned serial-run goldens (north-star invariant, driver-visible)
         "extract": golden_sql("extract"),
