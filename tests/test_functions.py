@@ -293,3 +293,25 @@ def test_ivf_recall_vs_brute_force(ray_session):
         a = set(approx.loc[approx.query_id == qid, "vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_token_count_unicode_whitespace_matches_python_split():
+    """The Arrow kernel, Python str.split(), and the DuckDB oracle must
+    agree on the FULL Unicode whitespace set (NEL, NBSP, VT, FS-US,
+    ideographic space, leading/trailing runs) — RE2's \\s is ASCII-only
+    and Arrow's utf8_split_whitespace emits empty boundary tokens, both
+    replaced by one shared non-whitespace-run class."""
+    import duckdb
+    from zhtml_ray.pipelines.ops_queries import SQL_TOKEN_COUNT
+    texts = ["a\x0bb", "\x85x\x85 y", "a\xa0b c", "　", " x", "x ",
+             "", "norm text", "p\x1cq", "end\x85",
+             "\n\ta mix\x85 of\xa0all　kinds \x1c"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    eng = textstats.token_count_batch(t)["n_tokens"].to_pylist()
+    py = [len(s.split()) for s in texts]
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = [r[1] for r in
+           con.execute(SQL_TOKEN_COUNT + " ORDER BY doc_id").fetchall()]
+    assert eng == py == sql

@@ -264,7 +264,15 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
 
     pairs = dedup_candidate_pairs(pairs_ds)
     if pairs.count() == 0:
-        return pairs
+        # empty result must still carry the full output schema
+        # (key_a, key_b, jaccard) — downstream select_columns depends on it
+        import ray.data as rd
+        key_type = docs_ds.schema().base_schema.field(key).type
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], key_type),
+            "key_b": pa.array([], key_type),
+            "jaccard": pa.array([], pa.float64()),
+        }))
     # distinct candidate keys: computed on the already-materialized
     # (small) pair list, not on the corpus
     need = set(pairs.unique("key_a")) | set(pairs.unique("key_b"))
@@ -298,7 +306,7 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
     return out.map_batches(thresh, batch_format="pyarrow")
 
 
-def label_propagation(edges, max_rounds: int = 8):
+def label_propagation(edges, max_rounds: int = 64):
     """Connected components over an edge Dataset (key_a, key_b) by
     bounded-round min-label propagation, expressed entirely in Ray Data
     — NO driver-side union-find (the verified pair list is O(corpus) at
@@ -309,7 +317,10 @@ def label_propagation(edges, max_rounds: int = 8):
     endpoints), then each node keeps the min label received (second
     groupby). Early-stops when a round changes nothing (the changed
     count is a tiny distributed aggregate). Rounds needed = component
-    diameter; LSH star pairs keep diameters small.
+    diameter; LSH star pairs keep diameters small, and ``max_rounds``
+    is a pathological-graph safety valve: if the loop exits while
+    labels are STILL changing the result would be silently
+    non-transitive, so that raises instead.
 
     Returns Dataset[(node, cluster)] for nodes that appear in edges.
     """
@@ -371,6 +382,7 @@ def label_propagation(edges, max_rounds: int = 8):
             "changed": pa.array([int(new.as_py() != old)], pa.int64()),
         })
 
+    changed = None
     for _ in range(max_rounds):
         msgs = labels.map_batches(as_msgs, batch_format="pyarrow") \
                      .union(edges_bidir)
@@ -382,6 +394,11 @@ def label_propagation(edges, max_rounds: int = 8):
         labels = new_labels.drop_columns(["changed"]).materialize()
         if not changed:
             break
+    if changed:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — component diameter "
+            "exceeds the bound; raise max_rounds")
     return labels
 
 

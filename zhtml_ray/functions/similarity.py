@@ -99,12 +99,18 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
     n = ds.count()
     frac = min(1.0, (sample * 2.0) / max(n, 1))
     sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    # consume the WHOLE sampled stream (≈2·sample rows) — breaking early
+    # would keep only the front blocks and re-introduce the
+    # ordered-shard skew this sampling exists to avoid; then thin to
+    # `sample` rows with a seeded shuffle
     arr = []
     for b in sampled.iter_batches(batch_size=1024, batch_format="pyarrow"):
         arr.append(np.asarray(b[col].to_pylist(), np.float32))
-        if sum(a.shape[0] for a in arr) >= sample:
-            break
-    x = _normalize(np.concatenate(arr)[:sample])
+    x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
+    if len(x) > sample:
+        idx = np.random.RandomState(seed).permutation(len(x))[:sample]
+        x = x[idx]
+    x = _normalize(x)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):

@@ -13,6 +13,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Python str.split()/str.isspace() whitespace as an RE2 class body —
+# the SINGLE source of truth shared by the Arrow kernels here and the
+# DuckDB oracle SQL (RE2's \s is ASCII-only; verified char-by-char
+# against str.isspace())
+PY_WS_RE2_IN = (r"\t\n\x{0B}\f\r\x{1C}-\x{1F} \x{85}\x{A0}\x{1680}"
+                r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}")
+
 # BPE-ish pre-tokenizer (GPT-2-style contraction/word/punct split)
 _BPE_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ɏ]+| ?[0-9]+"
@@ -48,12 +55,13 @@ def _is_cjk(cp: int) -> bool:
 
 
 def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Whitespace token count — pure Arrow kernels (zero Python loop)."""
-    toks = pc.utf8_split_whitespace(batch[col])
-    n = pc.list_value_length(toks)
-    # utf8_split_whitespace("") -> [""] → count 1; fix empties to 0
-    n = pc.if_else(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(batch[col])), 0),
-                   pa.scalar(0, pa.int32()), n)
+    """Whitespace token count — ONE vectorized RE2 kernel counting
+    maximal non-whitespace runs, which equals ``len(str.split())``
+    exactly (the previous utf8_split_whitespace form emitted empty
+    boundary tokens for leading/trailing whitespace, silently inflating
+    the count)."""
+    n = pc.count_substring_regex(batch[col],
+                                 pattern=f"[^{PY_WS_RE2_IN}]+")
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 

@@ -648,11 +648,13 @@ class Tokenizer:
             self._err("missing-doctype-name", pos)
             self.pos = pos + 1
             return [("DOCTYPE", None, None, None, True)]
-        # doctype name — NUL stays IN the name as U+FFFD (spec 13.2.5.54)
+        # doctype name — NUL stays IN the name as U+FFFD (spec 13.2.5.54;
+        # one error PER NUL, at the NUL's offset)
         m = _RE_DOCTYPE_NAME.match(s, pos)
         raw = m.group()
-        if "\x00" in raw:
-            self._err("unexpected-null-character", pos)
+        for i, ch in enumerate(raw):
+            if ch == "\x00":
+                self._err("unexpected-null-character", pos + i)
         name = raw.lower().replace("\x00", "�")
         pos = m.end()
         # after doctype name
@@ -1114,11 +1116,16 @@ def format_token(tok) -> str:
     if kind == "Comment":
         return f"<!--{tok[1]}-->"
     if kind == "DOCTYPE":
-        name = tok[1] or ""
-        pub = f' PUBLIC "{tok[2]}"' if tok[2] is not None else ""
-        sys_kw = "" if tok[2] is not None else " SYSTEM"
-        sysid = f'{sys_kw} "{tok[3]}"' if tok[3] is not None else ""
-        return f"<!DOCTYPE {name}{pub}{sysid}>".replace("  ", " ")
+        parts = ["<!DOCTYPE"]
+        if tok[1]:
+            parts.append(f" {tok[1]}")
+        if tok[2] is not None:
+            parts.append(f' PUBLIC "{tok[2]}"')
+        elif tok[3] is not None:
+            parts.append(" SYSTEM")
+        if tok[3] is not None:
+            parts.append(f' "{tok[3]}"')
+        return "".join(parts) + ">"
     if kind == "Character":
         return tok[1]
     return "<EOF>"

@@ -332,27 +332,37 @@ def pregenerate(sf_dir: str = "/root/testdata/sf0.01") -> None:
         return
     for name in _GENERATORS:
         try:
-            ensure_golden(name, sf_dir)
+            # refresh_current=False: never clobber a fixed-path golden a
+            # query callable already wrote for a DIFFERENT scale this
+            # run — only fill in files that don't exist yet
+            ensure_golden(name, sf_dir, refresh_current=False)
         except Exception:  # noqa: BLE001
             import logging
             logging.getLogger(__name__).exception(
                 "golden pregeneration failed for %s", name)
 
 
-def ensure_golden(name: str, sf_dir: str) -> str:
+def ensure_golden(name: str, sf_dir: str,
+                  refresh_current: bool = True) -> str:
     """Serially compute query ``name``'s pinned expected output for
     ``sf_dir`` (cached per fixture version + scale) and refresh the
-    fixed path the oracle SQL reads. Returns the fixed path."""
+    fixed path the oracle SQL reads. All writes are pid-suffixed temp +
+    atomic rename so concurrent gate runs can't interleave into a
+    torn parquet. ``refresh_current=False`` only creates the fixed path
+    when missing (pregeneration must not clobber another scale's
+    already-written golden). Returns the fixed path."""
     cache = os.path.join(GOLDEN_ROOT, _cache_tag(sf_dir))
     os.makedirs(cache, exist_ok=True)
     os.makedirs(_CURRENT, exist_ok=True)
     cached = os.path.join(cache, f"{name}.parquet")
     if not os.path.exists(cached):
         tbl = _GENERATORS[name](sf_dir)
-        tmp = cached + ".tmp"
+        tmp = cached + f".tmp.{os.getpid()}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, cached)
     fixed = os.path.join(_CURRENT, f"{name}.parquet")
+    if not refresh_current and os.path.exists(fixed):
+        return fixed
     tmp = fixed + f".tmp.{os.getpid()}"
     shutil.copyfile(cached, tmp)
     os.replace(tmp, fixed)

@@ -29,25 +29,38 @@ def q_token_count(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens"])
 
 
-SQL_TOKEN_COUNT = """
+# Python str.split()/str.isspace() whitespace as an explicit RE2 class:
+# RE2's \s is ASCII-only, while the engine splits on the full Unicode
+# set (VT, FS-US, NEL, NBSP, ogham/en-quad…ideographic space). Single
+# source of truth lives next to the Arrow kernels.
+from zhtml_ray.functions.textstats import PY_WS_RE2_IN as _WS_IN
+
+_WS = "[" + _WS_IN + "]"
+_NOT_WS = "[^" + _WS_IN + "]"
+
+SQL_TOKEN_COUNT = f"""
 -- regexp trim, not trim(): SQL trim() strips ASCII spaces only while the
--- engine's str.split() treats \\n/\\t/\\f as whitespace too
+-- engine's str.split() treats the full Unicode whitespace set as spaces
 SELECT doc_id,
        CASE WHEN wtext = '' THEN 0
-            ELSE len(regexp_split_to_array(wtext, '\\s+')) END
+            ELSE len(regexp_split_to_array(wtext, '{_WS}+')) END
            ::BIGINT AS n_tokens
 FROM (SELECT doc_id,
-             regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS wtext
+             regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g') AS wtext
       FROM documents)
 """
 
 
-SQL_BPE_TOKEN_COUNT = """
+def _sql_bpe_token_count() -> str:
+    # the engine's pre-tokenizer uses Python \s (Unicode); RE2 \s is
+    # ASCII-only, so the explicit class keeps whitespace-run grouping
+    # and the isspace() token filter aligned
+    return f"""
 SELECT doc_id,
        len(list_filter(
            regexp_extract_all(text,
-             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\\sA-Za-z0-9À-ɏ]+|\\s+'),
-           x -> NOT regexp_matches(x, '^\\s+$')))::BIGINT AS n_bpe_tokens
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^{_WS_IN}A-Za-z0-9À-ɏ]+|{_WS}+'),
+           x -> NOT regexp_matches(x, '^{_WS}+$')))::BIGINT AS n_bpe_tokens
 FROM documents
 """
 
@@ -61,21 +74,21 @@ def _sql_quality() -> str:
     def lst(lang):
         return "[" + ",".join("'" + w + "'" for w in sorted(_STOPWORDS[lang])) + "]"
 
-    # NOTE: SQL trim() strips ASCII space only; Python str.split()
-    # handles all whitespace — use a regexp trim so leading/trailing
-    # \n/\t don't create phantom empty words
+    # NOTE: the engine uses Python str.split()/str.isspace() — full
+    # Unicode whitespace, replicated by the explicit _WS class (RE2 \s
+    # is ASCII-only)
     return f"""
 WITH base AS (
   SELECT doc_id, text, lang,
-         regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS wtext,
+         regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g') AS wtext,
          length(text) AS L,
          length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^\\p{{Nd}}]', '', 'g')) AS n_digit,
-         length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space
+         length(regexp_replace(text, '{_NOT_WS}', '', 'g')) AS n_space
   FROM documents
 ), base2 AS (
   SELECT *, CASE WHEN wtext = '' THEN []::VARCHAR[]
-                 ELSE regexp_split_to_array(wtext, '\\s+') END AS words
+                 ELSE regexp_split_to_array(wtext, '{_WS}+') END AS words
   FROM base
 ), w AS (
   SELECT *, len(words)::BIGINT AS n_words,
@@ -129,10 +142,10 @@ WITH base AS (
   SELECT doc_id, lang, text, s,
     length(regexp_replace(s, '[^\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}\\x{{AC00}}-\\x{{D7AF}}\\x{{3400}}-\\x{{4DBF}}]', '', 'g')) AS cjk,
     length(regexp_replace(s, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
-    CASE WHEN regexp_replace(s, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+    CASE WHEN regexp_replace(s, '^{_WS}+|{_WS}+$', '', 'g') = '' THEN []::VARCHAR[]
          ELSE list_transform(
              regexp_split_to_array(
-                 regexp_replace(s, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 regexp_replace(s, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
              x -> lower(trim(x, '.,;:!?"''()'))) END AS lw
   FROM base
 ), h AS (
@@ -516,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": golden_sql("audio_features"),
         "frame_sample": golden_sql("frame_sample"),
         "token_count": SQL_TOKEN_COUNT,
-        "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+        "bpe_token_count": _sql_bpe_token_count(),
         "quality_score": _sql_quality(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,

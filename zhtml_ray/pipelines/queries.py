@@ -324,8 +324,11 @@ def q_big_discount_orders(sf_dir: str, broadcast_budget: int = 1_000_000):
 
         return orders.map_batches(semi, batch_format="pyarrow")
 
-    # big key set: hash-partitioned semi-join, no driver materialization
-    return orders.join(distinct, "left_semi",
+    # big key set: hash-partitioned semi-join, no driver materialization.
+    # drop_empty_blocks: map_groups emits 0-row EMPTY-schema blocks that
+    # pyarrow's hash join rejects on the build side.
+    from zhtml_ray.stages.util import drop_empty_blocks
+    return orders.join(drop_empty_blocks(distinct), "left_semi",
                        num_partitions=shuffle_partitions(),
                        on=("o_orderkey",), right_on=("l_orderkey",))
 
