@@ -93,7 +93,9 @@ def test_hyperplane_lsh_deterministic():
 def test_media_plumbing():
     tbl = multimodal.gen_media_table(30)
     feats = multimodal.ImageFeatures()(tbl)
-    assert feats.num_rows == 30
+    # only image rows feed the image decoder (audio/video filtered)
+    n_img = sum(1 for k in tbl["kind"].to_pylist() if k == "image")
+    assert feats.num_rows == n_img == 10
     assert all(feats["decoded"].to_pylist())
     frames = multimodal.FrameSampler(fps=2.0)(tbl)
     assert frames.num_rows > 0
@@ -315,3 +317,14 @@ def test_token_count_unicode_whitespace_matches_python_split():
     sql = [r[1] for r in
            con.execute(SQL_TOKEN_COUNT + " ORDER BY doc_id").fetchall()]
     assert eng == py == sql
+
+
+def test_image_features_isolate_bad_decoder():
+    """A decoder raising arbitrary exceptions (real decoders do) must
+    yield decoded=False rows, never escape the batch."""
+    def bad_decode(payload, w, h):
+        raise ValueError("corrupt image")
+    tbl = multimodal.gen_media_table(9)
+    out = multimodal.ImageFeatures(decode=bad_decode)(tbl)
+    assert out.num_rows == 3  # image rows only
+    assert not any(out["decoded"].to_pylist())

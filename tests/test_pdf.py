@@ -76,3 +76,50 @@ def test_pdf_query_entry(ray_session):
     assert len(out) == 60
     assert (out["n_pages"] >= 1).all()
     assert out["text"].str.len().gt(0).all()
+
+
+def test_indirect_length_falls_back_to_endstream():
+    """'/Length 1234 0 R' (indirect) must NOT be misparsed as a direct
+    length via regex backtracking ('123'); the endstream scan must
+    recover the full stream."""
+    from zhtml_ray.functions.pdf import extract_pdf, make_pdf
+    pdf = make_pdf([["hello indirect length world"]], compress=False)
+    # rewrite the content stream's direct /Length N into an indirect ref
+    import re
+    m = re.search(rb"<< /Length (\d+) >>\s*stream", pdf)
+    assert m, "fixture layout changed"
+    pdf2 = pdf.replace(m.group(0),
+                       b"<< /Length 9999 0 R >>\nstream", 1)
+    out = extract_pdf(pdf2)
+    assert "hello indirect length world" in out["text"]
+
+
+def test_contents_array_concatenated():
+    """/Contents [a 0 R b 0 R] pages concatenate their streams."""
+    from zhtml_ray.functions.pdf import extract_pdf, make_pdf
+    import re
+    pdf = make_pdf([["part one"], ["part two"]], compress=False)
+    out = extract_pdf(pdf)
+    assert "part one" in out["text"] and "part two" in out["text"]
+    # build an array-contents page by merging the two page objects
+    m = re.findall(rb"/Contents (\d+) 0 R", pdf)
+    assert len(m) == 2
+    a, b = m
+    pdf2 = pdf.replace(b"/Contents " + a + b" 0 R",
+                       b"/Contents [" + a + b" 0 R " + b + b" 0 R]", 1)
+    out2 = extract_pdf(pdf2)
+    assert "part one" in out2["text"] and "part two" in out2["text"]
+
+
+def test_missing_contents_is_flagged_not_silent():
+    """A /Page whose /Contents is unparseable yields ok=False through
+    the batch UDF (documented contract), not silent text loss."""
+    import pyarrow as pa
+    from zhtml_ray.functions.pdf import PdfExtractBatch, make_pdf
+    pdf = make_pdf([["x"]], compress=False)
+    broken = pdf.replace(b"/Contents", b"/Kontents", 1)
+    out = PdfExtractBatch()(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "pdf": pa.array([broken], pa.binary())}))
+    assert out["ok"].to_pylist() == [False]
+    assert "Contents" in out["fail_reason"].to_pylist()[0]

@@ -153,3 +153,28 @@ def test_error_histogram_from_manifests(shards, tmp_path):
             want.update(extract_document(h or b"")["error_codes"])
     assert got == dict(sorted(want.items()))
     assert sum(got.values()) > 0
+
+
+def test_zero_row_shard_partition_completes(ray_session, tmp_path):
+    """An empty input parquet shard (legal; happens in real crawls) must
+    complete its partition with an empty manifest — not crash on the
+    missing output dir and poison --resume forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.stages.manifest import run_partitioned
+
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "url": pa.array([], pa.string()),
+        "html": pa.array([], pa.binary()),
+        "lang": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "text": pa.array([], pa.string()),
+    }), empty)
+    out_dir = str(tmp_path / "out")
+    r = run_partitioned([empty], out_dir, group_size=1, overlap=1)
+    assert r["complete"]
+    assert r["rows"] == 0
+    # second run resumes cleanly with nothing to do
+    r2 = run_partitioned([empty], out_dir, group_size=1, overlap=1)
+    assert r2["complete"] and r2["partitions_previously_done"] == 1

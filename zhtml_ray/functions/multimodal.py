@@ -79,21 +79,29 @@ class ImageFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist() if "kind" in batch.column_names \
+            else ["image"] * batch.num_rows
         payloads = batch["payload"].to_pylist()
         ws = batch["width"].to_pylist()
         hs = batch["height"].to_pylist()
-        feats, ok = [], []
-        for p, w, h in zip(payloads, ws, hs):
+        out_id, feats, ok = [], [], []
+        for mid, kind, p, w, h in zip(ids, kinds, payloads, ws, hs):
+            if kind != "image":
+                continue  # audio/wav bytes must never hit the image decoder
+            out_id.append(mid)
             try:
                 img = self.decode(p, max(w, 1), max(h, 1))
                 small = self._resize(img)
                 feats.append(small.mean(axis=(0, 1)).astype(np.float32).tolist())
                 ok.append(True)
-            except NotImplementedError:
+            except Exception:  # noqa: BLE001 — per-row isolation must
+                # survive a REAL decoder too (corrupt payloads raise
+                # decoder-specific errors, not just the stub's
+                # NotImplementedError)
                 feats.append([0.0, 0.0, 0.0])
                 ok.append(False)
         return pa.table({
-            "media_id": pa.array(ids, pa.int64()),
+            "media_id": pa.array(out_id, pa.int64()),
             "feature": pa.array(feats, pa.list_(pa.float32(), 3)),
             "decoded": pa.array(ok, pa.bool_()),
         })
@@ -143,7 +151,7 @@ class AudioFeatures:
                 rms_mean.append(float(rms.mean()))
                 zcr_mean.append(float(zc.mean()))
                 ok.append(True)
-            except NotImplementedError:
+            except Exception:  # noqa: BLE001 — survive real decoders too
                 n_frames.append(0)
                 rms_mean.append(0.0)
                 zcr_mean.append(0.0)

@@ -31,6 +31,12 @@ _RE_STREAM = re.compile(rb"stream\r?\n")
 _RE_FLATE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 _RE_PAGE_OBJ = re.compile(rb"/Type\s*/Page\b")
 _RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_RE_CONTENTS_ARRAY = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_RE_REF = re.compile(rb"(\d+)\s+\d+\s+R")
+# direct /Length only: (?!\d) blocks regex backtracking from splitting
+# the digits (else '/Length 1234 0 R' matched group='123'), then the
+# lookahead rejects the indirect N M R form
+_RE_DIRECT_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 # text-showing / positioning operators (content stream is latin-1-ish)
 _RE_TOK = re.compile(
@@ -166,7 +172,7 @@ def _runs_from_stream(data: bytes):
 def _stream_data(body: bytes, sm) -> bytes:
     """Stream payload of an object body, honoring a direct ``/Length``
     (binary payloads can contain ``endstream``-looking bytes)."""
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[:sm.start()])
+    lm = _RE_DIRECT_LENGTH.search(body[:sm.start()])
     if lm:
         return body[sm.end():sm.end() + int(lm.group(1))]
     endpos = body.rfind(b"endstream")
@@ -194,8 +200,7 @@ def _scan_objects(raw: bytes) -> dict[int, bytes]:
         em = raw.find(b"endobj", m.end())
         sm = _RE_STREAM.search(raw, m.end())
         if sm is not None and (em == -1 or sm.start() < em):
-            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
-                           raw[m.end():sm.start()])
+            lm = _RE_DIRECT_LENGTH.search(raw[m.end():sm.start()])
             if lm:
                 ee = raw.find(b"endstream", sm.end() + int(lm.group(1)))
             else:
@@ -216,24 +221,37 @@ def extract_pdf(raw: bytes, line_tol: float = 2.0) -> dict:
     if not raw.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
     objs = _scan_objects(raw)
-    # pages in object order; page -> contents stream
-    pages = []
+    # pages in object order; page -> its content object number(s) —
+    # /Contents can be a single reference or an ARRAY of references
+    pages: list[list[int]] = []
     for num, body in sorted(objs.items()):
         if _RE_PAGE_OBJ.search(body):
+            am = _RE_CONTENTS_ARRAY.search(body)
+            if am:
+                pages.append([int(r.group(1))
+                              for r in _RE_REF.finditer(am.group(1))])
+                continue
             cm = _RE_CONTENTS.search(body)
             if cm:
-                pages.append(int(cm.group(1)))
+                pages.append([int(cm.group(1))])
+            else:
+                # a /Page without parseable /Contents is out of scope:
+                # honor the ok=False contract, never silently drop text
+                raise ValueError(f"page object {num} has no parseable "
+                                 "/Contents")
     page_runs = []
-    for pageno, cnum in enumerate(pages):
-        body = objs.get(cnum, b"")
-        sm = _RE_STREAM.search(body)
-        if not sm:
-            continue
-        data = _stream_data(body, sm)
-        if _RE_FLATE.search(body[:sm.start()]):
-            data = zlib.decompress(data)
-        for x, y, s in _runs_from_stream(data):
-            page_runs.append((pageno, -y, x, s))
+    for pageno, cnums in enumerate(pages):
+        for cnum in cnums:
+            body = objs.get(cnum, b"")
+            sm = _RE_STREAM.search(body)
+            if not sm:
+                raise ValueError(f"content object {cnum} missing or has "
+                                 "no stream")
+            data = _stream_data(body, sm)
+            if _RE_FLATE.search(body[:sm.start()]):
+                data = zlib.decompress(data)
+            for x, y, s in _runs_from_stream(data):
+                page_runs.append((pageno, -y, x, s))
     page_runs.sort(key=lambda r: (r[0], r[1], r[2]))
     # group into baseline lines
     lines: list[str] = []

@@ -9,7 +9,7 @@ manifest record. On resume, completed partition ids are loaded and
 their input shards are skipped BEFORE any read is issued.
 
 The manifest row doubles as lineage + metrics:
-  {partition_id, input_files, rows, html_bytes, out_rows, checksum,
+  {partition_id, input_files, rows, html_bytes, checksum,
    error_counts, wall_s, output_dir}
 
 checksum = sum of crc32(url || extracted_text) over rows (mod 2^64) —
@@ -70,6 +70,10 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     ds = rd.read_parquet(part["input_files"], columns=["url", "html", "lang"])
     out = extract_pages(ds, **extract_kwargs)
     out.write_parquet(tmp_dir)
+    # a ZERO-ROW partition (legal: an empty input shard) writes no files
+    # and may not even create tmp_dir — it must still complete with an
+    # empty manifest or --resume retries it forever
+    os.makedirs(tmp_dir, exist_ok=True)
     os.replace(tmp_dir, final_dir)
 
     # lineage metrics from the written partition: column-pruned scan of
@@ -79,15 +83,16 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     checksum = 0
     html_bytes = 0
     err_counts: dict[str, int] = {}
-    scan = pads.dataset(final_dir).scanner(
-        columns=["row_crc", "error_codes", "html_bytes"])
-    for b in scan.to_batches():
-        rows += b.num_rows
-        checksum = (checksum + int(pc.sum(b.column(0)).as_py() or 0)) \
-            & 0xFFFFFFFFFFFFFFFF
-        for c in pc.list_flatten(b.column(1)).to_pylist():
-            err_counts[c] = err_counts.get(c, 0) + 1
-        html_bytes += int(pc.sum(b.column(2)).as_py() or 0)
+    if glob.glob(os.path.join(final_dir, "*.parquet")):
+        scan = pads.dataset(final_dir).scanner(
+            columns=["row_crc", "error_codes", "html_bytes"])
+        for b in scan.to_batches():
+            rows += b.num_rows
+            checksum = (checksum + int(pc.sum(b.column(0)).as_py() or 0)) \
+                & 0xFFFFFFFFFFFFFFFF
+            for c in pc.list_flatten(b.column(1)).to_pylist():
+                err_counts[c] = err_counts.get(c, 0) + 1
+            html_bytes += int(pc.sum(b.column(2)).as_py() or 0)
 
     manifest = {
         "partition_id": pid,

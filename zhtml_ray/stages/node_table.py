@@ -65,7 +65,6 @@ class LinksBatch:
             text = flat["text"]
             n = len(parent)
             # for each <a>: href attr + concatenated descendant text
-            open_a: list[tuple[int, int, str, str]] = []  # (idx, depth, href, rel)
             depth = flat["depth"]
             anchor_parts: dict[int, list[str]] = {}
             a_meta: dict[int, tuple[str, str]] = {}

@@ -89,7 +89,9 @@ class ParseExtractBatch:
         # per-row content checksum, computed where the data already is:
         # manifests sum it without re-reading text driver-side
         import zlib
-        crcs = [zlib.crc32(u.encode() + b"\x00" + t.encode())
+        # (u or "") — a null url cell must degrade to an error row's
+        # crc, never an exception escaping the batch (per-row isolation)
+        crcs = [zlib.crc32((u or "").encode() + b"\x00" + t.encode())
                 for u, t in zip(urls, texts)]
         cols = {
             "url": pa.array(urls, pa.string()),

@@ -46,7 +46,7 @@ def drop_empty_blocks(ds):
     return rd.from_arrow_refs(refs)
 
 
-def shuffle_partitions(rows_hint: int | None = None) -> int:
+def shuffle_partitions() -> int:
     """Partition count for hash-shuffle operators (joins): ~2 waves of
     tasks per CPU, floor 8."""
     return max(8, cluster_cpus() * 2)
