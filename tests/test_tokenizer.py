@@ -337,3 +337,55 @@ def test_format_token_pretty_printers():
     assert format_token(("StartTag", "br", {}, True)) == "<br/>"
     assert format_token(("DOCTYPE", "x", "p", "s", False)) == \
         '<!DOCTYPE x PUBLIC "p" "s">'
+
+
+def test_supplementary_noncharacter_input_error():
+    """Noncharacters beyond the BMP (U+1FFFE … U+10FFFF) must report
+    noncharacter-in-input-stream like the BMP ones."""
+    t = Tokenizer("x\U0001FFFEy\U0010FFFFz", collect_input_errors=True)
+    list(t.tokens())
+    codes = [c for c, _ in t.errors]
+    assert codes.count("noncharacter-in-input-stream") == 2
+
+
+def test_doctype_id_nul_error_per_nul():
+    toks, errs = run('<!DOCTYPE html PUBLIC "a\x00b\x00c">')
+    assert toks == [("DOCTYPE", "html", "a�b�c", None, True)]
+    assert errs.count("unexpected-null-character") == 2
+
+
+def test_doctype_id_nul_in_abrupt_path():
+    toks, errs = run('<!DOCTYPE html PUBLIC "a\x00>')
+    assert toks == [("DOCTYPE", "html", "a�", None, False)]
+    assert "unexpected-null-character" in errs
+    assert "abrupt-doctype-public-identifier" in errs
+
+
+def test_cdata_open_at_eof_reports_error():
+    t = Tokenizer("<![CDATA[", collect_input_errors=False)
+    t.allow_cdata = True
+    assert list(t.tokens()) == []
+    assert [c for c, _ in t.errors] == ["eof-in-cdata"]
+
+
+def test_empty_input_in_cdata_state():
+    toks, errs = run("", state=CDATA_SECTION)
+    assert toks == []
+    assert errs == ["eof-in-cdata"]
+
+
+def test_duplicate_attr_offset_fast_equals_spec():
+    """CLAUDE.md invariant: fast path token+ERROR-identical incl.
+    offsets. '<div a a>' goes through the fast path; a charref-bearing
+    variant forces the spec machine — both must report the duplicate at
+    the attr-name start."""
+    t1 = Tokenizer("<div a a>", collect_input_errors=False)
+    list(t1.tokens())
+    # the spec machine path (charref in value defeats the fast regex)
+    t2 = Tokenizer('<div x="&amp;" a a>', collect_input_errors=False)
+    list(t2.tokens())
+    (c1, o1), = t1.errors
+    (c2, o2), = [e for e in t2.errors if e[0] == "duplicate-attribute"]
+    assert c1 == c2 == "duplicate-attribute"
+    assert o1 == "<div a a>".index("a", 6)     # second name start
+    assert o2 == '<div x="&amp;" a a>'.rindex("a")

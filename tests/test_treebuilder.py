@@ -160,3 +160,12 @@ class TestPreNewlineSkip:
     def test_textarea_newline_dropped(self):
         assert tree("<body><textarea>\nX</textarea>") == (
             '| <html>\n|   <head>\n|   <body>\n|     <textarea>\n|       "X"')
+
+
+def test_empty_public_id_is_unknown_doctype():
+    """An EMPTY public id is a present public id → unknown-doctype."""
+    from zhtml_ray.html.treebuilder import parse
+    errs = [c for c, _ in parse('<!DOCTYPE html PUBLIC "">x').errors]
+    assert "unknown-doctype" in errs
+    assert "unknown-doctype" not in [
+        c for c, _ in parse('<!DOCTYPE html>x').errors]

@@ -378,6 +378,30 @@ case("partial cdata keyword", "<![CDAT>y",
                "|     \"y\""))
 
 
+# ---------------- F27: head elements appearing after </head> / in body
+# spec after-head: base/basefont/bgsound/link/meta/noframes/script/
+# style/template/title are a parse error but inserted INTO head
+for x in ("base", "link", "meta"):
+    case(f"{x} after head goes into head", f"<head></head><{x}><body>x",
+         "x", head_kids=(E(x),))
+case("title after head goes into head", "<head></head><title>t</title>x",
+     "x", head_kids=(E("title", None, "t"),))
+case("style after head goes into head", "<head></head><style>s</style>x",
+     "x", head_kids=(E("style", None, "s"),))
+case("script after head goes into head", "<head></head><script>s</script>x",
+     "x", head_kids=(E("script", None, "s"),))
+# but once body content exists, head elements land in BODY (in-head
+# rules run with body as current node)
+case("meta after body text stays in body", "a<meta>b", "a", E("meta"), "b")
+case("style in body stays at current pos", "a<style>s</style>b",
+     "a", E("style", None, "s"), "b")
+
+
+# -------- F28: nobr reconstruct-before-scope-check (spec 13.2.6.4.7)
+case("nobr across p reconstructs then AA", "<p><nobr>x</p><nobr>y",
+     E("p", None, E("nobr", None, "x")), E("nobr"), E("nobr", None, "y"))
+
+
 def frag_case(desc, data, context, *kids):
     """#document-fragment case: kids render at top level."""
     out = []
@@ -423,6 +447,12 @@ frag_case("fragment math context", "<mi>x</mi>", "math math",
           E("math mi", None, "x"))
 frag_case("fragment form pointer", "<form>x", "form", "x")
 frag_case("fragment frameset context", "<frame>", "frameset", E("frame"))
+# fragment case: </frameset> must NOT leave in_frameset mode
+frag_case("fragment frameset close then frame",
+          "<frameset></frameset><frame>", "frameset",
+          E("frameset"), E("frame"))
+frag_case("fragment svg unmatched end tag", "<g><bogus></nomatch>x",
+          "svg svg", E("svg g", None, E("svg bogus", None, "x")))
 frag_case("fragment caption", "<p>x", "caption", E("p", None, "x"))
 frag_case("fragment colgroup", "<col span='2'>", "colgroup",
           E("col", {"span": "2"}))

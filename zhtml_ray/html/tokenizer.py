@@ -94,8 +94,18 @@ _RE_FAST_ATTR = re.compile(
     r"[\t\n\f ]+([^\t\n\f /=>\x00\"'<]+)"
     r"(?:=(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)'"
     r"|([^\t\n\f >&\x00\"'<=`]+)))?")
+# noncharacters: U+FDD0-FDEF plus the last two code points of EVERY
+# plane (U+FFFE/FFFF, U+1FFFE/1FFFF, ..., U+10FFFE/10FFFF)
+_NONCHARS_SUPP = "".join(chr(0x10000 * p + o)
+                         for p in range(1, 17) for o in (0xFFFE, 0xFFFF))
 _RE_NONCHAR_CTRL = re.compile(
-    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f﷐-﷯￾￿]")
+    "[\x01-\x08\x0b\x0e-\x1f\x7f-\x9f﷐-﷯￾￿"
+    + _NONCHARS_SUPP + "]")
+
+
+def _is_nonchar(c: str) -> bool:
+    cp = ord(c)
+    return 0xFDD0 <= cp <= 0xFDEF or (cp & 0xFFFE) == 0xFFFE
 
 # named tokenizer states (public: tree builder + conformance harness set these)
 DATA = "data"
@@ -137,9 +147,8 @@ class Tokenizer:
         self._newlines: list[int] | None = None
         if collect_input_errors:
             for m in _RE_NONCHAR_CTRL.finditer(self.s):
-                c = m.group()
                 code = ("noncharacter-in-input-stream"
-                        if "﷐" <= c <= "﷯" or c in "￾￿"
+                        if _is_nonchar(m.group())
                         else "control-character-in-input-stream")
                 self.errors.append((code, m.start()))
 
@@ -164,6 +173,8 @@ class Tokenizer:
             SCRIPT_DATA: self._script_data, PLAINTEXT: self._plaintext,
             CDATA_SECTION: self._cdata_section,
         }
+        if self.pos >= self.n and self.state == CDATA_SECTION:
+            self._err("eof-in-cdata", self.n)  # empty input, CDATA state
         while self.pos < self.n:
             for tok in dispatch[self.state]():
                 yield tok
@@ -480,6 +491,10 @@ class Tokenizer:
             if self.allow_cdata:
                 self.pos = pos + 7
                 self.state = CDATA_SECTION
+                if self.pos >= n:
+                    # '<![CDATA[' at EOF: the dispatch loop won't run the
+                    # CDATA state again, so report eof-in-cdata here
+                    self._err("eof-in-cdata", n)
                 return []
             self._err("cdata-in-html-content", pos)
             return self._bogus_comment(pos, preserve=True)
@@ -559,7 +574,7 @@ class Tokenizer:
                         # only a real following char that isn't '>' is a
                         # nested-comment parse error.
                         if pos + 2 < n and s[pos + 2] == ">":
-                            pos2, tok = self._comment_end(pos + 2, buf, from_bang=True)
+                            pos2, tok = self._comment_end(pos + 2, buf)
                         else:
                             if pos + 2 < n:
                                 self._err("nested-comment", pos)
@@ -581,7 +596,7 @@ class Tokenizer:
                     buf.append("-")
                     pos += 1
 
-    def _comment_end(self, pos, buf, from_bang: bool = False):
+    def _comment_end(self, pos, buf):
         """Comment end state (after '--'). Returns (new_pos, token|None)."""
         s, n = self.s, self.n
         while True:
@@ -593,7 +608,7 @@ class Tokenizer:
             if c == ">":
                 self.pos = pos + 1
                 return pos, [("Comment", "".join(buf))]
-            if c == "!" and not from_bang:
+            if c == "!":
                 # comment end bang state
                 pos += 1
                 if pos < n and s[pos] == "-":
@@ -695,7 +710,14 @@ class Tokenizer:
         system = None
         force_quirks = False
 
-        def read_quoted(pos, missing_code, abrupt_code):
+        def nul_errors(seg, base):
+            # one unexpected-null-character PER NUL, at its offset —
+            # on every path (normal / abrupt '>' / EOF)
+            for i, ch in enumerate(seg):
+                if ch == "\x00":
+                    self._err("unexpected-null-character", base + i)
+
+        def read_quoted(pos, abrupt_code):
             nonlocal force_quirks
             quote = s[pos]
             end = s.find(quote, pos + 1)
@@ -704,18 +726,18 @@ class Tokenizer:
                 # EOF inside the identifier: eof-in-doctype ONLY — the
                 # abrupt error is for '>' (spec 13.2.5.58/.64)
                 force_quirks = True
-                val = s[pos + 1:n].replace("\x00", "�")
-                return val, n, True  # eof
+                seg = s[pos + 1:n]
+                nul_errors(seg, pos + 1)
+                return seg.replace("\x00", "�"), n, True  # eof
             if end == -1 or (gt != -1 and gt < end):
+                seg = s[pos + 1:gt]
+                nul_errors(seg, pos + 1)
                 self._err(abrupt_code, pos)
                 force_quirks = True
-                val = s[pos + 1:gt].replace("\x00", "�")
-                return val, gt, False
+                return seg.replace("\x00", "�"), gt, False
             val = s[pos + 1:end]
-            if "\x00" in val:
-                self._err("unexpected-null-character", pos)
-                val = val.replace("\x00", "�")
-            return val, end + 1, False
+            nul_errors(val, pos + 1)
+            return val.replace("\x00", "�"), end + 1, False
 
         # after PUBLIC/SYSTEM keyword
         had_ws = False
@@ -730,9 +752,8 @@ class Tokenizer:
         if c in "\"'":
             if not had_ws:
                 self._err("missing-whitespace-after-doctype-%s-keyword" % which, pos)
-            code_missing = "missing-doctype-%s-identifier" % which
             code_abrupt = "abrupt-doctype-%s-identifier" % which
-            val, pos, at_eof = read_quoted(pos, code_missing, code_abrupt)
+            val, pos, at_eof = read_quoted(pos, code_abrupt)
             if which == "public":
                 public = val
             else:
@@ -760,8 +781,7 @@ class Tokenizer:
                     if not had_ws2:
                         self._err("missing-whitespace-between-doctype-public-and-system-identifiers", pos)
                     val, pos, at_eof = read_quoted(
-                        pos, "missing-doctype-system-identifier",
-                        "abrupt-doctype-system-identifier")
+                        pos, "abrupt-doctype-system-identifier")
                     system = val
                     got_system = True
                     if at_eof:
@@ -854,7 +874,6 @@ class Tokenizer:
             run = m.group()
             if run and m.end() < n and s[m.end()] == ";":
                 self._err("unknown-named-character-reference", m.end())
-            self.pos = pos  # run chars re-emitted via return text below
             # consume the run as plain text to avoid re-scanning it char by char
             self.pos = m.end()
             return "&" + run
@@ -1010,7 +1029,10 @@ class _TagBuilder:
             return pos, self._eof()
         c = s[pos]
         if c != "=":
-            self._store(name, "", pos)
+            # duplicate-attribute offset = name START (same convention as
+            # the valued paths and the fast path — CLAUDE.md invariant:
+            # fast path must stay token+ERROR-identical)
+            self._store(name, "", start)
             return pos, None  # '>' '/' or next name handled by caller
         pos += 1
         # before attribute value
@@ -1022,7 +1044,7 @@ class _TagBuilder:
         c = s[pos]
         if c == ">":
             t._err("missing-attribute-value", pos)
-            self._store(name, "", pos)
+            self._store(name, "", start)
             t.pos = pos + 1
             return pos + 1, self._emit()
         if c in "\"'":

@@ -193,9 +193,15 @@ class TreeBuilder:
         self.done = False
         self.errors: list[tuple[str, int]] = []
         self.fragment_context: Node | None = None
-        # mode dispatch table (avoids getattr+string-concat per token)
-        self._modes = {name[5:]: getattr(self, name) for name in dir(self)
-                       if name.startswith("mode_")}
+        # mode dispatch table (avoids getattr+string-concat per token);
+        # the NAME list is computed once per class — a dir() scan per
+        # document was measurable at ~1k docs/s
+        cls = type(self)
+        names = cls.__dict__.get("_mode_names")
+        if names is None:
+            names = [n[5:] for n in dir(cls) if n.startswith("mode_")]
+            cls._mode_names = names
+        self._modes = {n: getattr(self, "mode_" + n) for n in names}
         self.ever_foreign = False  # no foreign element ever pushed →
         # the foreign-content dispatch + allow_cdata updates are no-ops
 
@@ -660,11 +666,12 @@ class TreeBuilder:
                 # carried for html5lib-format serialization
                 node.attrs = {"public": public or "", "system": system or ""}
             self.doc.append(node)
-            if name != "html" or (public is not None and public != "") \
-                    or (system not in (None, "about:legacy-compat")):
-                if not (name == "html" and public is None
-                        and system in (None, "about:legacy-compat")):
-                    self.err("unknown-doctype")
+            # spec: anything but <!DOCTYPE html> (optionally with the
+            # legacy-compat system id) is an unknown-doctype error — an
+            # EMPTY public id string is still a present public id
+            if name != "html" or public is not None \
+                    or system not in (None, "about:legacy-compat"):
+                self.err("unknown-doctype")
             self.doc.quirks = self._classify_quirks(name, public, system,
                                                     force_quirks)
             self.mode = "before_html"
@@ -1093,11 +1100,14 @@ class TreeBuilder:
 
     def _ibs_formatting(self, tok):
         name = tok[1]
+        # spec order: reconstruct FIRST, then the nobr-in-scope check —
+        # checking scope first missed stale AFE nobrs and nested the new
+        # nobr inside the reconstructed clone
+        self.reconstruct_afe()
         if name == "nobr" and self.in_scope("nobr"):
             self.err("unexpected-start-tag-implies-end-tag")
             self.adoption_agency("nobr")
             self.reconstruct_afe()
-        self.reconstruct_afe()
         node = self.insert_element(name, tok[2])
         self.push_afe(node)
 
@@ -1905,7 +1915,10 @@ class TreeBuilder:
                 self.err("unexpected-frameset-in-frameset-innerhtml")
                 return
             self.stack.pop()
-            if self.current().name != "frameset":
+            # fragment case: a fragment parser stays in in_frameset so
+            # later <frame>/<frameset> tokens still land in the fragment
+            if self.fragment_context is None and \
+                    self.current().name != "frameset":
                 self.mode = "after_frameset"
             return
         elif kind == "EOF":
@@ -2027,7 +2040,11 @@ class TreeBuilder:
             node = self.stack[-1]
             if node.name.lower() != name:
                 self.err("unexpected-end-tag")
-            for i in range(len(self.stack) - 1, 0, -1):
+            # walk down to and INCLUDING the root: in the fragment case
+            # every element above the root can be foreign, and the spec
+            # processes an unmatched end tag per the insertion mode once
+            # an HTML-namespace node (the root) is reached
+            for i in range(len(self.stack) - 1, -1, -1):
                 node = self.stack[i]
                 if node.ns == NS_HTML:
                     return self.process_html(tok)
