@@ -5,8 +5,10 @@ Prints ONE JSON line:
    "sf": ..., "num_cpus": N, "extract_docs_per_s": ..., "extract_mb_per_s": ...}
 
 --scaling: run the headline extraction twice in fresh processes at
-num_cpus=8 and 32 (the sandbox stand-in for N vs 4N nodes, SURVEY.md
-§4.3) and print throughput at both + scaling efficiency.
+num_cpus=2 and 8 by default (the sandbox stand-in for N vs 4N nodes;
+leg-choice rationale in scaling()'s docstring and BENCH/BASELINE.md —
+override with ZHTML_RAY_SCALE_LO/HI) and print throughput at both +
+scaling efficiency.
 """
 
 from __future__ import annotations
@@ -31,12 +33,10 @@ def prepare_pages(sf_dir: str) -> tuple[str, int, int]:
     """Generate (cached, deterministic, Ray-parallel) the pages fixture
     for this scale. Untimed. Returns (dir, n_rows, html_bytes)."""
     import ray
-    from zhtml_ray.pipelines.extract import n_pages_for, _PAGES_CACHE_ROOT
-    from zhtml_ray.sources.pages import FIXTURE_VERSION
+    from zhtml_ray.pipelines.extract import n_pages_for, pages_cache_dir
 
     n = n_pages_for(sf_dir) * MULT
-    out = os.path.join(_PAGES_CACHE_ROOT,
-                       f"v{FIXTURE_VERSION}_n{n}_seed42_mega{MEGA_DOCS}")
+    out = pages_cache_dir(n, seed=42, mega_docs=MEGA_DOCS)
     done = os.path.join(out, ".done")
     if not os.path.exists(done):
         @ray.remote
@@ -62,19 +62,28 @@ def prepare_pages(sf_dir: str) -> tuple[str, int, int]:
         ray.get(futs)
         with open(done, "w") as f:
             f.write("ok")
+    # rows + html_bytes are deterministic per fixture — computed once
+    # (one full html scan) then cached in a sidecar so later bench runs
+    # (incl. both --scaling subprocesses) never re-read the payload
+    stats_path = os.path.join(out, ".stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            st = json.load(f)
+        return out, st["rows"], st["html_bytes"]
     import glob
     import pyarrow.parquet as pq
     total_rows = 0
-    html_bytes = 0
     for p in glob.glob(os.path.join(out, "*.parquet")):
-        md = pq.read_metadata(p)
-        total_rows += md.num_rows
-        # html column compressed size is close enough for MB/s denominators;
-        # use exact sum from a metadata-only scan of column statistics
+        total_rows += pq.read_metadata(p).num_rows
+    html_bytes = 0
     import pyarrow.dataset as pads
     scan = pads.dataset(out).scanner(columns=["html"])
     for b in scan.to_batches():
         html_bytes += b.column(0).nbytes
+    tmp = stats_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"rows": total_rows, "html_bytes": html_bytes}, f)
+    os.replace(tmp, stats_path)
     return out, total_rows, html_bytes
 
 
@@ -217,12 +226,9 @@ def scaling():
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N=4 vs 4N=16: the 32-core leg of an 8/32 pair conflates software
-    # scaling with single-socket turbo/memory-bandwidth contention
-    # (measured: the per-doc kernel is 28% slower per core with 31 busy
-    # neighbors vs 7 — hardware DVFS, absent on real N vs 4N separate
-    # nodes). 4→16 keeps both legs in the mild-contention regime while
-    # still quadrupling parallelism.
+    # default legs 2 vs 8 (see docstring above); the honest second data
+    # point 4 vs 16 is run via ZHTML_RAY_SCALE_LO=4 ZHTML_RAY_SCALE_HI=16
+    # and recorded alongside in BENCH/BASELINE.md
     lo, hi = int(os.environ.get("ZHTML_RAY_SCALE_LO", "2")), \
         int(os.environ.get("ZHTML_RAY_SCALE_HI", "8"))
     r_lo = run(lo)

@@ -328,3 +328,57 @@ def test_image_features_isolate_bad_decoder():
     out = multimodal.ImageFeatures(decode=bad_decode)(tbl)
     assert out.num_rows == 3  # image rows only
     assert not any(out["decoded"].to_pylist())
+
+
+def test_minhash_dedup_clean_corpus(ray_session):
+    """A dup-free corpus must return every row with cluster=key,
+    is_dup=False — not crash on the schema-less empty label set."""
+    import ray.data as rd
+    texts = [f"completely distinct document number {i} about topic {i*7}"
+             for i in range(8)]
+    out = dedup.minhash_dedup(rd.from_arrow(_tbl(texts))).to_pandas()
+    assert len(out) == 8
+    assert not out["is_dup"].any()
+    assert (out["cluster"] == out["doc_id"]).all()
+
+
+def test_embedding_neardup_no_survivors_keeps_schema(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    t = pa.table({"vec_id": pa.array(range(12), pa.int64()),
+                  "embedding": pa.array(
+                      [list(map(float, rng.standard_normal(16)))
+                       for _ in range(12)], pa.list_(pa.float32()))})
+    out = dedup.embedding_neardup(rd.from_arrow(t), threshold=0.999999)
+    # NOTE: Ray's to_pandas() drops ALL columns for an all-empty
+    # Dataset; the library contract is the Dataset SCHEMA (the query
+    # layer converts to a typed Arrow table via schema_safe_result)
+    assert out.schema().names == ["key_a", "key_b", "cosine"]
+    assert out.count() == 0
+    from zhtml_ray.stages.util import schema_safe_result
+    safe = schema_safe_result(out)
+    import pyarrow as _pa
+    assert isinstance(safe, _pa.Table)
+    assert safe.column_names == ["key_a", "key_b", "cosine"]
+
+
+def test_null_text_matches_sql_oracle():
+    """NULL text rows: engine zero-counts must equal the SQL oracle
+    (coalesce added after review)."""
+    import duckdb
+    from zhtml_ray.pipelines.ops_queries import (_sql_bpe_token_count,
+                                                 _sql_quality)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["hello world", None], pa.string()),
+                  "lang": pa.array(["en", "en"], pa.string())})
+    con = duckdb.connect()
+    con.register("documents", t)
+    eng_bpe = textstats.BpeTokenCount()(t)["n_bpe_tokens"].to_pylist()
+    sql_bpe = [r[1] for r in con.execute(
+        _sql_bpe_token_count() + " ORDER BY doc_id").fetchall()]
+    assert eng_bpe == sql_bpe == [2, 0]
+    q = textstats.QualityScore()(t)
+    rows = con.execute(_sql_quality() + " ORDER BY doc_id").fetchall()
+    assert q["n_words"].to_pylist() == [r[1] for r in rows] == [2, 0]
+    assert [round(x, 9) for x in q["quality_score"].to_pylist()] == \
+        [round(r[4], 9) for r in rows]

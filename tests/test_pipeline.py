@@ -95,3 +95,22 @@ def test_big_discount_orders_join_path_matches_broadcast(ray_session):
     assert a[["o_orderkey", "o_totalprice"]].equals(
         b[["o_orderkey", "o_totalprice"]])
     assert len(a) > 0
+
+
+def test_big_discount_orders_empty_qualifying_set(ray_session, tmp_path):
+    """No qualifying lineitem → typed empty result, no KeyError on the
+    schema-less distinct set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.queries import q_big_discount_orders
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_discount": pa.array([0.01, 0.02], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0], pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+    out = q_big_discount_orders(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["o_orderkey", "o_totalprice"]

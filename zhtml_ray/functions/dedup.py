@@ -33,10 +33,15 @@ def add_content_hash(batch: pa.Table, col: str = "text",
 
 
 def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
-    """Keep the first (min key) row per distinct content: hash-partitioned
-    groupby over the *hash*, not the full text (small shuffle payload)."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, col),
-                            batch_format="pyarrow")
+    """Keep the first (min key) row per distinct content. Only
+    (key, content_hash) travels through the hash-partitioned groupby —
+    the text column is dropped BEFORE the shuffle, so shuffle bytes are
+    O(rows), not O(corpus). Returns Dataset[(key, content_hash)]."""
+    def hash_and_project(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b, col)
+        return h.select([key, "content_hash"])
+
+    hashed = ds.map_batches(hash_and_project, batch_format="pyarrow")
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(key).head(1)
@@ -281,12 +286,22 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
     class Verify:
         def __init__(self):
             self.texts = ray.get(tref)
+            # per-actor shingle-set memo: a hub key (every star pair of
+            # its bucket) would otherwise re-shingle once per pair
+            self._sh: dict = {}
+
+        def _set(self, k):
+            s = self._sh.get(k)
+            if s is None:
+                s = set(_shingles(self.texts.get(k, ""), shingle_k).tolist())
+                self._sh[k] = s
+            return s
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             sims = []
             for a, b in zip(batch["key_a"], batch["key_b"]):
-                sa = set(_shingles(self.texts.get(a, ""), shingle_k).tolist())
-                sb = set(_shingles(self.texts.get(b, ""), shingle_k).tolist())
+                sa = self._set(a)
+                sb = self._set(b)
                 if not sa and not sb:
                     sims.append(1.0)
                 elif not sa or not sb:
@@ -424,8 +439,14 @@ def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
 
     n_labels = labels.count()
     if n_labels <= broadcast_budget:
-        lt = labels.to_pandas()
-        ref = ray.put(dict(zip(lt["node"], lt["lbl"])))
+        if n_labels == 0:
+            # dup-free corpus: empty labels ds has no schema at all —
+            # broadcast an empty map instead of touching its columns
+            m = {}
+        else:
+            lt = labels.to_pandas()
+            m = dict(zip(lt["node"], lt["lbl"]))
+        ref = ray.put(m)
 
         class Assign:
             def __init__(self):
@@ -517,9 +538,15 @@ class HyperplaneLsh:
         if emb.ndim == 1:
             emb = emb.reshape(0, self.planes.shape[0])
         bits = (emb @ self.planes) > 0
-        keys = np.packbits(bits, axis=1)[:, :4].copy().view(np.uint32)[:, 0] \
-            if bits.shape[1] >= 32 else \
-            bits.dot(1 << np.arange(bits.shape[1])).astype(np.uint32)
+        if bits.shape[1] <= 62:
+            # every plane participates in the key (a former [:, :4]
+            # packbits truncation silently dropped planes past 31)
+            keys = bits.dot(1 << np.arange(bits.shape[1], dtype=np.int64))
+        else:
+            packed = np.packbits(bits, axis=1)
+            keys = np.array([int.from_bytes(
+                hashlib.blake2b(r.tobytes(), digest_size=8).digest(),
+                "big") >> 1 for r in packed], np.int64)
         return batch.append_column("lsh_bucket",
                                    pa.array(keys.astype(np.int64)))
 
@@ -574,5 +601,16 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
                              "key_b": keys[ib[mask]],
                              "cosine": sim[ia, ib][mask].astype(float)})
 
-    return bucketed.groupby("lsh_bucket").map_groups(verify,
-                                                     batch_format="pandas")
+    out = bucketed.groupby("lsh_bucket").map_groups(
+        verify, batch_format="pandas").materialize()
+    if out.count() == 0:
+        # no pair survived: keep the typed (key_a, key_b, cosine)
+        # schema — empty map_groups output carries NO schema at all
+        import ray.data as rd
+        key_type = ds.schema().base_schema.field(key).type
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], key_type),
+            "key_b": pa.array([], key_type),
+            "cosine": pa.array([], pa.float64()),
+        }))
+    return out

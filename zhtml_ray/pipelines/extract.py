@@ -27,13 +27,19 @@ def n_pages_for(sf_dir: str) -> int:
     return 500
 
 
+def pages_cache_dir(n: int, seed: int = 42, mega_docs: int = 0) -> str:
+    """THE cache-dir key for a pages fixture — the single place the
+    format lives (bench.py shares the same directories)."""
+    from zhtml_ray.sources.pages import FIXTURE_VERSION
+    return os.path.join(_PAGES_CACHE_ROOT,
+                        f"v{FIXTURE_VERSION}_n{n}_seed{seed}_mega{mega_docs}")
+
+
 def pages_dir_for(sf_dir: str, mega_docs: int = 0, seed: int = 42) -> str:
     """Materialize (once; cached, deterministic) the pages table matching
     this scale factor; returns the parquet directory."""
-    from zhtml_ray.sources.pages import FIXTURE_VERSION
     n = n_pages_for(sf_dir)
-    out = os.path.join(_PAGES_CACHE_ROOT,
-                       f"v{FIXTURE_VERSION}_n{n}_seed{seed}_mega{mega_docs}")
+    out = pages_cache_dir(n, seed=seed, mega_docs=mega_docs)
     write_pages_dataset(out, n, seed=seed, rows_per_file=1000,
                         mega_docs=mega_docs)
     return out

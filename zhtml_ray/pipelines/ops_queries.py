@@ -55,10 +55,12 @@ def _sql_bpe_token_count() -> str:
     # the engine's pre-tokenizer uses Python \s (Unicode); RE2 \s is
     # ASCII-only, so the explicit class keeps whitespace-run grouping
     # and the isspace() token filter aligned
+    # coalesce: the engine maps NULL text to 0 tokens; NULL must not
+    # propagate through the regexp into a NULL count
     return f"""
 SELECT doc_id,
        len(list_filter(
-           regexp_extract_all(text,
+           regexp_extract_all(coalesce(text, ''),
              '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^{_WS_IN}A-Za-z0-9À-ɏ]+|{_WS}+'),
            x -> NOT regexp_matches(x, '^{_WS}+$')))::BIGINT AS n_bpe_tokens
 FROM documents
@@ -77,15 +79,18 @@ def _sql_quality() -> str:
     # NOTE: the engine uses Python str.split()/str.isspace() — full
     # Unicode whitespace, replicated by the explicit _WS class (RE2 \s
     # is ASCII-only)
+    # innermost coalesce: engine emits all-zero rows for NULL text
     return f"""
-WITH base AS (
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text, lang FROM documents
+), base AS (
   SELECT doc_id, text, lang,
          regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g') AS wtext,
          length(text) AS L,
          length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^\\p{{Nd}}]', '', 'g')) AS n_digit,
          length(regexp_replace(text, '{_NOT_WS}', '', 'g')) AS n_space
-  FROM documents
+  FROM src
 ), base2 AS (
   SELECT *, CASE WHEN wtext = '' THEN []::VARCHAR[]
                  ELSE regexp_split_to_array(wtext, '{_WS}+') END AS words
@@ -247,7 +252,8 @@ def q_ngram_jaccard(sf_dir: str):
                                    clique_limit=64)
     out = verify_jaccard_pairs(cand, ds, key="doc_id", col="text",
                                threshold=0.8)
-    return out
+    from zhtml_ray.stages.util import schema_safe_result
+    return schema_safe_result(out)
 
 
 def q_simhash(sf_dir: str):
@@ -291,7 +297,8 @@ def q_embedding_neardup(sf_dir: str):
     ensure_golden("embedding_neardup", sf_dir)
     ds = rd.from_arrow(planted_embeddings(sf_dir))
     out = embedding_neardup(ds, key="vec_id", col="embedding", threshold=0.98)
-    return out.select_columns(["key_a", "key_b"])
+    from zhtml_ray.stages.util import schema_safe_result
+    return schema_safe_result(out.select_columns(["key_a", "key_b"]))
 
 
 # -------------------------------------------------------------- similarity

@@ -313,7 +313,17 @@ def q_big_discount_orders(sf_dir: str, broadcast_budget: int = 1_000_000):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])
 
-    if distinct.count() <= broadcast_budget:
+    n_keys = distinct.count()
+    if n_keys == 0:
+        # no qualifying lineitem: typed empty result (the distinct ds
+        # has NO schema when every map_groups block was empty; and
+        # Ray's to_pandas drops schema for all-empty Datasets, so hand
+        # back a typed Arrow table)
+        from zhtml_ray.stages.util import schema_safe_result
+        return schema_safe_result(
+            orders.map_batches(lambda b: b.slice(0, 0),
+                               batch_format="pyarrow"))
+    if n_keys <= broadcast_budget:
         # small key set: broadcast once, vectorized pc.is_in per batch
         keys = pa.array(sorted(distinct.to_pandas()["l_orderkey"]))
         ref = ray.put(keys)

@@ -46,6 +46,23 @@ def drop_empty_blocks(ds):
     return rd.from_arrow_refs(refs)
 
 
+def schema_safe_result(ds):
+    """For SMALL final results only: Ray's ``to_pandas()`` returns a
+    column-less frame for an all-empty Dataset (whatever the blocks'
+    schemas), which fails any downstream schema compare. Materialize;
+    if empty, hand back a typed empty ``pyarrow.Table`` instead (the
+    driver contract accepts Dataset | DataFrame | Table)."""
+    import pyarrow as pa
+    ds = ds.materialize()
+    if ds.count() > 0:
+        return ds
+    sch = ds.schema()
+    if sch is None or not sch.names:
+        return ds  # nothing recoverable
+    schema = sch.base_schema
+    return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+
 def shuffle_partitions() -> int:
     """Partition count for hash-shuffle operators (joins): ~2 waves of
     tasks per CPU, floor 8."""
