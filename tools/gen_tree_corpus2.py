@@ -397,6 +397,39 @@ case("style in body stays at current pos", "a<style>s</style>b",
      "a", E("style", None, "s"), "b")
 
 
+# ------------------- F29: table-section end-tag / implied-close family
+# (adjudicated against the in-table/in-caption/in-row/in-cell specs)
+case("text after caption fostered", "<table><caption>x</caption>y<tr><td>z",
+     "y", E("table", None, E("caption", None, "x"),
+            E("tbody", None, E("tr", None, E("td", None, "z")))))
+case("td implies caption close", "<table><caption>a<td>b",
+     E("table", None, E("caption", None, "a"),
+       E("tbody", None, E("tr", None, E("td", None, "b")))))
+case("tr end then td implies row", "<table><tr><td>a</tr><td>b",
+     E("table", None, E("tbody", None,
+       E("tr", None, E("td", None, "a")),
+       E("tr", None, E("td", None, "b")))))
+case("text between cells fostered", "<table><tr><td>a</td>b<td>c",
+     "b", E("table", None, E("tbody", None,
+            E("tr", None, E("td", None, "a"), E("td", None, "c")))))
+case("formatting cleared at table end", "<table><tr><td>a<b>c</table>d",
+     E("table", None, E("tbody", None,
+       E("tr", None, E("td", None, "a", E("b", None, "c"))))), "d")
+case("col implies colgroup", "<table><col><tr><td>x",
+     E("table", None, E("colgroup", None, E("col")),
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("caption in tbody splits sections", "<table><tbody><caption>c<tr><td>x",
+     E("table", None, E("tbody"), E("caption", None, "c"),
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("stray table end ignored", "x</table>y", "xy")
+case("tbody end in row then td", "<table><tr></tbody><td>x",
+     E("table", None, E("tbody", None, E("tr")),
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("thead closed by tbody", "<table><thead><tr><th>h</thead><tbody><tr><td>d",
+     E("table", None,
+       E("thead", None, E("tr", None, E("th", None, "h"))),
+       E("tbody", None, E("tr", None, E("td", None, "d")))))
+
 # -------- F28: nobr reconstruct-before-scope-check (spec 13.2.6.4.7)
 case("nobr across p reconstructs then AA", "<p><nobr>x</p><nobr>y",
      E("p", None, E("nobr", None, "x")), E("nobr"), E("nobr", None, "y"))
