@@ -125,3 +125,28 @@ def test_thresholds_config_default_pinned():
         html, thresholds=ExtractThresholds(curr_words=1000, next_words=1000,
                                            prev_words=1000))
     assert strict["extracted_text"] != base["extracted_text"]
+
+
+def test_classify_word_count_boundaries_pinned():
+    """The NumWordsRules thresholds are STRICT inequalities (>16 words
+    etc.) — pin the exact boundary so a refactor can't silently flip
+    blocks at the threshold."""
+    from zhtml_ray.html.extract import extract_document
+
+    def doc_with(n_words):
+        body = " ".join(f"w{i}" for i in range(n_words))
+        return f"<html><body><div>{body}</div></body></html>".encode()
+
+    # single block, no prev/next: content iff words > 16
+    assert extract_document(doc_with(16))["extracted_text"] == ""
+    assert extract_document(doc_with(17))["extracted_text"] != ""
+
+
+def test_classify_link_density_boundary_pinned():
+    from zhtml_ray.html.extract import extract_document
+    words = " ".join(f"w{i}" for i in range(30))
+    # all-link block: link density 1.0 > 1/3 → boilerplate
+    linky = f"<div><a href=u>{words}</a></div>".encode()
+    assert extract_document(b"<body>" + linky)["extracted_text"] == ""
+    plain = f"<div>{words}</div>".encode()
+    assert extract_document(b"<body>" + plain)["extracted_text"] != ""

@@ -430,6 +430,28 @@ case("thead closed by tbody", "<table><thead><tr><th>h</thead><tbody><tr><td>d",
        E("thead", None, E("tr", None, E("th", None, "h"))),
        E("tbody", None, E("tr", None, E("td", None, "d")))))
 
+# ----------------- F30: in_select / after-body residue (adjudicated)
+case("text between options", "<select><option>a</option>b<option>c",
+     E("select", None, E("option", None, "a"), "b", E("option", None, "c")))
+case("optgroup end then text", "<select><optgroup><option>a</optgroup>b",
+     E("select", None, E("optgroup", None, E("option", None, "a")), "b"))
+case("input closes select", "<select>a<input>b",
+     E("select", None, "a"), E("input"), "b")
+case("keygen closes select", "<select><keygen>x",
+     E("select"), E("keygen"), "x")
+case("button in select ignored", "<select><button>x",
+     E("select", None, "x"))
+case("select fostered from table", "<table><select><option>a<td>b",
+     E("select", None, E("option", None, "a")),
+     E("table", None, E("tbody", None, E("tr", None, E("td", None, "b")))))
+case("p inside option", "<option>a<p>b",
+     E("option", None, "a", E("p", None, "b")))
+case("text after html end", "<p>x</html>y",
+     E("p", None, "xy"))
+case("comments after body and html", "<p>x</body><!--c--></html><!--d-->e",
+     raw_tree=("| <html>\n|   <head>\n|   <body>\n|     <p>\n"
+               "|       \"xe\"\n|   <!-- c -->\n| <!-- d -->"))
+
 # -------- F28: nobr reconstruct-before-scope-check (spec 13.2.6.4.7)
 case("nobr across p reconstructs then AA", "<p><nobr>x</p><nobr>y",
      E("p", None, E("nobr", None, "x")), E("nobr"), E("nobr", None, "y"))
