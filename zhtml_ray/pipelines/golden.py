@@ -99,6 +99,30 @@ def _gen_extract_error_histogram(sf_dir: str) -> pa.Table:
                      "count()": pa.array([c[k] for k in codes], pa.int64())})
 
 
+def node_table_project(tbl: pa.Table) -> pa.Table:
+    """Gate projection for the flattened DOM table: the nested node
+    list rides as canonical JSON (shared by query + golden)."""
+    nodes_json = [
+        json.dumps([[n["parent"], n["kind"], n["tag"], n["ns"], n["depth"],
+                     n["attr_keys"], n["attr_vals"], n["text"]]
+                    for n in row], separators=(",", ":"), ensure_ascii=False)
+        for row in tbl["nodes"].to_pylist()]
+    return pa.table({
+        "url": tbl["url"],
+        "n_nodes": pa.array([len(r) for r in tbl["nodes"].to_pylist()],
+                            pa.int64()),
+        "nodes_json": pa.array(nodes_json, pa.string()),
+    })
+
+
+def _gen_node_table(sf_dir: str) -> pa.Table:
+    from zhtml_ray.stages.node_table import NodeTableBatch
+    fn = NodeTableBatch()
+    return pa.concat_tables(
+        [node_table_project(fn(pq.read_table(f, columns=["url", "html"])))
+         for f in _pages_files(sf_dir)])
+
+
 def _gen_links(sf_dir: str) -> pa.Table:
     from zhtml_ray.stages.node_table import LinksBatch
     fn = LinksBatch()
@@ -301,6 +325,7 @@ _GENERATORS = {
     "extract": _gen_extract,
     "extract_error_histogram": _gen_extract_error_histogram,
     "links": _gen_links,
+    "node_table": _gen_node_table,
     "token_stats": _gen_token_stats,
     "fingerprint": _gen_fingerprint,
     "simhash": _gen_simhash,

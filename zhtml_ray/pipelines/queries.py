@@ -389,6 +389,20 @@ def q_links(sf_dir: str):
     return ds.map_batches(LinksBatch(), batch_format="pyarrow")
 
 
+def q_node_table(sf_dir: str):
+    """Flattened DOM node table per document (SURVEY.md §1.3): the full
+    columnar index-linked tree, JSON-projected for the gate and oracled
+    against the serial pinned run."""
+    import ray.data as rd
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden, node_table_project
+    from zhtml_ray.stages.node_table import NodeTableBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("node_table", sf_dir)
+    out = ds.map_batches(NodeTableBatch(), batch_format="pyarrow")
+    return out.map_batches(node_table_project, batch_format="pyarrow")
+
+
 def q_token_stats(sf_dir: str):
     """Per-document tokenizer statistics (token counts by kind, error
     count) — the tokenizer-level debug output of SURVEY.md §1.3."""
@@ -407,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract": q_extract,
         "extract_error_histogram": q_extract_error_histogram,
         "links": q_links,
+        "node_table": q_node_table,
         "token_stats": q_token_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "filter_revenue": q_filter_revenue,
@@ -429,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "extract": golden_sql("extract"),
         "extract_error_histogram": golden_sql("extract_error_histogram"),
         "links": golden_sql("links"),
+        "node_table": golden_sql("node_table"),
         "token_stats": golden_sql("token_stats"),
         "q1_pricing_summary": SQL_Q1,
         "filter_revenue": SQL_FILTER_REVENUE,
