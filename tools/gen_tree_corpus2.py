@@ -452,6 +452,33 @@ case("comments after body and html", "<p>x</body><!--c--></html><!--d-->e",
      raw_tree=("| <html>\n|   <head>\n|   <body>\n|     <p>\n"
                "|       \"xe\"\n|   <!-- c -->\n| <!-- d -->"))
 
+# -------------- F31: template insertion-mode stack (adjudicated vs
+# the html5lib template.dat conventions: bare td/col/tr keep their
+# shape inside content, no implied table wrapper)
+case("template bare cells", "<template><td>a<td>b</template>x",
+     "x", head_kids=(E("template", None, E("content", None,
+                       E("td", None, "a"), E("td", None, "b"))),))
+case("template bare col", "<template><col></template>x",
+     "x", head_kids=(E("template", None,
+                       E("content", None, E("col"))),))
+case("template bare rows", "<template><tr><td>a</tr><tr><td>b</template>x",
+     "x", head_kids=(E("template", None, E("content", None,
+                       E("tr", None, E("td", None, "a")),
+                       E("tr", None, E("td", None, "b")))),))
+case("template row in table", "<table><template><tr><td>x</td></tr></template></table>y",
+     E("table", None, E("template", None, E("content", None,
+       E("tr", None, E("td", None, "x"))))), "y")
+case("nested templates with text", "<template><template>a</template>b</template>c",
+     "c", head_kids=(E("template", None, E("content", None,
+                       E("template", None, E("content", None, "a")),
+                       "b")),))
+case("stray end tag in template", "<template></div>x</template>y",
+     "y", head_kids=(E("template", None, E("content", None, "x")),))
+case("template in body div", "<div><template><p>t</template>after</div>",
+     E("div", None,
+       E("template", None, E("content", None, E("p", None, "t"))),
+       "after"))
+
 # -------- F28: nobr reconstruct-before-scope-check (spec 13.2.6.4.7)
 case("nobr across p reconstructs then AA", "<p><nobr>x</p><nobr>y",
      E("p", None, E("nobr", None, "x")), E("nobr"), E("nobr", None, "y"))
