@@ -103,6 +103,22 @@ c("eof in cdata brackets", "abc]]", [["Character", "abc]]"]],
   ["eof-in-cdata"], initialStates=["CDATA section state"])
 
 
+# ------------------------------------------- CR/CRLF input preprocessing
+# (the reference's missing piece — its harness ignores all CR tests,
+# /root/reference/test/tokenizer-html5lib.zig:55-60; we normalize per
+# spec 13.2.3.5: CRLF → LF, lone CR → LF, before tokenization)
+c("crlf in text", "a\r\nb", [["Character", "a\nb"]])
+c("lone cr in text", "a\rb", [["Character", "a\nb"]])
+c("cr at eof", "a\r", [["Character", "a\n"]])
+c("crlf run collapses pairwise", "a\r\r\n\rb", [["Character", "a\n\n\nb"]])
+c("crlf in attribute value", "<a b='x\r\ny'>", [["StartTag", "a", {"b": "x\ny"}]])
+c("cr in comment", "<!--c\rd-->", [["Comment", "c\nd"]])
+c("crlf in rcdata", "a\r\nb", [["Character", "a\nb"]],
+  initialStates=["RCDATA state"], lastStartTag="title")
+c("cr in doctype public id", '<!DOCTYPE html PUBLIC "a\rb">',
+  [["DOCTYPE", "html", "a\nb", None, True]])
+
+
 def main():
     out = os.path.join(os.path.dirname(__file__), "..", "tests", "corpus",
                        "tokenizer", "zhtml_ray6_attr.test")
