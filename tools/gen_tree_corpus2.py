@@ -479,6 +479,27 @@ case("template in body div", "<div><template><p>t</template>after</div>",
        E("template", None, E("content", None, E("p", None, "t"))),
        "after"))
 
+# ------- F32: in_head_noscript / foreign integration / after_frameset
+case("noscript keeps head elements",
+     "<head><noscript><link><style>s</style></noscript></head>x",
+     "x", head_kids=(E("noscript", None, E("link"),
+                       E("style", None, "s")),))
+case("p breaks out of noscript", "<head><noscript><p>t</noscript>x",
+     E("p", None, "tx"), head_kids=(E("noscript"),))
+case("svg script stays foreign", "<svg><script>alert(1)</script></svg>x",
+     E("svg svg", None, E("svg script", None, "alert(1)")), "x")
+case("svg title integration point", "<svg><title>t</title></svg>x",
+     E("svg svg", None, E("svg title", None, "t")), "x")
+case("html inside mtext integration", "<math><mtext><p>h</p></mtext></math>",
+     E("math math", None, E("math mtext", None, E("p", None, "h"))))
+case("noframes and comment after frameset",
+     "<frameset></frameset><noframes>n</noframes><!--c-->",
+     raw_tree=("| <html>\n|   <head>\n|   <frameset>\n|   <noframes>\n"
+               "|     \"n\"\n|   <!-- c -->"))
+case("text after frameset html end ignored",
+     "<html><frameset></frameset></html>x",
+     raw_tree="| <html>\n|   <head>\n|   <frameset>")
+
 # -------- F28: nobr reconstruct-before-scope-check (spec 13.2.6.4.7)
 case("nobr across p reconstructs then AA", "<p><nobr>x</p><nobr>y",
      E("p", None, E("nobr", None, "x")), E("nobr"), E("nobr", None, "y"))
