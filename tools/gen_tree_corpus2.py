@@ -500,6 +500,30 @@ case("text after frameset html end ignored",
      "<html><frameset></frameset></html>x",
      raw_tree="| <html>\n|   <head>\n|   <frameset>")
 
+# ----------- F33: caption/colgroup end-tag + nested-table edge cases
+case("table end closes caption", "<table><caption>a</table>b",
+     E("table", None, E("caption", None, "a")), "b")
+case("explicit colgroup end", "<table><colgroup><col></colgroup><tr><td>x",
+     E("table", None, E("colgroup", None, E("col")),
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("text pops colgroup and fosters", "<table><colgroup>text<col><tr><td>x",
+     "text", E("table", None, E("colgroup"),
+               E("colgroup", None, E("col")),
+               E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("th end ignored in td", "<table><tr><td>a</th>b",
+     E("table", None, E("tbody", None,
+       E("tr", None, E("td", None, "ab")))))
+case("caption end pops open div", "<table><caption><div>d</caption><tr><td>x",
+     E("table", None, E("caption", None, E("div", None, "d")),
+       E("tbody", None, E("tr", None, E("td", None, "x")))))
+case("table start closes table", "<table><tr><table><tr><td>i",
+     E("table", None, E("tbody", None, E("tr"))),
+     E("table", None, E("tbody", None, E("tr", None, E("td", None, "i")))))
+case("fostered div keeps table flow", "<div><table><div>f<td>c",
+     E("div", None, E("div", None, "f"),
+       E("table", None, E("tbody", None,
+         E("tr", None, E("td", None, "c"))))))
+
 # -------- F28: nobr reconstruct-before-scope-check (spec 13.2.6.4.7)
 case("nobr across p reconstructs then AA", "<p><nobr>x</p><nobr>y",
      E("p", None, E("nobr", None, "x")), E("nobr"), E("nobr", None, "y"))
