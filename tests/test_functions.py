@@ -258,6 +258,47 @@ def test_minhash_dedup_join_path_matches_broadcast(ray_session):
     assert set(a.loc[a.cluster == 0, "doc_id"]) >= {0, 1, 2}
 
 
+def test_verify_join_path_matches_broadcast(ray_session):
+    """broadcast_text_budget=0 forces the hash-partitioned two-join
+    candidate-text path (VERDICT r2 #1); verified pairs and final
+    clusters must equal the broadcast-dict path exactly."""
+    import ray.data as rd
+    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * 3 + \
+            ["totally different words live in this one document"] + \
+            ["alpha beta gamma delta epsilon zeta eta iota"]
+    t = _tbl(texts)
+    cols = ["doc_id", "cluster", "is_dup"]
+    a = dedup.minhash_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup.minhash_dedup(rd.from_arrow(t), broadcast_text_budget=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a[cols].equals(b[cols])
+    # pair-level equality too (ngram_jaccard query path)
+    cand = dedup.minhash_candidate_pairs(rd.from_arrow(t), clique_limit=64)
+    pa_pairs = dedup.verify_jaccard_pairs(
+        cand, rd.from_arrow(t), threshold=0.8).to_pandas()
+    cand2 = dedup.minhash_candidate_pairs(rd.from_arrow(t), clique_limit=64)
+    pb_pairs = dedup.verify_jaccard_pairs(
+        cand2, rd.from_arrow(t), threshold=0.8,
+        broadcast_text_budget=0).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["key_a", "key_b"]].values))  # noqa: E731
+    assert key(pa_pairs) == key(pb_pairs)
+    assert len(pa_pairs) > 0
+
+
+def test_gather_candidate_texts_byte_budget(ray_session):
+    """The driver-side text gather must abort (return None) as soon as
+    accumulated bytes exceed the explicit budget — the unbudgeted dict
+    was the last driver-side materialization (VERDICT r2 #1)."""
+    import ray.data as rd
+    t = _tbl(["word " * 50] * 20)
+    ds = rd.from_arrow(t)
+    got = dedup.gather_candidate_texts(ds, set(range(20)), byte_budget=100)
+    assert got is None
+    got = dedup.gather_candidate_texts(ds, set(range(20)), byte_budget=None)
+    assert got is not None and len(got) == 20
+
+
 def test_embedding_neardup_bucket_cap(ray_session):
     """A planted hot bucket (many near-identical vectors) beyond
     bucket_cap must fall back to star verification (O(n) pairs) and
@@ -287,14 +328,19 @@ def test_ivf_recall_vs_brute_force(ray_session):
     t = pq.read_table(f"{sf}/embeddings.parquet")
     q = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:5], np.float64)
     exact = similarity.brute_force_topk(ds, q, k=10)
+    stats = {}
     approx = similarity.ivf_topk(rd.read_parquet(f"{sf}/embeddings.parquet"),
-                                 q, k=10, n_probe=4, n_centroids=8)
+                                 q, k=10, n_probe=4, n_centroids=8,
+                                 scan_stats=stats)
     recalls = []
     for qid in range(5):
         e = set(exact.loc[exact.query_id == qid, "vec_id"])
         a = set(approx.loc[approx.query_id == qid, "vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
+    # the probe filter must actually prune — a regression silently
+    # degrading IVF to full brute force must fail here (VERDICT r2 #6)
+    assert 0 < stats["n_scanned"] < stats["n_total"], stats
 
 
 def test_token_count_unicode_whitespace_matches_python_split():

@@ -45,6 +45,18 @@ def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Tab
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def filter_kind(batch: pa.Table, kind: str) -> pa.Table:
+    """Vectorized kind pre-filter for the feature stages. The contract
+    (ADVICE r2): every feature stage emits EXACTLY one row per input row
+    of its own kind and silently drops other kinds — so pipelines that
+    join features back on media_id must pre-filter with this helper,
+    making the coverage explicit at the call site. The in-class kind
+    skip stays as defense-in-depth (wav bytes must never hit an image
+    decoder even if a caller forgets the pre-filter)."""
+    import pyarrow.compute as pc
+    return batch.filter(pc.equal(batch["kind"], kind))
+
+
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: seeded uint8 HxWx3."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(),

@@ -88,6 +88,25 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
 # ----------------------------------------------------------------- IVF ANN
 
 
+def _kmeans(x: np.ndarray, n_centroids: int, iters: int,
+            seed: int) -> np.ndarray:
+    """Seeded Lloyd iterations on normalized rows — pure numpy, shared
+    by the distributed trainer and the serial pinned golden
+    (pipelines/golden.py) so both run the IDENTICAL kernel."""
+    x = _normalize(x)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
 def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
                     sample: int = 2048, iters: int = 10, seed: int = 42):
     """K-means (Lloyd) on a driver-side sample — the coarse quantizer.
@@ -95,7 +114,10 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
 
     The sample is a seeded `ds.random_sample` across ALL blocks — taking
     the first blocks would train the quantizer on one shard's
-    distribution at scale (skewed centroids, bad probe recall)."""
+    distribution at scale (skewed centroids, bad probe recall). When the
+    table fits twice the sample budget the trainer consumes it whole (no
+    sampling at all) — that path is layout-independent, which is what
+    lets the serial golden pin the gate-scale IVF output."""
     n = ds.count()
     frac = min(1.0, (sample * 2.0) / max(n, 1))
     sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
@@ -110,18 +132,7 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
     if len(x) > sample:
         idx = np.random.RandomState(seed).permutation(len(x))[:sample]
         x = x[idx]
-    x = _normalize(x)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(iters):
-        sims = x @ cent.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cent)):
-            members = x[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
-    return cent
+    return _kmeans(x, n_centroids, iters, seed)
 
 
 class IvfAssign:
@@ -138,11 +149,17 @@ class IvfAssign:
 
 def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_probe: int = 4,
              n_centroids: int = 16, key: str = "vec_id",
-             col: str = "embedding", seed: int = 42):
+             col: str = "embedding", seed: int = 42,
+             scan_stats: dict | None = None):
     """Approximate top-k: assign vectors to IVF cells (one map_batches
     pass), then brute-force only rows whose cell is among each query's
     n_probe nearest centroids. At scale the assignment is written
-    partitioned-by-cell so probes read a fraction of the corpus."""
+    partitioned-by-cell so probes read a fraction of the corpus.
+
+    ``scan_stats`` (optional dict) receives {"n_total", "n_scanned"} so
+    callers/tests can assert the probe filter actually pruned — a
+    filter regression silently degrading to full brute force must fail
+    loudly (VERDICT r2 #6)."""
     import ray
 
     cent = train_centroids(ds, n_centroids=n_centroids, col=col, seed=seed)
@@ -156,9 +173,13 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_probe: int = 4,
     q = _normalize(np.asarray(query_vectors, np.float32))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe_cells for c in row})
-    filtered = assigned.filter(
-        expr=f"ivf_cell in {wanted}") if hasattr(assigned, "filter") else assigned
+    filtered = assigned.filter(expr=f"ivf_cell in {wanted}")
+    if scan_stats is not None:
+        filtered = filtered.materialize()
+        scan_stats["n_total"] = ds.count()
+        scan_stats["n_scanned"] = filtered.count()
     results = brute_force_topk(filtered, q, k=k, key=key, col=col)
-    # mask out hits from cells a given query did not probe? brute_force over
-    # the union of probed cells is the standard IVF behavior; keep as-is.
+    # brute_force over the union of probed cells is the standard IVF
+    # coarse-probe behavior (per-query cell masking would only shrink
+    # recall); keep as-is.
     return results

@@ -27,7 +27,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GOLDEN_ROOT = os.environ.get("ZHTML_RAY_GOLDEN_DIR", "/tmp/zhtml_ray_golden")
-_CURRENT = os.path.join(GOLDEN_ROOT, "current")
+# Per-process fixed path (ADVICE r2): queries() and oracle_sql() always
+# run in the same gate process, so scoping by pid means two concurrent
+# gate runs at different scales can never interleave each other's
+# per-query goldens between a query callable and its SQL read.
+_CURRENT = os.path.join(GOLDEN_ROOT, f"current_{os.getpid()}")
 
 
 def golden_sql(name: str) -> str:
@@ -252,9 +256,13 @@ def _gen_minhash_dedup(sf_dir: str) -> pa.Table:
     })
 
 
-def _gen_embedding_neardup(sf_dir: str) -> pa.Table:
+def _gen_embedding_neardup(sf_dir: str, bucket_cap: int = 1024) -> pa.Table:
     """Serial run of the same hyperplane-LSH bucketing + per-bucket
-    cosine verify (sorted by key, identical float32 op order)."""
+    cosine verify (sorted by key, identical float32 op order), INCLUDING
+    the engine's ``bucket_cap`` star fallback (ADVICE r2: a hot bucket
+    beyond the cap previously made the golden diverge from the engine —
+    the golden did uncapped all-pairs — turning a documented fallback
+    into a false gate failure)."""
     import numpy as np
     from zhtml_ray.functions.dedup import HyperplaneLsh
     from zhtml_ray.pipelines.ops_queries import planted_embeddings
@@ -275,6 +283,14 @@ def _gen_embedding_neardup(sf_dir: str) -> pa.Table:
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1
         m = m / norm
+        if len(sel) > bucket_cap:
+            # mirror the engine's star verification against the min-key
+            # member (functions/dedup.py embedding_neardup)
+            sim = m[1:] @ m[0]
+            mask = sim >= 0.98
+            ka.extend([int(keys[sel][0])] * int(mask.sum()))
+            kb.extend(keys[sel][1:][mask].tolist())
+            continue
         sim = m @ m.T
         ia, ib = np.triu_indices(len(sel), k=1)
         mask = sim[ia, ib] >= 0.98
@@ -282,6 +298,43 @@ def _gen_embedding_neardup(sf_dir: str) -> pa.Table:
         kb.extend(keys[sel][ib[mask]].tolist())
     return pa.table({"key_a": pa.array(ka, pa.int64()),
                      "key_b": pa.array(kb, pa.int64())})
+
+
+def _gen_ivf_topk(sf_dir: str) -> pa.Table:
+    """Serial same-algorithm pinned run of the IVF top-k path (VERDICT
+    r2 item 4). Valid because at every gate scale the coarse-quantizer
+    training set is the FULL table (n ≤ 2×sample ⇒ no random_sample, no
+    thinning — layout-independent), every kernel is seeded, and cosines
+    are row-wise float32 dots (batch-layout-invariant). The recall
+    property vs exact brute force is separately pytest-gated
+    (tests/test_functions.py::test_ivf_recall_vs_brute_force)."""
+    import numpy as np
+    from zhtml_ray.functions.similarity import _kmeans, _normalize
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    emb = np.asarray(t["embedding"].to_pylist(), np.float32)
+    # queries: first 5 vectors by vec_id, float64 round-trip — exactly
+    # ops_queries._query_vectors
+    qv = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:5],
+                    np.float64)
+    n_centroids, n_probe, k, seed = 8, 4, 10, 42  # q_ivf_topk's params
+    assert len(emb) <= 4096, "serial ivf golden needs the full-table path"
+    cent = _kmeans(emb.copy(), n_centroids, iters=10, seed=seed)
+    emb_n = _normalize(emb.copy())
+    assign = (emb_n @ cent.T).argmax(axis=1)
+    q = _normalize(np.asarray(qv, np.float32))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    wanted = {int(c) for row in probe for c in row}
+    sel = np.isin(assign, sorted(wanted))
+    keys, m = ids[sel], emb_n[sel]
+    sims = q @ m.T
+    qid_out, key_out = [], []
+    for qi in range(len(q)):
+        order = np.lexsort((keys, -sims[qi]))[:k]  # cosine DESC, key ASC
+        qid_out.extend([qi] * len(order))
+        key_out.extend(keys[order].tolist())
+    return pa.table({"query_id": pa.array(qid_out, pa.int32()),
+                     "vec_id": pa.array(key_out, pa.int64())})
 
 
 def _gen_pdf_extract(sf_dir: str) -> pa.Table:
@@ -332,6 +385,7 @@ _GENERATORS = {
     "ngram_jaccard": _gen_ngram_jaccard,
     "minhash_dedup": _gen_minhash_dedup,
     "embedding_neardup": _gen_embedding_neardup,
+    "ivf_topk": _gen_ivf_topk,
     "pdf_extract": _gen_pdf_extract,
     "media_features": _gen_media_features,
     "audio_features": _gen_audio_features,
@@ -339,11 +393,39 @@ _GENERATORS = {
 }
 
 
+def _source_digest() -> str:
+    """Digest of every engine source file (ADVICE r2): most goldens are
+    serial runs of the SAME kernels, so any kernel edit must invalidate
+    the cached goldens automatically — a stale golden after a semantic
+    change would make the gate pass vacuously. Hashing the whole package
+    (~0.5 MB once per process) is cheaper than curating per-generator
+    dependency lists and can never under-invalidate."""
+    global _SRC_DIGEST
+    if _SRC_DIGEST is None:
+        import hashlib
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for f in sorted(filenames):
+                if f.endswith(".py"):
+                    p = os.path.join(dirpath, f)
+                    h.update(p.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _SRC_DIGEST = h.hexdigest()[:10]
+    return _SRC_DIGEST
+
+
+_SRC_DIGEST: str | None = None
+
+
 def _cache_tag(sf_dir: str) -> str:
     from zhtml_ray.pipelines.extract import n_pages_for
     from zhtml_ray.sources.pages import FIXTURE_VERSION
     token = os.path.basename(os.path.normpath(sf_dir))
-    return f"v{FIXTURE_VERSION}_{token}_n{n_pages_for(sf_dir)}"
+    return (f"v{FIXTURE_VERSION}_{token}_n{n_pages_for(sf_dir)}"
+            f"_s{_source_digest()}")
 
 
 def pregenerate(sf_dir: str = "/root/testdata/sf0.01") -> None:

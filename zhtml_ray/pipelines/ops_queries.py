@@ -335,7 +335,13 @@ QUALIFY row_number() OVER (
 
 
 def q_ivf_topk(sf_dir: str):
+    """IVF approximate top-k, oracled against a serial same-algorithm
+    pinned golden (valid at gate scales: full-table centroid training,
+    seeded, layout-invariant — pipelines/golden.py:_gen_ivf_topk);
+    recall vs exact brute force is pytest-gated separately."""
     from zhtml_ray.functions.similarity import ivf_topk
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("ivf_topk", sf_dir)
     q = _query_vectors(sf_dir, 5)
     out = ivf_topk(_emb(sf_dir), q, k=10, n_probe=4, n_centroids=8)
     return out[["query_id", "vec_id"]]
@@ -468,8 +474,11 @@ def q_media_features(sf_dir: str):
     from zhtml_ray.functions.multimodal import ImageFeatures, gen_media_table
     from zhtml_ray.pipelines.golden import ensure_golden, media_feature_project
     ensure_golden("media_features", sf_dir)
+    from zhtml_ray.functions.multimodal import filter_kind
     tbl = gen_media_table(_media_rows_for(sf_dir))
-    ds = rd.from_arrow(tbl)
+    # explicit contract: one feature row per IMAGE row (filter_kind doc)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda b: filter_kind(b, "image"), batch_format="pyarrow")
     out = ds.map_batches(ImageFeatures, batch_format="pyarrow",
                          batch_size=32, concurrency=autoscale_pool(0.5))
     return out.map_batches(media_feature_project, batch_format="pyarrow")
@@ -482,8 +491,11 @@ def q_audio_features(sf_dir: str):
     from zhtml_ray.functions.multimodal import AudioFeatures, gen_media_table
     from zhtml_ray.pipelines.golden import ensure_golden
     ensure_golden("audio_features", sf_dir)
+    from zhtml_ray.functions.multimodal import filter_kind
     tbl = gen_media_table(_media_rows_for(sf_dir))
-    ds = rd.from_arrow(tbl)
+    # explicit contract: one feature row per AUDIO row (filter_kind doc)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda b: filter_kind(b, "audio"), batch_format="pyarrow")
     return ds.map_batches(AudioFeatures, batch_format="pyarrow",
                           batch_size=32, concurrency=autoscale_pool(0.5))
 
@@ -493,8 +505,11 @@ def q_frame_sample(sf_dir: str):
     from zhtml_ray.functions.multimodal import FrameSampler, gen_media_table
     from zhtml_ray.pipelines.golden import ensure_golden
     ensure_golden("frame_sample", sf_dir)
+    from zhtml_ray.functions.multimodal import filter_kind
     tbl = gen_media_table(_media_rows_for(sf_dir))
-    ds = rd.from_arrow(tbl)
+    # explicit contract: frames come from VIDEO rows only (filter_kind doc)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda b: filter_kind(b, "video"), batch_format="pyarrow")
     return ds.map_batches(FrameSampler(fps=1.0), batch_format="pyarrow",
                           batch_size=32)
 
@@ -531,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": golden_sql("minhash_dedup"),
         "ngram_jaccard": golden_sql("ngram_jaccard"),
         "embedding_neardup": golden_sql("embedding_neardup"),
+        "ivf_topk": golden_sql("ivf_topk"),
         "pdf_extract": golden_sql("pdf_extract"),
         "media_features": golden_sql("media_features"),
         "audio_features": golden_sql("audio_features"),
