@@ -140,7 +140,8 @@ def bench_error_histogram(pages_dir: str) -> float:
     ds = extract_pages(ds, include_spans=False)
 
     def partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(pc.list_flatten(t.column("error_codes")))
+        flat = pc.list_flatten(t.column("errors"))
+        vc = pc.value_counts(pc.struct_field(flat, "code"))
         return pa.table({"code": vc.field("values"),
                          "p_n": pc.cast(vc.field("counts"), pa.int64())})
 

@@ -67,6 +67,24 @@ def test_error_codes_present():
     assert "invalid-first-character-of-tag-name" in out["error_codes"]
 
 
+def test_errors_struct_line_col():
+    """SURVEY §1.3: errors carry 1-based (line, col); codes mirror
+    error_codes. The '<3' error is recorded with the cursor on '3'
+    (line 3, col 6 — tokenizer pos after consuming '<')."""
+    out = extract_document("<p>a</p>\n<p>b</p>\n<p>x<3</p>")
+    errs = out["errors"]
+    assert [e["code"] for e in errs] == out["error_codes"]
+    bad = [e for e in errs
+           if e["code"] == "invalid-first-character-of-tag-name"]
+    assert bad and bad[0]["line"] == 3 and bad[0]["col"] == 6
+    # CRLF input: positions resolve against the NORMALIZED stream
+    # (\r\n → \n), so the error still lands on line 2
+    out2 = extract_document(b"<p>a</p>\r\n<p>x<3</p>")
+    bad2 = [e for e in out2["errors"]
+            if e["code"] == "invalid-first-character-of-tag-name"]
+    assert bad2 and bad2[0]["line"] == 2 and bad2[0]["col"] == 6
+
+
 def test_determinism_repeat_runs():
     from zhtml_ray.sources.pages import gen_html
     h = gen_html(7, "en")

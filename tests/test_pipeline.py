@@ -49,7 +49,10 @@ def test_write_parquet_roundtrip(pages_ds, tmp_path):
     back = pq.read_table(out)
     assert back.num_rows == 500
     assert set(back.column_names) >= {"url", "extracted_text", "spans",
-                                      "quirks", "error_codes", "ok"}
+                                      "quirks", "errors", "ok"}
+    # SURVEY §1.3: errors is list<struct<code,line,col>>
+    f = back.schema.field("errors").type
+    assert {sf.name for sf in f.value_type} == {"code", "line", "col"}
 
 
 def test_entry_contract(ray_session):

@@ -296,4 +296,9 @@ def extract_document(raw, include_nodes: bool = False,
     out["quirks"] = doc.quirks
     out["doctype_name"] = doc.doctype_name or ""
     out["error_codes"] = [c for c, _ in result.errors]
+    # SURVEY §1.3 errors column: (code, line, col) structs, 1-based;
+    # line/col resolution is lazy inside the tokenizer (newline index is
+    # built only for errored documents)
+    out["errors"] = [{"code": c, "line": ln, "col": co}
+                     for c, ln, co in result.errors_lc()]
     return out

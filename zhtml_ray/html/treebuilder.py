@@ -163,11 +163,23 @@ _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 
 class ParseResult:
-    __slots__ = ("document", "errors")
+    __slots__ = ("document", "errors", "_line_col")
 
-    def __init__(self, document, errors):
+    def __init__(self, document, errors, line_col=None):
         self.document = document
-        self.errors = errors
+        self.errors = errors  # [(code, codepoint offset)] sorted by offset
+        self._line_col = line_col  # tokenizer's lazy offset→(line,col)
+
+    def errors_lc(self) -> list[tuple[str, int, int]]:
+        """Errors resolved to (code, line, col), 1-based — the SURVEY
+        §1.3 ``errors: list<struct<code,line,col>>`` column. Resolution
+        is lazy: the newline index is built only when a document actually
+        has errors AND a consumer asks for positions."""
+        if not self.errors:
+            return []
+        if self._line_col is None:
+            return [(c, 0, 0) for c, _ in self.errors]
+        return [(c, *self._line_col(off)) for c, off in self.errors]
 
 
 class TreeBuilder:
@@ -232,7 +244,7 @@ class TreeBuilder:
         self._init(t)
         self._run()
         errors = sorted(t.errors + self.errors, key=lambda e: e[1])
-        return ParseResult(self.doc, errors)
+        return ParseResult(self.doc, errors, line_col=t.line_col)
 
     def parse_fragment(self, raw, context: str, context_attrs=None,
                        context_ns: int = NS_HTML) -> ParseResult:
@@ -274,7 +286,7 @@ class TreeBuilder:
             root.remove(ch)
             frag.append(ch)
         errors = sorted(t.errors + self.errors, key=lambda e: e[1])
-        return ParseResult(frag, errors)
+        return ParseResult(frag, errors, line_col=t.line_col)
 
     # ------------------------------------------------------------- plumbing
 

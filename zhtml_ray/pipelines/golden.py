@@ -41,16 +41,17 @@ def golden_sql(name: str) -> str:
 
 def gate_project(tbl: pa.Table) -> pa.Table:
     """Shared projection for the `extract` gate row: nested columns
-    (spans, error_codes) serialize to canonical JSON strings so the
-    driver's sort+hash compare works on them. Used IDENTICALLY by the
+    (spans, errors) serialize to canonical JSON strings so the driver's
+    sort+hash compare works on them. Used IDENTICALLY by the
     distributed query and the serial golden — any divergence is a real
     engine difference, not a formatting one."""
     spans_json = [
         json.dumps([[s["start"], s["end"], s["node_id"], s["kind"]]
                     for s in row], separators=(",", ":"))
         for row in tbl["spans"].to_pylist()]
-    err_json = [json.dumps(row, separators=(",", ":"))
-                for row in tbl["error_codes"].to_pylist()]
+    err_json = [json.dumps([[e["code"], e["line"], e["col"]] for e in row],
+                           separators=(",", ":"))
+                for row in tbl["errors"].to_pylist()]
     return pa.table({
         "url": tbl["url"],
         "extracted_text": tbl["extracted_text"],
@@ -96,8 +97,8 @@ def _gen_extract_error_histogram(sf_dir: str) -> pa.Table:
     from collections import Counter
     c: Counter = Counter()
     for t in _serial_extract_tables(sf_dir):
-        for codes in t["error_codes"].to_pylist():
-            c.update(codes)
+        for errs in t["errors"].to_pylist():
+            c.update(e["code"] for e in errs)
     codes = sorted(c)
     return pa.table({"code": pa.array(codes, pa.string()),
                      "count()": pa.array([c[k] for k in codes], pa.int64())})

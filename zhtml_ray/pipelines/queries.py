@@ -35,7 +35,7 @@ def q_extract(sf_dir: str):
 
 def q_extract_error_histogram(sf_dir: str):
     """Error-code histogram over the extraction run (SURVEY.md §2.5):
-    explode error_codes → groupby(code).count()."""
+    explode errors structs → groupby(code).count()."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from zhtml_ray.pipelines.extract import run_extract
@@ -43,9 +43,8 @@ def q_extract_error_histogram(sf_dir: str):
     ds = run_extract(sf_dir, include_spans=False)
 
     def explode(batch: pa.Table) -> pa.Table:
-        codes = batch.column("error_codes")
-        flat = pc.list_flatten(codes)
-        return pa.table({"code": flat})
+        flat = pc.list_flatten(batch.column("errors"))
+        return pa.table({"code": pc.struct_field(flat, "code")})
 
     ds = ds.map_batches(explode, batch_format="pyarrow")
     from zhtml_ray.pipelines.golden import ensure_golden

@@ -85,12 +85,13 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     err_counts: dict[str, int] = {}
     if glob.glob(os.path.join(final_dir, "*.parquet")):
         scan = pads.dataset(final_dir).scanner(
-            columns=["row_crc", "error_codes", "html_bytes"])
+            columns=["row_crc", "errors", "html_bytes"])
         for b in scan.to_batches():
             rows += b.num_rows
             checksum = (checksum + int(pc.sum(b.column(0)).as_py() or 0)) \
                 & 0xFFFFFFFFFFFFFFFF
-            for c in pc.list_flatten(b.column(1)).to_pylist():
+            flat = pc.list_flatten(b.column(1))
+            for c in pc.struct_field(flat, "code").to_pylist():
                 err_counts[c] = err_counts.get(c, 0) + 1
             html_bytes += int(pc.sum(b.column(2)).as_py() or 0)
 

@@ -24,13 +24,18 @@ SPAN_TYPE = pa.list_(pa.struct([
     ("node_id", pa.int32()), ("kind", pa.string()),
 ]))
 
+# SURVEY §1.3: parse errors as typed structs (1-based line/col)
+ERROR_TYPE = pa.list_(pa.struct([
+    ("code", pa.string()), ("line", pa.int32()), ("col", pa.int32()),
+]))
+
 OUT_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("extracted_text", pa.large_string()),
     ("spans", SPAN_TYPE),
     ("quirks", pa.int8()),
     ("doctype_name", pa.string()),
-    ("error_codes", pa.list_(pa.string())),
+    ("errors", ERROR_TYPE),
     ("n_nodes", pa.int32()),
     ("html_bytes", pa.int64()),
     ("row_crc", pa.int64()),
@@ -66,7 +71,7 @@ class ParseExtractBatch:
         spans = [[] for _ in range(n)]
         quirks = [0] * n
         doctypes = [""] * n
-        errcodes = [[] for _ in range(n)]
+        errors = [[] for _ in range(n)]
         nnodes = [0] * n
         ok = [True] * n
         fail = [""] * n
@@ -81,7 +86,7 @@ class ParseExtractBatch:
                 spans[i] = out["spans"]
                 quirks[i] = out["quirks"]
                 doctypes[i] = out["doctype_name"]
-                errcodes[i] = out["error_codes"]
+                errors[i] = out["errors"]
                 nnodes[i] = out["n_nodes"]
             except Exception as e:  # noqa: BLE001 — per-row isolation
                 ok[i] = False
@@ -100,7 +105,7 @@ class ParseExtractBatch:
             "spans": pa.array(spans, SPAN_TYPE),
             "quirks": pa.array(quirks, pa.int8()),
             "doctype_name": pa.array(doctypes, pa.string()),
-            "error_codes": pa.array(errcodes, pa.list_(pa.string())),
+            "errors": pa.array(errors, ERROR_TYPE),
             "n_nodes": pa.array(nnodes, pa.int32()),
             "html_bytes": pa.array(hbytes, pa.int64()),
             "ok": pa.array(ok, pa.bool_()),
