@@ -428,3 +428,52 @@ def test_null_text_matches_sql_oracle():
     assert q["n_words"].to_pylist() == [r[1] for r in rows] == [2, 0]
     assert [round(x, 9) for x in q["quality_score"].to_pylist()] == \
         [round(r[4], 9) for r in rows]
+
+
+def test_sessionize_hot_key_salted_matches_sql(ray_session, tmp_path):
+    """(user, day)-salted sessionize (VERDICT r2 #7): one user owns 20%
+    of the stream and several sessions span midnight — the salted +
+    stub-merged output must equal the DuckDB window-function oracle
+    exactly (the salt cut points are healed by the merge pass)."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq_
+    from zhtml_ray.pipelines.ops_queries import (SQL_EVENTS_SESSIONIZE,
+                                                 q_events_sessionize)
+
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000  # epoch seconds
+    users, ts = [], []
+    # hot user 0: 2000 events (20%), bursts crossing midnight boundaries
+    t = base
+    for i in range(2000):
+        t += int(rng.randint(1, 2400))  # gaps straddle the 1800s cut
+        users.append(0)
+        ts.append(t)
+    # 100 normal users, 80 events each
+    for u in range(1, 101):
+        t = base + int(rng.randint(0, 86400))
+        for _ in range(80):
+            t += int(rng.randint(1, 5000))
+            users.append(u)
+            ts.append(t)
+    n = len(users)
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array([v * 1_000_000 for v in ts],
+                       pa.timestamp("us")),
+        "event_id": pa.array(range(n), pa.int64()),
+    })
+    pq_.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = (q_events_sessionize(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = (con.execute(SQL_EVENTS_SESSIONIZE).df()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True))
+    want["n_events"] = want["n_events"].astype("int64")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert got[cols].equals(want[cols])
