@@ -477,3 +477,23 @@ def test_sessionize_hot_key_salted_matches_sql(ray_session, tmp_path):
     want["n_events"] = want["n_events"].astype("int64")
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert got[cols].equals(want[cols])
+
+
+def test_minhash_dedup_empty_and_filtered_blocks(ray_session):
+    """r3 review: an all-empty (or filtered-to-empty-block) docs input
+    must flow through the vectorized candidate-pair joins instead of
+    crashing on schema-less 0-row blocks."""
+    import ray.data as rd
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = dedup.minhash_dedup(empty).to_pandas()
+    assert len(out) == 0
+    # a filter that empties one block but not the corpus
+    t = _tbl(["shared common text body here alpha"] * 3 +
+             ["completely different other document text"] * 2)
+    ds = rd.from_arrow(t).map_batches(
+        lambda b: b.filter(__import__("pyarrow").compute.less(
+            b["doc_id"], 100)), batch_format="pyarrow")
+    out2 = dedup.minhash_dedup(ds).to_pandas()
+    assert len(out2) == 5

@@ -73,11 +73,19 @@ def main() -> None:
                  include_dashboard=False)
     from zhtml_ray.functions.dedup import minhash_dedup
 
+    import pyarrow.compute as pc
+
     ds = rd.read_parquet(path)
     t0 = time.perf_counter()
-    out = minhash_dedup(ds, key="doc_id", col="text")
+    # materialize ONCE and count/sum from the materialized result — a
+    # bare count() + row-lambda filter re-executed the assignment
+    # pipeline twice and inflated the recorded walls (r3 review)
+    out = minhash_dedup(ds, key="doc_id", col="text").materialize()
     n = out.count()
-    n_dup = out.filter(lambda r: r["is_dup"]).count()
+    n_dup = int(out.map_batches(
+        lambda b: pa.table({"d": [pc.sum(pc.cast(b["is_dup"],
+                                                 pa.int64())).as_py() or 0]}),
+        batch_format="pyarrow").sum("d") or 0)
     wall = time.perf_counter() - t0
     print(json.dumps({
         "metric": "minhash_dedup_wall", "value": round(wall, 3),

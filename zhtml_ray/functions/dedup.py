@@ -194,11 +194,23 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
     mh = _cached_minhash(col, num_perm, shingle_k, seed)
     le = _cached_lsh_explode(key, bands, num_perm)
     sigs = ds.map_batches(mh, batch_format="pyarrow")
-    # materialize: exploded feeds BOTH the stats aggregate and the join
-    # below — without this the whole MinHash+LSH compute runs twice
-    # (measured: ~75 s twice on the 200k-doc bench)
-    exploded = (sigs.map_batches(le, batch_format="pyarrow")
-                .materialize())
+    # drop_empty_blocks (which also materializes): exploded feeds BOTH
+    # the stats aggregate and the join below — unmaterialized, the whole
+    # MinHash+LSH compute runs twice (measured: ~75 s twice on the
+    # 200k-doc bench); and an empty input block would reach the join
+    # schema-less and crash it (r3 review finding)
+    exploded = drop_empty_blocks(
+        sigs.map_batches(le, batch_format="pyarrow"))
+    if exploded.count() == 0:
+        # empty corpus: drop_empty_blocks can't conjure a schema out of
+        # all-empty blocks, so return a TYPED empty pair list instead of
+        # letting the schema-less blocks reach the join
+        import ray.data as rd
+        sch = ds.schema()
+        kt = (sch.base_schema.field(key).type
+              if sch is not None and key in sch.names else pa.int64())
+        return rd.from_arrow(pa.table({"key_a": pa.array([], kt),
+                                       "key_b": pa.array([], kt)}))
 
     nparts = sized_partitions(exploded.count())
     # drop_empty_blocks: 0-row aggregate outputs lose their schema in
@@ -207,9 +219,13 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
         exploded.groupby(["band_id", "band_hash"],
                          num_partitions=nparts).aggregate(
             Min(key, alias_name="_root"), Count(alias_name="_sz")))
-    # members ⋈ per-bucket (root, size): Arrow-native hash join
-    ex2 = exploded.join(stats, "inner", num_partitions=nparts,
-                        on=("band_id", "band_hash"))
+    # members ⋈ per-bucket (root, size): Arrow-native hash join.
+    # drop_empty_blocks materializes ex2 ONCE for both consumers below
+    # (star + clique paths) — unmaterialized, the star stage re-ran the
+    # whole join lineage (~32 s on the 200k-doc bench)
+    ex2 = drop_empty_blocks(
+        exploded.join(stats, "inner", num_partitions=nparts,
+                      on=("band_id", "band_hash")))
 
     def star(batch: pa.Table) -> pa.Table:
         # star pairs (root, other) — for every bucket when
@@ -246,12 +262,11 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
         # drop_empty_blocks on BOTH join inputs: Ray's hash-shuffle join
         # drops the schema of every 0-row block (even a typed map
         # output), so a fully-filtered block poisons the join
-        sm = drop_empty_blocks(ex2)
         sm_a = drop_empty_blocks(
-            sm.map_batches(side("key_a"), batch_format="pyarrow"))
+            ex2.map_batches(side("key_a"), batch_format="pyarrow"))
         if sm_a.count():  # no within-limit buckets → star pairs only
             sm_b = drop_empty_blocks(
-                sm.map_batches(side("key_b"), batch_format="pyarrow"))
+                ex2.map_batches(side("key_b"), batch_format="pyarrow"))
             cl = sm_a.join(sm_b, "inner", num_partitions=nparts,
                            on=("band_id", "band_hash"))
 
@@ -313,9 +328,11 @@ def gather_candidate_texts(docs_ds, key_values, key: str = "doc_id",
     nbytes = 0
     small = docs_ds.map_batches(keep, batch_format="pyarrow")
     for batch in small.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        # budget counts ENCODED bytes (Arrow buffer size), not str
+        # codepoints — len(str) undercounts CJK/emoji text up to 4×
+        nbytes += batch.get_total_buffer_size()
         for k, t in zip(batch[key].to_pylist(), batch[col].to_pylist()):
             texts[k] = t
-            nbytes += len(t or "")
         if byte_budget is not None and nbytes > byte_budget:
             return None
     return texts
@@ -413,16 +430,21 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
         def proj_b(b: pa.Table) -> pa.Table:
             return pa.table({"key_b": b[key], "_text_b": b[col]})
 
-        # drop_empty_blocks between the joins: a join partition with no
-        # matches emits a 0-row EMPTY-schema block that the next join
-        # rejects ("no match for key field") — object-store-resident
-        # materialization, never the driver
+        # drop_empty_blocks on EVERY join input (pairs, both docs
+        # projections, and between the joins): any 0-row block — a join
+        # partition with no matches, or an upstream-filtered corpus
+        # block — loses its schema in the hash shuffle and the join
+        # rejects it ("no match for key field"). Object-store-resident
+        # materializations, never the driver.
+        docs_a = drop_empty_blocks(
+            docs_ds.map_batches(proj_a, batch_format="pyarrow"))
+        docs_b = drop_empty_blocks(
+            docs_ds.map_batches(proj_b, batch_format="pyarrow"))
         j1 = drop_empty_blocks(
             drop_empty_blocks(pairs)
-            .join(docs_ds.map_batches(proj_a, batch_format="pyarrow"),
-                  "inner", num_partitions=nparts, on=("key_a",)))
-        joined = j1.join(docs_ds.map_batches(proj_b, batch_format="pyarrow"),
-                         "inner", num_partitions=nparts, on=("key_b",))
+            .join(docs_a, "inner", num_partitions=nparts, on=("key_a",)))
+        joined = j1.join(docs_b, "inner", num_partitions=nparts,
+                         on=("key_b",))
 
         class VerifyJoined:
             def __init__(self):

@@ -114,10 +114,12 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
 
     The sample is a seeded `ds.random_sample` across ALL blocks — taking
     the first blocks would train the quantizer on one shard's
-    distribution at scale (skewed centroids, bad probe recall). When the
-    table fits twice the sample budget the trainer consumes it whole (no
-    sampling at all) — that path is layout-independent, which is what
-    lets the serial golden pin the gate-scale IVF output."""
+    distribution at scale (skewed centroids, bad probe recall). Only
+    when the table fits the sample budget itself (n ≤ sample) is the
+    training set the whole table with no thinning — that path is
+    layout-independent, which is what lets the serial golden pin the
+    gate-scale IVF output (between sample and 2×sample the stream is
+    consumed whole but still permutation-thinned to `sample` rows)."""
     n = ds.count()
     frac = min(1.0, (sample * 2.0) / max(n, 1))
     sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds

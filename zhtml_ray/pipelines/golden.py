@@ -32,6 +32,37 @@ GOLDEN_ROOT = os.environ.get("ZHTML_RAY_GOLDEN_DIR", "/tmp/zhtml_ray_golden")
 # gate runs at different scales can never interleave each other's
 # per-query goldens between a query callable and its SQL read.
 _CURRENT = os.path.join(GOLDEN_ROOT, f"current_{os.getpid()}")
+_CLEANED = False
+
+
+def _clean_stale_current() -> None:
+    """Remove current_<pid> dirs of DEAD processes (r3 review finding):
+    they otherwise accumulate in /tmp forever, and worse — a recycled
+    pid would let pregenerate's refresh_current=False path keep a dead
+    run's stale golden. Runs once per process, including for OUR pid's
+    leftover dir from a previous incarnation."""
+    global _CLEANED
+    if _CLEANED:
+        return
+    _CLEANED = True
+    import glob
+    import shutil as sh
+    for d in glob.glob(os.path.join(GOLDEN_ROOT, "current_*")):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        alive = False
+        if pid != os.getpid():
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True
+        if not alive:
+            sh.rmtree(d, ignore_errors=True)
 
 
 def golden_sql(name: str) -> str:
@@ -304,10 +335,14 @@ def _gen_embedding_neardup(sf_dir: str, bucket_cap: int = 1024) -> pa.Table:
 def _gen_ivf_topk(sf_dir: str) -> pa.Table:
     """Serial same-algorithm pinned run of the IVF top-k path (VERDICT
     r2 item 4). Valid because at every gate scale the coarse-quantizer
-    training set is the FULL table (n ≤ 2×sample ⇒ no random_sample, no
-    thinning — layout-independent), every kernel is seeded, and cosines
-    are row-wise float32 dots (batch-layout-invariant). The recall
-    property vs exact brute force is separately pytest-gated
+    training set is the FULL table: n must be ≤ sample (2048) — beyond
+    that train_centroids THINS to `sample` rows via a permutation of
+    dataset-order rows (layout-dependent), and between 2049 and 4096 it
+    still thins even though random_sample is skipped (r3 review
+    finding: the guard must be `sample`, not 2×sample). Every kernel is
+    seeded and cosines are row-wise float32 dots
+    (batch-layout-invariant). The recall property vs exact brute force
+    is separately pytest-gated
     (tests/test_functions.py::test_ivf_recall_vs_brute_force)."""
     import numpy as np
     from zhtml_ray.functions.similarity import _kmeans, _normalize
@@ -319,7 +354,8 @@ def _gen_ivf_topk(sf_dir: str) -> pa.Table:
     qv = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:5],
                     np.float64)
     n_centroids, n_probe, k, seed = 8, 4, 10, 42  # q_ivf_topk's params
-    assert len(emb) <= 4096, "serial ivf golden needs the full-table path"
+    assert len(emb) <= 2048, \
+        "serial ivf golden needs the untrimmed full-table training path"
     cent = _kmeans(emb.copy(), n_centroids, iters=10, seed=seed)
     emb_n = _normalize(emb.copy())
     assign = (emb_n @ cent.T).argmax(axis=1)
@@ -459,6 +495,7 @@ def ensure_golden(name: str, sf_dir: str,
     torn parquet. ``refresh_current=False`` only creates the fixed path
     when missing (pregeneration must not clobber another scale's
     already-written golden). Returns the fixed path."""
+    _clean_stale_current()
     cache = os.path.join(GOLDEN_ROOT, _cache_tag(sf_dir))
     os.makedirs(cache, exist_ok=True)
     os.makedirs(_CURRENT, exist_ok=True)

@@ -84,14 +84,21 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     html_bytes = 0
     err_counts: dict[str, int] = {}
     if glob.glob(os.path.join(final_dir, "*.parquet")):
-        scan = pads.dataset(final_dir).scanner(
-            columns=["row_crc", "errors", "html_bytes"])
+        dset = pads.dataset(final_dir)
+        # schema migration: partitions written before the errors-struct
+        # change carry `error_codes: list<string>` instead of
+        # `errors: list<struct<code,line,col>>` — --resume must still
+        # scan them rather than crash on a missing field
+        legacy = "errors" not in dset.schema.names
+        err_col = "error_codes" if legacy else "errors"
+        scan = dset.scanner(columns=["row_crc", err_col, "html_bytes"])
         for b in scan.to_batches():
             rows += b.num_rows
             checksum = (checksum + int(pc.sum(b.column(0)).as_py() or 0)) \
                 & 0xFFFFFFFFFFFFFFFF
             flat = pc.list_flatten(b.column(1))
-            for c in pc.struct_field(flat, "code").to_pylist():
+            codes = flat if legacy else pc.struct_field(flat, "code")
+            for c in codes.to_pylist():
                 err_counts[c] = err_counts.get(c, 0) + 1
             html_bytes += int(pc.sum(b.column(2)).as_py() or 0)
 
