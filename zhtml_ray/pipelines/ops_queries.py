@@ -199,6 +199,75 @@ def q_bpe_token_count(sf_dir: str):
     return out.select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composite training-data-prep flagship over documents: ONE fused
+    vectorized stage computes language ID + quality signals + token
+    count + content hash, filters (quality_score ≥ 0.7 AND n_tokens ≥
+    30), and drops text BEFORE any shuffle (shuffle bytes O(rows));
+    survivors then exact-dedup via an Arrow-native Min aggregate and a
+    winners join. This is the end-to-end corpus-cleaning shape a 100 TB
+    run composes from the individual operators — SQL-oracled as a
+    whole."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+    from zhtml_ray.functions.dedup import add_content_hash
+    from zhtml_ray.functions.textstats import (LangId, QualityScore,
+                                               token_count_batch)
+    from zhtml_ray.stages.util import drop_empty_blocks, sized_partitions
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    li, qs = LangId(), QualityScore()
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = add_content_hash(token_count_batch(qs(li(b))))
+        keep = pc.and_(pc.greater_equal(t["quality_score"], 0.7),
+                       pc.greater_equal(t["n_tokens"], 30))
+        return t.filter(keep).select(
+            ["doc_id", "lang_pred", "n_tokens", "quality_score",
+             "content_hash"])
+
+    survivors = drop_empty_blocks(
+        ds.map_batches(prep, batch_format="pyarrow"))
+    n = survivors.count()
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang_pred": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "quality_score": pa.array([], pa.float64())})
+    nparts = sized_partitions(n)
+    winners = drop_empty_blocks(
+        survivors.select_columns(["content_hash", "doc_id"])
+        .groupby("content_hash", num_partitions=nparts)
+        .aggregate(Min("doc_id", alias_name="doc_id")))
+    out = survivors.join(winners, "inner", num_partitions=nparts,
+                         on=("content_hash", "doc_id"))
+    return out.select_columns(["doc_id", "lang_pred", "n_tokens",
+                               "quality_score"])
+
+
+def _sql_corpus_prep() -> str:
+    # composed from the per-operator oracles (all individually verified
+    # bit-exact); dedup groups by raw text — equivalent to the engine's
+    # sha1(text) grouping
+    return f"""
+WITH q AS ({_sql_quality()}),
+     l AS ({_sql_langid()}),
+     t AS ({SQL_TOKEN_COUNT}),
+     kept AS (
+       SELECT q.doc_id, l.lang_pred, t.n_tokens, q.quality_score, d.text
+       FROM q JOIN l ON q.doc_id = l.doc_id
+              JOIN t ON q.doc_id = t.doc_id
+              JOIN documents d ON q.doc_id = d.doc_id
+       WHERE q.quality_score >= 0.7 AND t.n_tokens >= 30
+     )
+SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality_score
+FROM kept k
+JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text) w
+  ON k.doc_id = w.doc_id
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 def q_qa_sample(sf_dir: str):
@@ -555,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
+        "corpus_prep": q_corpus_prep,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -589,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
+        "corpus_prep": _sql_corpus_prep(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
