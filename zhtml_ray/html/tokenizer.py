@@ -529,11 +529,18 @@ class Tokenizer:
         buf = []
         # comment start state
         if pos < n and s[pos] == "-":
-            if pos + 1 < n and s[pos + 1] == ">":
+            if pos + 1 >= n:
+                # comment start dash state, EOF arm (13.2.5.44): the
+                # dash is appended only on "anything else" — the
+                # emitted comment data stays EMPTY (was "-")
+                self._err("eof-in-comment", n)
+                self.pos = n
+                return [("Comment", "")]
+            if s[pos + 1] == ">":
                 self._err("abrupt-closing-of-empty-comment", pos + 1)
                 self.pos = pos + 2
                 return [("Comment", "")]
-            if pos + 1 < n and s[pos + 1] == "-":
+            if s[pos + 1] == "-":
                 # comment end state directly
                 pos2, tok = self._comment_end(pos + 2, buf)
                 if tok is not None:
