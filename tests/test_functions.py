@@ -220,22 +220,31 @@ def test_brute_force_topk_tie_break(ray_session):
     assert sorted(out["vec_id"].tolist()) == [0, 1, 2]
 
 
-def test_label_propagation_chain(ray_session):
-    """Distributed min-label propagation: a 5-node chain (diameter 4)
-    needs multiple rounds; every node must land on the min label."""
+import pytest
+
+
+@pytest.mark.parametrize("budget", [0, 2_000_000])
+def test_label_propagation_chain(ray_session, budget):
+    """Min-label propagation, BOTH paths (budget=0 forces the
+    distributed bounded-round algorithm, the default takes the
+    budgeted union-find fast path): a 5-node chain (diameter 4) needs
+    multiple rounds; every node must land on the min label."""
     import ray.data as rd
     edges = pa.table({"key_a": pa.array([1, 2, 3, 4], pa.int64()),
                       "key_b": pa.array([2, 3, 4, 5], pa.int64()),})
-    labels = dedup.label_propagation(rd.from_arrow(edges)).to_pandas()
+    labels = dedup.label_propagation(rd.from_arrow(edges),
+                                     driver_budget=budget).to_pandas()
     got = dict(zip(labels["node"], labels["lbl"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
-def test_label_propagation_two_components(ray_session):
+@pytest.mark.parametrize("budget", [0, 2_000_000])
+def test_label_propagation_two_components(ray_session, budget):
     import ray.data as rd
     edges = pa.table({"key_a": pa.array([1, 10], pa.int64()),
                       "key_b": pa.array([2, 11], pa.int64())})
-    labels = dedup.label_propagation(rd.from_arrow(edges)).to_pandas()
+    labels = dedup.label_propagation(rd.from_arrow(edges),
+                                     driver_budget=budget).to_pandas()
     got = dict(zip(labels["node"], labels["lbl"]))
     assert got == {1: 1, 2: 1, 10: 10, 11: 10}
 

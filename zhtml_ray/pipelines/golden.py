@@ -246,10 +246,9 @@ def _gen_minhash_dedup(sf_dir: str) -> pa.Table:
     exploded = LshBandExplode()(sigs)
     # bucket → star pairs with the min member (mirrors clique_limit=0)
     buckets: dict = {}
-    for bid, bh, k in zip(exploded["band_id"].to_pylist(),
-                          exploded["band_hash"].to_pylist(),
-                          exploded["doc_id"].to_pylist()):
-        buckets.setdefault((bid, bh), set()).add(k)
+    for b, k in zip(exploded["bucket"].to_pylist(),
+                    exploded["doc_id"].to_pylist()):
+        buckets.setdefault(b, set()).add(k)
     cand = set()
     for ks in buckets.values():
         ks = sorted(ks)
