@@ -506,3 +506,34 @@ def test_minhash_dedup_empty_and_filtered_blocks(ray_session):
             b["doc_id"], 100)), batch_format="pyarrow")
     out2 = dedup.minhash_dedup(ds).to_pandas()
     assert len(out2) == 5
+
+
+@pytest.mark.parametrize("nblocks", [1, 7, 40])
+def test_sorted_first_per_group_matches_pandas(ray_session, nblocks):
+    """sortagg primitive vs pandas groupby.first on randomized data,
+    across block layouts that force boundary runs (groups spanning
+    2+ blocks, single-run blocks, nulls in the group key)."""
+    import pandas as pd
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+
+    rng = np.random.RandomState(nblocks)
+    n = 5000
+    g = rng.randint(0, 400, n)          # hot groups guaranteed
+    g2 = np.array([f"s{v % 7}" if v % 11 else None for v in g],
+                  dtype=object)         # string + null group col
+    v = rng.permutation(n)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "g2": pa.array(g2, pa.string()),
+                  "v": pa.array(v, pa.int64())})
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = (sorted_first_per_group(ds, ["g", "g2"], tie_cols=("v",))
+           .to_pandas().sort_values(["g", "g2"], na_position="last")
+           .reset_index(drop=True))
+    want = (t.to_pandas().sort_values(["g", "g2", "v"])
+            .groupby(["g", "g2"], dropna=False, as_index=False).first()
+            .sort_values(["g", "g2"], na_position="last")
+            .reset_index(drop=True))
+    got = got[["g", "g2", "v"]]
+    want = want[["g", "g2", "v"]]
+    pd.testing.assert_frame_equal(got, want)

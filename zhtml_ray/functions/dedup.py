@@ -34,20 +34,22 @@ def add_content_hash(batch: pa.Table, col: str = "text",
 
 def exact_dedup(ds, col: str = "text", key: str = "doc_id"):
     """Keep the first (min key) row per distinct content. Only
-    (key, content_hash) travels through the hash-partitioned groupby —
-    the text column is dropped BEFORE the shuffle, so shuffle bytes are
-    O(rows), not O(corpus). The winner per group is an Arrow-native
-    ``Min`` aggregate, NOT a per-group Python ``head(1)`` — at 10^9
-    distinct hashes the UDF form is a billion Python invocations
-    (VERDICT r2 #2). Returns Dataset[(content_hash, key)]."""
-    from ray.data.aggregate import Min
+    (key, content_hash) travels through the shuffle — the text column
+    is dropped BEFORE it, so shuffle bytes are O(rows), not O(corpus).
+    The winner per group comes from the SORT-based grouped-first
+    primitive (stages/sortagg.py): at crawl scale content_hash is a
+    maximal-cardinality key, exactly where the hash-shuffle aggregate
+    is ~20× slower than sort + block-local run heads.
+    Returns Dataset[(key, content_hash)]."""
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
 
     def hash_and_project(b: pa.Table) -> pa.Table:
         h = add_content_hash(b, col)
         return h.select([key, "content_hash"])
 
     hashed = ds.map_batches(hash_and_project, batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(Min(key, alias_name=key))
+    return sorted_first_per_group(hashed, ["content_hash"],
+                                  tie_cols=(key,))
 
 
 # ------------------------------------------------------------ minhash LSH
@@ -309,14 +311,14 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
 
 def dedup_candidate_pairs(pairs_ds):
     """Canonicalize (lo, hi) + distinct the candidate pair list — fully
-    distributed (the same pair surfaces from every band it collides in):
-    vectorized canon map, then one hash-partitioned groupby with an
-    Arrow-native ``Count`` aggregate (no per-group Python UDF — the same
-    pair can collide in all 32 bands, so at crawl scale this groupby has
-    one group per DISTINCT pair; VERDICT r2 #2). Returns a materialized
-    Dataset (it is reused as the small side downstream)."""
+    distributed (the same pair surfaces from every band it collides
+    in): vectorized canon map, then the sort-based grouped-first
+    primitive (one group per DISTINCT pair — a maximal-cardinality key,
+    where hash-shuffle aggregation is ~20× slower than sort; see
+    stages/sortagg.py). Returns a materialized Dataset (it is reused as
+    the small side downstream)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
 
     def canon(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -324,11 +326,9 @@ def dedup_candidate_pairs(pairs_ds):
             "key_b": pc.max_element_wise(batch["key_a"], batch["key_b"]),
         })
 
-    return (pairs_ds.map_batches(canon, batch_format="pyarrow")
-            .groupby(["key_a", "key_b"])
-            .aggregate(Count(alias_name="_n"))
-            .drop_columns(["_n"])
-            .materialize())
+    return sorted_first_per_group(
+        pairs_ds.map_batches(canon, batch_format="pyarrow"),
+        ["key_a", "key_b"]).materialize()
 
 
 def gather_candidate_texts(docs_ds, key_values, key: str = "doc_id",

@@ -297,17 +297,16 @@ def q_big_discount_orders(sf_dir: str, broadcast_budget: int = 1_000_000):
         keep = batch.filter(pc.greater(batch["l_discount"], 0.08))
         return pa.table({"l_orderkey": pc.unique(keep["l_orderkey"])})
 
-    # distributed distinct (hash-partitioned groupby on the key only —
-    # the discount column never shuffles); Arrow-native Count aggregate,
-    # NOT a per-group Python map_groups(head(1)) — at 10^9 keys the UDF
-    # form is billions of Python invocations (VERDICT r2 #2).
-    # Materialized in the object store, NOT on the driver.
-    from ray.data.aggregate import Count
-    distinct = (li.map_batches(qualifying, batch_format="pyarrow")
-                .groupby("l_orderkey")
-                .aggregate(Count(alias_name="_n"))
-                .drop_columns(["_n"])
-                .materialize())
+    # distributed distinct (the key only ever shuffles — the discount
+    # column is dropped first) via the SORT-based grouped-first
+    # primitive: order keys are maximal-cardinality, where hash-shuffle
+    # aggregation is ~20× slower than sort + block-local run heads
+    # (stages/sortagg.py). Materialized in the object store, NOT on
+    # the driver.
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    distinct = sorted_first_per_group(
+        li.map_batches(qualifying, batch_format="pyarrow"),
+        ["l_orderkey"]).materialize()
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_totalprice"])

@@ -1,0 +1,96 @@
+"""Sort-based grouped-first primitive.
+
+Measured on this Ray version (BENCH/BASELINE.md, r3 dedup section):
+the hash-shuffle ``groupby().aggregate()`` runs 36–48 s over 6.4M rows
+with 4.5M groups at ANY partition count, while the range-shuffle
+``sort()`` moves the same rows in 1.9 s and block-local Arrow/numpy
+aggregation is essentially free. For high-cardinality keys the sort
+form is ~20× faster with identical semantics.
+
+``sorted_first_per_group`` keeps ONE row per distinct group — the
+first in sort order, so appending tie-break columns to the sort makes
+it min-by. After the sort every group is a contiguous run; run heads
+inside a block are exact, and only each block's FIRST and LAST runs
+can straddle a block edge, so those rows (≤ 2 runs per block) take a
+tiny per-group second pass — bounded by block count, not data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _run_starts(b: pa.Table, group_cols: list[str]) -> np.ndarray:
+    """Positions where a new group run begins (composite adjacent-diff
+    across the group columns, vectorized per column)."""
+    import pyarrow.compute as pc
+    n = b.num_rows
+    diff = np.zeros(max(n - 1, 0), bool)
+    for c in group_cols:
+        if n <= 1:
+            break
+        col = b[c].combine_chunks()
+        # value-vs-null compares yield null (filled as "equal"), so the
+        # validity flip supplies that boundary; null==null stays equal
+        ne = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)),
+                          False).to_numpy(zero_copy_only=False).astype(bool)
+        va = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        diff |= ne | (va[1:] != va[:-1])
+    return np.flatnonzero(np.r_[True, diff])
+
+
+def sorted_first_per_group(ds, group_cols, tie_cols=()):
+    """One row per distinct ``group_cols`` combination: the first row
+    in ``sort(group_cols + tie_cols)`` order (i.e. min of the tie
+    columns per group). Returns a Dataset with the input schema.
+
+    ONE range shuffle + C-speed block-local run heads; boundary runs
+    (first/last of each block) resolve in a per-group pass bounded by
+    2×blocks groups. Empty input passes through."""
+    import pyarrow.compute as pc
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    group_cols = list(group_cols)
+    srt = ds.sort(group_cols + list(tie_cols)).materialize()
+    if srt.count() == 0:
+        return srt
+
+    def interior_heads(b: pa.Table) -> pa.Table:
+        starts = _run_starts(b, group_cols)
+        if len(starts) <= 2:
+            # 0/1/2 runs: every run touches a block edge
+            return b.slice(0, 0)
+        keep = starts[1:-1]  # heads of runs fully inside this block
+        return b.take(pa.array(keep, pa.int64()))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        starts = _run_starts(b, group_cols)
+        n = b.num_rows
+        if len(starts) == 1:
+            return b  # single run: the whole block is a boundary run
+        first_end = starts[1]
+        last_start = starts[-1]
+        idx = np.r_[np.arange(0, first_end), np.arange(last_start, n)]
+        return b.take(pa.array(idx, pa.int64()))
+
+    interior = srt.map_batches(interior_heads, batch_size=None,
+                               batch_format="pyarrow")
+    edges = drop_empty_blocks(
+        srt.map_batches(edge_rows, batch_size=None,
+                        batch_format="pyarrow"))
+    if edges.count() == 0:
+        return interior
+
+    def first_of(g: pa.Table) -> pa.Table:
+        # rows arrive per group in arbitrary order: re-sort by the tie
+        # columns to keep the min-by semantics of the sorted stream
+        if tie_cols:
+            order = pc.sort_indices(
+                g, sort_keys=[(c, "ascending") for c in tie_cols])
+            g = g.take(order)
+        return g.slice(0, 1)
+
+    boundary = edges.groupby(group_cols).map_groups(
+        first_of, batch_format="pyarrow")
+    return interior.union(boundary)
