@@ -3,6 +3,7 @@ textstats / multimodal) — kernel-level, no Ray where possible."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from zhtml_ray.functions import dedup, multimodal, similarity, textstats
 
@@ -103,7 +104,6 @@ def test_media_plumbing():
 
 
 def test_real_decode_is_stubbed():
-    import pytest
     with pytest.raises(NotImplementedError):
         multimodal.real_decode_image(b"x", 4, 4)
 
@@ -218,9 +218,6 @@ def test_brute_force_topk_tie_break(ray_session):
     k = similarity.BruteForceTopK(ref, k=3, key="vec_id", col="embedding")
     out = k(batch).to_pandas()
     assert sorted(out["vec_id"].tolist()) == [0, 1, 2]
-
-
-import pytest
 
 
 @pytest.mark.parametrize("budget", [0, 2_000_000])

@@ -135,7 +135,8 @@ class LshBandExplode:
             arr = np.asarray(sig, np.uint64)
             for b in range(self.bands):
                 chunk = arr[b * self.rows:(b + 1) * self.rows]
-                h = hashlib.blake2b(bytes([b]) + chunk.tobytes(),
+                # 2-byte band prefix: bytes([b]) capped bands at 256
+                h = hashlib.blake2b(b.to_bytes(2, "big") + chunk.tobytes(),
                                     digest_size=8).digest()
                 buckets.append(int.from_bytes(h, "big") >> 1)
                 out_keys.append(key)
@@ -270,6 +271,12 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
     eref = ray.put(np.asarray(edge_ids, np.int64))
 
     def interior_pairs(b: pa.Table) -> pa.Table:
+        # sibling of stages/sortagg.py's run decomposition, specialized:
+        # the bucket key is ONE non-null int64 (plain numpy adjacent
+        # diff) and pair emission needs the FULL rows of each interior
+        # run, not just run heads — which is why the boundary mechanism
+        # here is an edge-id filter rather than sortagg's heads-only
+        # collection (keep the two in sync when touching either)
         B = b["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
         K = b[key].combine_chunks()
         n = len(B)
@@ -564,8 +571,14 @@ def label_propagation(edges, max_rounds: int = 64,
                                        "lbl": pa.array([], node_t)}))
 
     if n_edges <= driver_budget:
-        # small-side fast path: plain union-find with min-key roots
+        # small-side fast path: plain union-find with min-key roots.
+        # node/lbl carry the EDGE schema's key type — pa.array would
+        # otherwise infer int64/string from the Python values and break
+        # the typed assignment join downstream (r3 review)
         import ray.data as rd
+        sch = edges.schema()
+        node_t = (sch.base_schema.field("key_a").type
+                  if sch is not None and "key_a" in sch.names else None)
         parent: dict = {}
 
         def find(x):
@@ -587,8 +600,8 @@ def label_propagation(edges, max_rounds: int = 64,
                     parent[hi] = lo
         ordered = sorted(nodes)
         return rd.from_arrow(pa.table({
-            "node": pa.array(ordered),
-            "lbl": pa.array([find(x) for x in ordered]),
+            "node": pa.array(ordered, node_t),
+            "lbl": pa.array([find(x) for x in ordered], node_t),
         }))
 
     def bidir(batch: pa.Table) -> pa.Table:

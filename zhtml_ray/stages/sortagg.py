@@ -65,13 +65,13 @@ def sorted_first_per_group(ds, group_cols, tie_cols=()):
         return b.take(pa.array(keep, pa.int64()))
 
     def edge_rows(b: pa.Table) -> pa.Table:
+        # ONLY the head row of the block's first and last runs: rows
+        # within a run are already tie-sorted by the global sort, so
+        # each block's candidate for a boundary group's "first" is its
+        # run head — shipping whole runs would materialize a hot group
+        # (e.g. a 10^8-copy boilerplate text) on one worker (r3 review)
         starts = _run_starts(b, group_cols)
-        n = b.num_rows
-        if len(starts) == 1:
-            return b  # single run: the whole block is a boundary run
-        first_end = starts[1]
-        last_start = starts[-1]
-        idx = np.r_[np.arange(0, first_end), np.arange(last_start, n)]
+        idx = sorted({0, int(starts[-1])})
         return b.take(pa.array(idx, pa.int64()))
 
     interior = srt.map_batches(interior_heads, batch_size=None,
@@ -83,8 +83,10 @@ def sorted_first_per_group(ds, group_cols, tie_cols=()):
         return interior
 
     def first_of(g: pa.Table) -> pa.Table:
-        # rows arrive per group in arbitrary order: re-sort by the tie
-        # columns to keep the min-by semantics of the sorted stream
+        # candidates are per-block run HEADS (≤ 2×blocks rows total,
+        # arriving in arbitrary order): re-sort by the tie columns so
+        # the group winner is the global min-by, exactly as if the
+        # whole run had been scanned
         if tie_cols:
             order = pc.sort_indices(
                 g, sort_keys=[(c, "ascending") for c in tie_cols])
