@@ -1996,6 +1996,24 @@ class TreeBuilder:
             out[k] = v
         return out
 
+    def _foreign_breakout_pop(self):
+        """Breakout pop (spec 13.2.6.5): pop while the current node is
+        not a MathML text integration point, an HTML integration point,
+        or an element in the HTML namespace."""
+        while self.stack:
+            node = self.stack[-1]
+            if node.ns == NS_HTML:
+                break
+            if (node.ns == NS_MATHML and node.name in
+                    ("mi", "mo", "mn", "ms", "mtext")) or \
+               (node.ns == NS_SVG and node.name in
+                    ("foreignObject", "desc", "title")) or \
+               (node.ns == NS_MATHML and node.name == "annotation-xml"
+                    and (node.attrs or {}).get("encoding", "").lower()
+                    in ("text/html", "application/xhtml+xml")):
+                break
+            self.stack.pop()
+
     def process_foreign(self, tok):
         kind = tok[0]
         if kind == "Character":
@@ -2019,19 +2037,7 @@ class TreeBuilder:
                     name == "font" and any(a in attrs for a in
                                            ("color", "face", "size"))):
                 self.err("unexpected-html-element-in-foreign-content")
-                while self.stack:
-                    node = self.stack[-1]
-                    if node.ns == NS_HTML:
-                        break
-                    if (node.ns == NS_MATHML and node.name in
-                            ("mi", "mo", "mn", "ms", "mtext")) or \
-                       (node.ns == NS_SVG and node.name in
-                            ("foreignObject", "desc", "title")) or \
-                       (node.ns == NS_MATHML and node.name == "annotation-xml"
-                            and (node.attrs or {}).get("encoding", "").lower()
-                            in ("text/html", "application/xhtml+xml")):
-                        break
-                    self.stack.pop()
+                self._foreign_breakout_pop()
                 # spec: reprocess per the current insertion mode "in HTML
                 # content" — NOT the full dispatcher (which would consult
                 # the adjusted current node again and, in the fragment
@@ -2049,6 +2055,13 @@ class TreeBuilder:
             return
         if kind == "EndTag":
             name = tok[1]
+            if name in ("br", "p"):
+                # spec 13.2.6.5 lists the end tags </br> and </p> in the
+                # SAME breakout clause as the HTML start tags: pop out of
+                # the foreign subtree, then reprocess per HTML rules
+                self.err("unexpected-html-element-in-foreign-content")
+                self._foreign_breakout_pop()
+                return self.process_html(tok)
             node = self.stack[-1]
             if node.name.lower() != name:
                 self.err("unexpected-end-tag")
