@@ -437,10 +437,10 @@ def test_null_text_matches_sql_oracle():
 
 
 def test_sessionize_hot_key_salted_matches_sql(ray_session, tmp_path):
-    """(user, day)-salted sessionize (VERDICT r2 #7): one user owns 20%
-    of the stream and several sessions span midnight — the salted +
-    stub-merged output must equal the DuckDB window-function oracle
-    exactly (the salt cut points are healed by the merge pass)."""
+    """Sort-based sessionize under a hot key: one user owns 20% of the
+    stream (spanning several sorted blocks) and sessions straddle
+    block boundaries — the block-local segmentation + stub-merge
+    output must equal the DuckDB window-function oracle exactly."""
     import duckdb
     import numpy as np
     import pyarrow.parquet as pq_

@@ -468,62 +468,91 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user, hot-key-safe
-    (VERDICT r2 #7): events group by (user, DAY) salt — so one user
-    owning 20% of the stream never lands in a single unbounded group —
-    then per-user session stubs merge across day boundaries. The merge
-    group is TIME-bounded, not event-bounded: ≤ 48 sessions/day/user
-    regardless of event volume, so no straggler survives salting.
-    Splitting at midnight and re-joining stubs whose boundary gap ≤ the
-    session gap reconstructs the global sessionization exactly (cuts
-    inside a day only ever happen at gaps > 1800 s by construction)."""
-    import pandas as pd
+    """Session windows (30-min inactivity gap) per user — sort-based
+    (the stages/sortagg.py pattern, replacing the r2 (user, day)-salted
+    double groupby that ran one pandas UDF per group): ONE range-
+    shuffle sort by (user, ts, event_id), then C-speed numpy session
+    segmentation per sorted block. Sessions fully interior to a block
+    are exact (bounded on both sides by a user change or a > 1800 s
+    gap inside the block); only each block's FIRST and LAST segments
+    can chain across a block edge, so those stubs (≤ 2 per block —
+    bounded by block count, not data) merge in a tiny driver pass.
+    Hot keys need no salt at all here: a mega-user just spans several
+    sorted blocks and still does block-local vectorized work."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
+    import numpy as np
+
+    GAP_US = 1_800_000_000  # 1800 s in microseconds, strict >
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
 
-    def add_day(b: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(b["ts"], pa.int64()), 1_000_000)
-        day = pc.cast(pc.floor(pc.divide(pc.cast(secs, pa.float64()),
-                                         86400.0)), pa.int64())
-        return b.append_column("day", day)
+    def block_sessions(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        users = b["user_id"].combine_chunks()
+        ts = b["ts"].combine_chunks()
+        if n == 0:
+            return pa.table({"user_id": users, "session_start": ts,
+                             "session_end": ts,
+                             "n_events": pa.array([], pa.int64()),
+                             "stub": pa.array([], pa.bool_())})
+        u = users.to_numpy(zero_copy_only=False)
+        t = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        new = np.r_[True, (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP_US)]
+        starts = np.flatnonzero(new)
+        k = len(starts)
+        last = pa.array(np.r_[starts[1:], n] - 1, pa.int64())
+        idx = np.arange(k)
+        return pa.table({
+            "user_id": users.take(pa.array(starts, pa.int64())),
+            "session_start": ts.take(pa.array(starts, pa.int64())),
+            "session_end": ts.take(last),
+            "n_events": pa.array(np.r_[starts[1:], n] - starts, pa.int64()),
+            "stub": pa.array((idx == 0) | (idx == k - 1)),
+        })
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        sid = (gap > 1800).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "count"),
-        ).reset_index(drop=True)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    # materialized: read twice (interior stream + tiny stub collect)
+    sess = srt.map_batches(block_sessions, batch_size=None,
+                           batch_format="pyarrow").materialize()
 
-    per_day = (ds.map_batches(add_day, batch_format="pyarrow")
-               .groupby(["user_id", "day"])
-               .map_groups(sessions, batch_format="pandas"))
+    def interior(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(b["stub"])).drop_columns(["stub"])
 
-    def merge_stubs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["session_start", "session_end"])
-        gap = (g["session_start"]
-               - g["session_end"].shift()).dt.total_seconds().fillna(1e18)
-        sid = (gap > 1800).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("session_start", "min"),
-            session_end=("session_end", "max"),
-            n_events=("n_events", "sum"),
-        ).reset_index(drop=True)
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+    out = sess.map_batches(interior, batch_format="pyarrow")
 
-    return per_day.groupby("user_id").map_groups(merge_stubs,
-                                                 batch_format="pandas")
+    # boundary stubs: ≤ 2 per sorted block — a genuinely tiny driver
+    # collect (the same bound as sortagg's edge pass). Chain-merge is
+    # exact because the global sort makes per-user stub time ranges
+    # disjoint and ordered.
+    stub_rows = pa.Table.from_pylist(
+        [r for r in sess.filter(lambda r: r["stub"]).take_all()],
+        schema=sess.schema().base_schema)
+    if stub_rows.num_rows:
+        st = pc.cast(stub_rows["session_start"],
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        en = pc.cast(stub_rows["session_end"],
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        u = stub_rows["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, u))
+        st, en, u = st[order], en[order], u[order]
+        ne = stub_rows["n_events"].to_numpy(zero_copy_only=False)[order]
+        new = np.r_[True, (u[1:] != u[:-1]) | (st[1:] - en[:-1] > GAP_US)]
+        gstart = np.flatnonzero(new)
+        gend = np.r_[gstart[1:], len(u)] - 1  # ends ordered within a chain
+        take = pa.array(order[gstart], pa.int64())
+        merged = pa.table({
+            "user_id": stub_rows["user_id"].take(take),
+            "session_start": stub_rows["session_start"].take(take),
+            "session_end": stub_rows["session_end"].take(
+                pa.array(order[gend], pa.int64())),
+            "n_events": pa.array(np.add.reduceat(ne, gstart), pa.int64()),
+        })
+        out = out.union(rd.from_arrow(merged))
+    return out
 
 
 SQL_EVENTS_SESSIONIZE = """
