@@ -28,23 +28,26 @@ class NodeTableBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
-        out = []
+        # accumulate the flat per-node columns once per batch and build
+        # the list<struct> column from offsets — no per-node Python
+        # dicts (the dict construction dominated the old wall time)
+        cols: dict[str, list] = {f.name: [] for f in NODE_TYPE.value_type}
+        offsets = [0]
         for h in htmls:
             try:
                 flat = flatten(parse(h or b"").document, with_attrs=True)
-                n = len(flat["parent"])
-                out.append([{
-                    "parent": flat["parent"][i], "kind": flat["kind"][i],
-                    "tag": flat["tag"][i], "ns": flat["ns"][i],
-                    "depth": flat["depth"][i],
-                    "attr_keys": flat["attr_keys"][i],
-                    "attr_vals": flat["attr_vals"][i],
-                    "text": flat["text"][i],
-                } for i in range(n)])
+                for k, v in flat.items():
+                    cols[k].extend(v)
             except Exception:  # noqa: BLE001 per-row isolation
-                out.append([])
+                pass  # equal adjacent offsets → empty node list
+            offsets.append(len(cols["parent"]))
+        struct = pa.StructArray.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in NODE_TYPE.value_type],
+            fields=list(NODE_TYPE.value_type))
+        nodes = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         struct)
         return pa.table({"url": pa.array(urls, pa.string()),
-                         "nodes": pa.array(out, NODE_TYPE)})
+                         "nodes": nodes})
 
 
 class LinksBatch:
