@@ -94,17 +94,11 @@ def test_tree_construction(case):
     if case["script_on"]:
         pytest.skip("scripting disabled")
     if case["fragment"] is not None:
-        from zhtml_ray.html.dom import NS_HTML, NS_MATHML, NS_SVG
         from zhtml_ray.html.treebuilder import parse_fragment
-        # html5lib convention: "svg path" / "math mrow" name namespaced
-        # fragment contexts; a bare name is an HTML-namespace context.
-        ctx, ns = case["fragment"], NS_HTML
-        if ctx.startswith("svg "):
-            ctx, ns = ctx[4:], NS_SVG
-        elif ctx.startswith("math "):
-            ctx, ns = ctx[5:], NS_MATHML
-        got = serialize(
-            parse_fragment(case["data"], ctx, context_ns=ns).document)
+        # parse_fragment itself understands html5lib's "svg path" /
+        # "math mrow" namespaced context convention
+        got = serialize(parse_fragment(case["data"],
+                                       case["fragment"]).document)
     else:
         got = serialize(parse(case["data"]).document)
     assert got == case["document"], (

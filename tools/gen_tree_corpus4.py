@@ -21,16 +21,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from zhtml_ray.html.dom import NS_HTML, NS_MATHML, NS_SVG, serialize  # noqa: E402
-from zhtml_ray.html.treebuilder import TreeBuilder, parse  # noqa: E402
-
-
-def _ctx_ns(ctx):
-    if ctx.startswith("svg "):
-        return ctx[4:], NS_SVG
-    if ctx.startswith("math "):
-        return ctx[5:], NS_MATHML
-    return ctx, NS_HTML
+from zhtml_ray.html.dom import serialize  # noqa: E402
+from zhtml_ray.html.treebuilder import parse, parse_fragment  # noqa: E402
 
 FAMILIES = {
     "F40 foreign content x table / foster parenting (13.2.6.5 + "
@@ -215,9 +207,8 @@ def main():
             parts.append(f"#data\n{c}\n#errors\n#document\n{tree}\n")
             n += 1
     for c, ctx in FRAGMENTS:
-        name, ns = _ctx_ns(ctx)
-        tree = serialize(
-            TreeBuilder().parse_fragment(c, name, context_ns=ns).document)
+        # parse_fragment understands the "svg path" namespaced form
+        tree = serialize(parse_fragment(c, ctx).document)
         parts.append(f"#data\n{c}\n#errors\n#document-fragment\n{ctx}\n"
                      f"#document\n{tree}\n")
         n += 1

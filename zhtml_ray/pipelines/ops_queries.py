@@ -525,12 +525,17 @@ def q_events_sessionize(sf_dir: str):
     out = sess.map_batches(interior, batch_format="pyarrow")
 
     # boundary stubs: ≤ 2 per sorted block — a genuinely tiny driver
-    # collect (the same bound as sortagg's edge pass). Chain-merge is
-    # exact because the global sort makes per-user stub time ranges
+    # collect (the same bound as sortagg's edge pass), filtered with a
+    # vectorized Arrow pass, never a per-row Python lambda. Chain-merge
+    # is exact because the global sort makes per-user stub time ranges
     # disjoint and ordered.
-    stub_rows = pa.Table.from_pylist(
-        [r for r in sess.filter(lambda r: r["stub"]).take_all()],
-        schema=sess.schema().base_schema)
+    stub_batches = list(
+        sess.map_batches(lambda b: b.filter(b["stub"]),
+                         batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    stub_rows = (pa.concat_tables(stub_batches).combine_chunks()
+                 if stub_batches else
+                 sess.schema().base_schema.empty_table())
     if stub_rows.num_rows:
         st = pc.cast(stub_rows["session_start"],
                      pa.int64()).to_numpy(zero_copy_only=False)
