@@ -790,9 +790,10 @@ class HyperplaneLsh:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[self.col].to_pylist(), np.float32)
-        if emb.ndim == 1:
-            emb = emb.reshape(0, self.planes.shape[0])
+        la = batch[self.col].combine_chunks()
+        emb = la.flatten().to_numpy(zero_copy_only=False)
+        emb = np.ascontiguousarray(emb, np.float32).reshape(
+            len(la), self.planes.shape[0])
         bits = (emb @ self.planes) > 0
         if bits.shape[1] <= 62:
             # every plane participates in the key (a former [:, :4]
@@ -807,6 +808,61 @@ class HyperplaneLsh:
                                    pa.array(keys.astype(np.int64)))
 
 
+def _emb_norm_matrix(b: pa.Table, col: str) -> np.ndarray:
+    """Row-normalized float32 matrix from a list<float32> column —
+    zero-copy flatten + reshape, then the exact normalization op order
+    of the pinned serial golden (row-wise, so computing it block-wide
+    vs per-bucket is bitwise identical)."""
+    la = b[col].combine_chunks()
+    emb = la.flatten().to_numpy(zero_copy_only=False)
+    emb = np.ascontiguousarray(emb, np.float32).reshape(len(la), -1)
+    norm = np.linalg.norm(emb, axis=1, keepdims=True)
+    norm[norm == 0] = 1
+    return emb / norm
+
+
+def _cosine_pairs_np(K, emb, starts, ends, runs_mask, bucket_cap,
+                     threshold):
+    """Pair emission for the selected bucket runs of ONE block whose
+    rows are already sorted by (bucket, key) and whose embeddings are
+    row-normalized float32. Runs up to ``bucket_cap`` verify all pairs
+    (bounded O(n²) matmul); larger runs fall back to star verification
+    against the min-key member. Float op order matches the serial
+    golden exactly (per-run float32 matmul, float64 cast at the end)."""
+    lens = ends - starts
+    sel = runs_mask & (lens >= 2)
+    idx_a, idx_b, cos = [], [], []
+    for s, e in zip(starts[sel], ends[sel]):
+        m = emb[s:e]
+        n = e - s
+        if n > bucket_cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "LSH bucket of %d vectors exceeds bucket_cap=%d: star "
+                "verification against the min-key member only", n,
+                bucket_cap)
+            sim = m[1:] @ m[0]
+            hit = np.flatnonzero(sim >= threshold)
+            idx_a.append(np.full(len(hit), s, np.int64))
+            idx_b.append(hit + s + 1)
+            cos.append(sim[hit].astype(float))
+        else:
+            sim = m @ m.T
+            ia, ib = np.triu_indices(n, k=1)
+            msk = sim[ia, ib] >= threshold
+            idx_a.append(ia[msk] + s)
+            idx_b.append(ib[msk] + s)
+            cos.append(sim[ia, ib][msk].astype(float))
+    ia = np.concatenate(idx_a) if idx_a else np.zeros(0, np.int64)
+    ib = np.concatenate(idx_b) if idx_b else np.zeros(0, np.int64)
+    cs = np.concatenate(cos) if cos else np.zeros(0, np.float64)
+    return pa.table({
+        "key_a": K.take(pa.array(ia, pa.int64())),
+        "key_b": K.take(pa.array(ib, pa.int64())),
+        "cosine": pa.array(cs, pa.float64()),
+    })
+
+
 def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
                       dim: int | None = None, threshold: float = 0.95,
                       n_planes: int = 12, seed: int = 42,
@@ -817,56 +873,90 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
     bounded n); a hot bucket beyond the cap falls back to star
     verification against its min-key member (O(n) pairs, same fallback
     as the MinHash path's ``clique_limit``) so one degenerate bucket —
-    e.g. near-zero embeddings all hashing together — can't go O(n²)."""
-    from zhtml_ray.stages.util import autoscale_pool
+    e.g. near-zero embeddings all hashing together — can't go O(n²).
+
+    Shuffle strategy (r3, same as ``minhash_candidate_pairs``): ONE
+    ``sort(lsh_bucket, key)`` range shuffle, then per-block C-speed run
+    detection verifies every bucket fully contained in its block; the
+    ≤2 buckets per block that straddle a block edge (plus any
+    hot bucket larger than a block) go through a tiny per-group
+    fallback pass. This replaces the hash-shuffle
+    ``groupby.map_groups`` whose per-bucket pandas UDF was the r2
+    verdict's remaining per-group-Python concern on this path."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from zhtml_ray.stages.util import autoscale_pool, drop_empty_blocks
 
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[col])
 
-    bucketed = ds.map_batches(
-        HyperplaneLsh, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
-                                                  seed=seed, col=col),
-        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
-        order = np.argsort(g[key].to_numpy())
-        g = g.iloc[order]
-        emb = np.stack(g[col].to_numpy())
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        norm[norm == 0] = 1
-        emb = emb / norm
-        keys = g[key].to_numpy()
-        if len(g) > bucket_cap:
-            import logging
-            logging.getLogger(__name__).warning(
-                "LSH bucket of %d vectors exceeds bucket_cap=%d: star "
-                "verification against the min-key member only", len(g),
-                bucket_cap)
-            sim = emb[1:] @ emb[0]
-            mask = sim >= threshold
-            return pd.DataFrame({"key_a": np.full(mask.sum(), keys[0]),
-                                 "key_b": keys[1:][mask],
-                                 "cosine": sim[mask].astype(float)})
-        sim = emb @ emb.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        mask = sim[ia, ib] >= threshold
-        return pd.DataFrame({"key_a": keys[ia[mask]],
-                             "key_b": keys[ib[mask]],
-                             "cosine": sim[ia, ib][mask].astype(float)})
-
-    out = bucketed.groupby("lsh_bucket").map_groups(
-        verify, batch_format="pandas").materialize()
-    if out.count() == 0:
-        # no pair survived: keep the typed (key_a, key_b, cosine)
-        # schema — empty map_groups output carries NO schema at all
-        import ray.data as rd
+    def typed_empty():
         key_type = ds.schema().base_schema.field(key).type
         return rd.from_arrow(pa.table({
             "key_a": pa.array([], key_type),
             "key_b": pa.array([], key_type),
             "cosine": pa.array([], pa.float64()),
         }))
+
+    bucketed = ds.map_batches(
+        HyperplaneLsh, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                                  seed=seed, col=col),
+        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+
+    srt = bucketed.sort(["lsh_bucket", key]).materialize()
+    if srt.count() == 0:
+        return typed_empty()
+
+    # first/last bucket id of every sorted block — only these can span
+    # a block boundary (2 rows per block, a genuinely tiny collect)
+    def edges_of(b: pa.Table) -> pa.Table:
+        col_ = b["lsh_bucket"]
+        return pa.table({"lsh_bucket": pa.array(
+            [col_[0].as_py(), col_[-1].as_py()], pa.int64())})
+
+    edge_ids = sorted({r["lsh_bucket"] for r in srt.map_batches(
+        edges_of, batch_size=None, batch_format="pyarrow").take_all()})
+    eref = ray.put(np.asarray(edge_ids, np.int64))
+
+    def interior_pairs(b: pa.Table) -> pa.Table:
+        B = b["lsh_bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        K = b[key].combine_chunks()
+        n = len(B)
+        starts = np.flatnonzero(np.r_[True, B[1:] != B[:-1]])
+        ends = np.r_[starts[1:], n]
+        interior = ~np.isin(B[starts], ray.get(eref))
+        return _cosine_pairs_np(K, _emb_norm_matrix(b, col), starts, ends,
+                                interior, bucket_cap, threshold)
+
+    out = srt.map_batches(interior_pairs, batch_size=None,
+                          batch_format="pyarrow")
+
+    def keep_edges(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["lsh_bucket"], value_set=pa.array(ray.get(eref)))
+        return b.filter(m)
+
+    edge_rows = drop_empty_blocks(
+        srt.map_batches(keep_edges, batch_format="pyarrow"))
+    if edge_rows.count():
+        def edge_bucket_pairs(g: pa.Table) -> pa.Table:
+            # rows arrive in arbitrary per-group order: re-sort by key
+            # so pair orientation matches the interior path
+            g = g.take(pc.sort_indices(g[key].combine_chunks()))
+            K = g[key].combine_chunks()
+            return _cosine_pairs_np(K, _emb_norm_matrix(g, col),
+                                    np.asarray([0]), np.asarray([len(K)]),
+                                    np.asarray([True]), bucket_cap,
+                                    threshold)
+
+        out = out.union(
+            edge_rows.groupby("lsh_bucket").map_groups(
+                edge_bucket_pairs, batch_format="pyarrow"))
+
+    out = out.materialize()
+    if out.count() == 0:
+        # no pair survived: keep the typed (key_a, key_b, cosine)
+        # schema — fully-emptied blocks carry NO schema at all
+        return typed_empty()
     return out
