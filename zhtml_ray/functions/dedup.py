@@ -165,13 +165,12 @@ def _cached_lsh_explode(key, bands, num_perm):
     return _STAGE_CACHE[k]
 
 
-def _bucket_pairs_np(K, B, starts, ends, runs_mask, clique_limit):
+def _bucket_pairs_np(K, n, starts, ends, runs_mask, clique_limit):
     """Vectorized pair emission for the selected runs of ONE sorted
     block: star pairs come from a boolean-mask + repeat construction
     (no per-run Python), cliques (runs of 2..clique_limit) from
     np.triu_indices per multi-run — multi-member buckets are rare, so
     that residual loop is over a handful of runs, not rows."""
-    n = len(B)
     lens = ends - starts
     if clique_limit:
         star_runs = runs_mask & (lens > clique_limit)
@@ -237,83 +236,37 @@ def minhash_candidate_pairs(ds, key: str = "doc_id", col: str = "text",
     Stateless task stages (NOT actor pools): the per-worker state is
     just the permutation params, cached module-level per process."""
     import pyarrow.compute as pc
-    import ray
-    import ray.data as rd
-    from zhtml_ray.stages.util import drop_empty_blocks
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
 
     mh = _cached_minhash(col, num_perm, shingle_k, seed)
     le = _cached_lsh_explode(key, bands, num_perm)
     sigs = ds.map_batches(mh, batch_format="pyarrow")
     exploded = sigs.map_batches(le, batch_format="pyarrow")
 
-    def typed_empty():
-        sch = ds.schema()
-        kt = (sch.base_schema.field(key).type
-              if sch is not None and key in sch.names else pa.int64())
-        return rd.from_arrow(pa.table({"key_a": pa.array([], kt),
-                                       "key_b": pa.array([], kt)}))
+    sch = ds.schema()
+    kt = (sch.base_schema.field(key).type
+          if sch is not None and key in sch.names else pa.int64())
+    empty = pa.table({"key_a": pa.array([], kt), "key_b": pa.array([], kt)})
 
-    # ONE range shuffle; materialized because three passes read it
-    # (edge scan, interior pairs, edge-bucket fallback)
-    srt = exploded.sort(["bucket", key]).materialize()
-    if srt.count() == 0:
-        return typed_empty()
-
-    # first/last bucket id of every sorted block: only these can span a
-    # block boundary — 2 rows per block, a genuinely tiny driver collect
-    def edges_of(b: pa.Table) -> pa.Table:
-        col_ = b["bucket"]
-        return pa.table({"bucket": pa.array(
-            [col_[0].as_py(), col_[-1].as_py()], pa.int64())})
-
-    edge_ids = sorted({r["bucket"] for r in srt.map_batches(
-        edges_of, batch_size=None, batch_format="pyarrow").take_all()})
-    eref = ray.put(np.asarray(edge_ids, np.int64))
-
-    def interior_pairs(b: pa.Table) -> pa.Table:
-        # sibling of stages/sortagg.py's run decomposition, specialized:
-        # the bucket key is ONE non-null int64 (plain numpy adjacent
-        # diff) and pair emission needs the FULL rows of each interior
-        # run, not just run heads — which is why the boundary mechanism
-        # here is an edge-id filter rather than sortagg's heads-only
-        # collection (keep the two in sync when touching either)
-        B = b["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+    def interior_pairs(b, starts, ends, runs_mask):
+        # pair emission needs the FULL rows of each interior run, not
+        # just run heads — hence sorted_bucket_apply's edge-id filter
+        # rather than sorted_first_per_group's heads-only collection
         K = b[key].combine_chunks()
-        n = len(B)
-        starts = np.flatnonzero(np.r_[True, B[1:] != B[:-1]])
-        ends = np.r_[starts[1:], n]
-        interior = ~np.isin(B[starts], ray.get(eref))
-        return _bucket_pairs_np(K, B, starts, ends, interior, clique_limit)
+        return _bucket_pairs_np(K, b.num_rows, starts, ends, runs_mask,
+                                clique_limit)
 
-    cand = srt.map_batches(interior_pairs, batch_size=None,
-                           batch_format="pyarrow")
+    def edge_bucket_pairs(g: pa.Table) -> pa.Table:
+        # keys arrive in arbitrary per-group order: sort so the star
+        # root is the min key, matching the interior path
+        K = g[key].combine_chunks()
+        K = K.take(pc.sort_indices(K))
+        return _bucket_pairs_np(K, len(K), np.asarray([0]),
+                                np.asarray([len(K)]), np.asarray([True]),
+                                clique_limit)
 
-    # boundary buckets: pull their rows (a distributed filter), pair
-    # them per bucket — bucket count is ≤ 2×blocks, so the per-group
-    # pass is tiny; a mega-bucket larger than a block is handled here
-    # with the same star/clique semantics
-    def keep_edges(b: pa.Table) -> pa.Table:
-        m = pc.is_in(b["bucket"], value_set=pa.array(ray.get(eref)))
-        return b.filter(m)
-
-    edge_rows = drop_empty_blocks(
-        srt.map_batches(keep_edges, batch_format="pyarrow"))
-    if edge_rows.count():
-        def edge_bucket_pairs(g: pa.Table) -> pa.Table:
-            K = g[key].combine_chunks()
-            B = np.zeros(len(K), np.int64)  # one bucket per group
-            starts = np.asarray([0])
-            ends = np.asarray([len(K)])
-            # keys arrive in arbitrary per-group order: sort so the
-            # star root is the min key, matching the interior path
-            K = K.take(pc.sort_indices(K))
-            return _bucket_pairs_np(K, B, starts, ends,
-                                    np.asarray([True]), clique_limit)
-
-        cand = cand.union(
-            edge_rows.groupby("bucket").map_groups(
-                edge_bucket_pairs, batch_format="pyarrow"))
-    return cand
+    return sorted_bucket_apply(exploded, "bucket", ["bucket", key],
+                               interior_pairs, edge_bucket_pairs, empty)
 
 
 def dedup_candidate_pairs(pairs_ds):
@@ -814,6 +767,8 @@ def _emb_norm_matrix(b: pa.Table, col: str) -> np.ndarray:
     of the pinned serial golden (row-wise, so computing it block-wide
     vs per-bucket is bitwise identical)."""
     la = b[col].combine_chunks()
+    if len(la) == 0:
+        return np.zeros((0, 0), np.float32)
     emb = la.flatten().to_numpy(zero_copy_only=False)
     emb = np.ascontiguousarray(emb, np.float32).reshape(len(la), -1)
     norm = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -875,88 +830,55 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
     as the MinHash path's ``clique_limit``) so one degenerate bucket —
     e.g. near-zero embeddings all hashing together — can't go O(n²).
 
-    Shuffle strategy (r3, same as ``minhash_candidate_pairs``): ONE
-    ``sort(lsh_bucket, key)`` range shuffle, then per-block C-speed run
-    detection verifies every bucket fully contained in its block; the
-    ≤2 buckets per block that straddle a block edge (plus any
-    hot bucket larger than a block) go through a tiny per-group
-    fallback pass. This replaces the hash-shuffle
-    ``groupby.map_groups`` whose per-bucket pandas UDF was the r2
-    verdict's remaining per-group-Python concern on this path."""
+    Shuffle strategy (r3): the shared sort-based per-bucket pattern
+    (``stages/sortagg.py:sorted_bucket_apply``, same as
+    ``minhash_candidate_pairs``) — ONE ``sort(lsh_bucket, key)`` range
+    shuffle, per-block C-speed run detection for every bucket fully
+    contained in its block, tiny per-group fallback for the ≤2
+    boundary buckets per block (plus any hot bucket larger than a
+    block). This replaces the hash-shuffle ``groupby.map_groups``
+    whose per-bucket pandas UDF was the r2 verdict's remaining
+    per-group-Python concern on this path."""
     import pyarrow.compute as pc
-    import ray
     import ray.data as rd
-    from zhtml_ray.stages.util import autoscale_pool, drop_empty_blocks
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+    from zhtml_ray.stages.util import autoscale_pool
 
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[col])
 
-    def typed_empty():
-        key_type = ds.schema().base_schema.field(key).type
-        return rd.from_arrow(pa.table({
-            "key_a": pa.array([], key_type),
-            "key_b": pa.array([], key_type),
-            "cosine": pa.array([], pa.float64()),
-        }))
+    key_type = ds.schema().base_schema.field(key).type
+    empty = pa.table({
+        "key_a": pa.array([], key_type),
+        "key_b": pa.array([], key_type),
+        "cosine": pa.array([], pa.float64()),
+    })
 
     bucketed = ds.map_batches(
         HyperplaneLsh, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
                                                   seed=seed, col=col),
         batch_format="pyarrow", concurrency=autoscale_pool(0.5))
 
-    srt = bucketed.sort(["lsh_bucket", key]).materialize()
-    if srt.count() == 0:
-        return typed_empty()
-
-    # first/last bucket id of every sorted block — only these can span
-    # a block boundary (2 rows per block, a genuinely tiny collect)
-    def edges_of(b: pa.Table) -> pa.Table:
-        col_ = b["lsh_bucket"]
-        return pa.table({"lsh_bucket": pa.array(
-            [col_[0].as_py(), col_[-1].as_py()], pa.int64())})
-
-    edge_ids = sorted({r["lsh_bucket"] for r in srt.map_batches(
-        edges_of, batch_size=None, batch_format="pyarrow").take_all()})
-    eref = ray.put(np.asarray(edge_ids, np.int64))
-
-    def interior_pairs(b: pa.Table) -> pa.Table:
-        B = b["lsh_bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+    def interior_pairs(b, starts, ends, runs_mask):
         K = b[key].combine_chunks()
-        n = len(B)
-        starts = np.flatnonzero(np.r_[True, B[1:] != B[:-1]])
-        ends = np.r_[starts[1:], n]
-        interior = ~np.isin(B[starts], ray.get(eref))
         return _cosine_pairs_np(K, _emb_norm_matrix(b, col), starts, ends,
-                                interior, bucket_cap, threshold)
+                                runs_mask, bucket_cap, threshold)
 
-    out = srt.map_batches(interior_pairs, batch_size=None,
-                          batch_format="pyarrow")
+    def edge_bucket_pairs(g: pa.Table) -> pa.Table:
+        # rows arrive in arbitrary per-group order: re-sort by key so
+        # pair orientation matches the interior path
+        g = g.take(pc.sort_indices(g[key].combine_chunks()))
+        K = g[key].combine_chunks()
+        return _cosine_pairs_np(K, _emb_norm_matrix(g, col),
+                                np.asarray([0]), np.asarray([len(K)]),
+                                np.asarray([True]), bucket_cap, threshold)
 
-    def keep_edges(b: pa.Table) -> pa.Table:
-        m = pc.is_in(b["lsh_bucket"], value_set=pa.array(ray.get(eref)))
-        return b.filter(m)
-
-    edge_rows = drop_empty_blocks(
-        srt.map_batches(keep_edges, batch_format="pyarrow"))
-    if edge_rows.count():
-        def edge_bucket_pairs(g: pa.Table) -> pa.Table:
-            # rows arrive in arbitrary per-group order: re-sort by key
-            # so pair orientation matches the interior path
-            g = g.take(pc.sort_indices(g[key].combine_chunks()))
-            K = g[key].combine_chunks()
-            return _cosine_pairs_np(K, _emb_norm_matrix(g, col),
-                                    np.asarray([0]), np.asarray([len(K)]),
-                                    np.asarray([True]), bucket_cap,
-                                    threshold)
-
-        out = out.union(
-            edge_rows.groupby("lsh_bucket").map_groups(
-                edge_bucket_pairs, batch_format="pyarrow"))
-
-    out = out.materialize()
+    out = sorted_bucket_apply(bucketed, "lsh_bucket", ["lsh_bucket", key],
+                              interior_pairs, edge_bucket_pairs,
+                              empty).materialize()
     if out.count() == 0:
         # no pair survived: keep the typed (key_a, key_b, cosine)
         # schema — fully-emptied blocks carry NO schema at all
-        return typed_empty()
+        return rd.from_arrow(empty)
     return out

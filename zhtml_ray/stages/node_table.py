@@ -26,7 +26,7 @@ class NodeTableBatch:
     index-linked table per document (debug / downstream-analysis sink)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
+        import pyarrow.compute as pc
         htmls = batch["html"].to_pylist()
         # accumulate the flat per-node columns once per batch and build
         # the list<struct> column from offsets — no per-node Python
@@ -36,8 +36,16 @@ class NodeTableBatch:
         for h in htmls:
             try:
                 flat = flatten(parse(h or b"").document, with_attrs=True)
-                for k, v in flat.items():
-                    cols[k].extend(v)
+                # validate BEFORE extending the shared accumulators: a
+                # ragged flatten output must isolate THIS document, not
+                # misalign the whole batch's columns (per-row isolation
+                # contract of the except below)
+                n = len(flat["parent"])
+                vals = [flat[f.name] for f in NODE_TYPE.value_type]
+                if any(len(v) != n for v in vals):
+                    raise ValueError("ragged flatten output")
+                for f, v in zip(NODE_TYPE.value_type, vals):
+                    cols[f.name].extend(v)
             except Exception:  # noqa: BLE001 per-row isolation
                 pass  # equal adjacent offsets → empty node list
             offsets.append(len(cols["parent"]))
@@ -46,8 +54,9 @@ class NodeTableBatch:
             fields=list(NODE_TYPE.value_type))
         nodes = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                          struct)
-        return pa.table({"url": pa.array(urls, pa.string()),
-                         "nodes": nodes})
+        return pa.table({
+            "url": pc.cast(batch["url"].combine_chunks(), pa.string()),
+            "nodes": nodes})
 
 
 class LinksBatch:

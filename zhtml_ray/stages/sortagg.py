@@ -96,3 +96,72 @@ def sorted_first_per_group(ds, group_cols, tie_cols=()):
     boundary = edges.groupby(group_cols).map_groups(
         first_of, batch_format="pyarrow")
     return interior.union(boundary)
+
+
+def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
+                        empty_result: pa.Table):
+    """The sort-based per-bucket pattern, shared by the LSH pair
+    emitters (``minhash_candidate_pairs`` and ``embedding_neardup``):
+    ONE range-shuffle ``sort(sort_keys)``, then per-block C-speed run
+    decomposition over the int64 ``bucket_col``.
+
+    ``interior_fn(block, starts, ends, runs_mask) -> pa.Table`` emits
+    output for the runs FULLY contained in their block (``runs_mask``
+    marks them); ``edge_fn(group: pa.Table) -> pa.Table`` handles each
+    bucket that straddles a block edge — at most 2 per block, plus any
+    hot bucket larger than a block, so that per-group pass is bounded
+    by block count, not data. Rows reach ``edge_fn`` in arbitrary
+    order; re-sort inside if orientation matters. ``empty_result`` is
+    a zero-row table with the OUTPUT schema: it is both the
+    empty-input result and the guard value for 0-row sorted blocks
+    (which carry no schema, so the UDFs must not touch their columns —
+    explicit rather than relying on this Ray version skipping UDFs on
+    empty blocks; r3 review)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    srt = ds.sort(sort_keys).materialize()
+    if srt.count() == 0:
+        return rd.from_arrow(empty_result)
+
+    # first/last bucket id of every sorted block — only these can span
+    # a block boundary (2 rows per block, a genuinely tiny collect)
+    def edges_of(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({bucket_col: pa.array([], pa.int64())})
+        col_ = b[bucket_col]
+        return pa.table({bucket_col: pa.array(
+            [col_[0].as_py(), col_[-1].as_py()], pa.int64())})
+
+    edge_ids = sorted({r[bucket_col] for r in srt.map_batches(
+        edges_of, batch_size=None, batch_format="pyarrow").take_all()})
+    eref = ray.put(np.asarray(edge_ids, np.int64))
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_result
+        B = b[bucket_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(B)
+        starts = np.flatnonzero(np.r_[True, B[1:] != B[:-1]])
+        ends = np.r_[starts[1:], n]
+        mask = ~np.isin(B[starts], ray.get(eref))
+        return interior_fn(b, starts, ends, mask)
+
+    out = srt.map_batches(interior, batch_size=None,
+                          batch_format="pyarrow")
+
+    def keep_edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        m = pc.is_in(b[bucket_col], value_set=pa.array(ray.get(eref)))
+        return b.filter(m)
+
+    edge_rows = drop_empty_blocks(
+        srt.map_batches(keep_edges, batch_format="pyarrow"))
+    if edge_rows.count():
+        out = out.union(
+            edge_rows.groupby(bucket_col).map_groups(
+                edge_fn, batch_format="pyarrow"))
+    return out
