@@ -1745,6 +1745,15 @@ class TreeBuilder:
                     self.stack.pop()
                 self.insert_element(name, tok[2])
                 return
+            if name == "hr":
+                # spec 13.2.6.4.16 "hr" (stylable-select addition): pop
+                # an open option/optgroup, then insert-and-pop the void
+                if self.current().name == "option":
+                    self.stack.pop()
+                if self.current().name == "optgroup":
+                    self.stack.pop()
+                self.insert_element(name, tok[2], push=False)
+                return
             if name == "select":
                 self.err("unexpected-select-in-select")
                 if not self.in_select_scope("select"):
