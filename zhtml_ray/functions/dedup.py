@@ -490,13 +490,16 @@ def label_propagation(edges, max_rounds: int = 64,
     * send — ONE hash-partitioned ``Dataset.join`` of the current label
       table onto the bidirectional edge list (Arrow-native hash join,
       no per-group UDF): each edge row becomes a (peer, lbl) message;
-    * receive — messages ∪ self-rows, then ONE Arrow-native
-      ``groupby(node).aggregate(Min(lbl), Min(self_lbl))``: the new
-      label and the previous label come out of the same aggregate
-      (self_lbl is null on messages, so Min sees it only on the
-      self-row);
-    * convergence — changed-count is a vectorized not_equal + sum over
-      the aggregate output (a tiny distributed reduce).
+    * receive — messages ∪ self-rows, then the SORT-based min-per-node
+      (``stages/sortagg.py:sorted_bucket_apply``: node is a
+      maximal-cardinality key, exactly where the range-shuffle sort +
+      block-local run heads measured ~20× faster than the hash-shuffle
+      ``groupby.aggregate`` it replaces — BENCH/BASELINE.md r3 dedup
+      section). After ``sort(node, lbl)`` each node's new label is its
+      run head; the previous label rides along as the run's unique
+      ``is_self`` row, so change detection is block-local too;
+    * convergence — changed-count is a tiny distributed ``sum`` over
+      the per-run chg column.
 
     Early-stops when a round changes nothing. Rounds needed = component
     diameter; LSH star pairs keep diameters small, and ``max_rounds``
@@ -507,7 +510,8 @@ def label_propagation(edges, max_rounds: int = 64,
     Returns Dataset[(node, lbl)] for nodes that appear in edges.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_first_per_group)
     from zhtml_ray.stages.util import drop_empty_blocks, sized_partitions
 
     edges = edges.materialize()  # reused every round
@@ -571,33 +575,71 @@ def label_propagation(edges, max_rounds: int = 64,
 
     # shuffle width sized to the edge list: every partition is an
     # aggregator actor, and label tables are far smaller than the corpus
-    nparts = sized_partitions(2 * edges.count())
+    nparts = sized_partitions(2 * n_edges)
+    node_t = edges.schema().base_schema.field("key_a").type
 
-    # init: every distinct endpoint labels itself (native distinct)
+    # init: every distinct endpoint labels itself — sort-based distinct
+    # (node is maximal-cardinality, the hash-groupby worst case)
     def self_label(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "lbl": batch["node"]})
 
-    labels = (edges_bidir.groupby("node", num_partitions=nparts)
-              .aggregate(Count(alias_name="_n"))
-              .drop_columns(["_n"])
-              .map_batches(self_label, batch_format="pyarrow")
-              .materialize())
+    labels = sorted_first_per_group(
+        edges_bidir.map_batches(self_label, batch_format="pyarrow"),
+        ["node"]).materialize()
 
     def to_msgs(batch: pa.Table) -> pa.Table:
-        # joined (node, peer, lbl) edge row → message TO the peer;
-        # self_lbl rides null so the receive aggregate ignores it
-        lbl = batch["lbl"].combine_chunks()
-        return pa.table({"node": batch["peer"], "lbl": batch["lbl"],
-                         "self_lbl": pa.nulls(batch.num_rows, lbl.type)})
+        # joined (node, peer, lbl) edge row → message TO the peer
+        return pa.table({
+            "node": batch["peer"], "lbl": batch["lbl"],
+            "is_self": pa.array(np.zeros(batch.num_rows, np.int8))})
 
     def to_self(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["node"], "lbl": batch["lbl"],
-                         "self_lbl": batch["lbl"]})
+        return pa.table({
+            "node": batch["node"], "lbl": batch["lbl"],
+            "is_self": pa.array(np.ones(batch.num_rows, np.int8))})
 
-    def changed_of(batch: pa.Table) -> pa.Table:
-        n = pc.sum(pc.cast(pc.not_equal(batch["lbl"], batch["_old"]),
-                           pa.int64()))
-        return pa.table({"changed": pa.array([n.as_py() or 0], pa.int64())})
+    empty_round = pa.table({"node": pa.array([], node_t),
+                            "lbl": pa.array([], node_t),
+                            "chg": pa.array([], pa.int64())})
+
+    def round_interior(b, starts, ends, mask):
+        # sorted by (node, lbl): each interior node-run's new label is
+        # its head; the run's unique is_self row carries the old label
+        K = b["node"].combine_chunks()
+        L = b["lbl"].combine_chunks()
+        S = (b["is_self"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(bool))
+        selfpos = np.flatnonzero(S)
+        sel, send = starts[mask], ends[mask]
+        si = np.searchsorted(selfpos, sel)
+        if si.size and (si[-1] >= selfpos.size or not np.all(
+                (selfpos[si] >= sel) & (selfpos[si] < send))):
+            # every node in the inbox must have exactly one self row in
+            # its run — a miss means the labels/messages invariant broke
+            raise RuntimeError("label_propagation: node run without a "
+                               "self row — inbox invariant violated")
+        oldpos = selfpos[si] if si.size else np.zeros(0, np.int64)
+        new = L.take(pa.array(sel, pa.int64()))
+        old = L.take(pa.array(oldpos, pa.int64()))
+        return pa.table({
+            "node": K.take(pa.array(sel, pa.int64())), "lbl": new,
+            "chg": pc.cast(pc.not_equal(new, old), pa.int64())})
+
+    def round_edge(g: pa.Table) -> pa.Table:
+        L = g["lbl"].combine_chunks()
+        S = (g["is_self"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(bool))
+        pos = np.flatnonzero(S)
+        if pos.size != 1:
+            raise RuntimeError("label_propagation: boundary node with "
+                               f"{pos.size} self rows — inbox invariant "
+                               "violated")
+        new = pc.min(L).as_py()
+        old = L[int(pos[0])].as_py()
+        return pa.table({
+            "node": g["node"].combine_chunks().slice(0, 1),
+            "lbl": pa.array([new], node_t),
+            "chg": pa.array([int(new != old)], pa.int64())})
 
     changed = None
     for _ in range(max_rounds):
@@ -605,13 +647,17 @@ def label_propagation(edges, max_rounds: int = 64,
                                 num_partitions=nparts, on=("node",))
         inbox = (sent.map_batches(to_msgs, batch_format="pyarrow")
                  .union(labels.map_batches(to_self, batch_format="pyarrow")))
-        new = (inbox.groupby("node", num_partitions=nparts)
-               .aggregate(Min("lbl", alias_name="lbl"),
-                          Min("self_lbl", alias_name="_old"))
-               .materialize())
-        changed = new.map_batches(changed_of,
-                                  batch_format="pyarrow").sum("changed")
-        labels = new.drop_columns(["_old"]).materialize()
+        new = sorted_bucket_apply(inbox, "node", ["node", "lbl"],
+                                  round_interior, round_edge,
+                                  empty_round).materialize()
+        changed = new.sum("chg")
+        # repartition back to nparts: sort/union/map all PRESERVE block
+        # structure, so without this the label table's block count
+        # doubles every round (32→80→176→…) and per-block fixed costs
+        # dominate by round 4 (measured 2.6 s → 115 s per round). The
+        # old hash groupby re-bounded blocks to nparts implicitly.
+        labels = (new.drop_columns(["chg"])
+                  .repartition(nparts).materialize())
         if not changed:
             break
     if changed:

@@ -103,7 +103,7 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
     """The sort-based per-bucket pattern, shared by the LSH pair
     emitters (``minhash_candidate_pairs`` and ``embedding_neardup``):
     ONE range-shuffle ``sort(sort_keys)``, then per-block C-speed run
-    decomposition over the int64 ``bucket_col``.
+    decomposition over ``bucket_col`` (any orderable non-null type).
 
     ``interior_fn(block, starts, ends, runs_mask) -> pa.Table`` emits
     output for the runs FULLY contained in their block (``runs_mask``
@@ -125,28 +125,32 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
     srt = ds.sort(sort_keys).materialize()
     if srt.count() == 0:
         return rd.from_arrow(empty_result)
+    btype = srt.schema().base_schema.field(bucket_col).type
 
     # first/last bucket id of every sorted block — only these can span
     # a block boundary (2 rows per block, a genuinely tiny collect)
     def edges_of(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({bucket_col: pa.array([], pa.int64())})
+            return pa.table({bucket_col: pa.array([], btype)})
         col_ = b[bucket_col]
         return pa.table({bucket_col: pa.array(
-            [col_[0].as_py(), col_[-1].as_py()], pa.int64())})
+            [col_[0].as_py(), col_[-1].as_py()], btype)})
 
     edge_ids = sorted({r[bucket_col] for r in srt.map_batches(
         edges_of, batch_size=None, batch_format="pyarrow").take_all()})
-    eref = ray.put(np.asarray(edge_ids, np.int64))
+    eref = ray.put(edge_ids)
 
     def interior(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return empty_result
-        B = b[bucket_col].combine_chunks().to_numpy(zero_copy_only=False)
-        n = len(B)
-        starts = np.flatnonzero(np.r_[True, B[1:] != B[:-1]])
+        n = b.num_rows
+        starts = _run_starts(b, [bucket_col])
         ends = np.r_[starts[1:], n]
-        mask = ~np.isin(B[starts], ray.get(eref))
+        heads = b[bucket_col].combine_chunks().take(
+            pa.array(starts, pa.int64()))
+        on_edge = pc.is_in(heads, value_set=pa.array(ray.get(eref), btype))
+        mask = ~pc.fill_null(on_edge, False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
         return interior_fn(b, starts, ends, mask)
 
     out = srt.map_batches(interior, batch_size=None,
@@ -155,7 +159,8 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
     def keep_edges(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
-        m = pc.is_in(b[bucket_col], value_set=pa.array(ray.get(eref)))
+        m = pc.is_in(b[bucket_col],
+                     value_set=pa.array(ray.get(eref), btype))
         return b.filter(m)
 
     edge_rows = drop_empty_blocks(
