@@ -487,9 +487,12 @@ def label_propagation(edges, max_rounds: int = 64,
     ``map_groups`` UDF once per NODE per round; at 10^9 nodes that is
     billions of interpreter calls). Per round:
 
-    * send — ONE hash-partitioned ``Dataset.join`` of the current label
-      table onto the bidirectional edge list (Arrow-native hash join,
-      no per-group UDF): each edge row becomes a (peer, lbl) message;
+    * send — a merge-join expressed as a sort (the hash
+      ``Dataset.join`` it replaces measured ~5× the cost of the
+      equivalent range-shuffle sort): the static tagged edge list ∪
+      the round's label table, sorted by (node, src) so every
+      node-run leads with its label row; a block-local pass emits one
+      (peer, lbl) message per edge row plus the node's self row;
     * receive — messages ∪ self-rows, then the SORT-based min-per-node
       (``stages/sortagg.py:sorted_bucket_apply``: node is a
       maximal-cardinality key, exactly where the range-shuffle sort +
@@ -587,16 +590,73 @@ def label_propagation(edges, max_rounds: int = 64,
         edges_bidir.map_batches(self_label, batch_format="pyarrow"),
         ["node"]).materialize()
 
-    def to_msgs(batch: pa.Table) -> pa.Table:
-        # joined (node, peer, lbl) edge row → message TO the peer
+    # ---- send pass: a merge-join expressed as a second sort. The
+    # hash ``Dataset.join`` of labels onto edges measured 11.6 s where
+    # the equivalent range-shuffle sort is 2.4 s (4M nodes, 6.4M edge
+    # rows, 32 cpus), so the join is replaced by sorting the union of
+    # the static tagged edge list with the round's label table by
+    # (node, src): src orders each node-run label-row-first, and a
+    # block-local pass emits one (peer, lbl) message per edge row plus
+    # the node's own (node, lbl, is_self=1) row for the receive pass.
+    def tag_edges(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "node": batch["peer"], "lbl": batch["lbl"],
-            "is_self": pa.array(np.zeros(batch.num_rows, np.int8))})
+            "node": batch["node"], "aux": batch["peer"],
+            "src": pa.array(np.ones(batch.num_rows, np.int8))})
 
-    def to_self(batch: pa.Table) -> pa.Table:
+    def tag_labels(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "node": batch["node"], "lbl": batch["lbl"],
-            "is_self": pa.array(np.ones(batch.num_rows, np.int8))})
+            "node": batch["node"], "aux": batch["lbl"],
+            "src": pa.array(np.zeros(batch.num_rows, np.int8))})
+
+    edges_tagged = edges_bidir.map_batches(
+        tag_edges, batch_format="pyarrow").materialize()
+
+    empty_send = pa.table({"node": pa.array([], node_t),
+                           "lbl": pa.array([], node_t),
+                           "is_self": pa.array([], pa.int8())})
+
+    def send_interior(b, starts, ends, mask):
+        K = b["node"].combine_chunks()
+        A = b["aux"].combine_chunks()
+        S = (b["src"].combine_chunks()
+             .to_numpy(zero_copy_only=False) != 0)
+        lens = ends - starts
+        heads = starts[mask]
+        if heads.size and S[heads].any():
+            # every node's run must lead with its label row (src=0)
+            raise RuntimeError("label_propagation: node run without a "
+                               "label head — send invariant violated")
+        run_of = np.repeat(np.arange(len(starts)), lens)
+        lblpos = starts[run_of]  # label-row position for every row
+        pos = np.flatnonzero(np.repeat(mask, lens) & S)  # interior edges
+        msg_node = A.take(pa.array(pos, pa.int64()))
+        msg_lbl = A.take(pa.array(lblpos[pos], pa.int64()))
+        self_node = K.take(pa.array(heads, pa.int64()))
+        self_lbl = A.take(pa.array(heads, pa.int64()))
+        return pa.table({
+            "node": pa.concat_arrays([msg_node, self_node]),
+            "lbl": pa.concat_arrays([msg_lbl, self_lbl]),
+            "is_self": pa.array(np.r_[np.zeros(len(pos), np.int8),
+                                      np.ones(len(heads), np.int8)])})
+
+    def send_edge(g: pa.Table) -> pa.Table:
+        A = g["aux"].combine_chunks()
+        S = (g["src"].combine_chunks()
+             .to_numpy(zero_copy_only=False) != 0)
+        lpos = np.flatnonzero(~S)
+        if lpos.size != 1:
+            raise RuntimeError("label_propagation: boundary node with "
+                               f"{lpos.size} label rows — send invariant "
+                               "violated")
+        lbl = A[int(lpos[0])].as_py()
+        epos = np.flatnonzero(S)
+        msg_node = A.take(pa.array(epos, pa.int64()))
+        node_head = g["node"].combine_chunks().slice(0, 1)
+        return pa.table({
+            "node": pa.concat_arrays([msg_node, node_head]),
+            "lbl": pa.array([lbl] * (len(epos) + 1), node_t),
+            "is_self": pa.array(np.r_[np.zeros(len(epos), np.int8),
+                                      np.ones(1, np.int8)])})
 
     empty_round = pa.table({"node": pa.array([], node_t),
                             "lbl": pa.array([], node_t),
@@ -643,10 +703,10 @@ def label_propagation(edges, max_rounds: int = 64,
 
     changed = None
     for _ in range(max_rounds):
-        sent = edges_bidir.join(drop_empty_blocks(labels), "inner",
-                                num_partitions=nparts, on=("node",))
-        inbox = (sent.map_batches(to_msgs, batch_format="pyarrow")
-                 .union(labels.map_batches(to_self, batch_format="pyarrow")))
+        inbox = sorted_bucket_apply(
+            edges_tagged.union(
+                labels.map_batches(tag_labels, batch_format="pyarrow")),
+            "node", ["node", "src"], send_interior, send_edge, empty_send)
         new = sorted_bucket_apply(inbox, "node", ["node", "lbl"],
                                   round_interior, round_edge,
                                   empty_round).materialize()
