@@ -534,3 +534,64 @@ def test_sorted_first_per_group_matches_pandas(ray_session, nblocks):
     got = got[["g", "g2", "v"]]
     want = want[["g", "g2", "v"]]
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("how,nblocks", [("inner", 1), ("inner", 7),
+                                         ("left", 7), ("left", 40)])
+def test_sorted_lookup_join_matches_pandas(ray_session, how, nblocks):
+    """merge-join-as-sort primitive vs pandas merge on randomized data:
+    repeated big-side keys, keys missing from the lookup, string keys,
+    two payload columns, block layouts that force boundary runs."""
+    import pandas as pd
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+
+    rng = np.random.RandomState(nblocks)
+    n = 4000
+    keys = np.array([f"k{v}" for v in rng.randint(0, 300, n)], object)
+    big = pa.table({"k": pa.array(keys, pa.string()),
+                    "val": pa.array(rng.permutation(n), pa.int64())})
+    # lookup covers only 2/3 of the key space; unique per key
+    lk_keys = [f"k{v}" for v in range(0, 300, 1) if v % 3]
+    lk = pa.table({"k": pa.array(lk_keys, pa.string()),
+                   "p1": pa.array([f"text-{k}" for k in lk_keys]),
+                   "p2": pa.array([hash(k) % 997 for k in lk_keys],
+                                  pa.int64())})
+    got = (sorted_lookup_join(
+        rd.from_arrow(big).repartition(nblocks),
+        rd.from_arrow(lk).repartition(3), "k", ["p1", "p2"], how=how)
+        .to_pandas().sort_values(["k", "val"]).reset_index(drop=True))
+    want = (big.to_pandas().merge(lk.to_pandas(), on="k", how=how)
+            .sort_values(["k", "val"]).reset_index(drop=True))
+    got["p2"] = got["p2"].astype("float64") if how == "left" \
+        else got["p2"].astype("int64")
+    want["p2"] = want["p2"].astype("float64") if how == "left" \
+        else want["p2"].astype("int64")
+    pd.testing.assert_frame_equal(got[["k", "val", "p1", "p2"]],
+                                  want[["k", "val", "p1", "p2"]])
+
+
+def test_sorted_lookup_join_empty_sides(ray_session):
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+
+    big = pa.table({"k": pa.array([], pa.string()),
+                    "val": pa.array([], pa.int64())})
+    lk = pa.table({"k": pa.array(["a"], pa.string()),
+                   "p": pa.array([1], pa.int64())})
+    out = sorted_lookup_join(rd.from_arrow(big), rd.from_arrow(lk),
+                             "k", ["p"])
+    # all-empty Datasets lose columns in to_pandas (known Ray gotcha) —
+    # assert emptiness by count and the typed schema instead
+    assert out.count() == 0
+    assert out.schema().names == ["k", "val", "p"]
+    big2 = pa.table({"k": pa.array(["a", "b"], pa.string()),
+                     "val": pa.array([1, 2], pa.int64())})
+    lk2 = pa.table({"k": pa.array([], pa.string()),
+                    "p": pa.array([], pa.int64())})
+    inner = sorted_lookup_join(rd.from_arrow(big2), rd.from_arrow(lk2),
+                               "k", ["p"]).to_pandas()
+    assert len(inner) == 0
+    left = sorted_lookup_join(rd.from_arrow(big2), rd.from_arrow(lk2),
+                              "k", ["p"], how="left").to_pandas()
+    assert len(left) == 2 and left["p"].isna().all()

@@ -349,14 +349,14 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
       hub-key shingling across that hub's star pairs);
     * scale path — at crawl-scale dup rates the candidate set is a
       constant fraction of the corpus, so beyond the budget the texts
-      are JOINED onto the pair list with two hash-partitioned
-      ``Dataset.join`` passes (docs⋈pairs on key_a, then key_b).
+      are JOINED onto the pair list with two merge-join-as-sort
+      passes (docs onto pairs by key_a, then key_b —
+      ``stages/sortagg.py:sorted_lookup_join``).
       Nothing unbounded ever lands on the driver or in a ``ray.put``
       (VERDICT r2 #1)."""
     import pyarrow.compute as pc
     import ray
-    from zhtml_ray.stages.util import (autoscale_pool, drop_empty_blocks,
-                                       shuffle_partitions)
+    from zhtml_ray.stages.util import autoscale_pool
 
     pairs = dedup_candidate_pairs(pairs_ds)
     n_pairs = pairs.count()
@@ -408,9 +408,14 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
         out = pairs.map_batches(Verify, batch_format="pandas",
                                 concurrency=autoscale_pool(0.5))
     else:
-        # budget exceeded: hash-partitioned joins ship each candidate
+        # budget exceeded: two merge-joins-as-sorts ship each candidate
         # text to exactly the pair rows that need it
-        nparts = shuffle_partitions()
+        # (stages/sortagg.py:sorted_lookup_join — same bytes moved as
+        # the hash joins they replace, ~5× cheaper shuffle on this Ray
+        # version, and no drop_empty_blocks scaffolding: the sort path
+        # is immune to the empty-block schema loss that makes pyarrow's
+        # hash join reject filtered inputs)
+        from zhtml_ray.stages.sortagg import sorted_lookup_join
 
         def proj_a(b: pa.Table) -> pa.Table:
             return pa.table({"key_a": b[key], "_text_a": b[col]})
@@ -418,21 +423,10 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
         def proj_b(b: pa.Table) -> pa.Table:
             return pa.table({"key_b": b[key], "_text_b": b[col]})
 
-        # drop_empty_blocks on EVERY join input (pairs, both docs
-        # projections, and between the joins): any 0-row block — a join
-        # partition with no matches, or an upstream-filtered corpus
-        # block — loses its schema in the hash shuffle and the join
-        # rejects it ("no match for key field"). Object-store-resident
-        # materializations, never the driver.
-        docs_a = drop_empty_blocks(
-            docs_ds.map_batches(proj_a, batch_format="pyarrow"))
-        docs_b = drop_empty_blocks(
-            docs_ds.map_batches(proj_b, batch_format="pyarrow"))
-        j1 = drop_empty_blocks(
-            drop_empty_blocks(pairs)
-            .join(docs_a, "inner", num_partitions=nparts, on=("key_a",)))
-        joined = j1.join(docs_b, "inner", num_partitions=nparts,
-                         on=("key_b",))
+        docs_a = docs_ds.map_batches(proj_a, batch_format="pyarrow")
+        docs_b = docs_ds.map_batches(proj_b, batch_format="pyarrow")
+        j1 = sorted_lookup_join(pairs, docs_a, "key_a", ["_text_a"])
+        joined = sorted_lookup_join(j1, docs_b, "key_b", ["_text_b"])
 
         class VerifyJoined:
             def __init__(self):
@@ -743,7 +737,7 @@ def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
     byte-budgeted broadcast-vs-join switch for the candidate TEXTS in
     the verify stage (see verify_jaccard_pairs)."""
     import ray
-    from zhtml_ray.stages.util import autoscale_pool, shuffle_partitions
+    from zhtml_ray.stages.util import autoscale_pool
 
     cand = minhash_candidate_pairs(ds, key=key, col=col, num_perm=num_perm,
                                    bands=bands, shingle_k=shingle_k, seed=seed)
@@ -777,14 +771,12 @@ def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
         return ds.map_batches(Assign, batch_format="pyarrow",
                               concurrency=autoscale_pool(0.5))
 
-    # big-label path: hash-partitioned left join, then fill unmatched.
-    # drop_empty_blocks: map_groups emits 0-row EMPTY-schema blocks that
-    # pyarrow's hash join rejects on the build side.
-    from zhtml_ray.stages.util import drop_empty_blocks
-    labels = drop_empty_blocks(
-        labels.rename_columns({"node": key, "lbl": "cluster"}))
-    joined = ds.join(labels, "left_outer",
-                     num_partitions=shuffle_partitions(), on=(key,))
+    # big-label path: merge-join-as-sort left lookup, then fill
+    # unmatched (no drop_empty_blocks scaffolding needed — see
+    # stages/sortagg.py:sorted_lookup_join)
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    labels = labels.rename_columns({"node": key, "lbl": "cluster"})
+    joined = sorted_lookup_join(ds, labels, key, ["cluster"], how="left")
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

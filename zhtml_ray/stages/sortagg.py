@@ -170,3 +170,96 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
             edge_rows.groupby(bucket_col).map_groups(
                 edge_fn, batch_format="pyarrow"))
     return out
+
+
+def sorted_lookup_join(big, lookup, key_col, payload_cols, how="inner"):
+    """Attach ``payload_cols`` from ``lookup`` onto ``big``'s rows by
+    ``key_col`` — a merge join expressed as ONE range-shuffle sort of
+    the tagged union (via ``sorted_bucket_apply``), replacing a hash
+    ``Dataset.join``. Measured on this Ray version the hash join costs
+    ~5× the equivalent sort at equal bytes moved (BENCH/BASELINE.md r3
+    label-prop section), and the sort path is immune to the
+    empty-block schema-loss crashes that force ``drop_empty_blocks``
+    guards around every hash-join input.
+
+    ``lookup`` must be unique per key (only the first lookup row of a
+    key is consulted); ``big`` may repeat keys freely. ``how='left'``
+    keeps unmatched big rows with null payloads; ``'inner'`` drops
+    them. Output columns: big's columns (in order) + payload_cols."""
+    import numpy as np
+
+    big_schema = big.schema().base_schema
+    lk_schema = lookup.schema().base_schema
+    big_cols = list(big_schema.names)
+    assert key_col in big_cols and key_col in lk_schema.names
+    empty_result = pa.table(
+        {**{n: pa.array([], big_schema.field(n).type) for n in big_cols},
+         **{p: pa.array([], lk_schema.field(p).type)
+            for p in payload_cols}})
+    other_big = [n for n in big_cols if n != key_col]
+
+    def tag_big(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col],
+                "_src": pa.array(np.ones(b.num_rows, np.int8))}
+        for n in other_big:
+            cols[n] = b[n]
+        for p in payload_cols:
+            cols[p] = pa.nulls(b.num_rows, lk_schema.field(p).type)
+        return pa.table(cols)
+
+    def tag_lookup(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col],
+                "_src": pa.array(np.zeros(b.num_rows, np.int8))}
+        for n in other_big:
+            cols[n] = pa.nulls(b.num_rows, big_schema.field(n).type)
+        for p in payload_cols:
+            cols[p] = b[p]
+        return pa.table(cols)
+
+    tagged = big.map_batches(tag_big, batch_format="pyarrow").union(
+        lookup.map_batches(tag_lookup, batch_format="pyarrow"))
+
+    def interior_fn(b, starts, ends, mask):
+        S = (b["_src"].combine_chunks()
+             .to_numpy(zero_copy_only=False) != 0)
+        lens = ends - starts
+        run_of = np.repeat(np.arange(len(starts)), lens)
+        head_ok = ~S[starts]  # run head is a lookup row for this key
+        if how == "inner":
+            keep = np.repeat(mask & head_ok, lens) & S
+        else:
+            keep = np.repeat(mask, lens) & S
+        pos = np.flatnonzero(keep)
+        headpos = starts[run_of][pos]
+        if how == "left":
+            # null head index → null payload via Arrow take semantics
+            hidx = pa.array(headpos, pa.int64(),
+                            mask=~head_ok[run_of][pos])
+        else:
+            hidx = pa.array(headpos, pa.int64())
+        posa = pa.array(pos, pa.int64())
+        cols = {n: b[n].combine_chunks().take(posa) for n in big_cols}
+        for p in payload_cols:
+            cols[p] = b[p].combine_chunks().take(hidx)
+        return pa.table(cols)
+
+    def edge_fn(g: pa.Table) -> pa.Table:
+        S = (g["_src"].combine_chunks()
+             .to_numpy(zero_copy_only=False) != 0)
+        lpos = np.flatnonzero(~S)
+        epos = np.flatnonzero(S)
+        if lpos.size == 0 and how == "inner":
+            return empty_result
+        posa = pa.array(epos, pa.int64())
+        cols = {n: g[n].combine_chunks().take(posa) for n in big_cols}
+        if lpos.size:
+            hidx = pa.array(np.full(len(epos), lpos[0], np.int64))
+        else:
+            hidx = pa.array(np.zeros(len(epos), np.int64),
+                            mask=np.ones(len(epos), bool))
+        for p in payload_cols:
+            cols[p] = g[p].combine_chunks().take(hidx)
+        return pa.table(cols)
+
+    return sorted_bucket_apply(tagged, key_col, [key_col, "_src"],
+                               interior_fn, edge_fn, empty_result)
