@@ -472,8 +472,8 @@ def label_propagation(edges, max_rounds: int = 64,
 
     Budgeted fast path (the same explicit-budget pattern as the
     broadcast joins): an edge list within ``driver_budget`` rows is
-    union-found in-process — each distributed round costs a join + an
-    aggregate + materializations (~5 s of fixed orchestration on a
+    union-found in-process — each distributed round costs two range
+    shuffles + materializations (~5 s of fixed orchestration on a
     200k-doc run), which dwarfs a million-edge union-find. Beyond the
     budget the bounded-round distributed algorithm below takes over.
 
@@ -566,7 +566,7 @@ def label_propagation(edges, max_rounds: int = 64,
 
     # drop_empty_blocks, not bare materialize: edges usually come from a
     # threshold FILTER, whose fully-emptied blocks lose their schema and
-    # would poison the per-round join below (left side)
+    # would poison the per-round sort passes built from this dataset
     edges_bidir = drop_empty_blocks(
         edges.map_batches(bidir, batch_format="pyarrow"))
 
@@ -584,7 +584,13 @@ def label_propagation(edges, max_rounds: int = 64,
         edges_bidir.map_batches(self_label, batch_format="pyarrow"),
         ["node"]).materialize()
 
-    # ---- send pass: a merge-join expressed as a second sort. The
+    # ---- send pass: a merge-join expressed as a second sort,
+    # hand-rolled rather than sorted_lookup_join because (a) the static
+    # tagged edge list materializes ONCE outside the round loop (the
+    # generic primitive would re-tag 2|E| rows every round), (b) message
+    # generation fuses into the same block pass, and (c) a node-run
+    # without a label head raises loudly instead of inner-join-dropping
+    # (labels must cover every endpoint by construction). The
     # hash ``Dataset.join`` of labels onto edges measured 11.6 s where
     # the equivalent range-shuffle sort is 2.4 s (4M nodes, 6.4M edge
     # rows, 32 cpus), so the join is replaced by sorting the union of
@@ -732,8 +738,8 @@ def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
 
     Cluster assignment back onto the corpus: broadcast the (node →
     cluster) table when it fits ``broadcast_budget`` rows, else a
-    hash-partitioned left join (``Dataset.join``) so no unbounded dict
-    ever lands on the driver. ``broadcast_text_budget`` is the same
+    merge-join-as-sort left lookup (``sorted_lookup_join``) so no
+    unbounded dict ever lands on the driver. ``broadcast_text_budget`` is the same
     byte-budgeted broadcast-vs-join switch for the candidate TEXTS in
     the verify stage (see verify_jaccard_pairs)."""
     import ray

@@ -138,7 +138,9 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
 
     edge_ids = sorted({r[bucket_col] for r in srt.map_batches(
         edges_of, batch_size=None, batch_format="pyarrow").take_all()})
-    eref = ray.put(edge_ids)
+    # broadcast as a typed Arrow array: zero-copy shared from plasma,
+    # no per-block pickle + pa.array rebuild (r3 review)
+    eref = ray.put(pa.array(edge_ids, btype))
 
     def interior(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -148,7 +150,7 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
         ends = np.r_[starts[1:], n]
         heads = b[bucket_col].combine_chunks().take(
             pa.array(starts, pa.int64()))
-        on_edge = pc.is_in(heads, value_set=pa.array(ray.get(eref), btype))
+        on_edge = pc.is_in(heads, value_set=ray.get(eref))
         mask = ~pc.fill_null(on_edge, False) \
             .to_numpy(zero_copy_only=False).astype(bool)
         return interior_fn(b, starts, ends, mask)
@@ -159,8 +161,7 @@ def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
     def keep_edges(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
-        m = pc.is_in(b[bucket_col],
-                     value_set=pa.array(ray.get(eref), btype))
+        m = pc.is_in(b[bucket_col], value_set=ray.get(eref))
         return b.filter(m)
 
     edge_rows = drop_empty_blocks(
@@ -192,6 +193,13 @@ def sorted_lookup_join(big, lookup, key_col, payload_cols, how="inner"):
     lk_schema = lookup.schema().base_schema
     big_cols = list(big_schema.names)
     assert key_col in big_cols and key_col in lk_schema.names
+    clash = set(payload_cols) & set(big_cols)
+    if clash or "_src" in big_cols or "_src" in payload_cols:
+        # a payload name already present in big would silently replace
+        # user data; a '_src' column would corrupt the row tagging
+        raise ValueError(f"sorted_lookup_join: column collision "
+                         f"{clash or {'_src'}} between big and "
+                         "payload/tag columns")
     empty_result = pa.table(
         {**{n: pa.array([], big_schema.field(n).type) for n in big_cols},
          **{p: pa.array([], lk_schema.field(p).type)
