@@ -27,12 +27,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 GOLDEN_ROOT = os.environ.get("ZHTML_RAY_GOLDEN_DIR", "/tmp/zhtml_ray_golden")
-# Per-process fixed path (ADVICE r2): queries() and oracle_sql() always
-# run in the same gate process, so scoping by pid means two concurrent
-# gate runs at different scales can never interleave each other's
-# per-query goldens between a query callable and its SQL read.
-_CURRENT = os.path.join(GOLDEN_ROOT, f"current_{os.getpid()}")
 _CLEANED = False
+
+
+def _current_dir() -> str:
+    """Per-process fixed path (ADVICE r2): queries() and oracle_sql()
+    always run in the same gate process, so scoping by pid means two
+    concurrent gate runs at different scales can never interleave each
+    other's per-query goldens between a query callable and its SQL
+    read. Computed at USE time, not import time: a fork() after import
+    would otherwise hand every child the parent's dir and re-create
+    exactly the cross-scale interleaving this prevents (r3 review)."""
+    return os.path.join(GOLDEN_ROOT, f"current_{os.getpid()}")
 
 
 def _clean_stale_current() -> None:
@@ -47,27 +53,47 @@ def _clean_stale_current() -> None:
     _CLEANED = True
     import glob
     import shutil as sh
+
+    def pid_alive(pid: int) -> bool:
+        if pid == os.getpid():
+            return True
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+
     for d in glob.glob(os.path.join(GOLDEN_ROOT, "current_*")):
         try:
             pid = int(d.rsplit("_", 1)[1])
         except ValueError:
             continue
-        alive = False
-        if pid != os.getpid():
+        if not pid_alive(pid):
+            sh.rmtree(d, ignore_errors=True)
+    # timeout-killed runs leak multi-MB '*.tmp.<pid>' files between
+    # write_table and os.replace; superseded-digest cache dirs strand a
+    # full golden set per source edit (r3 review) — sweep both
+    for f in glob.glob(os.path.join(GOLDEN_ROOT, "*", "*.tmp.*")):
+        try:
+            pid = int(f.rsplit(".", 1)[1])
+        except ValueError:
+            continue
+        if not pid_alive(pid):
             try:
-                os.kill(pid, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True
-        if not alive:
+                os.remove(f)
+            except OSError:
+                pass
+    cur = f"_s{_source_digest()}"
+    for d in glob.glob(os.path.join(GOLDEN_ROOT, "v*_s*")):
+        if os.path.isdir(d) and not d.endswith(cur):
             sh.rmtree(d, ignore_errors=True)
 
 
 def golden_sql(name: str) -> str:
     """The oracle: DuckDB reads the pinned serial output verbatim."""
-    return f"SELECT * FROM read_parquet('{_CURRENT}/{name}.parquet')"
+    return f"SELECT * FROM read_parquet('{_current_dir()}/{name}.parquet')"
 
 
 def gate_project(tbl: pa.Table) -> pa.Table:
@@ -138,15 +164,15 @@ def _gen_extract_error_histogram(sf_dir: str) -> pa.Table:
 def node_table_project(tbl: pa.Table) -> pa.Table:
     """Gate projection for the flattened DOM table: the nested node
     list rides as canonical JSON (shared by query + golden)."""
+    rows = tbl["nodes"].to_pylist()  # once: the dominant conversion
     nodes_json = [
         json.dumps([[n["parent"], n["kind"], n["tag"], n["ns"], n["depth"],
                      n["attr_keys"], n["attr_vals"], n["text"]]
                     for n in row], separators=(",", ":"), ensure_ascii=False)
-        for row in tbl["nodes"].to_pylist()]
+        for row in rows]
     return pa.table({
         "url": tbl["url"],
-        "n_nodes": pa.array([len(r) for r in tbl["nodes"].to_pylist()],
-                            pa.int64()),
+        "n_nodes": pa.array([len(r) for r in rows], pa.int64()),
         "nodes_json": pa.array(nodes_json, pa.string()),
     })
 
@@ -441,12 +467,14 @@ def _source_digest() -> str:
         import hashlib
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha1()
-        for dirpath, dirnames, filenames in sorted(os.walk(root)):
-            dirnames.sort()
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()  # deterministic traversal order
             for f in sorted(filenames):
                 if f.endswith(".py"):
                     p = os.path.join(dirpath, f)
-                    h.update(p.encode())
+                    # RELATIVE path: an absolute path in the digest made
+                    # goldens checkout-location-dependent (r3 review)
+                    h.update(os.path.relpath(p, root).encode())
                     with open(p, "rb") as fh:
                         h.update(fh.read())
         _SRC_DIGEST = h.hexdigest()[:10]
@@ -456,12 +484,32 @@ def _source_digest() -> str:
 _SRC_DIGEST: str | None = None
 
 
+def _inputs_digest(sf_dir: str) -> str:
+    """Stat-based identity of the sf_dir parquet inputs the generators
+    read (r3 review): FIXTURE_VERSION only versions the synthetic pages
+    fixture, but documents/embeddings/lineitem goldens read sf_dir
+    directly — regenerated testdata with the same basename must not be
+    served a stale cached golden. (name, size, mtime_ns) is cheap and
+    catches every driver regeneration; content hashing multi-MB parquet
+    per ensure_golden would not be."""
+    import hashlib
+    h = hashlib.sha1()
+    try:
+        for f in sorted(os.listdir(sf_dir)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:8]
+
+
 def _cache_tag(sf_dir: str) -> str:
     from zhtml_ray.pipelines.extract import n_pages_for
     from zhtml_ray.sources.pages import FIXTURE_VERSION
     token = os.path.basename(os.path.normpath(sf_dir))
     return (f"v{FIXTURE_VERSION}_{token}_n{n_pages_for(sf_dir)}"
-            f"_s{_source_digest()}")
+            f"_d{_inputs_digest(sf_dir)}_s{_source_digest()}")
 
 
 def pregenerate(sf_dir: str = "/root/testdata/sf0.01") -> None:
@@ -497,14 +545,14 @@ def ensure_golden(name: str, sf_dir: str,
     _clean_stale_current()
     cache = os.path.join(GOLDEN_ROOT, _cache_tag(sf_dir))
     os.makedirs(cache, exist_ok=True)
-    os.makedirs(_CURRENT, exist_ok=True)
+    os.makedirs(_current_dir(), exist_ok=True)
     cached = os.path.join(cache, f"{name}.parquet")
     if not os.path.exists(cached):
         tbl = _GENERATORS[name](sf_dir)
         tmp = cached + f".tmp.{os.getpid()}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, cached)
-    fixed = os.path.join(_CURRENT, f"{name}.parquet")
+    fixed = os.path.join(_current_dir(), f"{name}.parquet")
     if not refresh_current and os.path.exists(fixed):
         return fixed
     tmp = fixed + f".tmp.{os.getpid()}"
