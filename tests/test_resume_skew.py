@@ -178,3 +178,36 @@ def test_zero_row_shard_partition_completes(ray_session, tmp_path):
     # second run resumes cleanly with nothing to do
     r2 = run_partitioned([empty], out_dir, group_size=1, overlap=1)
     assert r2["complete"] and r2["partitions_previously_done"] == 1
+
+
+def test_resume_with_different_config_raises(shards, tmp_path):
+    """A kill + rerun with different extraction flags must refuse to
+    mix two semantic configs into one 'complete' output (the checksum
+    cannot catch it — it only covers rows written under each config)."""
+    from zhtml_ray.stages.manifest import run_partitioned
+    out_dir = str(tmp_path / "out")
+    run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
+                    fail_after=1, extract_kwargs={"include_spans": True})
+    with pytest.raises(ValueError, match="different extraction config"):
+        run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": False})
+    # same config resumes fine
+    r = run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": True})
+    assert r["complete"]
+
+
+def test_partition_run_tolerates_missing_lang(ray_session, tmp_path):
+    """Shards with only (url, html) — e.g. from read_html_files — must
+    process, not crash on a hardcoded column list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.stages.manifest import run_partitioned
+    shard = str(tmp_path / "nolang.parquet")
+    pq.write_table(pa.table({
+        "url": ["http://a/1", "http://a/2"],
+        "html": [b"<p>one doc</p>", b"<p>two docs</p>"],
+    }), shard)
+    out_dir = str(tmp_path / "out")
+    r = run_partitioned([shard], out_dir, group_size=1, overlap=1)
+    assert r["complete"] and r["rows"] == 2

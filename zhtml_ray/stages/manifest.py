@@ -67,7 +67,13 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(final_dir, ignore_errors=True)
 
-    ds = rd.read_parquet(part["input_files"], columns=["url", "html", "lang"])
+    # prune to the columns the stage consumes, tolerating shards
+    # without the optional lang column (r3 review: a hardcoded list
+    # crashed the whole partition on url+html-only shards, before the
+    # UDF's own missing-column passthrough guard could apply)
+    avail = pads.dataset(part["input_files"]).schema.names
+    cols = [c for c in ("url", "html", "lang") if c in avail]
+    ds = rd.read_parquet(part["input_files"], columns=cols)
     out = extract_pages(ds, **extract_kwargs)
     out.write_parquet(tmp_dir)
     # a ZERO-ROW partition (legal: an empty input shard) writes no files
@@ -132,8 +138,15 @@ def run_partitioned(input_files: list[str], out_dir: str,
     ``fail_after`` aborts after N newly completed partitions — test hook
     for the kill/resume test. Returns a summary dict."""
     os.makedirs(out_dir, exist_ok=True)
+    extract_kwargs = extract_kwargs or {}
+    # canonical tag of the extraction config (repr for non-JSON values
+    # like ExtractThresholds — dataclass repr is deterministic)
+    cfg_tag = json.dumps(extract_kwargs, sort_keys=True, default=repr)
     # the plan is pinned on first run: a resume with a different
-    # group_size must not re-number partitions
+    # group_size must not re-number partitions, and a resume with a
+    # DIFFERENT EXTRACTION CONFIG must not silently mix two semantic
+    # configs into one "complete" output (r3 review — the checksum
+    # cannot catch it, it only covers rows written under each config)
     plan_path = os.path.join(out_dir, "_manifests", "plan.json")
     if os.path.exists(plan_path):
         with open(plan_path) as f:
@@ -143,17 +156,22 @@ def run_partitioned(input_files: list[str], out_dir: str,
             raise ValueError(
                 "resume with a different input file list than the original "
                 f"run (see {plan_path}); use a fresh output dir")
+        if "extract_config" in stored and stored["extract_config"] != cfg_tag:
+            raise ValueError(
+                "resume with a different extraction config than the "
+                f"original run ({stored['extract_config']} != {cfg_tag}); "
+                "use a fresh output dir")
     else:
         os.makedirs(os.path.dirname(plan_path), exist_ok=True)
         tmp = plan_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"group_size": group_size,
-                       "input_files": sorted(input_files)}, f)
+                       "input_files": sorted(input_files),
+                       "extract_config": cfg_tag}, f)
         os.replace(tmp, plan_path)
     plan = partition_plan(input_files, group_size)
     done = completed_partitions(out_dir)
     todo = [p for p in plan if p["partition_id"] not in done]
-    extract_kwargs = extract_kwargs or {}
 
     ran = []
     if fail_after is not None:

@@ -29,8 +29,13 @@ ERROR_TYPE = pa.list_(pa.struct([
     ("code", pa.string()), ("line", pa.int32()), ("col", pa.int32()),
 ]))
 
+# The stage's emitted column order EXACTLY (r3 review: the previous
+# constant had row_crc ninth where the stage emits it second, breaking
+# positional consumers). When ``include_spans=False`` the spans field
+# is absent; ``passthrough`` columns (e.g. lang) append AFTER these.
 OUT_SCHEMA = pa.schema([
     ("url", pa.string()),
+    ("row_crc", pa.int64()),
     ("extracted_text", pa.large_string()),
     ("spans", SPAN_TYPE),
     ("quirks", pa.int8()),
@@ -38,7 +43,6 @@ OUT_SCHEMA = pa.schema([
     ("errors", ERROR_TYPE),
     ("n_nodes", pa.int32()),
     ("html_bytes", pa.int64()),
-    ("row_crc", pa.int64()),
     ("ok", pa.bool_()),
     ("fail_reason", pa.string()),
 ])
@@ -102,7 +106,14 @@ class ParseExtractBatch:
             "url": pa.array(urls, pa.string()),
             "row_crc": pa.array(crcs, pa.int64()),
             "extracted_text": pa.array(texts, pa.large_string()),
-            "spans": pa.array(spans, SPAN_TYPE),
+        }
+        if self.include_spans:
+            # build the (largest) Arrow struct column only when kept —
+            # converting then deleting it wasted the dominant cost of
+            # the include_spans=False mode (r3 review); position 4
+            # matches OUT_SCHEMA
+            cols["spans"] = pa.array(spans, SPAN_TYPE)
+        cols.update({
             "quirks": pa.array(quirks, pa.int8()),
             "doctype_name": pa.array(doctypes, pa.string()),
             "errors": pa.array(errors, ERROR_TYPE),
@@ -110,9 +121,7 @@ class ParseExtractBatch:
             "html_bytes": pa.array(hbytes, pa.int64()),
             "ok": pa.array(ok, pa.bool_()),
             "fail_reason": pa.array(fail, pa.string()),
-        }
-        if not self.include_spans:
-            del cols["spans"]
+        })
         for name in self.passthrough:
             if name in batch.column_names:
                 cols[name] = batch.column(name)

@@ -23,7 +23,7 @@ relies on Ray Data's own block layout:
   * layout guidance: write giant docs into dedicated shards at ingest
     (our fixture does: pages-mega.parquet) so giant blocks are pure;
   * for *mixed* shards where giants hide among small rows,
-    ``spread_giants`` (salt + shuffle repartition) remains the
+    ``spread_giants`` (shuffle repartition) remains the
     explicit-shuffle fallback — pay the all-to-all only when the
     layout is hostile.
 """
@@ -89,7 +89,12 @@ def add_salt(ds, key: str = "url", buckets: int = 1024,
 
 
 def spread_giants(ds, buckets: int = 256):
-    """Salt + shuffle-repartition: distributes clustered giants across
-    blocks before the parse stage. Explicit all-to-all — only for mixed
-    shards whose layout hides giants among small rows."""
-    return add_salt(ds, buckets=buckets).repartition(buckets, shuffle=True)
+    """Shuffle-repartition: distributes clustered giants across blocks
+    before the parse stage. Explicit all-to-all — only for mixed shards
+    whose layout hides giants among small rows. Placement comes from
+    the keyless random shuffle: ``repartition(keys=...)`` would give
+    deterministic hash placement but requires the HASH_SHUFFLE
+    DataContext strategy (probed on this Ray version — raises under the
+    default sort-shuffle), and a prior salt column was dead work the
+    shuffle ignored (r3 review)."""
+    return ds.repartition(buckets, shuffle=True)
