@@ -389,3 +389,78 @@ def test_duplicate_attr_offset_fast_equals_spec():
     assert c1 == c2 == "duplicate-attribute"
     assert o1 == "<div a a>".index("a", 6)     # second name start
     assert o2 == '<div x="&amp;" a a>'.rindex("a")
+
+
+class TestStdlibParserDifferential:
+    """INDEPENDENT cross-check: stdlib html.parser (a separate HTML
+    tokenizer implementation) must produce the same start/end/text
+    event stream as our tokenizer over the fixture pages, once
+    html.parser's three known deviations are normalized: (a) it only
+    auto-switches script/style to CDATA content (we emulate exactly
+    that switch, as the tree stage would), (b) its attr dict keeps the
+    LAST duplicate attribute where the spec keeps the FIRST (we keep
+    first on both sides), (c) it skips the spec's CR/CRLF→LF input
+    preprocessing (we pre-normalize its input). Unlike the
+    pinned-serial goldens, this oracle shares no code with the
+    engine."""
+
+    CDATA = ("script", "style")
+
+    def _theirs(self, s):
+        from html.parser import HTMLParser
+
+        events = []
+
+        class Rec(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                first = {}
+                for k, v in attrs:
+                    first.setdefault(k, v or "")
+                events.append(("S", tag, tuple(sorted(first.items()))))
+
+            handle_startendtag = handle_starttag
+
+            def handle_endtag(self, tag):
+                events.append(("E", tag))
+
+            def handle_data(self, data):
+                if data:
+                    events.append(("T", data))
+
+        r = Rec(convert_charrefs=True)
+        r.feed(s.replace("\r\n", "\n").replace("\r", "\n"))
+        r.close()
+        return self._coal(events)
+
+    def _ours(self, s):
+        from zhtml_ray.html import tokenizer as tkz
+        ev = []
+        t = tkz.Tokenizer(s)
+        for tok in t.tokens():
+            if tok[0] == "StartTag":
+                ev.append(("S", tok[1], tuple(sorted(tok[2].items()))))
+                if tok[1] in self.CDATA:
+                    t.state = tkz.RAWTEXT
+                    t.last_start_tag = tok[1]
+            elif tok[0] == "EndTag":
+                ev.append(("E", tok[1]))
+            elif tok[0] == "Character" and tok[1]:
+                ev.append(("T", tok[1]))
+        return self._coal(ev)
+
+    @staticmethod
+    def _coal(ev):
+        out = []
+        for e in ev:
+            if e[0] == "T" and out and out[-1][0] == "T":
+                out[-1] = ("T", out[-1][1] + e[1])
+            else:
+                out.append(list(e))
+        return [tuple(e) for e in out]
+
+    def test_fixture_pages_match_stdlib(self):
+        from zhtml_ray.sources.pages import gen_pages_table
+        t = gen_pages_table(60, start=123)
+        for raw in t.column("html").to_pylist():
+            s = raw.decode("utf-8", "replace")
+            assert self._ours(s) == self._theirs(s)
