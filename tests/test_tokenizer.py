@@ -427,6 +427,22 @@ class TestStdlibParserDifferential:
                 if data:
                     events.append(("T", data))
 
+            def handle_comment(self, data):
+                events.append(("C", data))
+
+            # html.parser routes the spec's bogus-comment forms to
+            # dedicated callbacks; map them back to comment content
+            # exactly as 13.2.5.41 emits them
+            def handle_pi(self, data):
+                events.append(("C", "?" + data))
+
+            def handle_decl(self, decl):
+                if not decl.lower().startswith("doctype"):
+                    events.append(("C", decl))
+
+            def unknown_decl(self, data):
+                events.append(("C", "[" + data))
+
         r = Rec(convert_charrefs=True)
         r.feed(s.replace("\r\n", "\n").replace("\r", "\n"))
         r.close()
@@ -444,6 +460,8 @@ class TestStdlibParserDifferential:
                     t.last_start_tag = tok[1]
             elif tok[0] == "EndTag":
                 ev.append(("E", tok[1]))
+            elif tok[0] == "Comment":
+                ev.append(("C", tok[1]))
             elif tok[0] == "Character" and tok[1]:
                 ev.append(("T", tok[1]))
         return self._coal(ev)
@@ -464,3 +482,50 @@ class TestStdlibParserDifferential:
         for raw in t.column("html").to_pylist():
             s = raw.decode("utf-8", "replace")
             assert self._ours(s) == self._theirs(s)
+
+    def test_random_documents_match_stdlib(self):
+        """Randomized extension of the fixture-page differential:
+        generated documents constrained to the subset where
+        html.parser is spec-faithful (no bogus comments / PIs / broken
+        tags / NULs; entities always ';'-terminated — html.unescape
+        skips the attribute-context historical rule; script bodies
+        free of '<!--' — our driver emulates html.parser's plain-CDATA
+        script mode, not the escape-state machine the tree path
+        uses)."""
+        import random
+        rng = random.Random(4242)
+        tags = ["div", "span", "p", "a", "ul", "li", "em", "strong",
+                "td", "h1", "section", "article"]
+        texts = ["plain", "a &amp; b", "x &lt;y&gt;", "&#65;&#x42;",
+                 "café", "  spaced  ", "&hellip; done", "5 > 4",
+                 "q&q"]
+        attrs = [("class", "c1"), ("id", "x-9"), ("href", "/a?b=1&amp;c=2"),
+                 ("title", "it&apos;s"), ("data-k", "v v"), ("alt", "")]
+
+        def doc(depth=0):
+            parts = []
+            for _ in range(rng.randint(1, 4)):
+                r = rng.random()
+                if r < 0.45 and depth < 4:
+                    t = rng.choice(tags)
+                    a = ""
+                    if rng.random() < 0.5:
+                        k, v = rng.choice(attrs)
+                        a = f' {k}="{v}"'
+                    parts.append(f"<{t}{a}>{doc(depth + 1)}</{t}>")
+                elif r < 0.55:
+                    parts.append(f"<!-- note {rng.randint(0, 99)} -->")
+                elif r < 0.62:
+                    parts.append(f"<script>var x = {rng.randint(0, 9)}; "
+                                 "if (x<3) f();</script>")
+                elif r < 0.68:
+                    parts.append("<style>.a { color: red; } /* t */</style>")
+                elif r < 0.74:
+                    parts.append(f"<br/><img src=\"i{rng.randint(0,9)}.png\">")
+                else:
+                    parts.append(rng.choice(texts))
+            return "".join(parts)
+
+        for _ in range(200):
+            s = doc()
+            assert self._ours(s) == self._theirs(s), repr(s)
