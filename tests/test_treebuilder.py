@@ -169,3 +169,91 @@ def test_empty_public_id_is_unknown_doctype():
     assert "unknown-doctype" in errs
     assert "unknown-doctype" not in [
         c for c, _ in parse('<!DOCTYPE html>x').errors]
+
+
+class TestGeneratedWellFormedTrees:
+    """Independent tree oracle for the well-formed subset: a random
+    generator builds a document AND its expected serialized DOM from
+    the same structure, so the expectation shares no code with the
+    treebuilder. Constrained to constructs with no implied-end /
+    adoption / foster behavior: strictly nestable containers, <a> and
+    headings never self-nested, void elements, raw-text elements with
+    plain bodies, comments, ';'-terminated entities."""
+
+    NESTABLE = ["div", "span", "section", "article", "em", "strong",
+                "b", "i", "code"]
+    TEXTS = [("plain", "plain"), ("a &amp; b", "a & b"),
+             ("x &lt;y&gt;", "x <y>"), ("&#65;&#x42;", "AB"),
+             ("café", "café"), ("5 > 4", "5 > 4"),
+             ("  sp  ", "  sp  ")]
+
+    def _gen(self, rng, depth, in_a, in_h):
+        """Returns (html, [expected child lines at relative depth 0])."""
+        html, lines = [], []
+
+        def text(src, val):
+            html.append(src)
+            if lines and lines[-1][0] == 0 and lines[-1][1].startswith('"'):
+                prev = lines.pop()
+                lines.append((0, '"' + prev[1][1:-1] + val + '"'))
+            else:
+                lines.append((0, f'"{val}"'))
+
+        for _ in range(rng.randint(1, 4)):
+            r = rng.random()
+            if r < 0.40 and depth < 4:
+                pool = list(self.NESTABLE)
+                if not in_a:
+                    pool.append("a")
+                if not in_h:
+                    pool.append("h2")
+                t = rng.choice(pool)
+                attr_html, attr_lines = "", []
+                if rng.random() < 0.4:
+                    k, v = rng.choice([("class", "c1"), ("id", "i2"),
+                                       ("href", "/x?a=1"), ("alt", "")])
+                    attr_html = f' {k}="{v}"'
+                    attr_lines = [(1, f'{k}="{v}"')]
+                sub_html, sub_lines = self._gen(
+                    rng, depth + 1, in_a or t == "a", in_h or t == "h2")
+                html.append(f"<{t}{attr_html}>{sub_html}</{t}>")
+                lines.append((0, f"<{t}>"))
+                lines.extend(attr_lines)
+                lines.extend((d + 1, s) for d, s in sub_lines)
+            elif r < 0.50:
+                n = rng.randint(0, 99)
+                html.append(f"<!--n{n}-->")
+                lines.append((0, f"<!-- n{n} -->"))
+            elif r < 0.58:
+                body = f"var v={rng.randint(0, 9)}; if (v<3) f();"
+                html.append(f"<script>{body}</script>")
+                lines.append((0, "<script>"))
+                lines.append((1, f'"{body}"'))
+            elif r < 0.64:
+                html.append("<style>.c { color: red; }</style>")
+                lines.append((0, "<style>"))
+                lines.append((1, '".c { color: red; }"'))
+            elif r < 0.72:
+                html.append('<br><img src="i.png">')
+                lines.append((0, "<br>"))
+                lines.append((0, "<img>"))
+                lines.append((1, 'src="i.png"'))
+            else:
+                text(*rng.choice(self.TEXTS))
+        return "".join(html), lines
+
+    def test_random_well_formed_trees(self):
+        import random
+        from zhtml_ray.html.dom import serialize
+        from zhtml_ray.html.treebuilder import parse
+
+        rng = random.Random(77)
+        for _ in range(150):
+            body_html, body_lines = self._gen(rng, 0, False, False)
+            doc = ("<!DOCTYPE html><html><head></head><body>"
+                   f"{body_html}</body></html>")
+            expected = ["| <!DOCTYPE html>", "| <html>", "|   <head>",
+                        "|   <body>"]
+            expected += [f"|   {'  ' * (d + 1)}{s}" for d, s in body_lines]
+            got = serialize(parse(doc).document)
+            assert got == "\n".join(expected), doc
