@@ -75,16 +75,15 @@ def test_skew_routing_matches_unrouted(ray_session, tmp_path):
     assert len(a) == 102
 
 
-def test_salt_and_spread(ray_session, tmp_path):
+def test_spread_giants_preserves_rows(ray_session, tmp_path):
     import ray.data as rd
     from zhtml_ray.sources.pages import write_pages_dataset
-    from zhtml_ray.stages.skew import add_salt
+    from zhtml_ray.stages.skew import spread_giants
     out = str(tmp_path / "pages")
     write_pages_dataset(out, 100, rows_per_file=100)
-    ds = add_salt(rd.read_parquet(out, columns=["url"]), buckets=8)
-    salts = [r["salt"] for r in ds.take_all()]
-    assert len(set(salts)) > 4  # spread across buckets
-    assert all(0 <= s < 8 for s in salts)
+    ds = spread_giants(rd.read_parquet(out, columns=["url"]),
+                       buckets=8).materialize()
+    assert ds.count() == 100 and ds.num_blocks() == 8
 
 
 def test_job_cli_resume_flow(shards, ray_session, tmp_path, capsys):
@@ -183,7 +182,8 @@ def test_zero_row_shard_partition_completes(ray_session, tmp_path):
 def test_resume_with_different_config_raises(shards, tmp_path):
     """A kill + rerun with different extraction flags must refuse to
     mix two semantic configs into one 'complete' output (the checksum
-    cannot catch it — it only covers rows written under each config)."""
+    cannot catch it — it only covers rows written under each config).
+    Perf-only knobs and explicit-default configs must NOT refuse."""
     from zhtml_ray.stages.manifest import run_partitioned
     out_dir = str(tmp_path / "out")
     run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
@@ -191,9 +191,9 @@ def test_resume_with_different_config_raises(shards, tmp_path):
     with pytest.raises(ValueError, match="different extraction config"):
         run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
                         extract_kwargs={"include_spans": False})
-    # same config resumes fine
+    # perf knob change + explicit-default == absent: legitimate resume
     r = run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
-                        extract_kwargs={"include_spans": True})
+                        extract_kwargs={"batch_size": 16})
     assert r["complete"]
 
 
@@ -211,3 +211,27 @@ def test_partition_run_tolerates_missing_lang(ray_session, tmp_path):
     out_dir = str(tmp_path / "out")
     r = run_partitioned([shard], out_dir, group_size=1, overlap=1)
     assert r["complete"] and r["rows"] == 2
+
+
+def test_partition_run_mixed_schema_group(ray_session, tmp_path):
+    """One partition grouping a (url, html) shard with a
+    (url, html, lang) shard must process BOTH orders, null-filling
+    lang for the shard that lacks it (r3 review: first-fragment
+    schema inference crashed one order and dropped lang the other)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from zhtml_ray.stages.manifest import run_partitioned
+    a = str(tmp_path / "a_nolang.parquet")
+    b = str(tmp_path / "b_lang.parquet")
+    pq.write_table(pa.table({
+        "url": ["http://x/1"], "html": [b"<p>one</p>"]}), a)
+    pq.write_table(pa.table({
+        "url": ["http://x/2"], "html": [b"<p>two</p>"],
+        "lang": ["en"]}), b)
+    out_dir = str(tmp_path / "out")
+    r = run_partitioned([a, b], out_dir, group_size=2, overlap=1)
+    assert r["complete"] and r["rows"] == 2
+    got = pads.dataset(str(tmp_path / "out" / "part-000000")).to_table()
+    langs = dict(zip(got["url"].to_pylist(), got["lang"].to_pylist()))
+    assert langs == {"http://x/1": None, "http://x/2": "en"}

@@ -68,12 +68,43 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     shutil.rmtree(final_dir, ignore_errors=True)
 
     # prune to the columns the stage consumes, tolerating shards
-    # without the optional lang column (r3 review: a hardcoded list
-    # crashed the whole partition on url+html-only shards, before the
-    # UDF's own missing-column passthrough guard could apply)
-    avail = pads.dataset(part["input_files"]).schema.names
-    cols = [c for c in ("url", "html", "lang") if c in avail]
-    ds = rd.read_parquet(part["input_files"], columns=cols)
+    # without the optional lang column — INCLUDING a mixed-schema
+    # partition (r3 review ×2: a hardcoded list crashed url+html-only
+    # shards, and first-fragment schema inference either crashed or
+    # silently dropped lang when a partition mixed both shapes; Ray's
+    # read_parquet cannot null-fill missing columns reliably, probed).
+    # Files are grouped by their column subset — one read per shape —
+    # and shapes missing an optional column null-fill it so every
+    # partition emits ONE output schema.
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    by_shape: dict[tuple, list] = {}
+    lang_type = None
+    for f in part["input_files"]:
+        sch = _pq.read_schema(f)
+        shape = tuple(c for c in ("url", "html", "lang")
+                      if c in sch.names)
+        by_shape.setdefault(shape, []).append(f)
+        if "lang" in sch.names and lang_type is None:
+            lang_type = sch.field("lang").type
+    want = tuple(dict.fromkeys(c for sh in by_shape for c in sh))
+    parts_ds = []
+    for shape, files in sorted(by_shape.items()):
+        d = rd.read_parquet(files, columns=list(shape))
+        missing = tuple(c for c in want if c not in shape)
+        if missing:
+            def fill(b, _miss=missing, _want=want, _lt=lang_type):
+                for c in _miss:
+                    b = b.append_column(
+                        c, pa.nulls(b.num_rows,
+                                    _lt if c == "lang" else pa.string()))
+                return b.select(list(_want))
+            d = d.map_batches(fill, batch_format="pyarrow")
+        parts_ds.append(d)
+    ds = parts_ds[0]
+    if len(parts_ds) > 1:
+        ds = ds.union(*parts_ds[1:])
     out = extract_pages(ds, **extract_kwargs)
     out.write_parquet(tmp_dir)
     # a ZERO-ROW partition (legal: an empty input shard) writes no files
@@ -139,9 +170,15 @@ def run_partitioned(input_files: list[str], out_dir: str,
     for the kill/resume test. Returns a summary dict."""
     os.makedirs(out_dir, exist_ok=True)
     extract_kwargs = extract_kwargs or {}
-    # canonical tag of the extraction config (repr for non-JSON values
-    # like ExtractThresholds — dataclass repr is deterministic)
-    cfg_tag = json.dumps(extract_kwargs, sort_keys=True, default=repr)
+    # canonical tag of the SEMANTIC extraction config only, resolved
+    # against defaults: perf knobs (batch_size, concurrency, num_cpus)
+    # cannot change output bytes and must not refuse a legitimate
+    # recovery resume (e.g. rerun with a smaller batch size after an
+    # OOM); explicit-default vs absent must compare equal (r3 review)
+    cfg_tag = json.dumps({
+        "include_spans": extract_kwargs.get("include_spans", True),
+        "thresholds": repr(extract_kwargs.get("thresholds", None)),
+    }, sort_keys=True)
     # the plan is pinned on first run: a resume with a different
     # group_size must not re-number partitions, and a resume with a
     # DIFFERENT EXTRACTION CONFIG must not silently mix two semantic
@@ -156,7 +193,13 @@ def run_partitioned(input_files: list[str], out_dir: str,
             raise ValueError(
                 "resume with a different input file list than the original "
                 f"run (see {plan_path}); use a fresh output dir")
-        if "extract_config" in stored and stored["extract_config"] != cfg_tag:
+        if "extract_config" not in stored:
+            import logging
+            logging.getLogger(__name__).warning(
+                "plan.json at %s predates config pinning: cannot verify "
+                "the resume uses the original extraction config",
+                plan_path)
+        elif stored["extract_config"] != cfg_tag:
             raise ValueError(
                 "resume with a different extraction config than the "
                 f"original run ({stored['extract_config']} != {cfg_tag}); "

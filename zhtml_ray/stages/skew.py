@@ -73,21 +73,6 @@ def extract_with_skew_routing(paths, columns=("url", "html", "lang"),
     return extract_pages(ds, batch_size=None, include_spans=include_spans)
 
 
-def add_salt(ds, key: str = "url", buckets: int = 1024,
-             out: str = "salt"):
-    """Deterministic salt column hash(key) % buckets — the repartition key
-    when co-location must be broken up (e.g. a shard of giants)."""
-    import pyarrow as pa
-    import zlib
-
-    def f(batch: pa.Table) -> pa.Table:
-        ks = batch[key].to_pylist()
-        salt = [zlib.crc32(str(k).encode()) % buckets for k in ks]
-        return batch.append_column(out, pa.array(salt, pa.int32()))
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
 def spread_giants(ds, buckets: int = 256):
     """Shuffle-repartition: distributes clustered giants across blocks
     before the parse stage. Explicit all-to-all — only for mixed shards
