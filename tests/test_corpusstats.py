@@ -1,0 +1,143 @@
+"""Tests for the corpus-statistics operators (rep_signals,
+dup_ngrams, vocab_doc_freq): kernel-level edge cases plus
+multi-block Ray differentials against brute-force Python oracles."""
+
+import random
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zhtml_ray.functions import corpusstats
+
+
+def _tbl(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+# -------------------------------------------------------- rep_signals
+
+def _rep_oracle(text):
+    words = text.split() if text else []
+    n = len(words)
+    c = Counter(words)
+    bigrams = list(zip(words, words[1:]))
+    return {
+        "n_words": n,
+        "n_distinct_words": len(c),
+        "top_word_frac": (max(c.values()) / n) if n else 0.0,
+        "dup_bigram_frac": (1.0 - len(set(bigrams)) / len(bigrams))
+        if bigrams else 0.0,
+    }
+
+
+def test_rep_signals_edges():
+    texts = ["", "  ", "one", "a a a a", "a b a b", None,
+             "x y x"]  # unicode whitespace splits
+    t = corpusstats.rep_signals_batch(_tbl(texts))
+    for i, txt in enumerate(texts):
+        exp = _rep_oracle(txt or "")
+        for k, v in exp.items():
+            got = t[k][i].as_py()
+            assert got == pytest.approx(v), (i, k, got, v)
+
+
+def test_rep_signals_random_differential():
+    rng = random.Random(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 30)))
+             for _ in range(200)]
+    t = corpusstats.rep_signals_batch(_tbl(texts))
+    for i, txt in enumerate(texts):
+        exp = _rep_oracle(txt)
+        assert t["n_words"][i].as_py() == exp["n_words"]
+        assert t["n_distinct_words"][i].as_py() == exp["n_distinct_words"]
+        assert t["top_word_frac"][i].as_py() == pytest.approx(
+            exp["top_word_frac"])
+        assert t["dup_bigram_frac"][i].as_py() == pytest.approx(
+            exp["dup_bigram_frac"])
+
+
+# --------------------------------------------------------- dup_ngrams
+
+def _grams(text, n=5):
+    words = text.split() if text else []
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+def _dup_oracle(texts, n=5):
+    per = {i: _grams(t or "", n) for i, t in enumerate(texts)}
+    df = Counter(g for gs in per.values() for g in gs)
+    out = {}
+    for i, gs in per.items():
+        if not gs:
+            continue
+        nd = sum(1 for g in gs if df[g] > 1)
+        out[i] = (len(gs), nd, nd / len(gs))
+    return out
+
+
+def test_emit_distinct_ngrams_short_docs():
+    t = corpusstats.emit_distinct_ngrams(
+        _tbl(["a b c d", "a b c d e", ""]), n=5)
+    assert t.num_rows == 1
+    assert t["doc_id"].to_pylist() == [1]
+    assert t["gram"].to_pylist() == ["a b c d e"]
+
+
+def test_dup_ngrams_differential(ray_session):
+    import ray.data as rd
+    rng = random.Random(11)
+    vocab = ["k", "v", "tab", "row", "col", "x"]
+    texts = []
+    for i in range(120):
+        L = rng.choice([0, 3, 4, 5, 8, 20, 40])
+        texts.append(" ".join(rng.choice(vocab) for _ in range(L)))
+    # force exact duplicates so cross-doc grams exist at every length
+    texts[10] = texts[11] = "alpha beta gamma delta epsilon zeta"
+    ds = rd.from_arrow(_tbl(texts)).repartition(7)
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+           for r in corpusstats.dup_ngrams(ds, n=5).take_all()}
+    exp = _dup_oracle(texts, n=5)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert got[k][1] == exp[k][1], k
+        assert got[k][2] == pytest.approx(exp[k][2]), k
+
+
+def test_dup_ngrams_empty(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_tbl(["a b", ""]))
+    out = corpusstats.dup_ngrams(ds, n=5).take_all()
+    assert out == []
+
+
+# ------------------------------------------------------ vocab_doc_freq
+
+def test_vocab_partial_df_counts_docs_not_tokens():
+    t = corpusstats.vocab_partial_df(_tbl(["a a a b", "a c", ""]))
+    d = dict(zip(t["word"].to_pylist(), t["df"].to_pylist()))
+    assert d == {"a": 2, "b": 1, "c": 1}
+
+
+def test_vocab_doc_freq_differential(ray_session):
+    import ray.data as rd
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 25)))
+             for _ in range(300)]
+    ds = rd.from_arrow(_tbl(texts)).repartition(9)
+    got = [(r["word"], r["df"])
+           for r in corpusstats.vocab_doc_freq(ds, k=10).take_all()]
+    df = Counter()
+    for t in texts:
+        for w in set(t.split()):
+            df[w] += 1
+    exp = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == exp

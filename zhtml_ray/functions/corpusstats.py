@@ -1,0 +1,276 @@
+"""Corpus-level statistics for training-data curation: cross-document
+duplicate n-gram fractions (RefinedWeb/Gopher-style dedup signal),
+within-document repetition signals (Gopher repetition rules), and
+corpus vocabulary document frequency.
+
+All word splitting is Python ``str.split()`` — the full Unicode
+whitespace set — matching the explicit ``_WS`` RE2 class the SQL
+oracles use (see ``functions/textstats.py:PY_WS_RE2_IN``; RE2's ``\\s``
+is ASCII-only).
+
+Scale notes (the part that matters at 10^12 docs):
+
+* ``dup_ngrams`` is TWO range-shuffle sorts end to end — one by gram
+  (doc-frequency as run length, annotated back onto the rows in the
+  same pass, no separate join) and one by doc_id (per-doc counts as
+  block-local run sums) — on the ``stages/sortagg.py`` primitives that
+  measured ~5-20× cheaper than hash-shuffle groupbys at high key
+  cardinality on this Ray version. Nothing lands on the driver.
+* ``rep_signals_batch`` is a pure per-batch map: words are
+  dictionary-encoded once per batch and every per-doc statistic
+  (distinct words, top-word count, distinct bigrams) is a numpy
+  lexsort + run decomposition over integer codes — no per-word Python
+  in the counting, and no pair-string construction for bigrams.
+* ``vocab_doc_freq`` pre-aggregates per batch (distinct docs per word
+  inside the batch — the combiner) so the shuffle moves one row per
+  (batch, word), not one per token; the cross-batch sum is a single
+  sorted run-sum pass, then a tiny top-k sort+limit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _split_words(texts: list) -> tuple[list, np.ndarray]:
+    """Per-row Unicode-whitespace word lists + row lengths."""
+    words_per = [t.split() if t else [] for t in texts]
+    lens = np.fromiter((len(w) for w in words_per), np.int64,
+                       len(words_per))
+    return words_per, lens
+
+
+def _encode_flat(words_per: list, lens: np.ndarray):
+    """Flatten per-row word lists and dictionary-encode to int codes.
+    Returns (row_ids, codes, vocab) — int64 arrays one entry per
+    token, plus the dictionary (code -> word string array)."""
+    import itertools
+    flat = list(itertools.chain.from_iterable(words_per))
+    row = np.repeat(np.arange(len(words_per), dtype=np.int64), lens)
+    if not flat:
+        return row, np.zeros(0, np.int64), pa.array([], pa.string())
+    enc = pa.array(flat, pa.string()).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return row, codes, enc.dictionary
+
+
+def _distinct_runs(primary: np.ndarray, secondary: np.ndarray):
+    """Lexsort by (primary, secondary); return (sorted primary at run
+    heads, run lengths) over distinct (primary, secondary) pairs.
+    Overflow-free alternative to key-packing for arbitrary ranges."""
+    order = np.lexsort((secondary, primary))
+    p, s = primary[order], secondary[order]
+    if p.size == 0:
+        return p, np.zeros(0, np.int64)
+    new = np.r_[True, (p[1:] != p[:-1]) | (s[1:] != s[:-1])]
+    starts = np.flatnonzero(new)
+    runlens = np.diff(np.r_[starts, p.size])
+    return p[starts], runlens
+
+
+# ------------------------------------------------------ rep_signals
+
+def rep_signals_batch(batch: pa.Table) -> pa.Table:
+    """Within-document repetition signals (Gopher repetition rules):
+    distinct-word count, top-word fraction, duplicate-bigram fraction.
+    Fully vectorized over integer word codes after one dictionary
+    encode per batch."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    words_per, lens = _split_words(texts)
+    row, codes, _vocab = _encode_flat(words_per, lens)
+
+    # distinct words + top word count per row: one lexsort, run heads
+    urow, runlens = _distinct_runs(row, codes)
+    n_distinct = np.bincount(urow, minlength=n) if urow.size \
+        else np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    if urow.size:
+        np.maximum.at(top, urow, runlens)
+
+    # bigrams: adjacent code pairs within a row; distinct via lexsort
+    same = row[1:] == row[:-1] if row.size else np.zeros(0, bool)
+    brow = row[:-1][same]
+    b1 = codes[:-1][same]
+    b2 = codes[1:][same]
+    n_big = np.bincount(brow, minlength=n) if brow.size \
+        else np.zeros(n, np.int64)
+    # distinct (row, bigram): lexsort three keys without packing
+    if brow.size:
+        order = np.lexsort((b2, b1, brow))
+        r_, x_, y_ = brow[order], b1[order], b2[order]
+        new = np.r_[True, (r_[1:] != r_[:-1]) | (x_[1:] != x_[:-1])
+                    | (y_[1:] != y_[:-1])]
+        n_big_distinct = np.bincount(r_[new], minlength=n)
+    else:
+        n_big_distinct = np.zeros(n, np.int64)
+
+    n_words = lens.astype(np.float64)
+    top_word_frac = np.where(lens > 0, top / np.where(lens > 0, n_words, 1.0),
+                             0.0)
+    nbf = n_big.astype(np.float64)
+    dup_bigram_frac = np.where(
+        n_big > 0,
+        1.0 - (n_big_distinct / np.where(n_big > 0, nbf, 1.0)),
+        0.0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(lens, pa.int64()),
+        "n_distinct_words": pa.array(n_distinct.astype(np.int64),
+                                     pa.int64()),
+        "top_word_frac": pa.array(top_word_frac, pa.float64()),
+        "dup_bigram_frac": pa.array(dup_bigram_frac, pa.float64()),
+    })
+
+
+# ------------------------------------------------------- dup_ngrams
+
+def emit_distinct_ngrams(batch: pa.Table, n: int = 5) -> pa.Table:
+    """One row per DISTINCT word n-gram per document: (doc_id, gram).
+    Documents with fewer than ``n`` words emit nothing (mirrored by the
+    SQL oracle's ``len(words) >= n`` guard)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_ids: list = []
+    out_grams: list = []
+    for did, t in zip(ids, texts):
+        words = t.split() if t else []
+        if len(words) < n:
+            continue
+        grams = {" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)}
+        out_ids.extend([did] * len(grams))
+        out_grams.extend(grams)
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "gram": pa.array(out_grams, pa.string())})
+
+
+def dup_ngrams(ds, n: int = 5):
+    """Cross-document duplicate n-gram fraction per document: of a
+    document's distinct word n-grams, the fraction that also appear in
+    at least one OTHER document. Output: (doc_id, n_grams,
+    n_dup_grams, dup_frac), one row per document with >= n words.
+
+    Two range-shuffle sorts total (by gram, then by doc_id); the gram
+    doc-frequency is the run length of the gram sort, annotated onto
+    the rows block-locally in the same pass — no separate join stage."""
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    rows = ds.map_batches(lambda b: emit_distinct_ngrams(b, n),
+                          batch_format="pyarrow")
+
+    # -------- pass 1: sort by gram; dup = (doc-frequency run len > 1)
+    annot_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "dup": pa.array([], pa.int64())})
+
+    def df_interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        lens = ends - starts
+        keep = np.flatnonzero(np.repeat(mask, lens))
+        if keep.size == 0:
+            return annot_empty
+        dup = np.repeat((lens > 1).astype(np.int64), lens)[keep]
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().take(
+                pa.array(keep, pa.int64())),
+            "dup": pa.array(dup, pa.int64())})
+
+    def df_edge(g: pa.Table) -> pa.Table:
+        dup = np.full(g.num_rows, int(g.num_rows > 1), np.int64)
+        return pa.table({"doc_id": g["doc_id"],
+                         "dup": pa.array(dup, pa.int64())})
+
+    annotated = sorted_bucket_apply(rows, "gram", ["gram"],
+                                    df_interior, df_edge, annot_empty)
+
+    # -------- pass 2: sort by doc_id; per-doc counts as run sums
+    agg_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_dup_grams": pa.array([], pa.int64())})
+
+    def agg_interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        if not mask.any():
+            return agg_empty
+        lens = ends - starts
+        dup = b["dup"].combine_chunks().to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(dup, starts)
+        heads = b["doc_id"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        return pa.table({"doc_id": heads,
+                         "n_grams": pa.array(lens[mask], pa.int64()),
+                         "n_dup_grams": pa.array(sums[mask], pa.int64())})
+
+    def agg_edge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "n_grams": pa.array([g.num_rows], pa.int64()),
+            "n_dup_grams": pa.array(
+                [pc.sum(g["dup"]).as_py() or 0], pa.int64())})
+
+    agg = sorted_bucket_apply(annotated, "doc_id", ["doc_id"],
+                              agg_interior, agg_edge, agg_empty)
+
+    def add_frac(b: pa.Table) -> pa.Table:
+        ng = b["n_grams"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = b["n_dup_grams"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        frac = nd / np.where(ng > 0, ng, 1).astype(np.float64)
+        return b.append_column("dup_frac", pa.array(frac, pa.float64()))
+
+    return agg.map_batches(add_frac, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- vocab_doc_freq
+
+def vocab_partial_df(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct documents per word INSIDE the
+    batch, one output row per (word) — the shuffle then moves one row
+    per (batch, word) instead of one per token."""
+    texts = batch["text"].to_pylist()
+    words_per, lens = _split_words(texts)
+    row, codes, vocab = _encode_flat(words_per, lens)
+    if codes.size == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    # distinct (row, code) pairs, then docs-per-code
+    order = np.lexsort((row, codes))
+    c_, r_ = codes[order], row[order]
+    new = np.r_[True, (c_[1:] != c_[:-1]) | (r_[1:] != r_[:-1])]
+    df_per_code = np.bincount(c_[new])
+    present = np.flatnonzero(df_per_code)
+    return pa.table({
+        "word": vocab.take(pa.array(present, pa.int64())),
+        "df": pa.array(df_per_code[present], pa.int64())})
+
+
+def vocab_doc_freq(ds, k: int = 100):
+    """Top-``k`` corpus words by document frequency (ties broken by
+    word ascending, pinned identically in the SQL oracle). Partial
+    per-batch combine -> ONE sorted run-sum pass -> top-k sort+limit."""
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    partial = ds.map_batches(vocab_partial_df, batch_format="pyarrow")
+
+    empty = pa.table({"word": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+
+    def sum_interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        if not mask.any():
+            return empty
+        dfv = b["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(dfv, starts)
+        heads = b["word"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        return pa.table({"word": heads,
+                         "df": pa.array(sums[mask], pa.int64())})
+
+    def sum_edge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "word": g["word"].slice(0, 1),
+            "df": pa.array([pc.sum(g["df"]).as_py() or 0], pa.int64())})
+
+    total = sorted_bucket_apply(partial, "word", ["word"],
+                                sum_interior, sum_edge, empty)
+    return total.sort(["df", "word"], descending=[True, False]).limit(k)

@@ -268,6 +268,117 @@ JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text) w
 """
 
 
+# -------------------------------------------------- corpus statistics
+
+def _sql_words(src: str = "documents") -> str:
+    """Shared words-CTE body: Python str.split() (full Unicode
+    whitespace) replicated as the explicit _WS RE2 class."""
+    return f"""
+  SELECT doc_id,
+         CASE WHEN wtext = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(wtext, '{_WS}+') END AS words
+  FROM (SELECT doc_id,
+               regexp_replace(coalesce(text, ''),
+                              '^{_WS}+|{_WS}+$', '', 'g') AS wtext
+        FROM {src})
+"""
+
+
+def q_rep_signals(sf_dir: str):
+    """Within-document repetition signals (Gopher repetition rules):
+    distinct-word count, top-word fraction, duplicate-bigram fraction.
+    Pure per-batch map — numpy run decomposition over
+    dictionary-encoded word codes, no per-word Python in the counts."""
+    from zhtml_ray.functions.corpusstats import rep_signals_batch
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(rep_signals_batch, batch_format="pyarrow")
+
+
+def _sql_rep_signals() -> str:
+    # bigram identity: words never contain whitespace (they come from a
+    # whitespace split), so 'w1 w2' join equals pair identity
+    return f"""
+WITH w AS ({_sql_words()}),
+b AS (
+  SELECT doc_id, words, len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i+1])
+              ELSE []::VARCHAR[] END AS bigrams
+  FROM w
+),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM u GROUP BY doc_id, word),
+top AS (SELECT doc_id, max(c) AS mc, count(*) AS nd FROM wc GROUP BY doc_id)
+SELECT b.doc_id, b.n_words,
+       coalesce(top.nd, 0)::BIGINT AS n_distinct_words,
+       CASE WHEN b.n_words > 0
+            THEN coalesce(top.mc, 0)::DOUBLE / b.n_words
+            ELSE 0.0 END AS top_word_frac,
+       CASE WHEN len(b.bigrams) > 0
+            THEN 1.0 - (len(list_distinct(b.bigrams))::DOUBLE
+                        / len(b.bigrams))
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b LEFT JOIN top USING (doc_id)
+"""
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate word-5-gram fraction per document
+    (RefinedWeb/Gopher dedup signal). Two range-shuffle sorts end to
+    end on the sortagg primitives; doc-frequency is annotated onto the
+    gram rows block-locally in the gram sort — no join stage and
+    nothing on the driver."""
+    from zhtml_ray.functions.corpusstats import dup_ngrams
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return dup_ngrams(ds, n=5)
+
+
+def _sql_dup_ngrams(n: int = 5) -> str:
+    # docs with < n words emit no grams and no output row (both sides);
+    # range(1, len-(n-2)) gives i = 1 .. len-n+1, list_slice inclusive
+    return f"""
+WITH w AS ({_sql_words()}),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {n - 2}),
+                i -> array_to_string(list_slice(words, i, i + {n - 1}),
+                                     ' '))) AS gram
+  FROM w WHERE len(words) >= {n}
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+df AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+           AS dup_frac
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+def q_vocab_df(sf_dir: str):
+    """Top-100 corpus words by document frequency: per-batch combiner
+    (distinct docs per word inside the batch) -> one sorted run-sum
+    pass -> top-k sort+limit. The shuffle moves one row per
+    (batch, word), not one per token."""
+    from zhtml_ray.functions.corpusstats import vocab_doc_freq
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return vocab_doc_freq(ds, k=100)
+
+
+def _sql_vocab_df(k: int = 100) -> str:
+    return f"""
+WITH w AS ({_sql_words()}),
+u0 AS (SELECT doc_id, unnest(words) AS word FROM w),
+u AS (SELECT DISTINCT doc_id, word FROM u0)
+SELECT word, count(*)::BIGINT AS df
+FROM u GROUP BY word
+ORDER BY df DESC, word LIMIT {k}
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 def q_qa_sample(sf_dir: str):
@@ -659,6 +770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
         "corpus_prep": q_corpus_prep,
+        "rep_signals": q_rep_signals,
+        "dup_ngrams": q_dup_ngrams,
+        "vocab_df": q_vocab_df,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -694,6 +808,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
+        "rep_signals": _sql_rep_signals(),
+        "dup_ngrams": _sql_dup_ngrams(),
+        "vocab_df": _sql_vocab_df(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
