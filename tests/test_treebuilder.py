@@ -104,6 +104,35 @@ def test_tree(desc, src, want):
      '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"><p>x',
      QUIRKS_YES),
     ("<!doctype HTML><p>x", QUIRKS_NO),
+    # HTML 4.01 STRICT is standards mode — only the Frameset /
+    # Transitional variants appear in the spec lists (and those only
+    # conditionally on system-id presence)
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN">', QUIRKS_NO),
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN" '
+     '"http://www.w3.org/TR/html4/strict.dtd">', QUIRKS_NO),
+    ('<!DOCTYPE html PUBLIC "-//w3c//dtd html 4.01//en">', QUIRKS_NO),
+    # prefix matching is ASCII case-insensitive
+    ('<!DOCTYPE html PUBLIC "-//w3c//dtd xhtml 1.0 transitional//en">',
+     QUIRKS_LIMITED),
+    ('<!DOCTYPE html SYSTEM "ABOUT:LEGACY-COMPAT">', QUIRKS_NO),
+    # 4.0 (not 4.01) Frameset/Transitional are UNconditional quirks
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.0 Transitional//EN" "x">',
+     QUIRKS_YES),
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Frameset//EN">',
+     QUIRKS_YES),
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Frameset//EN" "x">',
+     QUIRKS_LIMITED),
+    # exact-match entries and the doctype-after-html ignore rule
+    ('<!DOCTYPE html PUBLIC "-//W3O//DTD W3 HTML Strict 3.0//EN//">',
+     QUIRKS_YES),
+    ('<!DOCTYPE html PUBLIC "-/W3C/DTD HTML 4.0 Transitional/EN">',
+     QUIRKS_YES),
+    ('<!DOCTYPE html PUBLIC "HTML">', QUIRKS_YES),
+    ('<!DOCTYPE html PUBLIC "" "">', QUIRKS_NO),
+    ('<!DOCTYPE html PUBLIC "+//Silmaril//dtd html Pro v0r11 19970101//">',
+     QUIRKS_YES),
+    ("<!DOCTYPE foo>", QUIRKS_YES),
+    ("<html><!DOCTYPE html>", QUIRKS_YES),
 ])
 def test_quirks(src, quirks):
     assert parse(src).document.quirks == quirks
