@@ -118,9 +118,16 @@ CDATA_SECTION = "cdata_section"
 
 def preprocess(raw: bytes | str) -> str:
     """Input-stream preprocessing (the reference's missing piece,
-    /root/reference/test/tokenizer-html5lib.zig:8): decode UTF-8 with
-    U+FFFD replacement, normalize CRLF/CR → LF."""
-    s = raw.decode("utf-8", "replace") if isinstance(raw, (bytes, bytearray)) else raw
+    /root/reference/test/tokenizer-html5lib.zig:8): byte payloads go
+    through WHATWG encoding sniffing (BOM > meta prescan > strict
+    UTF-8 > windows-1252 fallback — html/encoding.py; valid UTF-8
+    without a contrary meta decodes exactly as before), then
+    normalize CRLF/CR → LF."""
+    if isinstance(raw, (bytes, bytearray)):
+        from zhtml_ray.html.encoding import sniff_decode
+        s = sniff_decode(bytes(raw))[0]
+    else:
+        s = raw
     if "\r" in s:
         s = s.replace("\r\n", "\n").replace("\r", "\n")
     return s
