@@ -838,6 +838,13 @@ class Tokenizer:
     def _bogus_doctype(self, pos, name, public, system, fq: bool = True):
         s, n = self.s, self.n
         end = s.find(">", pos)
+        stop = n if end == -1 else end
+        # spec bogus-DOCTYPE state: each NUL in the skipped run is an
+        # unexpected-null-character parse error (and is ignored)
+        i = s.find("\x00", pos)
+        while i != -1 and i < stop:
+            self._err("unexpected-null-character", i)
+            i = s.find("\x00", i + 1)
         if end == -1:
             self.pos = n
             return n, [("DOCTYPE", name, public, system, fq)]
