@@ -59,7 +59,9 @@ _RE_DATA = re.compile(r"[&<\x00]")
 _RE_RCDATA = re.compile(r"[&<\x00]")
 _RE_RAWTEXT = re.compile(r"[<\x00]")
 _RE_PLAINTEXT = re.compile(r"\x00")
-_RE_TAGNAME = re.compile(r"[^\t\n\f />\x00]*")
+# NUL is part of the tag-name run (spec 13.2.5.8 appends U+FFFD to the
+# name), not a terminator — _tag_name substitutes and errors per NUL
+_RE_TAGNAME = re.compile(r"[^\t\n\f />]*")
 _RE_ATTRNAME = re.compile(r"[^\t\n\f /=>\x00\"'<]*")
 _RE_ATTRVAL_DQ = re.compile(r"[^\"&\x00]*")
 _RE_ATTRVAL_SQ = re.compile(r"[^'&\x00]*")
@@ -523,7 +525,9 @@ class Tokenizer:
             data = s[pos:end]
             self.pos = end + 1
         if "\x00" in data:
-            self._err("unexpected-null-character", pos)
+            for i, ch in enumerate(data):
+                if ch == "\x00":
+                    self._err("unexpected-null-character", pos + i)
             data = data.replace("\x00", "�")
         return [("Comment", data)]
 
