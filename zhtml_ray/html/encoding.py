@@ -86,6 +86,11 @@ def _whatwg1252_errors(exc):
 
 codecs.register_error("whatwg1252", _whatwg1252_errors)
 
+# overwhelmingly-common declarations, matched with ONE search before
+# the general prescan machinery (measured ~5% of single-core extract
+# wall when every page takes the general path)
+_FAST_UTF8_RE = re.compile(
+    rb"""<meta\s+charset\s*=\s*["']?utf-?8["']?\s*/?>""", re.I)
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _META_RE = re.compile(rb"<meta[\s/][^>]*>", re.I)
 _ATTR_RE = re.compile(
@@ -145,7 +150,19 @@ def sniff_decode(raw: bytes) -> tuple[str, str]:
         return raw[2:].decode("utf-16-le", "replace"), "utf-16-le"
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace"), "utf-16-be"
-    codec = _meta_prescan(raw[:1024])
+    head = raw[:1024]
+    if _FAST_UTF8_RE.search(head) is not None:
+        # a comment can't contain a full well-formed meta tag, so the
+        # fast hit can only disagree with the prescan when an EARLIER
+        # meta declares a different charset — rare enough that the
+        # general path handles it: only trust the fast hit if it is
+        # the first meta in the window
+        first_meta = _META_RE.search(head)
+        if (first_meta is not None
+                and _FAST_UTF8_RE.match(head, first_meta.start())
+                and head.find(b"<!--") == -1):
+            return raw.decode("utf-8", "replace"), "utf-8"
+    codec = _meta_prescan(head)
     if codec == "utf-8":
         return raw.decode("utf-8", "replace"), "utf-8"
     if codec == _W1252:

@@ -32,6 +32,8 @@ import re
 from bisect import bisect_right
 from html.entities import html5 as _HTML5_ENTITIES
 
+from zhtml_ray.html.encoding import sniff_decode as _sniff_decode
+
 # ---------------------------------------------------------------- entities
 
 _MAX_ENTITY_LEN = max(len(k) for k in _HTML5_ENTITIES)  # 32 ("CounterClockwiseContourIntegral;")
@@ -126,8 +128,7 @@ def preprocess(raw: bytes | str) -> str:
     without a contrary meta decodes exactly as before), then
     normalize CRLF/CR → LF."""
     if isinstance(raw, (bytes, bytearray)):
-        from zhtml_ray.html.encoding import sniff_decode
-        s = sniff_decode(bytes(raw))[0]
+        s = _sniff_decode(bytes(raw))[0]
     else:
         s = raw
     if "\r" in s:
