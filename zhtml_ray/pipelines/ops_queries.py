@@ -381,13 +381,37 @@ ORDER BY df DESC, word LIMIT {k}
 
 # ------------------------------------------------------------------- dedup
 
+_QA_HASH_MULT = 2654435761           # Knuth multiplicative constant
+_QA_THRESHOLD = 214748364            # floor(0.05 * 2^32): ~5%
+
+
 def q_qa_sample(sf_dir: str):
-    """Seeded QA sample of the documents table (SURVEY.md §2.6
-    `ds.random_sample`): ~5% of rows for human inspection. Rows-only
-    for the driver — sampling is seeded-deterministic per block layout
-    but not SQL-replicable."""
+    """Deterministic ~5% QA sample: keep rows where the Knuth
+    multiplicative hash of doc_id lands under a fixed 32-bit
+    threshold. Unlike ``ds.random_sample`` (whose output depends on
+    block layout, so it changes across cluster sizes and resumes),
+    this sample is reproducible run-to-run at any parallelism — what a
+    100 TB QA audit actually needs — and exactly SQL-replicable.
+    ``ds.random_sample`` API coverage lives in the IVF centroid
+    sampler (functions/similarity.py:125)."""
+    import numpy as np
+    import pyarrow as pa
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
-    return ds.random_sample(0.05, seed=42)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_QA_HASH_MULT)) & np.uint64(0xFFFFFFFF)
+        return b.filter(pa.array(h < np.uint64(_QA_THRESHOLD)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_QA_SAMPLE = f"""
+-- HUGEINT: doc_id * mult overflows int64 once ids pass ~3.5e9
+SELECT doc_id, text, lang FROM documents
+WHERE (doc_id::HUGEINT * {_QA_HASH_MULT}) % 4294967296 < {_QA_THRESHOLD}
+"""
 
 
 def q_exact_dedup(sf_dir: str):
@@ -808,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
+        "qa_sample": SQL_QA_SAMPLE,
         "rep_signals": _sql_rep_signals(),
         "dup_ngrams": _sql_dup_ngrams(),
         "vocab_df": _sql_vocab_df(),
