@@ -241,3 +241,18 @@ class TestStructuredSoupDifferential:
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+
+
+def test_hostile_deep_nesting_no_recursion_error():
+    """A 20k-deep div pile (hostile Common-Crawl page) must parse,
+    serialize, and extract without hitting the recursion limit — the
+    whole kernel chain is iterative."""
+    from zhtml_ray.html.dom import serialize
+    from zhtml_ray.html.extract import extract_document
+    from zhtml_ray.html.treebuilder import parse
+
+    doc = "<div>" * 20000 + "x"
+    r = parse(doc)
+    assert serialize(r.document).count("<div>") == 20000
+    out = extract_document(doc.encode())
+    assert out["n_nodes"] >= 20000

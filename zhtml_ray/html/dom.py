@@ -125,31 +125,40 @@ def flatten(doc: Document, with_attrs: bool = True):
 def serialize(node: Node, indent: int = 0) -> str:
     """html5lib-tests tree-construction format (conformance harness):
     sorted attributes, quoted text, ``<!DOCTYPE name "pub" "sys">`` when
-    ids are present, template children under a ``content`` line."""
+    ids are present, template children under a ``content`` line.
+    Iterative (explicit stack): a hostile 10^4-deep page must not blow
+    the Python recursion limit — the production flatten/extract paths
+    are already iterative, this keeps the test serializer matching."""
     out = []
-    pad = "| " + "  " * (indent - 1) if indent else ""
-    child_indent = indent + 1
-    if node.kind == ELEMENT:
-        prefix = {NS_HTML: "", NS_MATHML: "math ", NS_SVG: "svg "}[node.ns]
-        out.append(f"{pad}<{prefix}{node.name}>")
-        if node.attrs:
-            for k in sorted(node.attrs):
-                out.append("| " + "  " * indent + f'{k}="{node.attrs[k]}"')
-        if node.name == "template" and node.ns == NS_HTML:
-            out.append("| " + "  " * indent + "content")
-            child_indent = indent + 2
-    elif node.kind == TEXT:
-        out.append(f'{pad}"{node.text}"')
-    elif node.kind == COMMENT:
-        out.append(f"{pad}<!-- {node.text} -->")
-    elif node.kind == DOCTYPE:
-        if node.attrs is not None:
-            out.append(f'{pad}<!DOCTYPE {node.name or ""} '
-                       f'"{node.attrs["public"]}" "{node.attrs["system"]}">')
-        elif node.name:
-            out.append(f"{pad}<!DOCTYPE {node.name}>")
-        else:
-            out.append(f"{pad}<!DOCTYPE >")
-    for ch in node.children:
-        out.append(serialize(ch, child_indent))
+    stack = [(node, indent)]
+    while stack:
+        node, indent = stack.pop()
+        pad = "| " + "  " * (indent - 1) if indent else ""
+        child_indent = indent + 1
+        if node.kind == ELEMENT:
+            prefix = {NS_HTML: "", NS_MATHML: "math ",
+                      NS_SVG: "svg "}[node.ns]
+            out.append(f"{pad}<{prefix}{node.name}>")
+            if node.attrs:
+                for k in sorted(node.attrs):
+                    out.append("| " + "  " * indent
+                               + f'{k}="{node.attrs[k]}"')
+            if node.name == "template" and node.ns == NS_HTML:
+                out.append("| " + "  " * indent + "content")
+                child_indent = indent + 2
+        elif node.kind == TEXT:
+            out.append(f'{pad}"{node.text}"')
+        elif node.kind == COMMENT:
+            out.append(f"{pad}<!-- {node.text} -->")
+        elif node.kind == DOCTYPE:
+            if node.attrs is not None:
+                out.append(f'{pad}<!DOCTYPE {node.name or ""} '
+                           f'"{node.attrs["public"]}" '
+                           f'"{node.attrs["system"]}">')
+            elif node.name:
+                out.append(f"{pad}<!DOCTYPE {node.name}>")
+            else:
+                out.append(f"{pad}<!DOCTYPE >")
+        for ch in reversed(node.children):
+            stack.append((ch, child_indent))
     return "\n".join(x for x in out if x)
