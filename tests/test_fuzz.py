@@ -256,3 +256,37 @@ def test_hostile_deep_nesting_no_recursion_error():
     assert serialize(r.document).count("<div>") == 20000
     out = extract_document(doc.encode())
     assert out["n_nodes"] >= 20000
+
+
+def test_adversarial_inputs_bounded_wall():
+    """Pathological shapes (attr floods, AFE reconstruction storms,
+    AA churn, comment/entity spam, unclosed-tag piles, foster storms)
+    must all complete — each measured well under a second at these
+    sizes; the 30 s alarm is a hang guard, not a perf bound."""
+    import signal
+    from zhtml_ray.html.extract import extract_document
+
+    cases = [
+        "<div " + " ".join(f"a{i}=v" for i in range(20000)) + ">x",
+        "".join(f"<b a={i}>" for i in range(1000)) + "</p>" * 50 + "x",
+        "<b><i>" * 2000 + "</b></i>" * 2000,
+        "<!--x-->" * 20000,
+        "<" * 50000,
+        "&amp;" * 50000,
+        "<table>" * 2000 + "x",
+        "<table>" + "x<y " * 10000,
+    ]
+
+    def alarm(sig, frame):
+        raise TimeoutError("adversarial input hung")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    try:
+        for doc in cases:
+            signal.alarm(30)
+            out = extract_document(doc.encode())
+            assert out["n_nodes"] >= 1
+            signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
