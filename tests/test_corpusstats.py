@@ -141,3 +141,41 @@ def test_vocab_doc_freq_differential(ray_session):
             df[w] += 1
     exp = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == exp
+
+
+# ---------------------------------------------------- unigram_logprob
+
+def test_unigram_logprob_paths_agree(ray_session):
+    """The budgeted broadcast fast path and the merge-join-as-sort
+    fallback (budget=0) must produce identical pinned scores."""
+    import math
+    import ray.data as rd
+    from collections import Counter
+    rng = random.Random(5)
+    vocab = ["aa", "b", "ccc", "dd"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 20)))
+             for _ in range(150)]
+    ds = rd.from_arrow(_tbl(texts)).repartition(6)
+    fast = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+            for r in corpusstats.unigram_logprob(ds).take_all()}
+    ds2 = rd.from_arrow(_tbl(texts)).repartition(6)
+    slow = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+            for r in corpusstats.unigram_logprob(
+                ds2, broadcast_budget=0).take_all()}
+    assert fast == slow
+    # brute-force oracle
+    freq = Counter()
+    for t in texts:
+        freq.update(t.split())
+    total = sum(freq.values())
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            assert i not in fast
+            continue
+        s = sum(math.log(freq[w] / total) for w in words) / len(words)
+        import numpy as np
+        exp = float(np.floor(np.array([s * 1e6 + 0.5]))[0] / 1e6)
+        assert fast[i][0] == len(words)
+        assert fast[i][1] == pytest.approx(exp, abs=2e-6)

@@ -274,3 +274,158 @@ def vocab_doc_freq(ds, k: int = 100):
     total = sorted_bucket_apply(partial, "word", ["word"],
                                 sum_interior, sum_edge, empty)
     return total.sort(["df", "word"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------- unigram_logprob
+
+def _token_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: token counts per word inside the batch."""
+    texts = batch["text"].to_pylist()
+    words_per, lens = _split_words(texts)
+    row, codes, vocab = _encode_flat(words_per, lens)
+    if codes.size == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    counts = np.bincount(codes)
+    present = np.flatnonzero(counts)
+    return pa.table({"word": vocab.take(pa.array(present, pa.int64())),
+                     "n": pa.array(counts[present], pa.int64())})
+
+
+def _emit_tokens(batch: pa.Table) -> pa.Table:
+    """One row per token occurrence: (doc_id, word)."""
+    texts = batch["text"].to_pylist()
+    words_per, lens = _split_words(texts)
+    import itertools
+    flat = list(itertools.chain.from_iterable(words_per))
+    ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+        "word": pa.array(flat, pa.string())})
+
+
+def _pin6(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e6+0.5)/1e6 — the house decimal pin, IEEE-identical to
+    the SQL side (engine/DuckDB round() differ on exact halves)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def unigram_logprob(ds, broadcast_budget: int = 256 << 20):
+    """Per-document mean unigram log-probability (KenLM-style corpus
+    quality signal, unigram order): score(d) = mean over d's tokens of
+    ln(count(w) / total_tokens). Output: (doc_id, n_tokens,
+    mean_logprob), one row per doc with >= 1 token; mean_logprob
+    pinned to 6 decimals.
+
+    Corpus frequencies come from a per-batch combiner + one sorted
+    run-sum (rows shuffled: one per (batch, word), not per token).
+    Scoring takes the broadcast fast path while the frequency table
+    fits ``broadcast_budget`` (ray.put once, zero-copy to every
+    scorer); over budget it switches to the memory-safe
+    merge-join-as-sort path: (doc_id, word) token rows joined against
+    the hash-partitioned frequency table, then per-doc run sums —
+    the same budget-switch pattern as the dedup verify path."""
+    import ray
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_lookup_join)
+
+    partial = ds.map_batches(_token_partial_counts,
+                             batch_format="pyarrow")
+    fempty = pa.table({"word": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64())})
+
+    def sum_interior(b, starts, ends, mask):
+        if not mask.any():
+            return fempty
+        nv = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(nv, starts)
+        heads = b["word"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        return pa.table({"word": heads,
+                         "n": pa.array(sums[mask], pa.int64())})
+
+    def sum_edge(g):
+        import pyarrow.compute as pc
+        return pa.table({"word": g["word"].slice(0, 1),
+                         "n": pa.array([pc.sum(g["n"]).as_py() or 0],
+                                       pa.int64())})
+
+    freq = sorted_bucket_apply(partial, "word", ["word"],
+                               sum_interior, sum_edge, fempty)
+    freq = freq.materialize()
+    total = float(freq.sum("n") or 0)
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "mean_logprob": pa.array([], pa.float64())})
+    if total == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_empty)
+
+    if freq.size_bytes() <= broadcast_budget:
+        ftab = pa.concat_tables(
+            [pa.table(b) for b in freq.iter_batches(
+                batch_format="pyarrow", batch_size=None)])
+        lut = dict(zip(ftab["word"].to_pylist(),
+                       ftab["n"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64)))
+        ref = ray.put(lut)
+
+        def score(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            words_per, lens = _split_words(texts)
+            row, codes, vocab = _encode_flat(words_per, lens)
+            keep = lens > 0
+            if codes.size == 0:
+                return out_empty
+            d = ray.get(ref)
+            per_code = np.array([d[w] for w in vocab.to_pylist()],
+                                np.float64)
+            logp = np.log(per_code / total)[codes]
+            # rows are emitted in order, so row ids are nondecreasing:
+            # per-doc sums are contiguous-run reduceat
+            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+            sums = np.add.reduceat(logp, starts)
+            ids = batch["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            nz = lens[keep].astype(np.float64)
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(lens[keep], pa.int64()),
+                "mean_logprob": pa.array(_pin6(sums / nz),
+                                         pa.float64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # over budget: join frequencies onto token rows, then per-doc sums
+    rows = ds.map_batches(_emit_tokens, batch_format="pyarrow")
+    joined = sorted_lookup_join(rows, freq, "word", ["n"])
+
+    def doc_interior(b, starts, ends, mask):
+        if not mask.any():
+            return out_empty
+        nv = b["n"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        logp = np.log(nv / total)
+        sums = np.add.reduceat(logp, starts)
+        lens = (ends - starts)
+        heads = b["doc_id"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        nz = lens[mask].astype(np.float64)
+        return pa.table({
+            "doc_id": heads,
+            "n_tokens": pa.array(lens[mask], pa.int64()),
+            "mean_logprob": pa.array(_pin6(sums[mask] / nz),
+                                     pa.float64())})
+
+    def doc_edge(g):
+        nv = g["n"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = float(np.sum(np.log(nv / total)))
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "n_tokens": pa.array([g.num_rows], pa.int64()),
+            "mean_logprob": pa.array(
+                _pin6(np.array([s / g.num_rows])), pa.float64())})
+
+    return sorted_bucket_apply(joined, "doc_id", ["doc_id"],
+                               doc_interior, doc_edge, out_empty)

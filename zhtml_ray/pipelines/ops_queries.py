@@ -358,6 +358,37 @@ GROUP BY g.doc_id
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc mean unigram log-probability (KenLM-style corpus
+    quality signal): corpus frequencies via combiner + sorted run-sum,
+    scoring via budgeted broadcast with a merge-join-as-sort fallback
+    (functions/corpusstats.py:unigram_logprob)."""
+    from zhtml_ray.functions.corpusstats import unigram_logprob
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+def _sql_unigram_logprob() -> str:
+    # mean_logprob pinned with the house floor(x*1e6+0.5)/1e6 formula
+    # (float sums are associativity-sensitive across the parallel
+    # engine vs DuckDB's sequential sum); values here are negative but
+    # the formula is applied identically on both sides
+    return f"""
+WITH w AS ({_sql_words()}),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+freq AS (SELECT word, count(*)::DOUBLE AS c FROM u GROUP BY word),
+tot AS (SELECT count(*)::DOUBLE AS t FROM u),
+per AS (
+  SELECT u.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(ln(freq.c / tot.t)) AS s
+  FROM u JOIN freq USING (word) CROSS JOIN tot
+  GROUP BY u.doc_id)
+SELECT doc_id, n_tokens,
+       floor(s / n_tokens * 1e6 + 0.5) / 1e6 AS mean_logprob
+FROM per
+"""
+
+
 def q_vocab_df(sf_dir: str):
     """Top-100 corpus words by document frequency: per-batch combiner
     (distinct docs per word inside the batch) -> one sorted run-sum
@@ -797,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_signals": q_rep_signals,
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
+        "unigram_logprob": q_unigram_logprob,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -836,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "rep_signals": _sql_rep_signals(),
         "dup_ngrams": _sql_dup_ngrams(),
         "vocab_df": _sql_vocab_df(),
+        "unigram_logprob": _sql_unigram_logprob(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
