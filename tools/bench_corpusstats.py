@@ -36,6 +36,7 @@ def main() -> None:
                  include_dashboard=False)
     from zhtml_ray.functions.corpusstats import (dup_ngrams,
                                                  rep_signals_batch,
+                                                 unigram_logprob,
                                                  vocab_doc_freq)
 
     walls = {}
@@ -58,6 +59,12 @@ def main() -> None:
     walls["dup_ngrams"] = {"wall": round(time.perf_counter() - t0, 3),
                            "rows": dng.count()}
     del dng
+
+    t0 = time.perf_counter()
+    ulp = unigram_logprob(rd.read_parquet(path)).materialize()
+    walls["unigram_logprob"] = {
+        "wall": round(time.perf_counter() - t0, 3), "rows": ulp.count()}
+    del ulp
 
     print(json.dumps({
         "metric": "corpusstats_walls", "unit": "sec",
