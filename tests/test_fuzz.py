@@ -177,7 +177,9 @@ class TestStructuredSoupDifferential:
             "object", "applet", "nobr", "font", "ruby", "rt", "rp",
             "hr", "br", "head", "body", "html", "col", "colgroup",
             "tbody", "thead", "tfoot", "plaintext", "xmp", "pre",
-            "listing", "iframe", "noembed", "keygen", "image"]
+            "listing", "iframe", "noembed", "keygen", "image",
+            "rb", "rtc", "h1", "h2", "address", "section", "basefont",
+            "bgsound", "link", "meta"]
     ATTRS = ["href", "type", "class", "xlink:href", "xml:lang",
              "definitionurl", "encoding"]
     TEXTS = ["x", "  ", "&amp;", "&notin;", "&#x41;", "&#0;", "\x00",
