@@ -1344,7 +1344,12 @@ class TreeBuilder:
     def mode_text(self, tok):
         kind = tok[0]
         if kind == "Character":
-            self.insert_text(self._strip_leading_newline(tok[1]))
+            # The skipped leading newline can consume the entire run
+            # (e.g. "<textarea>\n</textarea>"); inserting "" would leave
+            # an empty text node the per-character spec never creates.
+            data = self._strip_leading_newline(tok[1])
+            if data:
+                self.insert_text(data)
             return
         if kind == "EOF":
             self.err("expected-named-closing-tag-but-got-eof")
