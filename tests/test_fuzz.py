@@ -233,8 +233,19 @@ class TestStructuredSoupDifferential:
                 st, se = T._slow_tokenize(s)
                 assert T._coalesce(ft) == T._coalesce(st), repr(s)
                 assert fe == se, repr(s)
-                assert (serialize(parse(s).document)
-                        == serialize(parse(s).document)), repr(s)
+                doc = parse(s).document
+                d1 = serialize(doc)
+                assert d1 == serialize(parse(s).document), repr(s)
+                # per-character spec never creates an empty text node
+                # (regression: fully-skipped leading newline in RCDATA)
+                from zhtml_ray.html.dom import TEXT
+                stack = [doc]
+                while stack:
+                    n = stack.pop()
+                    if n.kind == TEXT:
+                        assert "".join(n.parts), repr(s)
+                    if n.children:
+                        stack.extend(n.children)
                 serialize(parse_fragment(s, contexts[i % 12]).document)
                 raw = s.encode("utf-8", "replace")
                 assert extract_document(raw) == extract_document(raw), \
