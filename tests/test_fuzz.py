@@ -245,6 +245,11 @@ class TestStructuredSoupDifferential:
                     if n.kind == TEXT:
                         assert "".join(n.parts), repr(s)
                     if n.children:
+                        # chars always append to an existing text node —
+                        # adjacent TEXT siblings must never exist
+                        for a, b in zip(n.children, n.children[1:]):
+                            assert not (a.kind == TEXT and b.kind == TEXT), \
+                                repr(s)
                         stack.extend(n.children)
                 serialize(parse_fragment(s, contexts[i % 12]).document)
                 raw = s.encode("utf-8", "replace")
