@@ -529,3 +529,40 @@ class TestStdlibParserDifferential:
         for _ in range(200):
             s = doc()
             assert self._ours(s) == self._theirs(s), repr(s)
+
+
+class TestInputErrorScanEquivalence:
+    """The vectorized LUT input-stream scan must match the regex scan
+    (_RE_NONCHAR_CTRL) error-for-error, offset-for-offset."""
+
+    @staticmethod
+    def _regex_scan(s):
+        from zhtml_ray.html.tokenizer import _RE_NONCHAR_CTRL, _is_nonchar
+        out = []
+        for m in _RE_NONCHAR_CTRL.finditer(s):
+            code = ("noncharacter-in-input-stream" if _is_nonchar(m.group())
+                    else "control-character-in-input-stream")
+            out.append((code, m.start()))
+        return out
+
+    def test_differential_fuzz(self):
+        import random
+        from zhtml_ray.html.tokenizer import _scan_input_errors
+        rng = random.Random(1291)
+        alpha = ["a", "<", ">", " ", "\t", "\n", "\x0b", "\x0c", "\x00",
+                 "\x01", "\x08", "\x1f", "\x7f", "\x80", "\x9f", "\xa0",
+                 "\xe9", "中", "﷐", "﷯", "ﷰ", "﷏",
+                 "�", "￾", "￿",
+                 "\U0001fffe", "\U0001ffff", "\U0010fffe", "\U0010ffff",
+                 "\U0001f600", "\U0001f7fe", "\U0001f7ff"]
+        for _ in range(4000):
+            s = "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(0, 48)))
+            assert _scan_input_errors(s) == self._regex_scan(s), repr(s)
+
+    def test_lone_surrogates_and_edges(self):
+        from zhtml_ray.html.tokenizer import _scan_input_errors
+        for s in ["", "\udffe", "a\udfffb", "\ud83fx", "\ud83f",
+                  "\U0001fffe" * 3, "x" * 10000,
+                  "\U0001f7fe\udffe", "a\U0010ffffb\x01"]:
+            assert _scan_input_errors(s) == self._regex_scan(s), repr(s)

@@ -32,6 +32,8 @@ import re
 from bisect import bisect_right
 from html.entities import html5 as _HTML5_ENTITIES
 
+import numpy as _np
+
 from zhtml_ray.html.encoding import sniff_decode as _sniff_decode
 
 # ---------------------------------------------------------------- entities
@@ -111,6 +113,65 @@ def _is_nonchar(c: str) -> bool:
     cp = ord(c)
     return 0xFDD0 <= cp <= 0xFDEF or (cp & 0xFFFE) == 0xFFFE
 
+
+# Vectorized input-stream error scan. The per-document regex scan over
+# _RE_NONCHAR_CTRL was the single largest __init__ cost (~150 µs/doc —
+# Python's re walks character classes ~20 MB/s): instead, gather a
+# 65536-entry LUT over the UTF-16 code units (one numpy pass, ~19 µs/doc).
+# LUT value 1 = definite error char; 2 = low-surrogate candidate for a
+# supplementary-plane noncharacter (U+xFFFE/xFFFF → low surrogate
+# DFFE/DFFF, confirmed only when preceded by a high surrogate ending in
+# 0x3F, so ordinary astral chars like U+1F7FE never false-positive).
+# Equivalence with the regex scan is fuzz-pinned in tests.
+_SCAN_LUT = _np.zeros(65536, _np.uint8)
+for _c in range(0x01, 0x20):
+    if _c not in (0x09, 0x0A, 0x0C, 0x0D):
+        _SCAN_LUT[_c] = 1
+_SCAN_LUT[0x7F:0xA0] = 1
+_SCAN_LUT[0xFDD0:0xFDF0] = 1
+_SCAN_LUT[0xFFFE] = _SCAN_LUT[0xFFFF] = 1
+_SCAN_LUT[0xDFFE] = _SCAN_LUT[0xDFFF] = 2
+
+
+def _scan_input_errors(s: str) -> list[tuple[str, int]]:
+    """All noncharacter/control input-stream errors of ``s`` in document
+    order, as ``(code, char_offset)`` — exactly what iterating
+    ``_RE_NONCHAR_CTRL`` produced, at C speed."""
+    a = _np.frombuffer(s.encode("utf-16-le", "surrogatepass"), dtype="<u2")
+    m = _SCAN_LUT[a]
+    if not m.any():
+        return []
+    pos = _np.nonzero(m)[0]
+    if (m[pos] == 2).any():
+        keep = []
+        for p, v in zip(pos.tolist(), m[pos].tolist()):
+            if v == 1:
+                keep.append(p)
+            # low-surrogate candidate: real supplementary noncharacter
+            # only after a high surrogate for plane offset 0xFFxx;
+            # flag at the high surrogate (= the character's start)
+            elif p > 0 and (a[p - 1] & 0xFC00) == 0xD800 \
+                    and (a[p - 1] & 0x3F) == 0x3F:
+                keep.append(p - 1)
+        if not keep:
+            return []
+        pos = _np.asarray(keep, _np.int64)
+    hs = (a & 0xFC00) == 0xD800
+    if hs.any():  # char offset = unit index − preceding high surrogates
+        cum = _np.cumsum(hs)
+        off = pos - (cum[pos] - hs[pos])
+    else:
+        off = pos
+    out = []
+    for p, o in zip(pos.tolist(), off.tolist()):
+        u = int(a[p])
+        cp = (0x10000 + ((u - 0xD800) << 10) + (int(a[p + 1]) - 0xDC00)
+              if 0xD800 <= u <= 0xDBFF else u)
+        code = ("noncharacter-in-input-stream" if _is_nonchar(chr(cp))
+                else "control-character-in-input-stream")
+        out.append((code, int(o)))
+    return out
+
 # named tokenizer states (public: tree builder + conformance harness set these)
 DATA = "data"
 RCDATA = "rcdata"
@@ -156,11 +217,7 @@ class Tokenizer:
         self.errors: list[tuple[str, int]] = []
         self._newlines: list[int] | None = None
         if collect_input_errors:
-            for m in _RE_NONCHAR_CTRL.finditer(self.s):
-                code = ("noncharacter-in-input-stream"
-                        if _is_nonchar(m.group())
-                        else "control-character-in-input-stream")
-                self.errors.append((code, m.start()))
+            self.errors.extend(_scan_input_errors(self.s))
 
     # ---------------------------------------------------------------- misc
 
