@@ -305,7 +305,7 @@ class TreeBuilder:
         if self.skip_newline and tok[0] != "Character":
             self.skip_newline = False
         if not self.ever_foreign or not self.stack:
-            return self.process_html(tok)
+            return self._modes[self.mode](tok)  # inlined process_html
         node = self._acn()
         if node.ns == NS_HTML:
             return self.process_html(tok)
@@ -370,6 +370,15 @@ class TreeBuilder:
         return node
 
     def insert_text(self, data, override=None):
+        if override is None and not self.foster:  # hot lane
+            kids = self.stack[-1].children
+            if kids and kids[-1].kind == TEXT:
+                kids[-1].parts.append(data)
+            else:
+                node = Node(TEXT)
+                node.parts = [data]
+                self.stack[-1].append(node)
+            return
         parent, before = self.appropriate_place(override)
         if before is None:
             kids = parent.children
@@ -399,9 +408,15 @@ class TreeBuilder:
     # ---------------------------------------------------------- stack utils
 
     def in_scope(self, name, scope=_SCOPE_BASE):
-        names = name if isinstance(name, (frozenset, set, tuple)) else (name,)
+        if name.__class__ is str:  # hot lane: no tuple alloc / membership
+            for node in reversed(self.stack):
+                if node.name == name and node.ns == NS_HTML:
+                    return True
+                if (node.ns, node.name) in scope:
+                    return False
+            return False
         for node in reversed(self.stack):
-            if node.ns == NS_HTML and node.name in names:
+            if node.ns == NS_HTML and node.name in name:
                 return True
             if (node.ns, node.name) in scope:
                 return False
