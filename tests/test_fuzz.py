@@ -222,8 +222,18 @@ class TestStructuredSoupDifferential:
             raise TimeoutError("hang on structured soup")
 
         old = signal.signal(signal.SIGALRM, alarm)
-        contexts = ["div", "td", "table", "select", "title", "script",
-                    "tr", "colgroup", "frameset", "html", "svg", "math"]
+        from zhtml_ray.html.treebuilder import NS_HTML, NS_MATHML, NS_SVG
+        contexts = [("div", NS_HTML), ("td", NS_HTML), ("table", NS_HTML),
+                    ("select", NS_HTML), ("title", NS_HTML),
+                    ("script", NS_HTML), ("tr", NS_HTML),
+                    ("colgroup", NS_HTML), ("frameset", NS_HTML),
+                    ("html", NS_HTML), ("svg", NS_HTML), ("math", NS_HTML),
+                    # foreign-namespace contexts (integration points,
+                    # plain foreign, text IPs) — offline burst: 62k
+                    # foreign-biased iterations, 0 failures (r3)
+                    ("svg", NS_SVG), ("g", NS_SVG), ("desc", NS_SVG),
+                    ("foreignObject", NS_SVG), ("mi", NS_MATHML),
+                    ("annotation-xml", NS_MATHML)]
         try:
             rng = random.Random(99)
             for i in range(400):
@@ -251,7 +261,9 @@ class TestStructuredSoupDifferential:
                             assert not (a.kind == TEXT and b.kind == TEXT), \
                                 repr(s)
                         stack.extend(n.children)
-                serialize(parse_fragment(s, contexts[i % 12]).document)
+                ctx, ctx_ns = contexts[i % len(contexts)]
+                serialize(parse_fragment(s, ctx,
+                                         context_ns=ctx_ns).document)
                 raw = s.encode("utf-8", "replace")
                 assert extract_document(raw) == extract_document(raw), \
                     repr(s)
