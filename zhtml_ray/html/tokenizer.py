@@ -216,6 +216,8 @@ class Tokenizer:
         self.allow_cdata = False  # tree builder sets True in foreign content
         self.errors: list[tuple[str, int]] = []
         self._newlines: list[int] | None = None
+        self._dispatch = None
+        self._started = False
         if collect_input_errors:
             self.errors.extend(_scan_input_errors(self.s))
 
@@ -237,17 +239,41 @@ class Tokenizer:
     # ---------------------------------------------------------------- main
 
     def tokens(self):
-        """Yield token tuples until EOF."""
-        dispatch = {
-            DATA: self._data, RCDATA: self._rcdata, RAWTEXT: self._rawtext,
-            SCRIPT_DATA: self._script_data, PLAINTEXT: self._plaintext,
-            CDATA_SECTION: self._cdata_section,
-        }
-        if self.pos >= self.n and self.state == CDATA_SECTION:
-            self._err("eof-in-cdata", self.n)  # empty input, CDATA state
+        """Yield token tuples until EOF (generator wrapper over
+        ``next_tokens`` — the tree builder pulls batches directly to
+        skip the per-token yield/resume)."""
+        while True:
+            toks = self.next_tokens()
+            if toks is None:
+                return
+            yield from toks
+
+    def next_tokens(self):
+        """One eagerly-built batch of tokens, or None at EOF. Batches
+        break after state-flip tags (_FLIP_TAGS), so the tree builder
+        may flip ``state`` / ``last_start_tag`` between batches exactly
+        as it could between generator yields."""
+        if not self._started:
+            self._started = True
+            # mirrors the original generator-start check exactly:
+            # fires only for empty input in initial CDATA state
+            if self.pos >= self.n and self.state == CDATA_SECTION:
+                self._err("eof-in-cdata", self.n)
+        if self.pos >= self.n:
+            return None
+        d = self._dispatch
+        if d is None:
+            d = self._dispatch = {
+                DATA: self._data, RCDATA: self._rcdata,
+                RAWTEXT: self._rawtext, SCRIPT_DATA: self._script_data,
+                PLAINTEXT: self._plaintext,
+                CDATA_SECTION: self._cdata_section,
+            }
         while self.pos < self.n:
-            for tok in dispatch[self.state]():
-                yield tok
+            toks = d[self.state]()
+            if toks:
+                return toks
+        return None
 
     # Each state method processes input until it either emits token(s)
     # (returned as a list) or changes state; the outer loop re-dispatches.

@@ -228,14 +228,20 @@ class TreeBuilder:
 
     def _run(self):
         t = self.tokenizer
-        for tok in t.tokens():
-            if self.done:
+        next_tokens = t.next_tokens
+        process = self.process
+        while True:  # batch pull: no per-token generator yield/resume
+            toks = next_tokens()
+            if toks is None or self.done:
                 break
-            self.process(tok)
-            if self.ever_foreign:
-                # adjusted-current-node → CDATA allowed in foreign content
-                acn = self._acn()
-                t.allow_cdata = acn is not None and acn.ns != NS_HTML
+            for tok in toks:
+                if self.done:
+                    break
+                process(tok)
+                if self.ever_foreign:
+                    # adjusted-current-node → CDATA allowed in foreign
+                    acn = self._acn()
+                    t.allow_cdata = acn is not None and acn.ns != NS_HTML
         if not self.done:
             self.process(("EOF",))
 
