@@ -227,15 +227,23 @@ class TestFastPathEquivalence:
     def _slow_tokenize(s):
         import re as _re
         from zhtml_ray.html import tokenizer as tkz
-        never = _re.compile(r"(?!x)x")
-        saved = (tkz._RE_FAST_START, tkz._RE_FAST_END)
-        tkz._RE_FAST_START, tkz._RE_FAST_END = never, never
+        # same group layout as _RE_DATA_FUSED, but the fast start/end
+        # tag branches can never match ((?!x)x) — every '<' takes the
+        # spec state machine via _tag_open
+        never_fast = _re.compile(
+            r"([^&<\x00]*)"
+            r"(?:(?!x)x(x)(x)(x)"   # groups 2-4: fast start (disabled)
+            r"|(?!x)x(x)"           # group 5: fast end (disabled)
+            r"|(&)|(<)|(\x00)"
+            r")?")
+        saved = tkz._RE_DATA_FUSED
+        tkz._RE_DATA_FUSED = never_fast
         try:
             t = tkz.Tokenizer(s)
             toks = list(t.tokens())
             errs = sorted(c for c, _ in t.errors)
         finally:
-            tkz._RE_FAST_START, tkz._RE_FAST_END = saved
+            tkz._RE_DATA_FUSED = saved
         return toks, errs
 
     @staticmethod
