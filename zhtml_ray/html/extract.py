@@ -244,13 +244,19 @@ def _segment_tree(doc) -> tuple[list[dict], int]:
                 if txt and not txt.isspace():
                     if cur is None or cur["node_id"] != nb:
                         cur = {"node_id": nb, "parts": [], "link_chars": 0,
-                               "chars": 0, "tag": nb_tag if nb else "body",
+                               "chars": 0, "nwords": 0,
+                               "tag": nb_tag if nb else "body",
                                "boiler": hard}
                         blocks.append(cur)
-                    norm = " ".join(txt.split())
-                    if norm:
+                    # words counted here so the final pass need not
+                    # re-split the assembled block text (parts are
+                    # space-normalized, so the counts are identical)
+                    wl = txt.split()
+                    if wl:
+                        norm = " ".join(wl)
                         cur["parts"].append(norm)
                         cur["chars"] += len(norm)
+                        cur["nwords"] += len(wl)
                         if in_link:
                             cur["link_chars"] += len(norm)
         # skipped subtrees are still descended: node ids must stay
@@ -264,10 +270,9 @@ def _segment_tree(doc) -> tuple[list[dict], int]:
         txt = " ".join(b["parts"])
         if not txt:
             continue
-        words = len(txt.split())
         out.append({
             "node_id": b["node_id"], "tag": b["tag"], "text": txt,
-            "words": words,
+            "words": b["nwords"],
             "link_density": (b["link_chars"] / b["chars"]) if b["chars"] else 0.0,
             "boiler": b["boiler"],
             "heading": b["tag"] in _HEADING,
