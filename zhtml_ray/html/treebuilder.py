@@ -297,6 +297,14 @@ class TreeBuilder:
     # ------------------------------------------------------------- plumbing
 
     def err(self, code):
+        # Tree-construction error positions are the tokenizer's CURRENT
+        # position — with batched tokenization that is the end of the
+        # pulled batch, not the offending token's start. Codes are
+        # spec-exact; positions are approximate for tree-side errors
+        # (tokenizer-side errors carry exact offsets). The reference's
+        # conformance harness likewise compares codes only
+        # (/root/reference/test/tokenizer-html5lib.zig — line/col
+        # comparison disabled).
         if self.collect_errors:
             self.errors.append((code, self.tokenizer.pos))
 
