@@ -107,3 +107,34 @@ def test_tree_construction(case):
 
 def test_corpus_nonempty():
     assert len(_CASES) >= 40
+
+
+# ---------------------------------------------------------------- grid
+# Engine-baked tag x context regression grid (tools/gen_regression_grid
+# .py). NOT hand-adjudicated like corpus/tree/* — these pin the current
+# behavior of every (tag, template, context) cell so a refactor can't
+# silently shift trees the sweeps and fuzz miss. Deliberate spec fixes
+# regenerate the grid (say so in the commit message).
+_GRID = sorted(glob.glob(os.path.join(
+    os.path.dirname(__file__), "corpus", "regression", "*.dat")))
+_GRID_CASES = []
+for _p in _GRID:
+    _GRID_CASES.extend(_parse_dat(_p))
+
+
+@pytest.mark.parametrize(
+    "case", _GRID_CASES,
+    ids=[f"grid:{i}:{c['data'][:24]}" for i, c in enumerate(_GRID_CASES)])
+def test_regression_grid(case):
+    if case["fragment"] is not None:
+        from zhtml_ray.html.treebuilder import parse_fragment
+        got = serialize(parse_fragment(case["data"],
+                                       case["fragment"]).document)
+    else:
+        got = serialize(parse(case["data"]).document)
+    assert got == case["document"], (
+        f"input: {case['data']!r}\nexpected:\n{case['document']}\ngot:\n{got}")
+
+
+def test_regression_grid_nonempty():
+    assert len(_GRID_CASES) >= 1500
