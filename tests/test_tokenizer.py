@@ -574,3 +574,31 @@ class TestInputErrorScanEquivalence:
                   "\U0001fffe" * 3, "x" * 10000,
                   "\U0001f7fe\udffe", "a\U0010ffffb\x01"]:
             assert _scan_input_errors(s) == self._regex_scan(s), repr(s)
+
+
+def test_token_regression_grid():
+    """Engine-baked token-stream pins (tools/gen_token_grid.py) — NOT
+    hand-adjudicated; they hold every (input, initial state) stream
+    constant across commits. Deliberate fixes regenerate the file."""
+    import json
+    import os
+    from zhtml_ray.html import tokenizer as tkz
+    path = os.path.join(os.path.dirname(__file__), "corpus",
+                        "regression", "tokens.json")
+    with open(path) as f:
+        cases = json.load(f)
+    assert len(cases) >= 500
+    for c in cases:
+        t = tkz.Tokenizer(c["input"], initial_state=c["state"],
+                          last_start_tag=c["last"])
+        toks = []
+        for tok in t.tokens():
+            if tok[0] in ("StartTag", "EndTag"):
+                toks.append([tok[0], tok[1],
+                             [list(kv) for kv in sorted(tok[2].items())],
+                             tok[3]])
+            else:
+                toks.append(list(tok))
+        errs = [[e, o] for e, o in t.errors]
+        assert toks == c["expect"]["tokens"], (c["input"], c["state"])
+        assert errs == c["expect"]["errors"], (c["input"], c["state"])
