@@ -320,3 +320,100 @@ def test_adversarial_inputs_bounded_wall():
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def test_deep_nest_not_quadratic():
+    """A 30k-deep <div> nest used to cost 37 s of CPU (close_p's
+    in_scope scan made start-tag handling quadratic in depth); the
+    indexed deep-stack lane answers in_scope in O(|scope set|), so this
+    must finish in well under a second. The 15 s alarm guards the
+    regression, not the expected wall."""
+    import signal
+    from zhtml_ray.html.extract import extract_document
+
+    cases = [
+        "<div>" * 30000 + "hello world",
+        "<p>" + "<div>" * 30000 + "x",        # planted <p> defeats a count
+        "<ul>" + "<li><div>" * 15000,          # list scope
+        "<button>" + "<div>" * 30000 + "<button>x",  # button scope
+    ]
+
+    def alarm(sig, frame):
+        raise TimeoutError("deep nest is quadratic again")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    try:
+        for doc in cases:
+            signal.alarm(15)
+            out = extract_document(doc.encode())
+            assert out["n_nodes"] >= 1
+            signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_in_scope_index_matches_scan(s):
+    """Differential guard for the open-elements position index: force
+    the indexed lanes (_DEEP_STACK=1 — in_scope, _any_other_end_tag,
+    reconstruct_afe) and require byte-identical trees + errors vs the
+    default scan lanes on arbitrary tag soup."""
+    from zhtml_ray.html import treebuilder as tb
+    from zhtml_ray.html.dom import serialize
+
+    r_scan = tb.parse(s)
+    saved = tb._DEEP_STACK
+    tb._DEEP_STACK = 1
+    try:
+        r_idx = tb.parse(s)
+    finally:
+        tb._DEEP_STACK = saved
+    assert serialize(r_idx.document) == serialize(r_scan.document)
+    assert r_idx.errors == r_scan.errors
+
+
+def test_in_scope_index_matches_scan_directed():
+    """Directed cases for the index lane's edge semantics: target
+    element itself in the scope set (table/template/html vs
+    _SCOPE_TABLE), mid-stack AA mutations dirtying the index, and
+    fragment contexts."""
+    from zhtml_ray.html import treebuilder as tb
+    from zhtml_ray.html.dom import serialize
+
+    docs = [
+        "<table><table><tr><td>x",              # table target in table scope
+        "<template><table><caption>c</caption></template>y",
+        "<b><p><i>a<div>b</b>c</div>d",          # adoption agency churn
+        "<b><i><u>" * 40 + "x" + "</b>" * 40,    # repeated AA mid-stack edits
+        "<table><tr><td><select><option>o<table><tr>",
+        "<p><button><p>a</button>b",
+        "<li><ul><li><ol><li>x</li></ol>",
+        "<caption>" * 30 + "x",
+        "<object><p><applet><p>q</object>z",
+        "<svg><foreignObject><p>f</foreignObject>",
+        "<math><mtext><p>m</mtext>",
+    ]
+    saved = tb._DEEP_STACK
+    for d in docs:
+        tb._DEEP_STACK = saved
+        r_scan = tb.parse(d)
+        tb._DEEP_STACK = 1
+        try:
+            r_idx = tb.parse(d)
+        finally:
+            tb._DEEP_STACK = saved
+        assert serialize(r_idx.document) == serialize(r_scan.document), d
+        assert r_idx.errors == r_scan.errors, d
+
+    # fragment contexts exercise the pre-seeded context stack
+    for ctx in ("td", "table", "select", "template"):
+        r_scan = tb.parse_fragment("<p><div><table><tr><td>x</b>", ctx)
+        tb._DEEP_STACK = 1
+        try:
+            r_idx = tb.parse_fragment("<p><div><table><tr><td>x</b>", ctx)
+        finally:
+            tb._DEEP_STACK = saved
+        assert serialize(r_idx.document) == serialize(r_scan.document), ctx
+        assert r_idx.errors == r_scan.errors, ctx

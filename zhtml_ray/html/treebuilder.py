@@ -182,6 +182,17 @@ class ParseResult:
         return [(c, *self._line_col(off)) for c, off in self.errors]
 
 
+# Stack depth at which in_scope switches from the top-down scan (fast
+# for real pages, which are shallow) to the lazy position index
+# (bounded for adversarially deep nests — a 30k-deep misnested crawl
+# page otherwise makes close_p quadratic: measured 37 s of CPU for
+# 150 KB of input, vs ~0.1 s indexed).
+_DEEP_STACK = 48
+
+# Index sentinel key tracking positions of spec-"special" elements.
+_SPECIAL_KEY = ("\x00special", "")
+
+
 class TreeBuilder:
     def __init__(self, collect_errors: bool = True):
         self.collect_errors = collect_errors
@@ -194,6 +205,14 @@ class TreeBuilder:
         self.mode = "initial"
         self.original_mode = None
         self.stack: list[Node] = []
+        # Lazy open-elements position index (hostile-depth defense).
+        # None until the first in_scope query on a >=_DEEP_STACK stack;
+        # then maps (ns, name) -> [(pos, node), ...] in push order.
+        # Entries self-validate against the live stack (stack[pos] is
+        # node), so pops need no bookkeeping; push sites feed the index
+        # only while it exists; the rare mid-stack mutations (adoption
+        # agency, head re-push, form/a removal) reset it to None.
+        self._idx: dict | None = None
         self.afe: list[Node | None] = []  # None = marker
         self.head: Node | None = None
         self.form: Node | None = None
@@ -279,6 +298,8 @@ class TreeBuilder:
         root = Node(ELEMENT, "html", NS_HTML, {})
         self.doc.append(root)
         self.stack.append(root)
+        if self._idx is not None:
+            self._idx_note(root)
         if context_ns == NS_HTML and context == "template":
             self.template_modes.append("in_template")
         self.reset_insertion_mode()
@@ -381,6 +402,8 @@ class TreeBuilder:
         self._insert_node(node)
         if push:
             self.stack.append(node)
+            if self._idx is not None:
+                self._idx_note(node)
         return node
 
     def insert_text(self, data, override=None):
@@ -421,15 +444,101 @@ class TreeBuilder:
 
     # ---------------------------------------------------------- stack utils
 
+    def _idx_build(self):
+        idx = {}
+        for i, node in enumerate(self.stack):
+            key = (node.ns, node.name)
+            idx.setdefault(key, []).append((i, node))
+            if key in SPECIAL:
+                idx.setdefault(_SPECIAL_KEY, []).append((i, node))
+        self._idx = idx
+        return idx
+
+    def _idx_note(self, node):
+        """Record a fresh push while the index is live (rare sites; the
+        hot insert_element site calls this behind an inline None test)."""
+        idx = self._idx
+        p = len(self.stack) - 1
+        key = (node.ns, node.name)
+        idx.setdefault(key, []).append((p, node))
+        if key in SPECIAL:
+            idx.setdefault(_SPECIAL_KEY, []).append((p, node))
+
+    def _idx_top(self, key):
+        """Topmost current stack position for an index key — an
+        (ns, name) pair or _SPECIAL_KEY — or -1.
+
+        Entries are validated against the live stack; invalid tail
+        entries are garbage-collected as they are seen (sound because a
+        popped node object is never re-pushed — the one exception, the
+        head re-push path, resets the whole index). The first valid
+        entry from the tail is the topmost occurrence: any earlier
+        entry with a greater position was already dead when the later
+        one was pushed."""
+        lst = self._idx.get(key)
+        if not lst:
+            return -1
+        stack = self.stack
+        n = len(stack)
+        while lst:
+            p, node = lst[-1]
+            if p < n and stack[p] is node:
+                return p
+            lst.pop()
+        return -1
+
+    def _idx_has(self, target):
+        """Whether ``target`` is currently on the stack (index-backed
+        membership for deep stacks). Dead entries found along the way
+        are deleted — they can never become valid again."""
+        lst = self._idx.get((target.ns, target.name))
+        if not lst:
+            return False
+        stack = self.stack
+        n = len(stack)
+        i = len(lst) - 1
+        while i >= 0:
+            p, node = lst[i]
+            if p < n and stack[p] is node:
+                if node is target:
+                    return True
+                i -= 1
+            else:
+                del lst[i]
+                i -= 1
+        return False
+
     def in_scope(self, name, scope=_SCOPE_BASE):
+        stack = self.stack
+        if len(stack) >= _DEEP_STACK:
+            # Hostile-depth lane: answer from the position index in
+            # O(|scope set|) instead of an O(depth) top-down scan — a
+            # 30k-deep misnested crawl page otherwise makes close_p
+            # quadratic (measured 37 s CPU for 150 KB of input).
+            if self._idx is None:
+                self._idx_build()
+            it = self._idx_top
+            if name.__class__ is str:
+                p = it((NS_HTML, name))
+            else:
+                p = max(it((NS_HTML, n)) for n in name)
+            if p == -1:
+                return False
+            # > not >=: when the target element is itself in the scope
+            # set (e.g. in_scope("table", _SCOPE_TABLE)) the scan checks
+            # the target first, so the element counts as a hit.
+            for pair in scope:
+                if it(pair) > p:
+                    return False
+            return True
         if name.__class__ is str:  # hot lane: no tuple alloc / membership
-            for node in reversed(self.stack):
+            for node in reversed(stack):
                 if node.name == name and node.ns == NS_HTML:
                     return True
                 if (node.ns, node.name) in scope:
                     return False
             return False
-        for node in reversed(self.stack):
+        for node in reversed(stack):
             if node.ns == NS_HTML and node.name in name:
                 return True
             if (node.ns, node.name) in scope:
@@ -493,6 +602,27 @@ class TreeBuilder:
         if not afe:
             return
         entry = afe[-1]
+        if len(self.stack) >= _DEEP_STACK:
+            # Index-backed membership: `entry in stack` scans from the
+            # bottom, so text under a deep nest re-walked the whole
+            # stack per character token (measured 1.6 s / 117 KB).
+            if self._idx is None:
+                self._idx_build()
+            has = self._idx_has
+            if entry is None or has(entry):
+                return
+            i = len(afe) - 1
+            while i > 0:
+                i -= 1
+                e = afe[i]
+                if e is None or has(e):
+                    i += 1
+                    break
+            for j in range(i, len(afe)):
+                e = afe[j]
+                clone = self.insert_element(e.name, dict(e.attrs), e.ns)
+                afe[j] = clone
+            return
         if entry is None or entry in self.stack:
             return
         i = len(afe) - 1
@@ -568,12 +698,14 @@ class TreeBuilder:
                     self.afe.remove(node)
                 if node not in self.afe:
                     del self.stack[node_si]
+                    self._idx = None
                     if node_si < furthest_si:
                         furthest_si -= 1
                     continue
                 clone = Node(ELEMENT, node.name, node.ns, dict(node.attrs))
                 self.afe[self.afe.index(node)] = clone
                 self.stack[node_si] = clone
+                self._idx = None
                 node = clone
                 if last is furthest:
                     bookmark = self.afe.index(clone) + 1
@@ -601,8 +733,29 @@ class TreeBuilder:
                 self.afe.insert(bookmark, clone)
             self.stack.remove(fmt)
             self.stack.insert(self.stack.index(furthest) + 1, clone)
+            self._idx = None
 
     def _any_other_end_tag(self, name):
+        stack = self.stack
+        if len(stack) >= _DEEP_STACK:
+            # Index lane: the top-down scan re-walks every open element
+            # per misnested end tag — 20k <span> + 20k </b> measured
+            # 57 s; the topmost-match / topmost-special comparison is
+            # equivalent because the scan errs at the first special
+            # non-matching element and matches name-first.
+            if self._idx is None:
+                self._idx_build()
+            m = self._idx_top((NS_HTML, name))
+            s = self._idx_top(_SPECIAL_KEY)
+            if m == -1 or s > m:
+                self.err("unexpected-end-tag")
+                return
+            node = stack[m]
+            self.generate_implied_end(exclude=name)
+            if self.current() is not node:
+                self.err("unexpected-end-tag")
+            del stack[m:]
+            return
         for i in range(len(self.stack) - 1, -1, -1):
             node = self.stack[i]
             if node.ns == NS_HTML and node.name == name:
@@ -761,6 +914,8 @@ class TreeBuilder:
             node = Node(ELEMENT, "html", NS_HTML, tok[2])
             self.doc.append(node)
             self.stack.append(node)
+            if self._idx is not None:
+                self._idx_note(node)
             self.mode = "before_head"
             return
         elif kind == "EndTag" and tok[1] not in ("head", "body", "html", "br"):
@@ -769,6 +924,8 @@ class TreeBuilder:
         node = Node(ELEMENT, "html", NS_HTML, {})
         self.doc.append(node)
         self.stack.append(node)
+        if self._idx is not None:
+            self._idx_note(node)
         self.mode = "before_head"
         self.reprocess(tok)
 
@@ -941,10 +1098,12 @@ class TreeBuilder:
                 return
             if name in _IN_HEAD_PASSTHROUGH:
                 self.err("unexpected-start-tag-out-of-my-head")
+                self._idx = None  # head object re-pushed: index invariant void
                 self.stack.append(self.head)
                 self.mode_in_head(tok)
                 if self.head in self.stack:
                     self.stack.remove(self.head)
+                    self._idx = None
                 return
             if name == "head":
                 self.err("unexpected-start-tag")
@@ -1134,6 +1293,7 @@ class TreeBuilder:
                     self.afe.remove(e)
                 if e in self.stack:
                     self.stack.remove(e)
+                    self._idx = None
                 break
         self.reconstruct_afe()
         node = self.insert_element(tok[1], tok[2])
@@ -1298,6 +1458,7 @@ class TreeBuilder:
                     self.err("end-tag-too-early-ignored")
                 if node in self.stack:
                     self.stack.remove(node)
+                    self._idx = None
             else:
                 if not self.in_scope("form"):
                     self.err("unexpected-end-tag")
