@@ -417,3 +417,77 @@ def test_in_scope_index_matches_scan_directed():
             tb._DEEP_STACK = saved
         assert serialize(r_idx.document) == serialize(r_scan.document), ctx
         assert r_idx.errors == r_scan.errors, ctx
+
+
+def test_hostile_shapes_not_quadratic():
+    """Every shape here was measured super-linear (3.4-4.5x at 2x input,
+    up to 57 s absolute) before the deep-stack index lanes landed in
+    reset_insertion_mode, _any_other_end_tag, reconstruct_afe, the
+    li/dd/dt loops, adoption agency, and the template/head/form/a
+    membership checks. All run ~0.1 s now; the alarm guards regression."""
+    import signal
+    from zhtml_ray.html.extract import extract_document
+
+    n = 12000
+    cases = [
+        "<div>" * n + "<table></table>" * (n // 6),       # reset_insertion_mode
+        "<div>" * n + "<table>" + "<b></b>" * (n // 6),   # foster + AA fast path
+        "<div>" * n + "<select><option>a</select>" * (n // 25),
+        "<div>" * n + "<nobr>x" * (n // 5),               # AA fmt position
+        "<div>" * n + "</template>" * n,                  # template membership
+        "<div>" * n + "<a><a>" * (n // 8),                # afe <a> removal
+        "<div>" * n + "<form></form>" * (n // 10),        # form template checks
+        "<div>" * n + "<li></li>" * (n // 8),             # li loop exemption
+        "<div>" * n + "<dd></dd>" * (n // 8),             # dd/dt loop
+        "<div>" * n + "<meta>" * (n // 8),                # head re-push
+        "<div>" * n + "<html a=b>" * (n // 8),            # _ibs_html template scan
+        "<span>" * n + "</b>" * n,                        # any-other-end-tag
+    ]
+
+    def alarm(sig, frame):
+        raise TimeoutError("hostile shape is super-linear again")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    try:
+        for doc in cases:
+            signal.alarm(20)
+            out = extract_document(doc.encode())
+            assert out["n_nodes"] >= 1
+            signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def test_deep_churn_index_matches_scan():
+    """Natural-depth (>_DEEP_STACK) stacks with AA / table / form /
+    head churn: default lanes (index active) must equal the pure scan
+    lanes (_DEEP_STACK disabled) tree- and error-exactly. This is the
+    permanent sample of the 60k+4k offline differential that validated
+    the index (0 mismatches); seeds are fixed for reproducibility."""
+    import random
+    from zhtml_ray.html import treebuilder as tb
+    from zhtml_ray.html.dom import serialize
+
+    openers = ["<div>", "<span>", "<section>", "<b>", "<i>", "<u>",
+               "<address>", "<center>", "<main>"]
+    churn = ["</b>", "</i>", "</span>", "</div>", "<a><a>", "<li></li>",
+             "<dd>", "<table></table>", "<form></form>", "</template>",
+             "<meta>", "<html a=1>", "<nobr>x<nobr>y", "x y", "<p>t</p>",
+             "<select><option>s</select>", "</li>", "<button>", "</form>",
+             "<template><td>q</template>", "<svg><g>", "</svg>", "<tr>",
+             "<table><tr><td>x</td></tr></table>", "<dt>", "</p>", "<hr>"]
+    rng = random.Random(20260818)
+    saved = tb._DEEP_STACK
+    for _ in range(200):
+        depth = rng.randint(50, 110)
+        doc = "".join(rng.choice(openers) for _ in range(depth))
+        doc += "".join(rng.choice(churn) for _ in range(rng.randint(5, 50)))
+        r1 = tb.parse(doc)
+        tb._DEEP_STACK = 10**9
+        try:
+            r2 = tb.parse(doc)
+        finally:
+            tb._DEEP_STACK = saved
+        assert serialize(r1.document) == serialize(r2.document), doc[:200]
+        assert r1.errors == r2.errors, doc[:200]

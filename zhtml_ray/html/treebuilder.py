@@ -191,6 +191,15 @@ _DEEP_STACK = 48
 
 # Index sentinel key tracking positions of spec-"special" elements.
 _SPECIAL_KEY = ("\x00special", "")
+# Same, minus the li/dd/dt loop-exception names (spec: "special"
+# category except address, div, p).
+_SPECIAL_LI_KEY = ("\x00special-li", "")
+_LI_EXEMPT = ("address", "div", "p")
+
+# Element names that decide reset_insertion_mode (spec 13.2.4.1).
+_MODE_NAMES = ("select", "td", "th", "tr", "tbody", "thead", "tfoot",
+               "caption", "colgroup", "table", "template", "head", "body",
+               "frameset", "html")
 
 
 class TreeBuilder:
@@ -446,12 +455,8 @@ class TreeBuilder:
 
     def _idx_build(self):
         idx = {}
-        for i, node in enumerate(self.stack):
-            key = (node.ns, node.name)
-            idx.setdefault(key, []).append((i, node))
-            if key in SPECIAL:
-                idx.setdefault(_SPECIAL_KEY, []).append((i, node))
         self._idx = idx
+        self._idx_renote(0)
         return idx
 
     def _idx_note(self, node):
@@ -463,6 +468,23 @@ class TreeBuilder:
         idx.setdefault(key, []).append((p, node))
         if key in SPECIAL:
             idx.setdefault(_SPECIAL_KEY, []).append((p, node))
+            if node.name not in _LI_EXEMPT:
+                idx.setdefault(_SPECIAL_LI_KEY, []).append((p, node))
+
+    def _idx_renote(self, start):
+        """Re-record every element from ``start`` to the top after a
+        mid-stack mutation shifted positions. Appends in ascending
+        position order, preserving the first-valid-from-tail-is-topmost
+        invariant; superseded entries die via the identity check."""
+        idx = self._idx
+        setd = idx.setdefault
+        for i, node in enumerate(self.stack[start:], start):
+            key = (node.ns, node.name)
+            setd(key, []).append((i, node))
+            if key in SPECIAL:
+                setd(_SPECIAL_KEY, []).append((i, node))
+                if node.name not in _LI_EXEMPT:
+                    setd(_SPECIAL_LI_KEY, []).append((i, node))
 
     def _idx_top(self, key):
         """Topmost current stack position for an index key — an
@@ -487,13 +509,15 @@ class TreeBuilder:
             lst.pop()
         return -1
 
-    def _idx_has(self, target):
-        """Whether ``target`` is currently on the stack (index-backed
-        membership for deep stacks). Dead entries found along the way
-        are deleted — they can never become valid again."""
+    def _idx_pos(self, target):
+        """Current stack position of the specific node ``target``, or
+        -1 (index-backed membership/index for deep stacks). Dead
+        entries found along the way are deleted — any path that puts a
+        node back on the stack records a fresh entry, so a dead entry
+        is never the only witness."""
         lst = self._idx.get((target.ns, target.name))
         if not lst:
-            return False
+            return -1
         stack = self.stack
         n = len(stack)
         i = len(lst) - 1
@@ -501,12 +525,25 @@ class TreeBuilder:
             p, node = lst[i]
             if p < n and stack[p] is node:
                 if node is target:
-                    return True
+                    return p
                 i -= 1
             else:
                 del lst[i]
                 i -= 1
-        return False
+        return -1
+
+    def _idx_has(self, target):
+        return self._idx_pos(target) != -1
+
+    def _has_open(self, name):
+        """Whether an html element ``name`` is anywhere on the stack
+        (index-backed when deep — the any(...) scan is quadratic under
+        end-tag spam on a hostile-depth stack)."""
+        if len(self.stack) >= _DEEP_STACK:
+            if self._idx is None:
+                self._idx_build()
+            return self._idx_top((NS_HTML, name)) != -1
+        return any(n.name == name and n.ns == NS_HTML for n in self.stack)
 
     def in_scope(self, name, scope=_SCOPE_BASE):
         stack = self.stack
@@ -662,7 +699,13 @@ class TreeBuilder:
             if fmt is None:
                 self._any_other_end_tag(name)
                 return
-            if fmt not in self.stack:
+            if len(self.stack) >= _DEEP_STACK:
+                if self._idx is None:
+                    self._idx_build()
+                fmt_si = self._idx_pos(fmt)
+            else:
+                fmt_si = self.stack.index(fmt) if fmt in self.stack else -1
+            if fmt_si < 0:
                 self.err("adoption-agency-1.2")
                 self.afe.remove(fmt)
                 return
@@ -671,7 +714,6 @@ class TreeBuilder:
                 return
             if fmt is not self.current():
                 self.err("adoption-agency-1.3")
-            fmt_si = self.stack.index(fmt)
             furthest = None
             for i in range(fmt_si + 1, len(self.stack)):
                 if self.is_special(self.stack[i]):
@@ -698,14 +740,16 @@ class TreeBuilder:
                     self.afe.remove(node)
                 if node not in self.afe:
                     del self.stack[node_si]
-                    self._idx = None
+                    if self._idx is not None:
+                        self._idx_renote(node_si)
                     if node_si < furthest_si:
                         furthest_si -= 1
                     continue
                 clone = Node(ELEMENT, node.name, node.ns, dict(node.attrs))
                 self.afe[self.afe.index(node)] = clone
                 self.stack[node_si] = clone
-                self._idx = None
+                if self._idx is not None:
+                    self._idx_renote(node_si)
                 node = clone
                 if last is furthest:
                     bookmark = self.afe.index(clone) + 1
@@ -731,9 +775,18 @@ class TreeBuilder:
                 if idx < bookmark:
                     bookmark -= 1
                 self.afe.insert(bookmark, clone)
-            self.stack.remove(fmt)
-            self.stack.insert(self.stack.index(furthest) + 1, clone)
-            self._idx = None
+            if self._idx is not None:
+                ri = self._idx_pos(fmt)
+                fi = self._idx_pos(furthest)
+                if ri < 0 or fi < 0:  # defensive; restructuring kept both live
+                    ri = self.stack.index(fmt)
+                    fi = self.stack.index(furthest)
+                del self.stack[ri]
+                self.stack.insert(fi if fi > ri else fi + 1, clone)
+                self._idx_renote(ri if ri < fi else fi)
+            else:
+                self.stack.remove(fmt)
+                self.stack.insert(self.stack.index(furthest) + 1, clone)
 
     def _any_other_end_tag(self, name):
         stack = self.stack
@@ -784,13 +837,31 @@ class TreeBuilder:
         self.mode = "text"
 
     def reset_insertion_mode(self):
-        for i in range(len(self.stack) - 1, -1, -1):
+        start = len(self.stack) - 1
+        if start + 1 >= _DEEP_STACK:
+            # Elements above the topmost mode-deciding name match no
+            # rule, so the walk may begin there — O(depth) per
+            # </table>-style reset made deep stacks quadratic.
+            if self._idx is None:
+                self._idx_build()
+            it = self._idx_top
+            start = 0
+            for nm in _MODE_NAMES:
+                q = it((NS_HTML, nm))
+                if q > start:
+                    start = q
+        for i in range(start, -1, -1):
             node = self.stack[i]
             last = i == 0
             if last and self.fragment_context is not None:
                 node = self.fragment_context  # fragment case (spec 13.2.4.1)
             name = node.name if node.ns == NS_HTML else None
             if name == "select":
+                if len(self.stack) >= _DEEP_STACK and self._idx is not None:
+                    t = self._idx_top((NS_HTML, "table"))
+                    tm = self._idx_top((NS_HTML, "template"))
+                    self.mode = "in_select_in_table" if t > tm else "in_select"
+                    return
                 mode = "in_select"
                 for j in range(i - 1, 0, -1):
                     anc = self.stack[j]
@@ -1008,8 +1079,7 @@ class TreeBuilder:
                 self.mode = "after_head"
                 return
             if name == "template":
-                if not any(n.name == "template" and n.ns == NS_HTML
-                           for n in self.stack):
+                if not self._has_open("template"):
                     self.err("unexpected-end-tag")
                     return
                 self.generate_implied_end(thorough=True)
@@ -1098,12 +1168,17 @@ class TreeBuilder:
                 return
             if name in _IN_HEAD_PASSTHROUGH:
                 self.err("unexpected-start-tag-out-of-my-head")
-                self._idx = None  # head object re-pushed: index invariant void
                 self.stack.append(self.head)
+                if self._idx is not None:
+                    self._idx_note(self.head)
                 self.mode_in_head(tok)
-                if self.head in self.stack:
+                if self._idx is not None:
+                    hp = self._idx_pos(self.head)
+                    if hp != -1:
+                        del self.stack[hp]
+                        self._idx_renote(hp)
+                elif self.head in self.stack:
                     self.stack.remove(self.head)
-                    self._idx = None
                 return
             if name == "head":
                 self.err("unexpected-start-tag")
@@ -1180,7 +1255,7 @@ class TreeBuilder:
 
     def _ibs_html(self, tok):
         self.err("non-html-root")
-        if any(n.name == "template" and n.ns == NS_HTML for n in self.stack):
+        if self._has_open("template"):
             return
         html = self.stack[0]
         for k, v in tok[2].items():
@@ -1192,8 +1267,7 @@ class TreeBuilder:
     def _ibs_body(self, tok):
         self.err("unexpected-start-tag")
         if len(self.stack) < 2 or self.stack[1].name != "body" or \
-                any(n.name == "template" and n.ns == NS_HTML
-                    for n in self.stack):
+                self._has_open("template"):
             return
         self.frameset_ok = False
         body = self.stack[1]
@@ -1230,41 +1304,67 @@ class TreeBuilder:
         self.frameset_ok = False
 
     def _ibs_form(self, tok):
-        if self.form is not None and not any(
-                n.name == "template" and n.ns == NS_HTML for n in self.stack):
+        if self.form is not None and not self._has_open("template"):
             self.err("unexpected-start-tag")
             return
         self.close_p()
         node = self.insert_element("form", tok[2])
-        if not any(n.name == "template" and n.ns == NS_HTML
-                   for n in self.stack):
+        if not self._has_open("template"):
             self.form = node
 
     def _ibs_li(self, tok):
         self.frameset_ok = False
-        for node in reversed(self.stack):
-            if node.ns == NS_HTML and node.name == "li":
+        if len(self.stack) >= _DEEP_STACK:
+            # address/div/p are exempt from the loop's special-element
+            # stop, so a deep div nest made every <li> walk the whole
+            # stack; compare topmost li vs topmost non-exempt special.
+            if self._idx is None:
+                self._idx_build()
+            m = self._idx_top((NS_HTML, "li"))
+            # >=: li is itself "special", and the scan checks the name
+            # match before the special-element stop.
+            if m != -1 and m >= self._idx_top(_SPECIAL_LI_KEY):
                 self.generate_implied_end(exclude="li")
                 if self.current().name != "li":
                     self.err("unexpected-open-elements-on-li-close")
                 self.pop_until("li")
-                break
-            if self.is_special(node) and node.name not in ("address", "div", "p"):
-                break
+        else:
+            for node in reversed(self.stack):
+                if node.ns == NS_HTML and node.name == "li":
+                    self.generate_implied_end(exclude="li")
+                    if self.current().name != "li":
+                        self.err("unexpected-open-elements-on-li-close")
+                    self.pop_until("li")
+                    break
+                if self.is_special(node) and node.name not in ("address", "div", "p"):
+                    break
         self.close_p()
         self.insert_element("li", tok[2])
 
     def _ibs_dd_dt(self, tok):
         self.frameset_ok = False
-        for node in reversed(self.stack):
-            if node.ns == NS_HTML and node.name in ("dd", "dt"):
+        if len(self.stack) >= _DEEP_STACK:
+            if self._idx is None:
+                self._idx_build()
+            m = max(self._idx_top((NS_HTML, "dd")),
+                    self._idx_top((NS_HTML, "dt")))
+            # >=: dd/dt are themselves "special" (name match wins).
+            if m != -1 and m >= self._idx_top(_SPECIAL_LI_KEY):
+                node = self.stack[m]
                 self.generate_implied_end(exclude=node.name)
                 if self.current() is not node:
                     self.err("unexpected-open-elements-on-dd-close")
                 self.pop_until(("dd", "dt"))
-                break
-            if self.is_special(node) and node.name not in ("address", "div", "p"):
-                break
+        else:
+            for node in reversed(self.stack):
+                if node.ns == NS_HTML and node.name in ("dd", "dt"):
+                    self.generate_implied_end(exclude=node.name)
+                    if self.current() is not node:
+                        self.err("unexpected-open-elements-on-dd-close")
+                    self.pop_until(("dd", "dt"))
+                    break
+                if self.is_special(node) and node.name not in ("address", "div", "p"):
+                    break
         self.close_p()
         self.insert_element(tok[1], tok[2])
 
@@ -1291,9 +1391,13 @@ class TreeBuilder:
                 self.adoption_agency("a")
                 if e in self.afe:
                     self.afe.remove(e)
-                if e in self.stack:
+                if self._idx is not None:
+                    ep = self._idx_pos(e)
+                    if ep != -1:
+                        del self.stack[ep]
+                        self._idx_renote(ep)
+                elif e in self.stack:
                     self.stack.remove(e)
-                    self._idx = None
                 break
         self.reconstruct_afe()
         node = self.insert_element(tok[1], tok[2])
@@ -1446,8 +1550,7 @@ class TreeBuilder:
             self.pop_until(name)
             return
         if name == "form":
-            if not any(n.name == "template" and n.ns == NS_HTML
-                       for n in self.stack):
+            if not self._has_open("template"):
                 node = self.form
                 self.form = None
                 if node is None or not self.in_scope("form"):
@@ -1456,9 +1559,13 @@ class TreeBuilder:
                 self.generate_implied_end()
                 if self.current() is not node:
                     self.err("end-tag-too-early-ignored")
-                if node in self.stack:
+                if self._idx is not None:
+                    np_ = self._idx_pos(node)
+                    if np_ != -1:
+                        del self.stack[np_]
+                        self._idx_renote(np_)
+                elif node in self.stack:
                     self.stack.remove(node)
-                    self._idx = None
             else:
                 if not self.in_scope("form"):
                     self.err("unexpected-end-tag")
@@ -1622,9 +1729,7 @@ class TreeBuilder:
                 return self._in_table_anything_else(tok)
             if name == "form":
                 self.err("unexpected-form-in-table")
-                if self.form is None and not any(
-                        n.name == "template" and n.ns == NS_HTML
-                        for n in self.stack):
+                if self.form is None and not self._has_open("template"):
                     self.form = self.insert_element(name, tok[2], push=False)
                 return
             return self._in_table_anything_else(tok)
@@ -2048,8 +2153,7 @@ class TreeBuilder:
             self.err("unexpected-end-tag")
             return
         # EOF
-        if not any(n.name == "template" and n.ns == NS_HTML
-                   for n in self.stack):
+        if not self._has_open("template"):
             self.done = True
             return
         self.err("eof-in-template")
