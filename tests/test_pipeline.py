@@ -117,3 +117,63 @@ def test_big_discount_orders_empty_qualifying_set(ray_session, tmp_path):
     out = q_big_discount_orders(str(tmp_path)).to_pandas()
     assert len(out) == 0
     assert list(out.columns) == ["o_orderkey", "o_totalprice"]
+
+
+def test_hostile_pages_in_pipeline_bounded_wall(ray_session, tmp_path):
+    """Adversarial crawl pages mixed into a normal shard must neither
+    stall an actor nor poison neighbors: every hostile shape here was
+    quadratic (up to 58 s for < 200 KB) before the deep-stack index
+    lanes, and none is a size outlier the skew router would isolate.
+    The whole 60-row run (hostile + fixture pages) must finish fast and
+    byte-match the serial kernel on every row."""
+    import signal
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from zhtml_ray.html.extract import extract_document
+    from zhtml_ray.pipelines.extract import extract_pages
+    from zhtml_ray.sources.pages import gen_pages_table
+
+    n = 12000
+    hostile = [
+        "<div>" * 30000 + "hello",
+        "<span>" * n + "</b>" * n,
+        "<div>" * n + "<form></form>" * (n // 10),
+        "<div>" * n + "</template>" * n,
+        "<div>" * n + "<table></table>" * (n // 6),
+        "<div>" * n + "<nobr>x" * (n // 5),
+        "<p>" + "<div>" * 30000 + "x",
+        "<div><b>" * (n // 2) + "</b>" * (n // 2),
+        "<div>" * n + "<li></li>" * (n // 8),
+        "<div>" * n + "<a><a>" * (n // 8),
+    ]
+    fixture = gen_pages_table(50, seed=7)
+    tbl = pa.table({
+        "url": pa.array([f"hostile://{i}" for i in range(len(hostile))]
+                        + fixture["url"].to_pylist()),
+        "html": pa.array([h.encode() for h in hostile]
+                         + [h if isinstance(h, bytes) else h.encode()
+                            for h in fixture["html"].to_pylist()]),
+        "lang": pa.array(["xx"] * len(hostile) + fixture["lang"].to_pylist()),
+    })
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(tbl, path)
+
+    def alarm(sig, frame):
+        raise TimeoutError("hostile page stalled the pipeline")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    try:
+        signal.alarm(120)  # generous vs the single 58 s page pre-fix
+        ds = extract_pages(rd.read_parquet(path), batch_size=8)
+        rows = ds.take_all()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+    assert len(rows) == tbl.num_rows
+    by_url = {r["url"]: r for r in rows}
+    for url, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        r = by_url[url]
+        assert r["ok"], f"{url}: {r['fail_reason']}"
+        assert r["extracted_text"] == extract_document(html)["extracted_text"]
