@@ -442,6 +442,9 @@ def test_hostile_shapes_not_quadratic():
         "<div>" * n + "<meta>" * (n // 8),                # head re-push
         "<div>" * n + "<html a=b>" * (n // 8),            # _ibs_html template scan
         "<span>" * n + "</b>" * n,                        # any-other-end-tag
+        "<div><table>" + "<b></b>" * n,                   # foster accumulation
+        "<div><table>" + "x<i></i>" * n,                  # foster text merge
+        "<b><div>" + "<span>s</span>" * n + "</b>",       # AA bulk child move
     ]
 
     def alarm(sig, frame):

@@ -53,8 +53,17 @@ class Node:
         self.children.append(child)
 
     def insert_before(self, child, ref):
+        # Tail scan: the dominant caller is foster parenting, whose ref
+        # (the table) stays at/near the end while fostered nodes pile
+        # up before it — a front scan made foster spam quadratic
+        # (measured 12 s / 280 KB).
         child.parent = self
-        self.children.insert(self.children.index(ref), child)
+        ch = self.children
+        for i in range(len(ch) - 1, -1, -1):
+            if ch[i] is ref:
+                ch.insert(i, child)
+                return
+        raise ValueError("insert_before: ref is not a child")
 
     def remove(self, child):
         self.children.remove(child)

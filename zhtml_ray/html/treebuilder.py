@@ -435,13 +435,21 @@ class TreeBuilder:
             node.parts = [data]
             parent.append(node)
         else:
-            idx = parent.children.index(before)
-            if idx > 0 and parent.children[idx - 1].kind == TEXT:
-                parent.children[idx - 1].parts.append(data)
+            # Tail scan (see Node.insert_before): foster text targets a
+            # table near the end of a growing child list.
+            ch = parent.children
+            for idx in range(len(ch) - 1, -1, -1):
+                if ch[idx] is before:
+                    break
+            else:
+                raise ValueError("insert_text: before is not a child")
+            if idx > 0 and ch[idx - 1].kind == TEXT:
+                ch[idx - 1].parts.append(data)
                 return
             node = Node(TEXT)
             node.parts = [data]
-            parent.insert_before(node, before)
+            node.parent = parent
+            ch.insert(idx, node)
 
     def insert_comment(self, data, parent=None):
         node = Node(COMMENT)
@@ -765,9 +773,12 @@ class TreeBuilder:
             else:
                 parent.insert_before(last, before)
             clone = Node(ELEMENT, fmt.name, fmt.ns, dict(fmt.attrs))
-            for ch in list(furthest.children):
-                furthest.remove(ch)
-                clone.append(ch)
+            # bulk move: per-child remove() is O(k^2) front memmoves
+            kids = furthest.children
+            clone.children = kids
+            for ch in kids:
+                ch.parent = clone
+            furthest.children = []
             furthest.append(clone)
             if fmt in self.afe:
                 idx = self.afe.index(fmt)
