@@ -445,6 +445,9 @@ def test_hostile_shapes_not_quadratic():
         "<div><table>" + "<b></b>" * n,                   # foster accumulation
         "<div><table>" + "x<i></i>" * n,                  # foster text merge
         "<b><div>" + "<span>s</span>" * n + "</b>",       # AA bulk child move
+        "".join(f"<b a={i}>" for i in range(n)) + "x",    # Noah's Ark scan
+        "".join(f"<i b={i}>" for i in range(n)) + "</i>" * n,  # afe removal
+        "".join(f"<b a={i}>" for i in range(n // 2)) + "<b a=0>" * n,
     ]
 
     def alarm(sig, frame):
@@ -494,3 +497,46 @@ def test_deep_churn_index_matches_scan():
             tb._DEEP_STACK = saved
         assert serialize(r1.document) == serialize(r2.document), doc[:200]
         assert r1.errors == r2.errors, doc[:200]
+
+
+def test_afe_list_matches_plain_scan():
+    """Differential guard for the _AfeList structure (id-set membership
+    + marker-scoped Noah's Ark key lists): parses must equal a
+    reference builder using a plain list and the original backward-scan
+    push_afe. Sample of the 40k offline run (0 mismatches)."""
+    import random
+    from zhtml_ray.html import treebuilder as tb
+    from zhtml_ray.html.dom import serialize
+
+    class OldAfeBuilder(tb.TreeBuilder):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.afe = []
+
+        def push_afe(self, node):
+            count = 0
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is None:
+                    break
+                if (e.name == node.name and e.ns == node.ns
+                        and e.attrs == node.attrs):
+                    count += 1
+                    if count == 3:
+                        self.afe.pop(i)
+                        break
+            self.afe.append(node)
+
+    pieces = ["<b>", "</b>", "<i>", "</i>", "<a h=1>", "<a h=2>", "</a>",
+              "<b a=1>", "<b a=2>", "<nobr>", "</nobr>", "<table>",
+              "</table>", "<td>", "<caption>", "</caption>", "<applet>",
+              "</applet>", "<template>", "</template>", "x", "<p>", "</p>",
+              "<div>", "</div>", "<font f=1>", "<s>", "</s>", "<em>",
+              "</em>", "<big>", "</big>", "<marquee>", "</marquee>"]
+    rng = random.Random(777)
+    for _ in range(400):
+        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 60)))
+        r1 = tb.parse(doc)
+        r2 = OldAfeBuilder().parse(doc)
+        assert serialize(r1.document) == serialize(r2.document), doc
+        assert r1.errors == r2.errors, doc

@@ -202,6 +202,102 @@ _MODE_NAMES = ("select", "td", "th", "tr", "tbody", "thead", "tfoot",
                "frameset", "html")
 
 
+def _afe_key(e):
+    a = e.attrs
+    return (e.ns, e.name, tuple(sorted(a.items())) if a else ())
+
+
+class _AfeList(list):
+    """Active-formatting-elements list with O(1) membership (id set)
+    and marker-scoped per-key entry lists, so push_afe's Noah's Ark
+    check needs no backward scan over the whole list — 20k formatting
+    elements with distinct attributes made the scan quadratic (19 s for
+    280 KB), and AA's `cur in afe` membership likewise. Key lists are
+    kept in afe order (mid-list AA inserts re-sort the <=4 same-key
+    entries via C-speed index), so Noah eviction of the earliest
+    identical entry stays spec-exact. Markers (None) delimit scopes."""
+    __slots__ = ("_ids", "_noah")
+
+    def __init__(self):
+        super().__init__()
+        self._ids = set()
+        self._noah = [{}]
+
+    def __contains__(self, e):
+        return id(e) in self._ids
+
+    def append(self, e):
+        list.append(self, e)
+        if e is None:
+            self._noah.append({})
+        else:
+            self._ids.add(id(e))
+            self._noah[-1].setdefault(_afe_key(e), []).append(e)
+
+    def pop(self, index=-1):
+        e = list.pop(self, index)
+        if e is None:
+            self._noah.pop()
+            if not self._noah:
+                self._noah.append({})
+        else:
+            self._ids.discard(id(e))
+            self._drop_key(e)
+        return e
+
+    def remove(self, e):
+        # Tail scan: AA's fmt and Noah evictions sit at/near the end in
+        # the shapes that matter (a front list.remove made </i> spam on
+        # a 20k-entry afe quadratic).
+        for i in range(len(self) - 1, -1, -1):
+            if list.__getitem__(self, i) is e:
+                list.__delitem__(self, i)
+                break
+        else:
+            raise ValueError("afe.remove: entry not present")
+        self._ids.discard(id(e))
+        self._drop_key(e)
+
+    def insert(self, index, e):
+        list.insert(self, index, e)
+        self._ids.add(id(e))
+        lst = self._noah[-1].setdefault(_afe_key(e), [])
+        lst.append(e)
+        if len(lst) > 1:
+            lst.sort(key=self.index)  # restore afe order (<=4 entries)
+
+    def __setitem__(self, index, new):
+        old = list.__getitem__(self, index)
+        list.__setitem__(self, index, new)
+        self._ids.discard(id(old))
+        self._ids.add(id(new))
+        key = _afe_key(old)
+        for g in reversed(self._noah):
+            lst = g.get(key)
+            if lst:
+                for i, x in enumerate(lst):
+                    if x is old:
+                        if _afe_key(new) == key:
+                            lst[i] = new  # clone replacement, same key
+                        else:
+                            del lst[i]
+                            self._noah[-1].setdefault(
+                                _afe_key(new), []).append(new)
+                        return
+        # old was untracked (defensive): still track the new entry
+        self._noah[-1].setdefault(_afe_key(new), []).append(new)
+
+    def _drop_key(self, e):
+        key = _afe_key(e)
+        for g in reversed(self._noah):
+            lst = g.get(key)
+            if lst:
+                for i, x in enumerate(lst):
+                    if x is e:
+                        del lst[i]
+                        return
+
+
 class TreeBuilder:
     def __init__(self, collect_errors: bool = True):
         self.collect_errors = collect_errors
@@ -222,7 +318,7 @@ class TreeBuilder:
         # only while it exists; the rare mid-stack mutations (adoption
         # agency, head re-push, form/a removal) reset it to None.
         self._idx: dict | None = None
-        self.afe: list[Node | None] = []  # None = marker
+        self.afe: _AfeList = _AfeList()  # None = marker
         self.head: Node | None = None
         self.form: Node | None = None
         self.frameset_ok = True
@@ -629,18 +725,13 @@ class TreeBuilder:
     # ------------------------------------------------ active formatting
 
     def push_afe(self, node):
-        # Noah's Ark: max 3 identical entries since last marker
-        count = 0
-        for i in range(len(self.afe) - 1, -1, -1):
-            e = self.afe[i]
-            if e is None:
-                break
-            if e.name == node.name and e.ns == node.ns and e.attrs == node.attrs:
-                count += 1
-                if count == 3:
-                    self.afe.pop(i)
-                    break
-        self.afe.append(node)
+        # Noah's Ark: max 3 identical entries since last marker — the
+        # scoped key lists make this O(1) instead of a backward scan
+        afe = self.afe
+        lst = afe._noah[-1].get(_afe_key(node))
+        if lst and len(lst) >= 3:
+            afe.remove(lst[0])  # earliest identical, afe order
+        afe.append(node)
 
     def reconstruct_afe(self):
         afe = self.afe
