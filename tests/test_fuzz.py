@@ -448,6 +448,10 @@ def test_hostile_shapes_not_quadratic():
         "".join(f"<b a={i}>" for i in range(n)) + "x",    # Noah's Ark scan
         "".join(f"<i b={i}>" for i in range(n)) + "</i>" * n,  # afe removal
         "".join(f"<b a={i}>" for i in range(n // 2)) + "<b a=0>" * n,
+        "<a>" + "<div>" * n + "</a>" * (n // 8),          # fmt deep below
+        "".join(f"<b a={i}>" for i in range(n // 4)) + "<div>" * n
+        + "</b>" * (n // 4),
+        "<a>" + "<em>" * (n // 2) + "<div>" * n + "</a>", # AA deferred dels
     ]
 
     def alarm(sig, frame):
@@ -534,9 +538,16 @@ def test_afe_list_matches_plain_scan():
               "<div>", "</div>", "<font f=1>", "<s>", "</s>", "<em>",
               "</em>", "<big>", "</big>", "<marquee>", "</marquee>"]
     rng = random.Random(777)
-    for _ in range(400):
-        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 60)))
-        r1 = tb.parse(doc)
-        r2 = OldAfeBuilder().parse(doc)
-        assert serialize(r1.document) == serialize(r2.document), doc
-        assert r1.errors == r2.errors, doc
+    saved = tb._AFE_DEEP
+    try:
+        for it in range(400):
+            doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 60)))
+            # alternate: default hybrid threshold / forced _AfeList
+            tb._AFE_DEEP = saved if it % 2 == 0 else 1
+            r1 = tb.parse(doc)
+            tb._AFE_DEEP = saved
+            r2 = OldAfeBuilder().parse(doc)
+            assert serialize(r1.document) == serialize(r2.document), doc
+            assert r1.errors == r2.errors, doc
+    finally:
+        tb._AFE_DEEP = saved

@@ -41,6 +41,12 @@ SHAPES = {
     "select_reset":   lambda n: "<div>" * n + "<select><option>a</select>" * (n // 25),
     "caption_spam":   lambda n: "<div>" * n + "</caption>" * n,
     "pop_churn":      lambda n: "<div>" * n + "</div><p></p>" * (n // 6),
+    # fmt element DEEP BELOW the tall stack (review-found regression:
+    # per-iteration AA renotes made these super-quadratic)
+    "a_fmt_deep":     lambda n: "<a>" + "<div>" * n + "</a>" * (n // 8),
+    "b_fmt_deep":     lambda n: ("".join(f"<b a={i}>" for i in range(n // 4))
+                                 + "<div>" * n + "</b>" * (n // 4)),
+    "em_del_suffix":  lambda n: "<a>" + "<em>" * (n // 2) + "<div>" * n + "</a>",
 }
 
 

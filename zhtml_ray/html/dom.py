@@ -33,7 +33,8 @@ QUIRKS_YES = 2
 
 
 class Node:
-    __slots__ = ("kind", "name", "ns", "attrs", "parts", "parent", "children")
+    __slots__ = ("kind", "name", "ns", "attrs", "parts", "parent", "children",
+                 "_ie")
 
     def __init__(self, kind, name=None, ns=NS_HTML, attrs=None):
         self.kind = kind
@@ -43,6 +44,7 @@ class Node:
         self.parts = None  # text/comment content as list-of-str (O(1) append)
         self.parent = None
         self.children = []
+        self._ie = None  # newest open-elements index entry [pos, self]
 
     @property
     def text(self):

@@ -189,6 +189,11 @@ class ParseResult:
 # 150 KB of input, vs ~0.1 s indexed).
 _DEEP_STACK = 48
 
+# Active-formatting-elements size at which push_afe upgrades the plain
+# list to the indexed _AfeList (normal pages stay well under this, so
+# they keep C-speed list ops and the original Noah's Ark scan).
+_AFE_DEEP = 24
+
 # Index sentinel key tracking positions of spec-"special" elements.
 _SPECIAL_KEY = ("\x00special", "")
 # Same, minus the li/dd/dt loop-exception names (spec: "special"
@@ -200,6 +205,16 @@ _LI_EXEMPT = ("address", "div", "p")
 _MODE_NAMES = ("select", "td", "th", "tr", "tbody", "thead", "tfoot",
                "caption", "colgroup", "table", "template", "head", "body",
                "frameset", "html")
+
+
+def _afe_index_of(afe, e):
+    """Tail-scan index over either afe representation (adoption
+    agency's fmt/node/clone sit at or near the end; list.index's front
+    scan made a 2k-entry afe quadratic under end-tag spam)."""
+    for i in range(len(afe) - 1, -1, -1):
+        if list.__getitem__(afe, i) is e:
+            return i
+    raise ValueError("_afe_index_of: entry not present")
 
 
 def _afe_key(e):
@@ -280,9 +295,10 @@ class _AfeList(list):
                         if _afe_key(new) == key:
                             lst[i] = new  # clone replacement, same key
                         else:
+                            # file into the scope where old lived, not
+                            # blindly the last one
                             del lst[i]
-                            self._noah[-1].setdefault(
-                                _afe_key(new), []).append(new)
+                            g.setdefault(_afe_key(new), []).append(new)
                         return
         # old was untracked (defensive): still track the new entry
         self._noah[-1].setdefault(_afe_key(new), []).append(new)
@@ -311,14 +327,16 @@ class TreeBuilder:
         self.original_mode = None
         self.stack: list[Node] = []
         # Lazy open-elements position index (hostile-depth defense).
-        # None until the first in_scope query on a >=_DEEP_STACK stack;
-        # then maps (ns, name) -> [(pos, node), ...] in push order.
-        # Entries self-validate against the live stack (stack[pos] is
-        # node), so pops need no bookkeeping; push sites feed the index
-        # only while it exists; the rare mid-stack mutations (adoption
-        # agency, head re-push, form/a removal) reset it to None.
+        # None until the first deep query on a >=_DEEP_STACK stack;
+        # then maps (ns, name) -> [[pos, node], ...], tail-ordered by
+        # position among VALID entries. Entries self-validate against
+        # the live stack (stack[pos] is node), so pops need no
+        # bookkeeping; push sites feed the index only while it exists;
+        # mid-stack mutations repair it in place — suffix re-notes for
+        # slice rewrites, backref position updates + ordered notes for
+        # the bounded adoption-agency windows (never reset to None).
         self._idx: dict | None = None
-        self.afe: _AfeList = _AfeList()  # None = marker
+        self.afe: list = []  # None = marker; upgraded to _AfeList when big
         self.head: Node | None = None
         self.form: Node | None = None
         self.frameset_ok = True
@@ -565,15 +583,19 @@ class TreeBuilder:
 
     def _idx_note(self, node):
         """Record a fresh push while the index is live (rare sites; the
-        hot insert_element site calls this behind an inline None test)."""
+        hot insert_element site calls this behind an inline None test).
+        Entries are mutable [pos, node] lists shared between the key
+        list and the special sentinel lists; node._ie backrefs the
+        newest entry so mid-stack shifts can update positions in O(1)."""
         idx = self._idx
-        p = len(self.stack) - 1
+        e = [len(self.stack) - 1, node]
+        node._ie = e
         key = (node.ns, node.name)
-        idx.setdefault(key, []).append((p, node))
+        idx.setdefault(key, []).append(e)
         if key in SPECIAL:
-            idx.setdefault(_SPECIAL_KEY, []).append((p, node))
+            idx.setdefault(_SPECIAL_KEY, []).append(e)
             if node.name not in _LI_EXEMPT:
-                idx.setdefault(_SPECIAL_LI_KEY, []).append((p, node))
+                idx.setdefault(_SPECIAL_LI_KEY, []).append(e)
 
     def _idx_renote(self, start):
         """Re-record every element from ``start`` to the top after a
@@ -583,12 +605,44 @@ class TreeBuilder:
         idx = self._idx
         setd = idx.setdefault
         for i, node in enumerate(self.stack[start:], start):
+            e = [i, node]
+            node._ie = e
             key = (node.ns, node.name)
-            setd(key, []).append((i, node))
+            setd(key, []).append(e)
             if key in SPECIAL:
-                setd(_SPECIAL_KEY, []).append((i, node))
+                setd(_SPECIAL_KEY, []).append(e)
                 if node.name not in _LI_EXEMPT:
-                    setd(_SPECIAL_LI_KEY, []).append((i, node))
+                    setd(_SPECIAL_LI_KEY, []).append(e)
+
+    def _idx_note_ordered(self, pos, node):
+        """Record one entry at an arbitrary position, inserting into
+        each key list at the position-ordered spot (pruning dead tail
+        entries along the way) so the first-valid-from-tail-is-topmost
+        invariant survives mid-stack windows."""
+        e = [pos, node]
+        node._ie = e
+        key = (node.ns, node.name)
+        keys = [key]
+        if key in SPECIAL:
+            keys.append(_SPECIAL_KEY)
+            if node.name not in _LI_EXEMPT:
+                keys.append(_SPECIAL_LI_KEY)
+        idx = self._idx
+        stack = self.stack
+        n = len(stack)
+        for k in keys:
+            lst = idx.setdefault(k, [])
+            i = len(lst)
+            while i > 0:
+                p, nd = lst[i - 1]
+                if p < n and stack[p] is nd:
+                    if p < pos:
+                        break
+                    i -= 1          # valid higher entry: step left
+                else:
+                    del lst[i - 1]  # dead: prune
+                    i -= 1
+            lst.insert(i, e)
 
     def _idx_top(self, key):
         """Topmost current stack position for an index key — an
@@ -619,6 +673,12 @@ class TreeBuilder:
         entries found along the way are deleted — any path that puts a
         node back on the stack records a fresh entry, so a dead entry
         is never the only witness."""
+        e = target._ie
+        if e is not None and e[1] is target:
+            p = e[0]
+            stack = self.stack
+            if p < len(stack) and stack[p] is target:
+                return p  # O(1): live backref (the common case)
         lst = self._idx.get((target.ns, target.name))
         if not lst:
             return -1
@@ -725,9 +785,31 @@ class TreeBuilder:
     # ------------------------------------------------ active formatting
 
     def push_afe(self, node):
-        # Noah's Ark: max 3 identical entries since last marker — the
-        # scoped key lists make this O(1) instead of a backward scan
+        # Noah's Ark: max 3 identical entries since last marker. Small
+        # afe (every real page) keeps the plain list + backward scan —
+        # the indexed _AfeList costs ~10% on fixture pages if always
+        # on; hostile sizes upgrade once and get O(1) membership plus
+        # scoped key lists instead of a quadratic scan.
         afe = self.afe
+        if afe.__class__ is list:
+            if len(afe) < _AFE_DEEP:
+                count = 0
+                for i in range(len(afe) - 1, -1, -1):
+                    e = afe[i]
+                    if e is None:
+                        break
+                    if (e.name == node.name and e.ns == node.ns
+                            and e.attrs == node.attrs):
+                        count += 1
+                        if count == 3:
+                            afe.pop(i)
+                            break
+                afe.append(node)
+                return
+            upgraded = _AfeList()
+            for e in afe:
+                upgraded.append(e)
+            self.afe = afe = upgraded
         lst = afe._noah[-1].get(_afe_key(node))
         if lst and len(lst) >= 3:
             afe.remove(lst[0])  # earliest identical, afe order
@@ -824,11 +906,17 @@ class TreeBuilder:
                 self.afe.remove(fmt)
                 return
             common = self.stack[fmt_si - 1]
-            bookmark = self.afe.index(fmt)
+            bookmark = _afe_index_of(self.afe, fmt)
             node = furthest
             node_si = furthest_si
             last = furthest
             inner = 0
+            pending_del = None
+            # Dels are DEFERRED and applied as one slice pass below:
+            # walking the unmutated stack visits the same node sequence
+            # (each live del shifted indices by exactly the removed
+            # slot), while a per-del suffix renote was measured
+            # super-quadratic on fmt-deep formatting spam.
             while True:
                 inner += 1
                 node_si -= 1
@@ -838,24 +926,31 @@ class TreeBuilder:
                 if inner > 3 and node in self.afe:
                     self.afe.remove(node)
                 if node not in self.afe:
-                    del self.stack[node_si]
-                    if self._idx is not None:
-                        self._idx_renote(node_si)
-                    if node_si < furthest_si:
-                        furthest_si -= 1
+                    if pending_del is None:
+                        pending_del = {node_si}
+                    else:
+                        pending_del.add(node_si)
                     continue
                 clone = Node(ELEMENT, node.name, node.ns, dict(node.attrs))
-                self.afe[self.afe.index(node)] = clone
+                self.afe[_afe_index_of(self.afe, node)] = clone
                 self.stack[node_si] = clone
                 if self._idx is not None:
-                    self._idx_renote(node_si)
+                    # position-preserving replacement: one ordered note
+                    self._idx_note_ordered(node_si, clone)
                 node = clone
                 if last is furthest:
-                    bookmark = self.afe.index(clone) + 1
+                    bookmark = _afe_index_of(self.afe, clone) + 1
                 if last.parent is not None:
                     last.parent.remove(last)
                 node.append(last)
                 last = node
+            if pending_del:
+                lo = min(pending_del)
+                s = self.stack
+                s[lo:] = [s[j] for j in range(lo, len(s))
+                          if j not in pending_del]
+                if self._idx is not None:
+                    self._idx_renote(lo)
             if last.parent is not None:
                 last.parent.remove(last)
             parent, before = self.appropriate_place(override=common)
@@ -872,7 +967,7 @@ class TreeBuilder:
             furthest.children = []
             furthest.append(clone)
             if fmt in self.afe:
-                idx = self.afe.index(fmt)
+                idx = _afe_index_of(self.afe, fmt)
                 self.afe.remove(fmt)
                 if idx < bookmark:
                     bookmark -= 1
@@ -883,9 +978,27 @@ class TreeBuilder:
                 if ri < 0 or fi < 0:  # defensive; restructuring kept both live
                     ri = self.stack.index(fmt)
                     fi = self.stack.index(furthest)
+                ipos = fi if fi > ri else fi + 1
                 del self.stack[ri]
-                self.stack.insert(fi if fi > ri else fi + 1, clone)
-                self._idx_renote(ri if ri < fi else fi)
+                self.stack.insert(ipos, clone)
+                # Only positions [lo, hi] changed (everything above the
+                # insert point is net-unshifted), so fix the window in
+                # place instead of renoting the whole suffix: shifted
+                # nodes update their live entry via the node backref
+                # (contiguous -1 shift preserves key-list order), and
+                # the clone gets one ordered note.
+                lo, hi = (ri, ipos) if ri <= ipos else (ipos, ri)
+                stack = self.stack
+                for p2 in range(lo, hi + 1):
+                    nd = stack[p2]
+                    if nd is clone:
+                        self._idx_note_ordered(p2, clone)
+                        continue
+                    e = nd._ie
+                    if e is not None and e[1] is nd and e[0] == p2 + 1:
+                        e[0] = p2
+                    else:
+                        self._idx_note_ordered(p2, nd)
             else:
                 self.stack.remove(fmt)
                 self.stack.insert(self.stack.index(furthest) + 1, clone)
