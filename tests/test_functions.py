@@ -595,3 +595,39 @@ def test_sorted_lookup_join_empty_sides(ray_session):
     left = sorted_lookup_join(rd.from_arrow(big2), rd.from_arrow(lk2),
                               "k", ["p"], how="left").to_pandas()
     assert len(left) == 2 and left["p"].isna().all()
+
+
+def test_paragraph_dedup_planted(ray_session, tmp_path):
+    """Planted duplicate 20-word windows: first occurrence (min
+    (doc_id, pid)) wins corpus-wide, survivors reassemble in pid
+    order, and a fully-duplicated doc disappears from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.ops_queries import q_paragraph_dedup
+
+    w = lambda tag: " ".join(f"{tag}{i}" for i in range(20))  # one window
+    docs = [
+        (0, " ".join([w("a"), w("b"), w("c")])),       # all unique
+        (1, " ".join([w("b"), w("d")])),               # b dup of doc0
+        (2, w("a")),                                   # fully duplicated
+        (3, " ".join([w("e"), w("a"), w("f")])),       # middle dup
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    res = q_paragraph_dedup(str(tmp_path))
+    got = {r["doc_id"]: r for r in
+           (res.to_pandas() if hasattr(res, "to_pandas") else res)
+           .to_dict("records")}
+    assert got[0]["clean_text"] == " ".join([w("a"), w("b"), w("c")])
+    assert got[0]["n_paras_kept"] == 3
+    assert got[1]["clean_text"] == w("d")          # b removed
+    assert got[1]["n_paras_kept"] == 1
+    assert 2 not in got                            # fully deduped away
+    assert got[3]["clean_text"] == " ".join([w("e"), w("f")])
+    assert got[3]["n_paras_kept"] == 2

@@ -268,6 +268,151 @@ JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text) w
 """
 
 
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style paragraph-level cross-corpus dedup (the operator class
+    the doc-level pipelines lack: explode -> corpus-wide winner ->
+    order-preserving reassembly). Documents split into deterministic
+    20-word windows ("paragraphs"); each distinct paragraph survives
+    only at its first occurrence corpus-wide (min (doc_id, pid));
+    surviving paragraphs reassemble in order per doc.
+
+    Scale shape: the explode is fully vectorized (split_pattern ->
+    re-chunked ListArray -> binary_join, no per-row Python); only
+    (sha1, rank) travels through the winner shuffle (sort-based
+    grouped-first, the house primitive); reassembly is ONE range sort
+    + block-local run joins with the bounded edge pass
+    (sorted_bucket_apply). Nothing materializes on the driver. Engine
+    groups by sha1(para) while the SQL oracle groups by the paragraph
+    text itself — equivalent modulo SHA-1 collisions (same precedent
+    as corpus_prep/exact_dedup)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_first_per_group)
+    from zhtml_ray.stages.util import drop_empty_blocks, sized_partitions
+
+    K = 20
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int64()),
+                          "para": pa.array([], pa.string()),
+                          "phash": pa.array([], pa.string()),
+                          "rank": pa.array([], pa.int64())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        words = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-doc window starts; consecutive chunks are contiguous in
+        # the flat values (doc i ends where doc i+1 begins), so the
+        # concatenated starts + total length form valid list offsets
+        starts = [np.arange(offs[i], offs[i + 1], K) for i in range(n)]
+        counts = np.array([len(s) for s in starts], np.int64)
+        if counts.sum() == 0:
+            return empty
+        cstarts = np.concatenate(starts)
+        offsets = pa.array(np.r_[cstarts, offs[-1]], pa.int32())
+        chunked = pa.ListArray.from_arrays(offsets, words.values)
+        para = pc.binary_join(chunked, " ")
+        doc_ids = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), counts)
+        total = int(counts.sum())
+        pid = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(counts)[:-1]], counts)
+        phash = [hashlib.sha1(s.encode("utf-8")).hexdigest()
+                 for s in para.to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "pid": pa.array(pid, pa.int64()),
+            "para": para,
+            "phash": pa.array(phash, pa.string()),
+            "rank": pa.array(doc_ids * 1_000_000 + pid, pa.int64()),
+        })
+
+    paras = drop_empty_blocks(
+        ds.map_batches(explode, batch_format="pyarrow")).materialize()
+    total = paras.count()
+    out_schema = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "clean_text": pa.array([], pa.string()),
+                           "n_paras_kept": pa.array([], pa.int64())})
+    if total == 0:
+        return out_schema
+    winners = sorted_first_per_group(
+        paras.select_columns(["phash", "rank"]), ["phash"], ["rank"])
+    kept = paras.join(winners, "inner",
+                      num_partitions=sized_partitions(total),
+                      on=("phash", "rank"))
+
+    def interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        s = starts[mask]
+        e = ends[mask]
+        if len(s) == 0:
+            return out_schema
+        para = b["para"].combine_chunks()
+        # paragraphs of one doc are contiguous after the sort; join
+        # each run into its clean text (order within run = pid order)
+        offsets = pa.array(np.r_[s, 0][:-1], pa.int32())             if False else None
+        # build per-run list offsets over a TAKEN contiguous values
+        # array (runs may be non-adjacent after masking)
+        idx = np.concatenate([np.arange(a, z) for a, z in zip(s, e)])
+        vals = para.take(pa.array(idx, pa.int64()))
+        lens = (e - s).astype(np.int64)
+        loffs = pa.array(np.r_[0, np.cumsum(lens)], pa.int32())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(loffs, vals), " ")
+        heads = b["doc_id"].combine_chunks().take(
+            pa.array(s, pa.int64()))
+        return pa.table({"doc_id": heads, "clean_text": joined,
+                         "n_paras_kept": pa.array(lens, pa.int64())})
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("pid", "ascending")])
+        g = g.take(order)
+        txt = " ".join(g["para"].to_pylist())
+        return pa.table({
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+            "clean_text": pa.array([txt], pa.string()),
+            "n_paras_kept": pa.array([g.num_rows], pa.int64())})
+
+    return sorted_bucket_apply(
+        kept.select_columns(["doc_id", "pid", "para"]),
+        "doc_id", ["doc_id", "pid"], interior, edge, out_schema)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wi AS (
+  SELECT doc_id,
+         unnest(w) AS word,
+         unnest(generate_series(1, len(w))) AS i
+  FROM ws
+), paras AS (
+  SELECT doc_id,
+         CAST(floor((i - 1) / 20) AS BIGINT) AS pid,
+         string_agg(word, ' ' ORDER BY i) AS para
+  FROM wi GROUP BY doc_id, CAST(floor((i - 1) / 20) AS BIGINT)
+), kept AS (
+  SELECT doc_id, pid, para FROM (
+    SELECT doc_id, pid, para,
+           row_number() OVER (PARTITION BY para
+                              ORDER BY doc_id, pid) AS rn
+    FROM paras) WHERE rn = 1
+)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY pid) AS clean_text,
+       count(*) AS n_paras_kept
+FROM kept GROUP BY doc_id
+"""
+
+
 # -------------------------------------------------- corpus statistics
 
 def _sql_words(src: str = "documents") -> str:
@@ -825,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
         "corpus_prep": q_corpus_prep,
+        "paragraph_dedup": q_paragraph_dedup,
         "rep_signals": q_rep_signals,
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
@@ -864,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "qa_sample": SQL_QA_SAMPLE,
         "rep_signals": _sql_rep_signals(),
         "dup_ngrams": _sql_dup_ngrams(),
