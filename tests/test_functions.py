@@ -631,3 +631,23 @@ def test_paragraph_dedup_planted(ray_session, tmp_path):
     assert 2 not in got                            # fully deduped away
     assert got[3]["clean_text"] == " ".join([w("e"), w("f")])
     assert got[3]["n_paras_kept"] == 2
+
+
+def test_sorted_head_n_per_group(ray_session):
+    """head-n primitive: min-n-by per group across block boundaries."""
+    import pyarrow as pa
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_head_n_per_group
+
+    rows = [{"g": f"g{i % 7}", "v": (i * 37) % 101, "id": i}
+            for i in range(500)]
+    ds = rd.from_items(rows).repartition(11)
+    got = sorted_head_n_per_group(ds, ["g"], ["v", "id"], 3).take_all()
+    import collections
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r["g"]].append((r["v"], r["id"]))
+    for g, vals in by_g.items():
+        want = sorted(vals)[:3]
+        have = sorted((r["v"], r["id"]) for r in got if r["g"] == g)
+        assert have == want, g

@@ -413,6 +413,103 @@ FROM kept GROUP BY doc_id
 """
 
 
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Data-mixture accounting per (source, lang): document count,
+    token sum, char sum, and corpus share — the table a sampling-
+    weights step consumes. Per-batch partial aggregation (text never
+    leaves the map stage) into a tiny final groupby; share computed on
+    the <=100-row result."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.functions.textstats import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b).append_column(
+            "n_chars", pc.utf8_length(b["text"]).cast(pa.int64()))
+        return t.group_by(["source", "lang"]).aggregate(
+            [("doc_id", "count"), ("n_tokens", "sum"), ("n_chars", "sum")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # partials are bounded by (sources x langs) x blocks — a tiny,
+    # block-count-bounded collect, not a data-sized one
+    tbl = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")
+         if b.num_rows],
+        promote_options="default")
+    out = tbl.group_by(["source", "lang"]).aggregate(
+        [("doc_id_count", "sum"), ("n_tokens_sum", "sum"),
+         ("n_chars_sum", "sum")])
+    total = pc.sum(out["n_tokens_sum_sum"]).as_py() or 0
+    share = pc.round(pc.divide(
+        pc.cast(out["n_tokens_sum_sum"], pa.float64()),
+        float(total) if total else 1.0), ndigits=6)
+    return pa.table({
+        "source": out["source"], "lang": out["lang"],
+        "n_docs": out["doc_id_count_sum"],
+        "n_tokens": out["n_tokens_sum_sum"],
+        "n_chars": out["n_chars_sum_sum"],
+        "token_share": share,
+    })
+
+
+SQL_CORPUS_MIXTURE = """
+WITH t AS (
+  SELECT doc_id, source, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens,
+       sum(n_chars) AS n_chars,
+       round(sum(n_tokens) / (SELECT CAST(sum(n_tokens) AS DOUBLE)
+                              FROM t), 6) AS token_share
+FROM t GROUP BY source, lang
+"""
+
+
+def q_source_cap_sample(sf_dir: str, cap: int = 12):
+    """Per-source document cap (crawl-pipeline domain throttling):
+    keep at most ``cap`` docs per source, chosen by a deterministic
+    Knuth multiplicative hash of doc_id (corpus-stable, no RNG state).
+    Uses the sorted head-n-per-group primitive — one range shuffle,
+    block-local run slices, <=2n boundary rows per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.stages.sortagg import sorted_head_n_per_group
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(
+                pc.cast(b["doc_id"], pa.uint64()),
+                pa.scalar(2654435761, pa.uint64())),
+            pa.scalar(0xFFFFFFFF, pa.uint64()))
+        return b.append_column("h", pc.cast(h, pa.int64()))
+
+    capped = sorted_head_n_per_group(
+        ds.map_batches(hashed, batch_format="pyarrow"),
+        ["source"], ["h", "doc_id"], cap)
+    return capped.select_columns(["doc_id", "source"])
+
+
+SQL_SOURCE_CAP_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) WHERE rn <= 12
+"""
+
+
 # -------------------------------------------------- corpus statistics
 
 def _sql_words(src: str = "documents") -> str:
@@ -971,6 +1068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_sample": q_qa_sample,
         "corpus_prep": q_corpus_prep,
         "paragraph_dedup": q_paragraph_dedup,
+        "corpus_mixture": q_corpus_mixture,
+        "source_cap_sample": q_source_cap_sample,
         "rep_signals": q_rep_signals,
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
@@ -1011,6 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "corpus_mixture": SQL_CORPUS_MIXTURE,
+        "source_cap_sample": SQL_SOURCE_CAP_SAMPLE,
         "qa_sample": SQL_QA_SAMPLE,
         "rep_signals": _sql_rep_signals(),
         "dup_ngrams": _sql_dup_ngrams(),

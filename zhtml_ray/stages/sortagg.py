@@ -98,6 +98,65 @@ def sorted_first_per_group(ds, group_cols, tie_cols=()):
     return interior.union(boundary)
 
 
+def sorted_head_n_per_group(ds, group_cols, tie_cols, n):
+    """First ``n`` rows per distinct ``group_cols`` combination in
+    ``sort(group_cols + tie_cols)`` order (min-n-by). Same shape as
+    ``sorted_first_per_group``: ONE range shuffle, block-local run
+    slices, and a boundary pass that ships only the first ``n`` rows
+    of each block's first/last run (<= 2n rows per block — a hot group
+    never lands whole on one worker)."""
+    import pyarrow.compute as pc
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    group_cols = list(group_cols)
+    tie_cols = list(tie_cols)
+    srt = ds.sort(group_cols + tie_cols).materialize()
+    if srt.count() == 0:
+        return srt
+
+    def run_bounds(b):
+        starts = _run_starts(b, group_cols)
+        ends = np.r_[starts[1:], b.num_rows]
+        return starts, ends
+
+    def interior_heads(b: pa.Table) -> pa.Table:
+        starts, ends = run_bounds(b)
+        if len(starts) <= 2:
+            return b.slice(0, 0)
+        idx = np.concatenate([
+            np.arange(s, min(s + n, e))
+            for s, e in zip(starts[1:-1], ends[1:-1])])
+        return b.take(pa.array(idx, pa.int64()))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        starts, ends = run_bounds(b)
+        take = {int(j) for s, e in
+                ((starts[0], ends[0]), (starts[-1], ends[-1]))
+                for j in range(s, min(s + n, e))}
+        return b.take(pa.array(sorted(take), pa.int64()))
+
+    interior = srt.map_batches(interior_heads, batch_size=None,
+                               batch_format="pyarrow")
+    edges = drop_empty_blocks(
+        srt.map_batches(edge_rows, batch_size=None,
+                        batch_format="pyarrow"))
+    if edges.count() == 0:
+        return interior
+
+    def head_of(g: pa.Table) -> pa.Table:
+        # candidates arrive in arbitrary order; re-sort by ties so the
+        # group head-n is the global min-n-by
+        if tie_cols:
+            order = pc.sort_indices(
+                g, sort_keys=[(c, "ascending") for c in tie_cols])
+            g = g.take(order)
+        return g.slice(0, n)
+
+    boundary = edges.groupby(group_cols).map_groups(
+        head_of, batch_format="pyarrow")
+    return interior.union(boundary)
+
+
 def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
                         empty_result: pa.Table):
     """The sort-based per-bucket pattern, shared by the LSH pair
