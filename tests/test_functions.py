@@ -651,3 +651,16 @@ def test_sorted_head_n_per_group(ray_session):
         want = sorted(vals)[:3]
         have = sorted((r["v"], r["id"]) for r in got if r["g"] == g)
         assert have == want, g
+
+
+def test_decontaminate_paths_agree(ray_session):
+    """The budgeted-broadcast and sort-merge-join decontamination paths
+    must produce identical (doc_id, n_hits) sets."""
+    from zhtml_ray.pipelines.ops_queries import q_decontaminate
+    sf = "/root/testdata/sf0.001"
+    a = sorted((r["doc_id"], r["n_hits"])
+               for r in q_decontaminate(sf).take_all())
+    b = sorted((r["doc_id"], r["n_hits"])
+               for r in q_decontaminate(sf, budget=1).take_all())
+    assert a == b
+    assert len(a) > 0  # the synthetic tiny vocab guarantees overlaps

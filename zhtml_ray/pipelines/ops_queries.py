@@ -510,6 +510,165 @@ SELECT doc_id, source FROM (
 """
 
 
+
+
+def _gram_hashes(texts, n=8):
+    """Per-row word n-gram rolling hashes, fully vectorized: split ->
+    per-batch dictionary-encode -> per-unique-word sha1-derived 64-bit
+    word hash -> numpy polynomial rolling hash (uint64 wraparound).
+    Returns (doc_index_per_gram, gram_hash) numpy arrays. Content-
+    based (word hashes, not dictionary codes), so values agree across
+    batches/blocks."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(texts, " ")
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    if len(flat) == 0:
+        return (np.array([], np.int64), np.array([], np.uint64))
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    vh = np.array([int.from_bytes(
+        hashlib.sha1(w.encode("utf-8")).digest()[:8], "big")
+        for w in vocab], np.uint64)
+    wh = vh[codes]
+    total = len(wh)
+    if total < n:
+        return (np.array([], np.int64), np.array([], np.uint64))
+    B = np.uint64(1099511628211)
+    acc = np.zeros(total - n + 1, np.uint64)
+    mult = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            acc += wh[k:total - n + 1 + k] * mult
+            mult *= B
+    # windows must not cross document boundaries
+    starts = np.arange(total - n + 1)
+    doc_of = np.searchsorted(offs, starts, side="right") - 1
+    valid = starts + n <= offs[doc_of + 1]
+    return doc_of[valid], acc[valid]
+
+
+def q_decontaminate(sf_dir: str, n: int = 8, budget: int = 2_000_000):
+    """Benchmark decontamination: flag every non-benchmark document
+    sharing at least one word-8-gram with the benchmark set (source =
+    'src0' stands in for a held-out eval set). Returns (doc_id,
+    n_hits) with n_hits = distinct shared grams, docs with hits only.
+
+    Scale shape: benchmark gram hashes are naturally small (eval
+    sets), so they broadcast once via ray.put as a SORTED numpy array
+    (np.searchsorted membership per batch); if the distinct-gram count
+    exceeds ``budget`` the path falls back to the sort-merge lookup
+    join + distinct-pair count, never an unbounded driver set.
+    Per-doc distinct counting is batch-local and exact because a doc's
+    grams never split across batches. Engine matches on 64-bit rolling
+    hashes while the SQL oracle compares gram strings — equivalent
+    modulo hash collisions (the minhash/simhash precedent)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    bench = ds.filter(expr="source == 'src0'")
+    rest = ds.filter(expr="source != 'src0'")
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        _, h = _gram_hashes(b["text"].combine_chunks(), n)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    parts = []
+    seen = None
+    over_budget = False
+    for blk in bench.map_batches(bench_grams, batch_format="pyarrow")                     .iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.append(blk["h"].to_numpy(zero_copy_only=False))
+        if sum(len(x) for x in parts) > budget:
+            over_budget = True
+            break
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64())})
+    if over_budget:
+        return _decontaminate_join(rest, bench, n, empty)
+    seen = (np.unique(np.concatenate(parts)) if parts
+            else np.array([], np.uint64))
+    if len(seen) == 0:
+        return empty
+    bref = ray.put(seen)
+
+    def score(b: pa.Table) -> pa.Table:
+        bset = ray.get(bref)
+        di, h = _gram_hashes(b["text"].combine_chunks(), n)
+        if len(h) == 0:
+            return empty
+        pos = np.searchsorted(bset, h)
+        hit = (pos < len(bset)) & (bset[np.minimum(pos, len(bset) - 1)] == h)
+        di, h = di[hit], h[hit]
+        if len(h) == 0:
+            return empty
+        order = np.lexsort((h, di))
+        di, h = di[order], h[order]
+        uniq = np.r_[True, (di[1:] != di[:-1]) | (h[1:] != h[:-1])]
+        di = di[uniq]
+        docs, counts = np.unique(di, return_counts=True)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)[docs]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(counts, pa.int64())})
+
+    return rest.map_batches(score, batch_format="pyarrow")
+
+
+def _decontaminate_join(rest, bench, n, empty):
+    """Budget-exceeded path: distinct (doc_id, gram) pairs sort-merge
+    joined against distinct benchmark grams, then per-doc counts —
+    all range shuffles, nothing on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+
+    def explode(b: pa.Table) -> pa.Table:
+        di, h = _gram_hashes(b["text"].combine_chunks(), n)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[di] if len(di) else [], pa.int64()),
+            "h": pa.array(h, pa.uint64())})
+
+    bg = sorted_first_per_group(
+        bench.map_batches(explode, batch_format="pyarrow")
+        .map_batches(lambda b: b.select(["h"]), batch_format="pyarrow"),
+        ["h"])
+    pairs = sorted_first_per_group(
+        rest.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "h"])
+    matched = sorted_lookup_join(pairs, bg, "h", [])
+    counts = matched.groupby("doc_id").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_hits": b["count()"].cast(pa.int64())})
+
+    return counts.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = """
+WITH ws AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(w[i:i+7], ' ')
+                 FOR i IN generate_series(1, len(w) - 7)]) AS g
+  FROM ws WHERE len(w) >= 8
+), bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+SELECT g2.doc_id, count(DISTINCT g2.g) AS n_hits
+FROM grams g2 JOIN bench USING (g)
+WHERE g2.source <> 'src0'
+GROUP BY g2.doc_id
+"""
+
+
 # -------------------------------------------------- corpus statistics
 
 def _sql_words(src: str = "documents") -> str:
@@ -1070,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_mixture": q_corpus_mixture,
         "source_cap_sample": q_source_cap_sample,
+        "decontaminate": q_decontaminate,
         "rep_signals": q_rep_signals,
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
@@ -1112,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "corpus_mixture": SQL_CORPUS_MIXTURE,
         "source_cap_sample": SQL_SOURCE_CAP_SAMPLE,
+        "decontaminate": SQL_DECONTAMINATE,
         "qa_sample": SQL_QA_SAMPLE,
         "rep_signals": _sql_rep_signals(),
         "dup_ngrams": _sql_dup_ngrams(),
