@@ -669,6 +669,97 @@ GROUP BY g2.doc_id
 """
 
 
+
+
+def q_pack_sequences(sf_dir: str, window: int = 2048):
+    """Pretraining sequence packing: documents concatenate in doc_id
+    order into fixed ``window``-token training sequences; each doc
+    reports its global token offset and the sequence range it spans.
+
+    Scale shape: a DISTRIBUTED PREFIX SUM — one range sort by doc_id,
+    per-block token sums collected to the driver (block-count-bounded,
+    not data-bounded), exclusive prefix offsets broadcast back keyed by
+    each block's first doc_id, then block-local cumsum + offset. No
+    row data ever lands on the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from zhtml_ray.functions.textstats import token_count_batch
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        return token_count_batch(b).select(["doc_id", "n_tokens"])
+
+    toks = drop_empty_blocks(
+        ds.map_batches(counts, batch_format="pyarrow"))         .sort("doc_id").materialize()
+
+    def block_sum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "tok_sum": pa.array([], pa.int64())})
+        return pa.table({
+            "first_doc": pa.array([b["doc_id"][0].as_py()], pa.int64()),
+            "tok_sum": pa.array(
+                [int(np.sum(b["n_tokens"].to_numpy(
+                    zero_copy_only=False)))], pa.int64())})
+
+    sums = sorted(
+        ((r["first_doc"], r["tok_sum"]) for r in
+         toks.map_batches(block_sum, batch_size=None,
+                          batch_format="pyarrow").take_all()),
+        key=lambda t: t[0])
+    offsets, acc = {}, 0
+    for fd, s in sums:
+        offsets[fd] = acc
+        acc += s
+    oref = ray.put(offsets)
+
+    def pack(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "tok_start": pa.array([], pa.int64()),
+                          "first_seq": pa.array([], pa.int64()),
+                          "n_seqs": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = ray.get(oref)[b["doc_id"][0].as_py()]
+        start = base + np.r_[0, np.cumsum(nt)[:-1]]
+        first = start // window
+        last = (start + np.maximum(nt, 1) - 1) // window
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "tok_start": pa.array(start, pa.int64()),
+            "first_seq": pa.array(first, pa.int64()),
+            "n_seqs": pa.array(last - first + 1, pa.int64()),
+        })
+
+    return toks.map_batches(pack, batch_size=None, batch_format="pyarrow")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 2048 AS first_seq,
+       (tok_start + greatest(n_tokens, 1) - 1) // 2048
+         - tok_start // 2048 + 1 AS n_seqs
+FROM o
+"""
+
+
 # -------------------------------------------------- corpus statistics
 
 def _sql_words(src: str = "documents") -> str:
@@ -1230,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": q_corpus_mixture,
         "source_cap_sample": q_source_cap_sample,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
@@ -1273,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": SQL_CORPUS_MIXTURE,
         "source_cap_sample": SQL_SOURCE_CAP_SAMPLE,
         "decontaminate": SQL_DECONTAMINATE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
         "rep_signals": _sql_rep_signals(),
         "dup_ngrams": _sql_dup_ngrams(),
