@@ -664,3 +664,19 @@ def test_decontaminate_paths_agree(ray_session):
                for r in q_decontaminate(sf, budget=1).take_all())
     assert a == b
     assert len(a) > 0  # the synthetic tiny vocab guarantees overlaps
+
+
+def test_pack_sequences_properties(ray_session):
+    """Offsets are an exclusive prefix sum in doc_id order; sequence
+    ranges tile the token stream without gaps."""
+    from zhtml_ray.pipelines.ops_queries import q_pack_sequences
+    rows = sorted(q_pack_sequences("/root/testdata/sf0.001").take_all(),
+                  key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        assert r["tok_start"] == acc
+        acc += r["n_tokens"]
+        assert r["first_seq"] == r["tok_start"] // 2048
+        last = (r["tok_start"] + max(r["n_tokens"], 1) - 1) // 2048
+        assert r["n_seqs"] == last - r["first_seq"] + 1
+    assert acc > 0
