@@ -510,6 +510,78 @@ SELECT doc_id, source FROM (
 """
 
 
+def _mod(a, m: int):
+    """``a % m`` for non-negative int64 Arrow arrays (pyarrow has no
+    modulo kernel; integer ``pc.divide`` truncates, matching SQL ``%``
+    for the non-negative ids used here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ms = pa.scalar(m, pa.int64())
+    return pc.subtract(a, pc.multiply(pc.divide(a, ms), ms))
+
+
+# Deterministic PII overlay appended to each document before redaction.
+# The synthetic corpus contains no natural emails/phones/IPs, so without
+# it the differential gate would compare two no-op passes; the overlay
+# (pure arithmetic on doc_id, computed identically by the Arrow kernels
+# and the SQL below) makes every row exercise every redaction rule.
+_SQL_PII_OVERLAY = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example call 555-'"
+    " || CAST(100 + doc_id % 900 AS VARCHAR) || '-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'"
+    " || CAST(doc_id % 254 + 1 AS VARCHAR)"
+)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII masking (Dolma/CCNet-style): staged RE2 redaction of emails,
+    phone numbers and IPv4 addresses with per-category match counts.
+    Pure vectorized map — one ``map_batches`` over Arrow strings, zero
+    shuffle, no per-row Python — the shape that runs at read throughput
+    on 100 TB. Patterns and staging live in ``functions/pii.py`` and
+    drive both this pipeline and the SQL oracle, so the differential
+    gate compares two independent RE2 engines (pyarrow vs DuckDB) on
+    the same rule text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.functions.pii import redact_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def season(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+
+        def s(x):
+            return pc.cast(x, pa.string())
+
+        seasoned = pc.binary_join_element_wise(
+            b["text"], " contact user", s(d), "@mail", s(_mod(d, 7)),
+            ".example call 555-", s(pc.add(pa.scalar(100, pa.int64()),
+                                           _mod(d, 900))),
+            "-", s(pc.add(pa.scalar(1000, pa.int64()), _mod(d, 9000))),
+            " from 10.", s(_mod(d, 256)), ".",
+            s(_mod(pc.divide(d, pa.scalar(7, pa.int64())), 256)), ".",
+            s(pc.add(_mod(d, 254), pa.scalar(1, pa.int64()))), "")
+        return pa.table({"doc_id": d, "text": seasoned})
+
+    out = ds.map_batches(season, batch_format="pyarrow") \
+            .map_batches(redact_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ipv4", "redacted"])
+
+
+def _sql_pii_redact() -> str:
+    from zhtml_ray.functions.pii import sql_redact_exprs
+    redacted, counts = sql_redact_exprs("text")
+    return f"""
+    SELECT doc_id, {", ".join(counts)}, {redacted} AS redacted
+    FROM (SELECT doc_id, {_SQL_PII_OVERLAY} AS text FROM documents)
+    """
+
+
 
 
 def _gram_hashes(texts, n=8):
@@ -1320,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "corpus_mixture": q_corpus_mixture,
         "source_cap_sample": q_source_cap_sample,
+        "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
@@ -1364,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "corpus_mixture": SQL_CORPUS_MIXTURE,
         "source_cap_sample": SQL_SOURCE_CAP_SAMPLE,
+        "pii_redact": _sql_pii_redact(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
