@@ -582,6 +582,114 @@ def _sql_pii_redact() -> str:
     """
 
 
+# Deterministic URL overlay: the documents table carries no URL column,
+# so one is derived from (source, lang, doc_id) identically on both
+# sides — mixed-case host, default port, utm params in every position
+# the canonicalizer handles, and a fragment. Every stable part (host,
+# path, id param) keys on doc_id // 3 while the utm param and fragment
+# key on doc_id itself: raw URLs are all DISTINCT and trios collide
+# only after utm/fragment stripping, so URL dedup succeeds exactly when
+# canonicalization is correct.
+_SQL_URL_OVERLAY = (
+    "'HTTPS://WWW.H' || CAST((doc_id // 3) % 7 AS VARCHAR)"
+    " || '.Example.COM:443/p/' || CAST(doc_id // 3 AS VARCHAR)"
+    " || '?utm_source=s' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&id=' || CAST((doc_id // 3) % 10 AS VARCHAR)"
+    " || '&utm_medium=m#sec' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _overlay_urls(b):
+    """Arrow mirror of ``_SQL_URL_OVERLAY``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    d = b["doc_id"]
+    d3 = pc.divide(d, pa.scalar(3, pa.int64()))
+
+    def s(x):
+        return pc.cast(x, pa.string())
+
+    return pc.binary_join_element_wise(
+        "HTTPS://WWW.H", s(_mod(d3, 7)), ".Example.COM:443/p/", s(d3),
+        "?utm_source=s", s(_mod(d, 3)), "&id=", s(_mod(d3, 10)),
+        "&utm_medium=m#sec", s(d), "")
+
+
+def q_url_host_stats(sf_dir: str):
+    """Per-host crawl accounting: canonicalize URLs (lowercase
+    scheme/host, strip default port, fragment and utm_* params —
+    ``functions/urltools.py``), then aggregate docs and chars per host.
+    Vectorized RE2 map + per-batch Arrow partial aggregation into a
+    tiny hosts×blocks-bounded final combine — the per-host budget table
+    a crawl scheduler consumes, shuffle-free at any corpus size."""
+    import pyarrow as pa
+    from zhtml_ray.functions.urltools import canonicalize_batch
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = canonicalize_batch(
+            pa.table({"url": _overlay_urls(b), "n_chars": b["n_chars"]}))
+        return t.group_by(["host"]).aggregate(
+            [("url", "count"), ("n_chars", "sum")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")
+         if b.num_rows],
+        promote_options="default")
+    out = tbl.group_by(["host"]).aggregate(
+        [("url_count", "sum"), ("n_chars_sum", "sum")])
+    return pa.table({"host": out["host"],
+                     "n_docs": out["url_count_sum"],
+                     "total_chars": out["n_chars_sum_sum"]})
+
+
+def _sql_url_host_stats() -> str:
+    from zhtml_ray.functions.urltools import sql_canonical_exprs
+    host, _ = sql_canonical_exprs("url")
+    return f"""
+    SELECT {host} AS host, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM (SELECT {_SQL_URL_OVERLAY} AS url, n_chars FROM documents)
+    GROUP BY 1
+    """
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-level exact dedup (the first pass of every crawl pipeline,
+    ahead of content dedup): keep the lowest doc_id per canonical URL.
+    Canonicalization is a vectorized map; the keep-first is the
+    sorted-first-per-group primitive — one range shuffle on the
+    canonical key, block-local run heads, <=2 boundary rows per block."""
+    import pyarrow as pa
+    from zhtml_ray.functions.urltools import canonicalize_batch
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        t = canonicalize_batch(
+            pa.table({"url": _overlay_urls(b), "doc_id": b["doc_id"]}))
+        return t.select(["canonical_url", "doc_id"])
+
+    kept = sorted_first_per_group(
+        ds.map_batches(canon, batch_format="pyarrow"),
+        ["canonical_url"], tie_cols=["doc_id"])
+    return kept.select_columns(["canonical_url", "doc_id"])
+
+
+def _sql_url_dedup() -> str:
+    from zhtml_ray.functions.urltools import sql_canonical_exprs
+    _, canonical = sql_canonical_exprs("url")
+    return f"""
+    SELECT {canonical} AS canonical_url, min(doc_id) AS doc_id
+    FROM (SELECT {_SQL_URL_OVERLAY} AS url, doc_id FROM documents)
+    GROUP BY 1
+    """
+
+
 
 
 def _gram_hashes(texts, n=8):
@@ -1393,6 +1501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture": q_corpus_mixture,
         "source_cap_sample": q_source_cap_sample,
         "pii_redact": q_pii_redact,
+        "url_host_stats": q_url_host_stats,
+        "url_dedup": q_url_dedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
@@ -1438,6 +1548,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": SQL_CORPUS_MIXTURE,
         "source_cap_sample": SQL_SOURCE_CAP_SAMPLE,
         "pii_redact": _sql_pii_redact(),
+        "url_host_stats": _sql_url_host_stats(),
+        "url_dedup": _sql_url_dedup(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
