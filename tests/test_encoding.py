@@ -109,3 +109,60 @@ def test_extract_document_1252_page():
            b"<body><p>" + b"caf\xe9 r\xe9sum\xe9 word " * 20 + b"</p>")
     out = extract_document(raw)
     assert "caf\xe9 r\xe9sum\xe9" in out["extracted_text"]
+
+
+# ---- hand-verified prescan edge family (frozen probe batch) ----------
+# Each expectation was checked against HTML 13.2.3.2 (prescan) + the
+# Encoding Standard label rules by hand; the byte \xc1 is valid in
+# the single-byte codecs but an invalid UTF-8 lead continuation, so a
+# wrong prescan shows up as the cp1252 fallback.
+
+PRESCAN_CASES = [
+    # (raw, expected codec)
+    (b"<!--<meta charset=koi8-r>--><p>\xc1", "cp1252"),   # meta inside comment
+    (b"<!--<meta charset=koi8-r><p>\xc1", "cp1252"),      # unterminated comment
+    (b"<!--x--><meta charset=koi8-r><p>\xc1", "koi8-r"),
+    (b"<meta charset=UTF-16BE><p>hi", "utf-8"),           # utf-16 label -> utf-8
+    (b"<meta http-equiv=refresh content='charset=koi8-r'><p>\xc1",
+     "cp1252"),                                           # wrong http-equiv
+    (b"<meta charset=koi8-r charset=utf-8><p>\xc1", "koi8-r"),  # dup attr 1st wins
+    (b"<meta charset=koi8-r><meta charset=utf-8><p>\xc1", "koi8-r"),
+    (b"<meta charset='koi8-r'><p>\xc1", "koi8-r"),
+    (b"<meta http-equiv='content-type' content='charset=\"koi8-r\"'><p>\xc1",
+     "koi8-r"),                                           # quoted inside content
+    (b"<meta/charset=koi8-r><p>\xc1", "koi8-r"),          # <meta/ form allowed
+    (b"<meta charset=shift_jis/><p>\x83\x41", "cp1252"),  # '/' in unquoted value
+    (b"<meta charset=windows-1251 id=x><p>\xc1", "cp1251"),
+]
+
+
+@pytest.mark.parametrize("raw,codec", PRESCAN_CASES)
+def test_prescan_edge_family(raw, codec):
+    assert sniff_decode(raw)[1] == codec
+
+
+def test_fast_utf8_path_agrees_with_prescan():
+    # the fast utf-8 regex must never accept a form the general prescan
+    # would NOT resolve to utf-8: a fast false-positive silently decodes
+    # a non-utf-8 page as utf-8 (caught live: unquoted `charset=utf-8/>`
+    # whose spec value is the unknown label 'utf-8/'; mismatched quotes)
+    from zhtml_ray.html.encoding import _FAST_UTF8_RE, _meta_prescan
+    quotes = [b"", b'"', b"'"]
+    vals = [b"utf-8", b"utf8", b"UTF-8"]
+    tails = [b">", b" >", b"/>", b" />", b"  / >"]
+    spaces = [b"", b" ", b"  "]
+    for q1 in quotes:
+        for q2 in quotes:
+            for v in vals:
+                for t in tails:
+                    for s1 in spaces:
+                        for s2 in spaces:
+                            raw = (b"<meta charset" + s1 + b"=" + s2 +
+                                   q1 + v + q2 + t + b"<p>\xe9")
+                            head = raw[:1024]
+                            if _FAST_UTF8_RE.search(head):
+                                assert _meta_prescan(head) == "utf-8", raw
+    # and the common forms must still take the fast path
+    for raw in (b"<meta charset=utf-8>", b'<meta charset="utf-8">',
+                b"<meta charset='UTF-8'/>", b'<meta charset="utf-8" />'):
+        assert _FAST_UTF8_RE.search(raw), raw

@@ -88,9 +88,14 @@ codecs.register_error("whatwg1252", _whatwg1252_errors)
 
 # overwhelmingly-common declarations, matched with ONE search before
 # the general prescan machinery (measured ~5% of single-core extract
-# wall when every page takes the general path)
+# wall when every page takes the general path). Only forms the general
+# prescan ALSO resolves to utf-8 may match: quotes must pair (backref),
+# and an unquoted value must end at whitespace or '>' — an immediate
+# '/' is part of an unquoted value per the spec, making the label the
+# unknown 'utf-8/', so `charset=utf-8/>` must fall through.
 _FAST_UTF8_RE = re.compile(
-    rb"""<meta\s+charset\s*=\s*["']?utf-?8["']?\s*/?>""", re.I)
+    rb"""<meta\s+charset\s*=\s*(?:(["'])utf-?8\1\s*/?|utf-?8\s+/?|utf-?8)>""",
+    re.I)
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _META_RE = re.compile(rb"<meta[\s/][^>]*>", re.I)
 _ATTR_RE = re.compile(
