@@ -1,0 +1,103 @@
+"""WARC source tests: record parsing, HTTP envelope stripping, gzip
+multi-member handling, malformed-record isolation, and the Ray
+read_warc integration feeding the extract stage."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from zhtml_ray.sources.warc import (build_warc, http_payload,
+                                    iter_warc_records, read_warc,
+                                    warc_bytes_to_pages)
+
+_RECS = [
+    ("https://a.example/1", "2017-03-22T17:01:03Z",
+     b"<!doctype html><p>one</p>"),
+    ("https://b.example/2", "2018-06-01T00:00:00Z",
+     b"<html><body>two \xc3\xa9</body></html>"),
+]
+
+
+def test_roundtrip_plain():
+    t = warc_bytes_to_pages(build_warc(_RECS))
+    assert t["url"].to_pylist() == [u for u, _, _ in _RECS]
+    assert t["html"].to_pylist() == [h for _, _, h in _RECS]
+    assert str(t["warc_ts"].type) == "timestamp[us]"
+    assert t["warc_ts"].to_pylist()[0].year == 2017
+
+
+def test_roundtrip_gzip_multi_member():
+    raw = build_warc(_RECS, per_record_gzip=True)
+    assert raw[:2] == b"\x1f\x8b"
+    t = warc_bytes_to_pages(raw)
+    assert t["html"].to_pylist() == [h for _, _, h in _RECS]
+
+
+def test_warcinfo_and_request_records_skipped():
+    # build_warc always prepends a warcinfo record
+    t = warc_bytes_to_pages(build_warc(_RECS))
+    assert t.num_rows == 2
+
+
+def test_http_envelope_stripped_only_once():
+    body = (b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n"
+            b"payload with \r\n\r\n inside")
+    assert http_payload(body) == b"payload with \r\n\r\n inside"
+    assert http_payload(b"no envelope") == b"no envelope"
+
+
+def test_payload_containing_warc_magic_not_resplit():
+    html = b"<p>WARC/1.0 inside text</p>"
+    t = warc_bytes_to_pages(build_warc([("u", "2017-01-01T00:00:00Z", html)]))
+    assert t.num_rows == 1
+    assert t["html"].to_pylist() == [html]
+
+
+def test_malformed_record_resync():
+    good = build_warc(_RECS)
+    # a record with a lying Content-Length larger than the remaining
+    # buffer must not produce a row nor break earlier records
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://bad.example\r\n"
+           b"Content-Length: 999999\r\n\r\nshort")
+    t = warc_bytes_to_pages(good + bad)
+    assert t["url"].to_pylist() == [u for u, _, _ in _RECS]
+    # non-integer length is skipped and later records still parse
+    nolen = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+             b"Content-Length: NaN\r\n\r\n")
+    t2 = warc_bytes_to_pages(nolen + good)
+    assert t2.num_rows == 2
+
+
+def test_truncated_and_garbage_buffers():
+    assert warc_bytes_to_pages(b"").num_rows == 0
+    assert warc_bytes_to_pages(b"garbage no magic").num_rows == 0
+    assert warc_bytes_to_pages(build_warc(_RECS)[:40]).num_rows == 0
+    assert warc_bytes_to_pages(b"\x1f\x8bnot really gzip").num_rows == 0
+
+
+def test_bad_date_yields_null_ts():
+    t = warc_bytes_to_pages(build_warc([("u", "yesterday", b"<p>x</p>")]))
+    assert t["warc_ts"].to_pylist() == [None]
+    assert t.num_rows == 1
+
+
+def test_read_warc_dataset_and_extract(tmp_path, ray_session):
+    import ray  # noqa: F401  (session fixture owns init)
+    for i, gz in enumerate([False, True]):
+        ext = "warc.gz" if gz else "warc"
+        (tmp_path / f"shard{i}.{ext}").write_bytes(
+            build_warc([(f"https://s{i}.example/p", "2017-01-01T00:00:00Z",
+                         b"<!doctype html><body><p>" +
+                         b"real words here for the extractor " * 30 +
+                         b"</p></body>")], per_record_gzip=gz))
+    ds = read_warc(str(tmp_path))
+    rows = ds.take_all()
+    assert len(rows) == 2
+    assert {r["url"] for r in rows} == \
+        {"https://s0.example/p", "https://s1.example/p"}
+    # pages-shaped output drops straight into the extraction stage
+    from zhtml_ray.html.extract import extract_document
+    out = extract_document(rows[0]["html"])
+    assert "real words here" in out["extracted_text"]
