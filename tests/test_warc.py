@@ -83,6 +83,35 @@ def test_bad_date_yields_null_ts():
     assert t.num_rows == 1
 
 
+def test_job_mixed_parquet_and_warc_partition(tmp_path, ray_session):
+    """A partition mixing parquet pages shards and .warc.gz crawl
+    shards runs through the resumable job path with one output schema
+    (warc rows null-fill the optional lang column)."""
+    from zhtml_ray.sources.pages import write_pages_dataset
+    from zhtml_ray.stages.manifest import run_partitioned
+
+    shard_dir = tmp_path / "in"
+    shard_dir.mkdir()
+    pq_files = write_pages_dataset(str(shard_dir), 40, rows_per_file=20)
+    warc_path = shard_dir / "crawl.warc.gz"
+    warc_path.write_bytes(build_warc(
+        [(f"https://warc{i}.example/p", "2017-01-01T00:00:00Z",
+          b"<!doctype html><body><p>" +
+          b"warc words for the extractor pipeline " * 25 + b"</p>")
+         for i in range(5)], per_record_gzip=True))
+    out = str(tmp_path / "out")
+    summary = run_partitioned(pq_files + [str(warc_path)], out,
+                              group_size=3, overlap=1)
+    assert summary["complete"]
+    assert summary["rows"] == 45
+    import pyarrow.dataset as pads
+    dset = pads.dataset(out, format="parquet",
+                        exclude_invalid_files=True)
+    t = dset.to_table(columns=["url", "extracted_text"])
+    warc_rows = [u for u in t["url"].to_pylist() if u.startswith("https://warc")]
+    assert len(warc_rows) == 5
+
+
 def test_read_warc_dataset_and_extract(tmp_path, ray_session):
     import ray  # noqa: F401  (session fixture owns init)
     for i, gz in enumerate([False, True]):

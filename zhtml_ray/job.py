@@ -20,7 +20,8 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser(prog="zhtml_ray.job")
     p.add_argument("--input", required=True,
-                   help="glob or directory of pages parquet shards")
+                   help="glob or directory of pages parquet shards "
+                        "and/or .warc/.warc.gz crawl shards")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--resume", action="store_true",
                    help="skip partitions with completed manifests")
@@ -35,7 +36,8 @@ def main(argv=None):
 
     import os
     if os.path.isdir(args.input):
-        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        files = sorted(f for pat in ("*.parquet", "*.warc", "*.warc.gz")
+                       for f in glob.glob(os.path.join(args.input, pat)))
     else:
         files = sorted(glob.glob(args.input))
     if not files:

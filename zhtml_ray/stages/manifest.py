@@ -81,17 +81,31 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
 
     by_shape: dict[tuple, list] = {}
     lang_type = None
+    # crawl-native WARC shards mix freely with parquet shards in a
+    # partition: they read through sources/warc.py and join the same
+    # shape/null-fill machinery as a (url, html)-only shape
+    warc_files = [f for f in part["input_files"]
+                  if f.endswith((".warc", ".warc.gz"))]
     for f in part["input_files"]:
+        if f.endswith((".warc", ".warc.gz")):
+            continue
         sch = _pq.read_schema(f)
         shape = tuple(c for c in ("url", "html", "lang")
                       if c in sch.names)
         by_shape.setdefault(shape, []).append(f)
         if "lang" in sch.names and lang_type is None:
             lang_type = sch.field("lang").type
-    want = tuple(dict.fromkeys(c for sh in by_shape for c in sh))
+    want = tuple(dict.fromkeys(
+        c for sh in list(by_shape) + ([("url", "html")] if warc_files else [])
+        for c in sh))
+    shaped = [(shape, rd.read_parquet(files, columns=list(shape)))
+              for shape, files in sorted(by_shape.items())]
+    if warc_files:
+        from zhtml_ray.sources.warc import read_warc
+        shaped.append((("url", "html"), read_warc(warc_files).map_batches(
+            lambda b: b.select(["url", "html"]), batch_format="pyarrow")))
     parts_ds = []
-    for shape, files in sorted(by_shape.items()):
-        d = rd.read_parquet(files, columns=list(shape))
+    for shape, d in shaped:
         missing = tuple(c for c in want if c not in shape)
         if missing:
             def fill(b, _miss=missing, _want=want, _lt=lang_type):
