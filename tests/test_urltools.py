@@ -28,6 +28,32 @@ def test_basic_canonicalization():
     assert t["host"].to_pylist() == ["www.example.com", "host.org", "h:8080"]
 
 
+def test_default_port_strip_is_scheme_aware():
+    # review-caught: http://h:443 and https://h:80 are DIFFERENT
+    # origins than the portless forms and must not merge
+    t = canonicalize_batch(_tbl([
+        "http://h:443/x", "https://h:80/x", "ftp://h:80/x",
+        "http://h:80/x", "https://h:443/x",
+    ]))
+    assert t["canonical_url"].to_pylist() == [
+        "http://h:443/x", "https://h:80/x", "ftp://h:80/x",
+        "http://h/x", "https://h/x",
+    ]
+
+
+def test_utm_in_path_untouched():
+    # review-caught: a literal &utm_ inside the PATH (unencoded '&' is
+    # legal there) must not eat the rest of the URL
+    t = canonicalize_batch(_tbl([
+        "https://a.b/p&utm_source=x/q?id=1",
+        "https://a.b/p&utm_x=1/q?id=2&utm_y=3",
+    ]))
+    assert t["canonical_url"].to_pylist() == [
+        "https://a.b/p&utm_source=x/q?id=1",
+        "https://a.b/p&utm_x=1/q?id=2",
+    ]
+
+
 def test_utm_positions_all_stripped():
     t = canonicalize_batch(_tbl([
         "https://a.b/p?utm_a=1&utm_b=2&x=3",   # leading + middle

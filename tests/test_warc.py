@@ -77,6 +77,26 @@ def test_truncated_and_garbage_buffers():
     assert warc_bytes_to_pages(b"\x1f\x8bnot really gzip").num_rows == 0
 
 
+def test_negative_content_length_terminates():
+    # review-caught: a negative length moved the cursor backwards and
+    # looped forever on the same record
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: u\r\nContent-Length: -1000\r\n\r\npayload")
+    assert warc_bytes_to_pages(bad).num_rows == 0
+    t = warc_bytes_to_pages(bad + build_warc(_RECS))
+    assert t.num_rows == 2  # resyncs onto the good records
+
+
+def test_truncated_and_corrupt_gzip_yield_zero_rows():
+    # review-caught: EOFError (truncated member) and zlib.error
+    # (corrupt deflate) are not OSError and crashed the read task
+    good = build_warc(_RECS, per_record_gzip=True)
+    assert warc_bytes_to_pages(good[: len(good) // 2]).num_rows == 0
+    corrupt = bytearray(good)
+    corrupt[20:24] = b"\x00\xff\x00\xff"
+    assert warc_bytes_to_pages(bytes(corrupt)).num_rows == 0
+
+
 def test_bad_date_yields_null_ts():
     t = warc_bytes_to_pages(build_warc([("u", "yesterday", b"<p>x</p>")]))
     assert t["warc_ts"].to_pylist() == [None]

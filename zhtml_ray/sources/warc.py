@@ -29,6 +29,7 @@ every pipeline ``read_pages`` feeds.
 from __future__ import annotations
 
 import gzip
+import zlib
 from datetime import datetime
 
 import pyarrow as pa
@@ -69,6 +70,11 @@ def iter_warc_records(buf: bytes):
         except ValueError:
             ok = False
             length = 0
+        if length < 0:
+            # a negative length would move the cursor BACKWARDS and
+            # loop forever on the same record (review-caught)
+            ok = False
+            length = 0
         end = body_at + length
         if ok and end <= n:
             yield headers, buf[body_at:end]
@@ -103,9 +109,12 @@ def warc_bytes_to_pages(buf: bytes) -> pa.Table:
     """Parse one WARC buffer (plain or multi-member gzip) into a
     pages-shaped Arrow table of its ``response`` records."""
     if buf[:2] == b"\x1f\x8b":
+        # truncated streams raise EOFError and corrupt deflate bodies
+        # raise zlib.error — neither is an OSError/BadGzipFile, and a
+        # bad shard must yield 0 rows, not fail the read task
         try:
             buf = gzip.decompress(buf)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             buf = b""
     urls, tss, htmls = [], [], []
     for headers, body in iter_warc_records(buf):
