@@ -177,3 +177,15 @@ def test_hostile_pages_in_pipeline_bounded_wall(ray_session, tmp_path):
         r = by_url[url]
         assert r["ok"], f"{url}: {r['fail_reason']}"
         assert r["extracted_text"] == extract_document(html)["extracted_text"]
+
+
+def test_pure_map_ops_never_shuffle(ray_session):
+    """Plan-shape guard: pii_redact is a pure map pipeline — any future
+    edit that introduces an all-to-all (sort/shuffle/aggregate) into it
+    is a scale regression and must fail loudly here."""
+    from zhtml_ray.pipelines.ops_queries import q_pii_redact
+
+    ds = q_pii_redact("/root/testdata/sf0.001").materialize()
+    st = ds.stats()
+    for marker in ("Sort", "Shuffle", "Aggregate("):
+        assert marker not in st, f"unexpected {marker} in plan:\n{st}"
