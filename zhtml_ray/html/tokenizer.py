@@ -62,6 +62,47 @@ _WS = "\t\n\f "  # ASCII whitespace inside tags (CR normalized away)
 _RE_DATA = re.compile(r"[&<\x00]")
 _RE_RCDATA = re.compile(r"[&<\x00]")
 _RE_RAWTEXT = re.compile(r"[<\x00]")
+
+# Fused raw-text scanners (one per (appropriate-end-tag, state)): the
+# only events that interrupt an RCDATA/RAWTEXT/script-data text run.
+# _RAW_FUSED_ON=False falls back to the per-'<' spec lanes — the
+# differential test flips it to pin equivalence.
+_RAW_FUSED_ON = True
+_RAW_FUSED_CACHE: dict = {}
+_RAW_PROBE_CACHE: dict = {}
+
+
+def _raw_fused_rx(tag, state):
+    key = (tag, state)
+    rx = _RAW_FUSED_CACHE.get(key)
+    if rx is None:
+        # no appropriate end tag exists until a start tag was seen
+        # (injected initial states): only NUL/&/<!-- can interrupt.
+        # Case-insensitivity is SCOPED to the tag name so the top-level
+        # pattern keeps its literal first-char set {<, NUL, &} for
+        # sre's fast-scan prefix optimization.
+        end_alt = (rf"(?P<end></(?i:{re.escape(tag)})(?=[\t\n\f />]))|"
+                   if tag else "")
+        extra = ""
+        if state == RCDATA:
+            extra = "|(?P<amp>&)"
+        elif state == SCRIPT_DATA:
+            extra = "|(?P<cmt><!--)"
+        rx = re.compile(end_alt + r"(?P<nul>\x00)" + extra)
+        if len(_RAW_FUSED_CACHE) < 256:  # tag variety is bounded in
+            _RAW_FUSED_CACHE[key] = rx   # practice; cap defensively
+    return rx
+
+
+def _raw_probe_rx(tag):
+    """Anchored appropriate-end-tag probe: matches ``</tag`` (any case)
+    with its delimiter lookahead; ``match.end()`` = end of the name."""
+    rx = _RAW_PROBE_CACHE.get(tag)
+    if rx is None:
+        rx = re.compile(rf"</(?i:{re.escape(tag)})(?=[\t\n\f />])")
+        if len(_RAW_PROBE_CACHE) < 256:
+            _RAW_PROBE_CACHE[tag] = rx
+    return rx
 _RE_PLAINTEXT = re.compile(r"\x00")
 # NUL is part of the tag-name run (spec 13.2.5.8 appends U+FFFD to the
 # name), not a terminator — _tag_name substitutes and errors per NUL
@@ -365,6 +406,8 @@ class Tokenizer:
         return out
 
     def _rcdata(self):
+        if _RAW_FUSED_ON:
+            return self._raw_fused(RCDATA)
         s, pos, n = self.s, self.pos, self.n
         out = []
         m = _RE_RCDATA.search(s, pos)
@@ -389,10 +432,94 @@ class Tokenizer:
         return self._rawtext_lt(RCDATA)
 
     def _rawtext(self):
+        if _RAW_FUSED_ON:
+            return self._raw_fused(RAWTEXT)
         return self._raw_common(_RE_RAWTEXT, RAWTEXT)
 
     def _script_data(self):
+        if _RAW_FUSED_ON:
+            return self._raw_fused(SCRIPT_DATA)
         return self._raw_common(_RE_RAWTEXT, SCRIPT_DATA)
+
+    def _raw_fused(self, state):
+        """Fused RCDATA / RAWTEXT / script-data scanner. The only
+        events that can interrupt a text run are the APPROPRIATE end
+        tag, NUL, '&' (RCDATA only) and '<!--' (script data only);
+        every other '<' / '</x' is plain text per spec. Adaptive
+        two-gear scan: the memchr-fast char-class search with an
+        anchored per-'<' probe (wins on sparse text — real CSS/JS/
+        titles), switching after 8 plain-'<' probes to the alternation
+        scanner that rejects '<' runs entirely in C (wins on hostile
+        lt-spam: 0.4 -> ~20 MB/s). Token+error equivalence with the
+        per-'<' spec lanes (_RAW_FUSED_ON off) is differential-tested;
+        splits differ (runs are emitted whole), the coalesced stream
+        and the error list (codes AND positions) do not."""
+        s, pos, n = self.s, self.pos, self.n
+        last = self.last_start_tag
+        probe = _raw_probe_rx(last) if last else None
+        scan = _RE_RCDATA if state == RCDATA else _RE_RAWTEXT
+        start = pos
+        misses = 0
+        out = []
+        while True:
+            if misses >= 8:
+                m = _raw_fused_rx(last, state).search(s, pos)
+                i = m.start() if m is not None else n
+            else:
+                m = scan.search(s, pos)
+                i = m.start() if m is not None else n
+            if m is None:
+                self.pos = n
+                if start < n:
+                    out.append(("Character", s[start:n]))
+                return out
+            c = s[i]
+            if c == "<":
+                if misses >= 8:
+                    g = m.lastgroup
+                    if g == "cmt":
+                        if i > start:
+                            out.append(("Character", s[start:i]))
+                        self.pos = i + 4
+                        out.append(("Character", "<!--"))
+                        return out + self._script_escaped(dash_dash=True)
+                    # g == "end": appropriate end tag
+                    if i > start:
+                        out.append(("Character", s[start:i]))
+                    self.pos = m.end()
+                    self.state = DATA
+                    return out + self._finish_end_tag_simple(last)
+                pm = probe.match(s, i) if probe is not None else None
+                if pm is not None:
+                    if i > start:
+                        out.append(("Character", s[start:i]))
+                    self.pos = pm.end()
+                    self.state = DATA
+                    return out + self._finish_end_tag_simple(last)
+                if state == SCRIPT_DATA and s.startswith("<!--", i):
+                    if i > start:
+                        out.append(("Character", s[start:i]))
+                    self.pos = i + 4
+                    out.append(("Character", "<!--"))
+                    return out + self._script_escaped(dash_dash=True)
+                pos = i + 1
+                misses += 1
+                continue
+            if c == "\x00":
+                if i > start:
+                    out.append(("Character", s[start:i]))
+                self._err("unexpected-null-character", i)
+                self.pos = i + 1
+                out.append(("Character", "�"))
+                return out
+            # c == "&" (RCDATA only)
+            if i > start:
+                out.append(("Character", s[start:i]))
+            self.pos = i + 1
+            text = self._consume_charref(in_attr=False)
+            if text:
+                out.append(("Character", text))
+            return out
 
     def _raw_common(self, rx, state):
         s, pos, n = self.s, self.pos, self.n
