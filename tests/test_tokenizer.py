@@ -384,6 +384,23 @@ class TestRawFusedEquivalence:
         assert n == 200_000
         assert wall < 2.0  # ~9 ms quiet; 0.4 MB/s per-'<' took ~0.5 s
 
+    @pytest.mark.parametrize("spam", ["-", "<", ">"])
+    def test_escaped_run_wall_bound(self, spam):
+        # dash/lt runs inside <!-- --> consume whole (one token per
+        # run), not one Python round-trip per char
+        import time
+        from zhtml_ray.html import tokenizer as tkz
+        body = "<!--" + spam * 200_000 + "--></script>x"
+        t0 = time.perf_counter()
+        t = tkz.Tokenizer(body, initial_state="script_data",
+                          last_start_tag="script")
+        text = "".join(tok[1] for tok in t.tokens()
+                       if tok[0] == "Character")
+        wall = time.perf_counter() - t0
+        assert text == "<!--" + spam * 200_000 + "-->x"
+        assert not t.errors
+        assert wall < 2.0  # ~1-2 ms quiet for -/<; was 35-100 ms
+
 
 def test_comment_bang_dashdash_at_eof():
     """'<!--' inside a comment hitting EOF: comment-less-than-sign-bang-

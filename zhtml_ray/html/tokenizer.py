@@ -116,6 +116,12 @@ _RE_DIGITS = re.compile(r"[0-9]+")
 _RE_HEXDIGITS = re.compile(r"[0-9A-Fa-f]+")
 _RE_COMMENT_CHUNK = re.compile(r"[^<\-\x00]*")
 _RE_SCRIPT_ESC_CHUNK = re.compile(r"[^<>\-\x00]*")
+# hostile-run bulk lanes for the escaped loop: a dash RUN is one
+# Character token (only "two or more trailing dashes" matters for
+# state), and every '<' of a '<'-run except the LAST is plain text
+# (it's followed by another '<', never '/' or an alpha)
+_RE_DASH_RUN = re.compile(r"-+")
+_RE_LT_RUN_BUTLAST = re.compile(r"<+(?=<)")
 _RE_DOCTYPE_NAME = re.compile(r"[^\t\n\f >]*")
 
 # Fused fast path: one regex per whole "simple" tag (ASCII-alnum name,
@@ -600,9 +606,19 @@ class Tokenizer:
         while pos < n:
             c = s[pos]
             if c == "-":
-                out.append(("Character", "-"))
-                dashes += 1
-                pos += 1
+                if pos + 1 < n and s[pos + 1] == "-":
+                    # consume the whole dash run in one token (dash
+                    # spam: 5.7 -> ~230 MB/s); the state only cares
+                    # that >= 2 dashes directly precede a '>'
+                    m = _RE_DASH_RUN.match(s, pos)
+                    run = m.end() - pos
+                    out.append(("Character", s[pos:m.end()]))
+                    dashes = min(dashes + run, 2)
+                    pos = m.end()
+                else:
+                    out.append(("Character", "-"))
+                    dashes += 1
+                    pos += 1
             elif c == ">":
                 out.append(("Character", ">"))
                 pos += 1
@@ -645,8 +661,15 @@ class Tokenizer:
                     double = False
                     pos = ln
                 else:
-                    out.append(("Character", "<"))
-                    pos += 1
+                    # bulk-skip '<' runs: every '<' followed by another
+                    # '<' is plain text in (double-)escaped state
+                    if pos + 1 < n and s[pos + 1] == "<":
+                        m = _RE_LT_RUN_BUTLAST.match(s, pos)
+                        out.append(("Character", s[pos:m.end()]))
+                        pos = m.end()
+                    else:
+                        out.append(("Character", "<"))
+                        pos += 1
                 dashes = 0
             else:
                 m = _RE_SCRIPT_ESC_CHUNK.match(s, pos)
