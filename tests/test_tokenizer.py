@@ -311,6 +311,61 @@ class TestFastPathEquivalence:
         check()
 
 
+def test_hostile_run_lanes_exact():
+    """Hand-verified pins for the bulk run lanes ('&'/NUL/'<' spam):
+    coalesced text and EXACT error positions — these lanes are shared
+    by fast and slow paths, so the differential can't isolate them."""
+    from zhtml_ray.html import tokenizer as tkz
+
+    def run_(s, state="data", last=None):
+        t = tkz.Tokenizer(s, initial_state=state, last_start_tag=last,
+                          collect_input_errors=False)
+        text = "".join(tok[1] for tok in t.tokens()
+                       if tok[0] == "Character")
+        return text, t.errors
+
+    # '&' run: no errors, literal text (charref flushes on non-alnum)
+    assert run_("&&&&x") == ("&&&&x", [])
+    assert run_("&&&&", "rcdata", "title") == ("&&&&", [])
+    # NUL run in data: raw NULs, one error per char at its offset
+    text, errs = run_("a\x00\x00\x00b")
+    assert text == "a\x00\x00\x00b"
+    assert errs == [("unexpected-null-character", i) for i in (1, 2, 3)]
+    # NUL run in rcdata: U+FFFD each, same error offsets
+    text, errs = run_("a\x00\x00b", "rcdata", "title")
+    assert text == "a��b"
+    assert errs == [("unexpected-null-character", 1),
+                    ("unexpected-null-character", 2)]
+    # '<' run: all but the last are errors+text; the last opens a tag
+    text, errs = run_("<<<<a>")
+    assert text == "<<<"
+    assert errs == [("invalid-first-character-of-tag-name", i)
+                    for i in (1, 2, 3)]
+    t = tkz.Tokenizer("<<<<a>", collect_input_errors=False)
+    assert ("StartTag", "a", {}, False) in list(t.tokens())
+    # '<' run ending at EOF: final '<' is eof-before-tag-name
+    text, errs = run_("<<<")
+    assert text == "<<<"
+    assert errs == [("invalid-first-character-of-tag-name", 1),
+                    ("invalid-first-character-of-tag-name", 2),
+                    ("eof-before-tag-name", 3)]
+
+
+def test_hostile_run_lanes_wall_bound():
+    import time
+    from zhtml_ray.html import tokenizer as tkz
+    for doc, kw in [("&" * 200_000, {}), ("\x00" * 200_000, {}),
+                    ("<" * 200_000, {}),
+                    ("&" * 200_000,
+                     {"initial_state": "rcdata", "last_start_tag": "t"})]:
+        t0 = time.perf_counter()
+        t = tkz.Tokenizer(doc, collect_input_errors=False, **kw)
+        total = sum(len(tok[1]) for tok in t.tokens()
+                    if tok[0] == "Character")
+        assert total == 200_000
+        assert time.perf_counter() - t0 < 2.0  # 1-30 ms quiet
+
+
 class TestRawFusedEquivalence:
     """The adaptive fused RCDATA/RAWTEXT/script-data scanner must match
     the per-'<' spec lanes token-for-token after Character coalescing,

@@ -122,6 +122,10 @@ _RE_SCRIPT_ESC_CHUNK = re.compile(r"[^<>\-\x00]*")
 # (it's followed by another '<', never '/' or an alpha)
 _RE_DASH_RUN = re.compile(r"-+")
 _RE_LT_RUN_BUTLAST = re.compile(r"<+(?=<)")
+# '&' followed by another '&' is plain text (charref state flushes on
+# the non-alnum successor, no error): bulk all-but-last of an '&' run
+_RE_AMP_RUN_BUTLAST = re.compile(r"&+(?=&)")
+_RE_NUL_RUN = re.compile(r"\x00+")
 _RE_DOCTYPE_NAME = re.compile(r"[^\t\n\f >]*")
 
 # Fused fast path: one regex per whole "simple" tag (ASCII-alnum name,
@@ -388,6 +392,13 @@ class Tokenizer:
                 append(("EndTag", endname.lower(), {}, False))
                 continue
             if amp is not None:
+                i = m.start(6)
+                rm = _RE_AMP_RUN_BUTLAST.match(s, i)
+                if rm is not None:
+                    # '&' run: all but the last are plain text, no errors
+                    append(("Character", rm.group()))
+                    pos = rm.end()
+                    continue
                 self.pos = m.end()
                 text = self._consume_charref(in_attr=False)
                 pos = self.pos
@@ -401,10 +412,14 @@ class Tokenizer:
                 self.pos = m.start(7) + 1
                 return self._tag_open()
             if nul is not None:
-                # NUL: data state emits it raw
-                self._err("unexpected-null-character", m.start(8))
-                append(("Character", "\x00"))
-                pos = m.end()
+                # NUL run: data state emits the bytes raw, one
+                # unexpected-null error per char (exact offsets)
+                i = m.start(8)
+                rm = _RE_NUL_RUN.match(s, i)
+                self.errors.extend(("unexpected-null-character", j)
+                                   for j in range(i, rm.end()))
+                append(("Character", rm.group()))
+                pos = rm.end()
                 continue
             pos = n  # only a trailing text run: EOF
             break
@@ -514,11 +529,20 @@ class Tokenizer:
             if c == "\x00":
                 if i > start:
                     out.append(("Character", s[start:i]))
-                self._err("unexpected-null-character", i)
-                self.pos = i + 1
-                out.append(("Character", "�"))
+                rm = _RE_NUL_RUN.match(s, i)
+                self.errors.extend(("unexpected-null-character", j)
+                                   for j in range(i, rm.end()))
+                self.pos = rm.end()
+                out.append(("Character", "�" * (rm.end() - i)))
                 return out
             # c == "&" (RCDATA only)
+            rm = _RE_AMP_RUN_BUTLAST.match(s, i)
+            if rm is not None:
+                # '&' run: all but the last are plain text, no errors —
+                # fold them into the pending text and keep scanning
+                pos = rm.end()
+                misses += 1
+                continue
             if i > start:
                 out.append(("Character", s[start:i]))
             self.pos = i + 1
@@ -700,6 +724,17 @@ class Tokenizer:
         if c == "?":
             self._err("unexpected-question-mark-instead-of-tag-name", pos)
             return self._bogus_comment(pos)
+        if c == "<":
+            # '<' run: every '<' whose successor is another '<' is an
+            # invalid-first-character error + a literal '<' — consume
+            # the run's all-but-last in one step (the final '<' may
+            # open a real tag and reprocesses normally)
+            m = _RE_LT_RUN_BUTLAST.match(s, pos - 1)
+            k = m.end() - (pos - 1)
+            self.errors.extend(("invalid-first-character-of-tag-name", j)
+                               for j in range(pos, pos + k))
+            self.pos = m.end()
+            return [("Character", "<" * k)]
         self._err("invalid-first-character-of-tag-name", pos)
         return [("Character", "<")]  # reconsume c in data
 
