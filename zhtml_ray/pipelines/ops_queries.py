@@ -690,6 +690,150 @@ def _sql_url_dedup() -> str:
     """
 
 
+def q_host_cap(sf_dir: str, cap: int = 5):
+    """Per-host document cap (crawl politeness / anti-boilerplate-farm
+    sampling: keep the ``cap`` lowest-id docs of every canonical host).
+    Canonicalization is the same vectorized RE2 map as ``url_dedup``;
+    the keep-min-``cap`` is ``sorted_head_n_per_group`` — ONE range
+    shuffle on host, block-local run slices, ≤ 2·cap boundary rows per
+    block, so a mega-host (the skew case this op exists for) never
+    lands whole on one worker."""
+    import pyarrow as pa
+    from zhtml_ray.functions.urltools import canonicalize_batch
+    from zhtml_ray.stages.sortagg import sorted_head_n_per_group
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        t = canonicalize_batch(
+            pa.table({"url": _overlay_urls(b), "doc_id": b["doc_id"]}))
+        return t.select(["host", "doc_id"])
+
+    kept = sorted_head_n_per_group(
+        ds.map_batches(canon, batch_format="pyarrow"),
+        ["host"], ["doc_id"], n=cap)
+    return kept.select_columns(["host", "doc_id"])
+
+
+def _sql_host_cap() -> str:
+    from zhtml_ray.functions.urltools import sql_canonical_exprs
+    host, _ = sql_canonical_exprs("url")
+    return f"""
+    SELECT host, doc_id FROM (
+        SELECT {host} AS host, doc_id
+        FROM (SELECT {_SQL_URL_OVERLAY} AS url, doc_id FROM documents))
+    QUALIFY row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 5
+    """
+
+
+# Deterministic mess overlay for text normalization: the synthetic
+# corpus is clean single-spaced ASCII, so without it NFC + whitespace
+# collapse would compare two no-op passes. Prefix/suffix cycle through
+# combining-mark sequences (e+U+0301, A+U+030A — composed by NFC),
+# NBSP/ZWSP and whitespace runs; rows with doc_id % 12 == 0 stay
+# byte-identical so the `changed` flag is exercised both ways.
+_NORM_PREFIXES = ["", " \t Café ", "​  ", " Å  "]
+_NORM_SUFFIXES = ["", "  ", "\tétude "]
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization pass (NFC + whitespace canonicalization,
+    ``functions/normtext.py``) — the cleanup every hash-based dedup
+    depends on: un-composed combining marks or NBSP variants make
+    byte-identical prose hash as distinct. Pure vectorized map (utf8proc
+    NFC + one RE2 substitution per batch), zero shuffle; the oracle
+    runs the SAME rule text through DuckDB's independent utf8proc/RE2."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.functions.normtext import normalize_column
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pre = pa.array(_NORM_PREFIXES)
+    suf = pa.array(_NORM_SUFFIXES)
+
+    def mess_and_norm(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+        messy = pc.binary_join_element_wise(
+            pc.take(pre, _mod(d, 4)), b["text"].combine_chunks(),
+            pc.take(suf, _mod(d, 3)), "")
+        norm, changed, n_chars = normalize_column(messy)
+        return pa.table({"doc_id": d, "norm_text": norm,
+                         "changed": changed, "n_chars": n_chars})
+
+    return ds.map_batches(mess_and_norm, batch_format="pyarrow")
+
+
+def _sql_normalize_text() -> str:
+    from zhtml_ray.functions.normtext import sql_normalize_exprs
+    clean, changed, n_chars = sql_normalize_exprs("text")
+
+    def lit(parts):
+        return "([" + ", ".join(f"'{p}'" for p in parts) + "])"
+
+    overlay = (f"{lit(_NORM_PREFIXES)}[doc_id % 4 + 1] || text || "
+               f"{lit(_NORM_SUFFIXES)}[doc_id % 3 + 1]")
+    return f"""
+    SELECT doc_id, {clean} AS norm_text, {changed} AS changed,
+           {n_chars} AS n_chars
+    FROM (SELECT doc_id, {overlay} AS text FROM documents)
+    """
+
+
+_QUANTS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact corpus length quantiles (the sizing numbers a pipeline's
+    batch/block tuning is derived from) WITHOUT a global sort: each
+    batch emits a (len → count) value-counts table, the per-length
+    partial counts combine into one table bounded by DISTINCT lengths
+    (≤ max doc codepoints — e.g. ≤ ~10M rows for 10 MB docs, invariant
+    in corpus row count), and the quantile falls out of a cumulative
+    sum. Rank semantics pinned to DuckDB ``quantile_disc``: the value
+    at 1-based rank ceil(n·q) (verified empirically across n/q grids,
+    r3)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            pc.cast(pc.utf8_length(b["text"]), pa.int64()))
+        return pa.table({"len": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    tbl = (pa.concat_tables(parts, promote_options="default")
+           .group_by(["len"]).aggregate([("cnt", "sum")])
+           .sort_by("len"))
+    lens = tbl["len"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(tbl["cnt_sum"].to_numpy(zero_copy_only=False))
+    if not len(cum):
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "n_chars": pa.array([], pa.int64())})
+    n = int(cum[-1])
+    vals = [int(lens[int(np.searchsorted(cum, max(1, math.ceil(n * q))))])
+            for q in _QUANTS]
+    return pa.table({"q": pa.array(_QUANTS, pa.float64()),
+                     "n_chars": pa.array(vals, pa.int64())})
+
+
+def _sql_length_quantiles() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {q}::DOUBLE AS q, quantile_disc(len, {q})::BIGINT"
+        f" AS n_chars FROM l" for q in _QUANTS)
+    return f"""
+    WITH l AS (SELECT length(text) AS len FROM documents)
+    {arms}
+    """
+
+
 
 
 def _gram_hashes(texts, n=8):
@@ -1503,6 +1647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "url_host_stats": q_url_host_stats,
         "url_dedup": q_url_dedup,
+        "host_cap": q_host_cap,
+        "normalize_text": q_normalize_text,
+        "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
@@ -1550,6 +1697,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "url_host_stats": _sql_url_host_stats(),
         "url_dedup": _sql_url_dedup(),
+        "host_cap": _sql_host_cap(),
+        "normalize_text": _sql_normalize_text(),
+        "length_quantiles": _sql_length_quantiles(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
