@@ -834,6 +834,91 @@ def _sql_length_quantiles() -> str:
     """
 
 
+# JSONL source gate: the documents table is materialized once per gate
+# process as 4 gzipped JSONL shards (deterministic round-robin), the
+# engine reads them back through sources/jsonl.py, and the oracle reads
+# the SAME files with DuckDB's independent read_json_auto — certifying
+# JSON escaping, gzip framing and type mapping end-to-end. Per-pid dir
+# (the golden.py pattern) so concurrent gates at different scales can't
+# interleave.
+_JSONL_ROOT = "/tmp/zhtml_ray_jsonl"
+
+
+def _jsonl_current_dir() -> str:
+    import os
+    return f"{_JSONL_ROOT}/current_{os.getpid()}"
+
+
+def _ensure_jsonl_fixture(sf_dir: str) -> str:
+    import gzip
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = _jsonl_current_dir()
+    tag = os.path.join(d, ".sf_dir")
+    if os.path.exists(tag) and open(tag).read() == sf_dir:
+        return d
+    # sweep dead-pid dirs (same leak the golden cache had, r3 review)
+    if os.path.isdir(_JSONL_ROOT):
+        for name in os.listdir(_JSONL_ROOT):
+            try:
+                pid = int(name.rsplit("_", 1)[1])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, ProcessLookupError):
+                shutil.rmtree(os.path.join(_JSONL_ROOT, name),
+                              ignore_errors=True)
+            except PermissionError:
+                pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    rows = t.to_pylist()
+    for shard in range(4):
+        lines = [json.dumps(r, separators=(",", ":"), ensure_ascii=False)
+                 for r in rows[shard::4]]
+        with gzip.open(os.path.join(d, f"part-{shard}.jsonl.gz"),
+                       "wt", encoding="utf-8") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+    with open(tag, "w") as f:
+        f.write(sf_dir)
+    return d
+
+
+def q_jsonl_docs(sf_dir: str):
+    """JSONL shard ingestion (Dolma/RedPajama/C4-style corpora ship as
+    gzipped JSONL): file-as-parallelism-unit read through the C++ JSON
+    parser (``sources/jsonl.py``), pinned schema, then a vectorized
+    projection — the smoke pipeline a reference user runs to land a
+    JSONL corpus in the engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.sources.jsonl import read_jsonl
+
+    d = _ensure_jsonl_fixture(sf_dir)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string())])
+    ds = read_jsonl(d, schema=schema)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars_text": pc.cast(pc.utf8_length(b["text"]),
+                                    pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def _sql_jsonl_docs() -> str:
+    return f"""
+    SELECT doc_id, lang, length(text)::BIGINT AS n_chars_text
+    FROM read_json_auto('{_jsonl_current_dir()}/*.jsonl.gz')
+    """
+
+
 
 
 def _gram_hashes(texts, n=8):
@@ -1650,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": q_host_cap,
         "normalize_text": q_normalize_text,
         "length_quantiles": q_length_quantiles,
+        "jsonl_docs": q_jsonl_docs,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
@@ -1700,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _sql_host_cap(),
         "normalize_text": _sql_normalize_text(),
         "length_quantiles": _sql_length_quantiles(),
+        "jsonl_docs": _sql_jsonl_docs(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
