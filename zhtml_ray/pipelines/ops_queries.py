@@ -919,6 +919,63 @@ def _sql_jsonl_docs() -> str:
     """
 
 
+def q_click_attribution(sf_dir: str):
+    """As-of join (purchase → latest prior-or-same-instant click of the
+    same user — the attribution join of every event pipeline), an
+    operator Ray Data lacks natively: ``stages/asof.py`` builds it from
+    one range-shuffle sort over the tagged union plus two streaming
+    passes with an O(num_blocks) driver carry-chain. Output lag is
+    exact microseconds / 1e6 so the double matches DuckDB's
+    ``date_diff`` arithmetic bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from zhtml_ray.stages.asof import asof_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"]})
+
+    def build_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "click_ts": t["ts"]})
+
+    probe = ds.map_batches(probe_rows, batch_format="pyarrow")
+    build = ds.map_batches(build_rows, batch_format="pyarrow")
+    joined = asof_join(probe, build, by="user_id", on="ts",
+                       uid="event_id", payload_cols=["click_ts"])
+
+    def lag(b: pa.Table) -> pa.Table:
+        us = pc.subtract(pc.cast(b["ts"], pa.int64()),
+                         pc.cast(b["click_ts"], pa.int64()))
+        return pa.table({
+            "purchase_id": b["event_id"], "user_id": b["user_id"],
+            "click_ts": b["click_ts"],
+            "lag_s": pc.divide(pc.cast(us, pa.float64()),
+                               pa.scalar(1_000_000.0))})
+
+    return joined.map_batches(lag, batch_format="pyarrow")
+
+
+SQL_CLICK_ATTRIBUTION = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, c.click_ts,
+       date_diff('microsecond', c.click_ts, p.ts) / 1000000.0 AS lag_s
+FROM p ASOF LEFT JOIN c
+ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
 
 
 def _gram_hashes(texts, n=8):
@@ -1736,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "length_quantiles": q_length_quantiles,
         "jsonl_docs": q_jsonl_docs,
+        "click_attribution": q_click_attribution,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
@@ -1787,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _sql_normalize_text(),
         "length_quantiles": _sql_length_quantiles(),
         "jsonl_docs": _sql_jsonl_docs(),
+        "click_attribution": SQL_CLICK_ATTRIBUTION,
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
