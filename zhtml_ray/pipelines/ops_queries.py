@@ -976,6 +976,101 @@ ON p.user_id = c.user_id AND p.ts >= c.click_ts
 """
 
 
+def q_event_lag(sf_dir: str):
+    """LAG window (seconds since the same user's previous event —
+    inter-arrival times, the input of bot/burst detection): the
+    ``sorted_bucket_apply`` pattern — ONE range-shuffle sort on
+    (user, ts, event_id), vectorized block-local diffs for users fully
+    inside a block, per-group pass only for the ≤ 2 users straddling
+    each block edge. First event per user is NULL (masked, never NaN —
+    the SQL side is NULL and the gate hashes them differently)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "lag_s": pa.array([], pa.float64())})
+
+    def lag_of(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        lag = np.empty(len(t), np.float64)
+        lag[:1] = np.nan
+        lag[1:] = np.where(u[1:] == u[:-1],
+                           (t[1:] - t[:-1]) / 1e6, np.nan)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "lag_s": pa.array(lag, pa.float64(), mask=np.isnan(lag))})
+
+    def interior(b, starts, ends, mask):
+        rows = lag_of(b)
+        return rows.filter(pa.array(np.repeat(mask, ends - starts)))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        return lag_of(g.take(order))
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+SQL_EVENT_LAG = """
+SELECT event_id, user_id,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                 ts) / 1000000.0 AS lag_s
+FROM events
+"""
+
+
+def q_session_label(sf_dir: str):
+    """Range join (event → the session window containing it) composed
+    from the as-of primitive: session windows are disjoint per user and
+    every event lies in exactly one, so "latest session_start ≤ ts" IS
+    the containing window — no post-filter, no all-pairs interval
+    probe. The general pattern for joining points into disjoint
+    intervals at scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from zhtml_ray.stages.asof import asof_join
+
+    probe = rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+    sessions = q_events_sessionize(sf_dir)
+
+    def as_build(b: pa.Table) -> pa.Table:
+        # uid only tie-breaks the sort; (user, session_start) is unique
+        return pa.table({
+            "event_id": pc.cast(b["session_start"], pa.int64()),
+            "user_id": b["user_id"], "ts": b["session_start"],
+            "session_start": b["session_start"]})
+
+    build = sessions.map_batches(as_build, batch_format="pyarrow")
+    joined = asof_join(probe, build, by="user_id", on="ts",
+                       uid="event_id", payload_cols=["session_start"])
+    return joined.select_columns(["event_id", "user_id",
+                                  "session_start"])
+
+
+def _sql_session_label() -> str:
+    return f"""
+    WITH sessions AS ({SQL_EVENTS_SESSIONIZE})
+    SELECT e.event_id, e.user_id, s.session_start
+    FROM events e JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts BETWEEN s.session_start AND s.session_end
+    """
+
+
 
 
 def _gram_hashes(texts, n=8):
@@ -1794,6 +1889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q_length_quantiles,
         "jsonl_docs": q_jsonl_docs,
         "click_attribution": q_click_attribution,
+        "event_lag": q_event_lag,
+        "session_label": q_session_label,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "rep_signals": q_rep_signals,
@@ -1846,6 +1943,8 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _sql_length_quantiles(),
         "jsonl_docs": _sql_jsonl_docs(),
         "click_attribution": SQL_CLICK_ATTRIBUTION,
+        "event_lag": SQL_EVENT_LAG,
+        "session_label": _sql_session_label(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "qa_sample": SQL_QA_SAMPLE,
