@@ -1463,6 +1463,72 @@ ORDER BY df DESC, word LIMIT {k}
 """
 
 
+# --------------------------------------------------------------- retrieval
+
+# Fixed query set for the BM25 gate: terms drawn from the synthetic
+# corpus vocabulary so tf/df vary; deduplicated per query (the SQL
+# terms table carries each (query_id, term) pair exactly once too).
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window sort order"),
+    (2, "fast vector scan stream"),
+]
+_BM25_K = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """Lexical retrieval: BM25 top-10 per query over the documents
+    table (functions/retrieval.py): one combiner pass for corpus
+    stats (block-count-bounded), one pure-map scoring pass emitting
+    <= k rows per (query, block), tiny exact final top-k. Scores
+    6-decimal pinned BEFORE ranking on both sides; ties break on
+    doc_id."""
+    from zhtml_ray.functions.retrieval import bm25_topk
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=_BM25_K)
+
+
+def _sql_bm25_topk() -> str:
+    # expressions mirror functions/retrieval.py token for token
+    # (left-assoc float grouping identical; (1.2 + 1.0) not 2.2 — the
+    # literals must round-trip to the same doubles the engine uses);
+    # only the cross-term sum order differs, absorbed by the house pin
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext in _BM25_QUERIES for t in sorted(set(qtext.split())))
+    return f"""
+WITH w AS ({_sql_words()}),
+d AS (SELECT doc_id, words, len(words)::BIGINT AS dl FROM w),
+stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                 sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
+terms(query_id, term) AS (VALUES {values}),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf FROM u
+       WHERE word IN (SELECT term FROM terms)
+       GROUP BY doc_id, word),
+df AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT t.query_id, f.doc_id,
+         sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * f.tf * (1.2 + 1.0)
+             / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))) AS raw
+  FROM terms t
+  JOIN tf f ON f.word = t.term
+  JOIN df ON df.word = f.word
+  JOIN d ON d.doc_id = f.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.query_id, f.doc_id),
+p AS (SELECT query_id, doc_id,
+             floor(raw * 1e6 + 0.5) / 1e6 AS score FROM scored),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM p)
+SELECT query_id::BIGINT AS query_id, doc_id, score
+FROM r WHERE rn <= {_BM25_K}
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 _QA_HASH_MULT = 2654435761           # Knuth multiplicative constant
@@ -1897,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
         "unigram_logprob": q_unigram_logprob,
+        "bm25_topk": q_bm25_topk,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1952,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": _sql_dup_ngrams(),
         "vocab_df": _sql_vocab_df(),
         "unigram_logprob": _sql_unigram_logprob(),
+        "bm25_topk": _sql_bm25_topk(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
