@@ -1564,6 +1564,58 @@ WHERE (doc_id::HUGEINT * {_QA_HASH_MULT}) % 4294967296 < {_QA_THRESHOLD}
 """
 
 
+# Per-stratum keep rates for the mixture-rebalancing sample: the
+# knob a 100 TB curriculum actually turns (downsample the dominant
+# language, keep the tail whole). Salted so the picked set is
+# decorrelated from qa_sample's (same doc_id, different purpose).
+_STRAT_RATES = {"en": 0.10, "fr": 0.25, "es": 0.25, "de": 0.5, "zh": 1.0}
+_STRAT_DEFAULT = 0.05
+_STRAT_SALT = 1_000_003
+
+
+def _strat_threshold(rate: float) -> int:
+    return int(rate * 4294967296)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic downsample per language: keep rows
+    whose salted Knuth hash of doc_id lands under the stratum's
+    32-bit threshold. Pure map — zero shuffle, reproducible at any
+    parallelism/resume (unlike ``random_sample``), exactly
+    SQL-replicable; the per-stratum rate table is the data-mixture
+    rebalancing step of a pretraining pipeline."""
+    import numpy as np
+    import pyarrow as pa
+    ds = _docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        enc = b["lang"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        thr_by_code = np.array(
+            [_strat_threshold(_STRAT_RATES.get(v, _STRAT_DEFAULT))
+             for v in enc.dictionary.to_pylist()], np.uint64)
+        h = ((ids + np.uint64(_STRAT_SALT)) * np.uint64(_QA_HASH_MULT)) \
+            & np.uint64(0xFFFFFFFF)
+        keep = h < (thr_by_code[codes] if len(thr_by_code)
+                    else np.zeros(0, np.uint64))
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {_strat_threshold(rate)}"
+        for lang, rate in _STRAT_RATES.items())
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id + {_STRAT_SALT})::HUGEINT * {_QA_HASH_MULT}) % 4294967296
+      < CASE lang {cases} ELSE {_strat_threshold(_STRAT_DEFAULT)} END
+"""
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: keep min doc_id per distinct text (SQL-oracled)."""
     from zhtml_ray.functions.dedup import exact_dedup
@@ -1964,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_df": q_vocab_df,
         "unigram_logprob": q_unigram_logprob,
         "bm25_topk": q_bm25_topk,
+        "stratified_sample": q_stratified_sample,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2020,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_df": _sql_vocab_df(),
         "unigram_logprob": _sql_unigram_logprob(),
         "bm25_topk": _sql_bm25_topk(),
+        "stratified_sample": _sql_stratified_sample(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
