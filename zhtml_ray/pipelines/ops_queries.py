@@ -1803,6 +1803,71 @@ SELECT user_id,
 FROM events GROUP BY 1, 2
 """
 
+_HOP_S = 900          # hop: 15 min
+_HOP_PER_WIN = 4      # window length = 4 hops = 1 h
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 15
+    minutes, so each event lands in exactly 4 overlapping windows.
+    The expansion is vectorized INSIDE the per-batch partial (numpy
+    repeat/ravel — 4 partial rows per distinct (user, window) per
+    batch, never 4x the event stream through a shuffle), then the
+    same partial-combine -> small groupby shape as the tumbling
+    window."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    K = _HOP_PER_WIN
+
+    def partial(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                         1_000_000).to_numpy(zero_copy_only=False)
+        base = secs // _HOP_S
+        w = ((base[:, None] - np.arange(K)).ravel()) * _HOP_S
+        users = np.repeat(
+            batch["user_id"].combine_chunks().to_numpy(
+                zero_copy_only=False), K)
+        vals = np.repeat(
+            batch["value"].combine_chunks().to_numpy(
+                zero_copy_only=False), K)
+        t = pa.table({"user_id": pa.array(users, pa.int64()),
+                      "w_start": pa.array(w, pa.int64()),
+                      "value": pa.array(vals, pa.float64())})
+        t = t.group_by(["user_id", "w_start"]).aggregate([
+            ("value", "sum"), ("value", "count")])
+        return t.rename_columns(["user_id", "w_start", "p_sum", "p_n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["user_id", "w_start"]).aggregate(
+        Sum("p_sum", alias_name="sum_value"),
+        Sum("p_n", alias_name="n_events"))
+
+    def _round(t: pa.Table) -> pa.Table:
+        pinned = pc.divide(pc.floor(pc.add(
+            pc.multiply(t["sum_value"], pa.scalar(1e6)), pa.scalar(0.5))),
+            pa.scalar(1e6))
+        return t.set_column(t.column_names.index("sum_value"), "sum_value",
+                            pinned)
+
+    return agg.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_HOPPING_WINDOW = f"""
+SELECT user_id,
+       (CAST(floor(epoch(ts) / {_HOP_S}) AS BIGINT) - i.i) * {_HOP_S}
+         AS w_start,
+       floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value,
+       count(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest(range({_HOP_PER_WIN})) AS i) i
+GROUP BY 1, 2
+"""
+
 
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — sort-based
@@ -2025,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "events_window": q_events_window,
+        "hopping_window": q_hopping_window,
         "events_sessionize": q_events_sessionize,
         "pdf_extract": q_pdf_extract,
         "media_features": q_media_features,
@@ -2076,5 +2142,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified_sample(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
+        "hopping_window": SQL_HOPPING_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
     }
