@@ -834,6 +834,68 @@ def _sql_length_quantiles() -> str:
     """
 
 
+def q_group_quantiles(sf_dir: str):
+    """Exact PER-GROUP length quantiles (per-language batch-size /
+    truncation tuning): the grouped form of ``length_quantiles`` —
+    per-batch (lang, len) value-counts, one combine bounded by
+    distinct (group, length) pairs (invariant in corpus row count),
+    then a numpy run-boundary cumsum picks every group's ceil(n·q)
+    rank in one pass. No global sort, no per-group shuffle."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"],
+                      "len": pc.cast(pc.utf8_length(b["text"]),
+                                     pa.int64())})
+        t = t.group_by(["lang", "len"]).aggregate([("len", "count")])
+        return t.rename_columns(["lang", "len", "cnt"])
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "q": pa.array([], pa.float64()),
+                      "n_chars": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    tbl = (pa.concat_tables(parts, promote_options="default")
+           .group_by(["lang", "len"]).aggregate([("cnt", "sum")])
+           .sort_by([("lang", "ascending"), ("len", "ascending")]))
+    langs = np.asarray(tbl["lang"].to_pylist(), object)
+    lens = tbl["len"].to_numpy(zero_copy_only=False)
+    cnts = tbl["cnt_sum"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+    ends = np.r_[starts[1:], len(langs)]
+    out_lang, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(cnts[s:e])
+        n = int(cum[-1])
+        for q in _QUANTS:
+            r = int(np.searchsorted(cum, max(1, math.ceil(n * q))))
+            out_lang.append(langs[s])
+            out_q.append(q)
+            out_v.append(int(lens[s + r]))
+    return pa.table({"lang": pa.array(out_lang, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "n_chars": pa.array(out_v, pa.int64())})
+
+
+def _sql_group_quantiles() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT lang, {q}::DOUBLE AS q, quantile_disc(len, {q})::BIGINT"
+        f" AS n_chars FROM l GROUP BY lang" for q in _QUANTS)
+    return f"""
+    WITH l AS (SELECT lang, length(text) AS len FROM documents)
+    {arms}
+    """
+
+
 # JSONL source gate: the documents table is materialized once per gate
 # process as 4 gzipped JSONL shards (deterministic round-robin), the
 # engine reads them back through sources/jsonl.py, and the oracle reads
@@ -2070,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": q_host_cap,
         "normalize_text": q_normalize_text,
         "length_quantiles": q_length_quantiles,
+        "group_quantiles": q_group_quantiles,
         "jsonl_docs": q_jsonl_docs,
         "click_attribution": q_click_attribution,
         "event_lag": q_event_lag,
@@ -2127,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _sql_host_cap(),
         "normalize_text": _sql_normalize_text(),
         "length_quantiles": _sql_length_quantiles(),
+        "group_quantiles": _sql_group_quantiles(),
         "jsonl_docs": _sql_jsonl_docs(),
         "click_attribution": SQL_CLICK_ATTRIBUTION,
         "event_lag": SQL_EVENT_LAG,
