@@ -179,3 +179,55 @@ def test_unigram_logprob_paths_agree(ray_session):
         exp = float(np.floor(np.array([s * 1e6 + 0.5]))[0] / 1e6)
         assert fast[i][0] == len(words)
         assert fast[i][1] == pytest.approx(exp, abs=2e-6)
+
+
+# ------------------------------------------------------ mask_dup_spans
+
+def _mask_oracle(texts, n):
+    """Serial brute force: exact n-gram occurrence counts, span union."""
+    words_per = [t.split() if t else [] for t in texts]
+    cnt = Counter(" ".join(w[i:i + n])
+                  for w in words_per for i in range(len(w) - n + 1))
+    out = {}
+    for did, w in enumerate(words_per):
+        covered = [False] * len(w)
+        for i in range(len(w) - n + 1):
+            if cnt[" ".join(w[i:i + n])] >= 2:
+                for j in range(i, i + n):
+                    covered[j] = True
+        out[did] = (len(w), sum(covered),
+                    " ".join(x for x, c in zip(w, covered) if not c))
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_mask_dup_spans_differential(ray_session, nblocks):
+    import ray.data as rd
+    rng = random.Random(7)
+    vocab = ["k", "v", "tab", "row", "col", "x", "y", "z"]
+    texts = []
+    for _ in range(80):
+        L = rng.choice([0, 2, 4, 5, 9, 20, 35])
+        texts.append(" ".join(rng.choice(vocab) for _ in range(L)))
+    shared = "one two three four five"        # exact 5-word span
+    texts[3] = "pre " + shared + " mid tail words here"
+    texts[9] = shared + " completely different ending words"
+    texts[17] = "self " + shared + " loop " + shared + " done"  # self-repeat
+    ds = rd.from_arrow(_tbl(texts)).repartition(nblocks)
+    got = {r["doc_id"]: (r["n_words"], r["n_dup_words"], r["kept_text"])
+           for r in corpusstats.mask_dup_spans(ds, n=5).take_all()}
+    exp = _mask_oracle(texts, n=5)
+    assert got == exp
+    # the planted cross-doc span was actually masked
+    assert "three" not in got[3][2] and "three" not in got[9][2]
+
+
+def test_mask_dup_spans_no_dups(ray_session):
+    import ray.data as rd
+    texts = ["a b c d e", "f g h i j", ""]
+    ds = rd.from_arrow(_tbl(texts)).repartition(2)
+    got = {r["doc_id"]: r for r in
+           corpusstats.mask_dup_spans(ds, n=3).take_all()}
+    assert got[0]["n_dup_words"] == 0
+    assert got[0]["kept_text"] == "a b c d e"
+    assert got[2]["n_words"] == 0 and got[2]["kept_text"] == ""

@@ -221,6 +221,142 @@ def dup_ngrams(ds, n: int = 5):
     return agg.map_batches(add_frac, batch_format="pyarrow")
 
 
+# ----------------------------------------------------- mask_dup_spans
+
+def emit_gram_occurrences(batch: pa.Table, n: int) -> pa.Table:
+    """One row per word n-gram OCCURRENCE: (doc_id, pos, gram), pos =
+    0-based start word index. Unlike ``emit_distinct_ngrams``, repeats
+    within a document are kept — a span repeated inside one document
+    is duplication too (corpus count >= 2 includes self-repeats)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_ids: list = []
+    out_pos: list = []
+    out_grams: list = []
+    for did, t in zip(ids, texts):
+        words = t.split() if t else []
+        m = len(words) - n + 1
+        if m <= 0:
+            continue
+        out_ids.extend([did] * m)
+        out_pos.extend(range(m))
+        out_grams.extend(" ".join(words[i:i + n]) for i in range(m))
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "pos": pa.array(out_pos, pa.int64()),
+                     "gram": pa.array(out_grams, pa.string())})
+
+
+def mask_dup_spans(ds, n: int = 10):
+    """Exact duplicated-span masking (the word-level form of suffix-
+    array substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): every word position covered
+    by an n-gram window whose exact text occurs >= 2 times in the
+    corpus (any document, self-repeats included) is removed; the
+    survivors rejoin with single spaces. Output one row per document:
+    (doc_id, n_words, n_dup_words, kept_text).
+
+    Shape: gram occurrences -> ONE range-shuffle sort by gram with
+    duplicate runs annotated in-pass (run length >= 2) and non-dup
+    rows dropped immediately -> ONE sort by (doc_id, pos) folding each
+    document's start positions into a list row -> the positions list
+    merge-joins onto the docs table (``sorted_lookup_join``) -> a
+    pure-map span-union rebuild (numpy +1/-1 boundary cumsum, no
+    per-position Python). Grams travel as exact strings — what the
+    DuckDB oracle certifies; at 100 TB swap the gram column for a
+    128-bit content hash (same plan, ~n× less shuffle bytes)."""
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_lookup_join)
+
+    rows = ds.map_batches(lambda b: emit_gram_occurrences(b, n),
+                          batch_format="pyarrow")
+
+    dup_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+
+    def dup_interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        lens = ends - starts
+        keep_run = mask & (lens > 1)
+        if not keep_run.any():
+            return dup_empty
+        idx = np.concatenate(
+            [np.arange(s, e) for s, e
+             in zip(starts[keep_run], ends[keep_run])])
+        sel = b.take(pa.array(idx, pa.int64()))
+        return pa.table({"doc_id": sel["doc_id"], "pos": sel["pos"]})
+
+    def dup_edge(g: pa.Table) -> pa.Table:
+        if g.num_rows <= 1:
+            return dup_empty
+        return pa.table({"doc_id": g["doc_id"], "pos": g["pos"]})
+
+    dups = sorted_bucket_apply(rows, "gram", ["gram"],
+                               dup_interior, dup_edge, dup_empty)
+
+    pos_type = pa.list_(pa.int64())
+    lists_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "positions": pa.array([], pos_type)})
+
+    def fold_interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        if not mask.any():
+            return lists_empty
+        pos = b["pos"].combine_chunks()
+        heads = b["doc_id"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        arrs = [pos.slice(s, e - s)
+                for s, e in zip(starts[mask], ends[mask])]
+        offsets = np.r_[0, np.cumsum((ends - starts)[mask])]
+        vals = pa.concat_arrays([a.combine_chunks() if hasattr(
+            a, "combine_chunks") else a for a in arrs]) if arrs \
+            else pa.array([], pa.int64())
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), vals)
+        return pa.table({"doc_id": heads, "positions": lst})
+
+    def fold_edge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        pos = pc.sort_indices(g, sort_keys=[("pos", "ascending")])
+        vals = g["pos"].take(pos).combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, g.num_rows], pa.int32()), vals)
+        return pa.table({"doc_id": g["doc_id"].slice(0, 1),
+                         "positions": lst})
+
+    pos_lists = sorted_bucket_apply(dups, "doc_id", ["doc_id", "pos"],
+                                    fold_interior, fold_edge, lists_empty)
+
+    joined = sorted_lookup_join(ds, pos_lists, "doc_id", ["positions"],
+                                how="left")
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        plists = b["positions"].to_pylist()
+        n_words = np.empty(len(texts), np.int64)
+        n_dup = np.zeros(len(texts), np.int64)
+        kept: list = []
+        for i, (t, pl) in enumerate(zip(texts, plists)):
+            words = t.split() if t else []
+            nw = len(words)
+            n_words[i] = nw
+            if not pl:
+                kept.append(" ".join(words))
+                continue
+            ps = np.asarray(pl, np.int64)
+            delta = np.zeros(nw + 1, np.int64)
+            delta[ps] += 1            # start positions are unique
+            delta[ps + n] -= 1        # window ends (<= nw by construction)
+            covered = np.cumsum(delta[:nw]) > 0
+            n_dup[i] = int(covered.sum())
+            kept.append(" ".join(
+                w for w, c in zip(words, covered) if not c))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_dup_words": pa.array(n_dup, pa.int64()),
+            "kept_text": pa.array(kept, pa.string())})
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 # ----------------------------------------------------- vocab_doc_freq
 
 def vocab_partial_df(batch: pa.Table) -> pa.Table:

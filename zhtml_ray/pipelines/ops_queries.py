@@ -1525,6 +1525,44 @@ ORDER BY df DESC, word LIMIT {k}
 """
 
 
+_MASK_N = 10
+
+
+def q_mask_dup_spans(sf_dir: str):
+    """Duplicated-span masking (word-level substring dedup, Lee et al.
+    2022): remove every word covered by a 10-gram window whose exact
+    text occurs >= 2 times in the corpus; rejoin survivors with single
+    spaces (functions/corpusstats.py:mask_dup_spans — two sortagg
+    shuffles + one merge join, pure-map rebuild)."""
+    from zhtml_ray.functions.corpusstats import mask_dup_spans
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return mask_dup_spans(ds, n=_MASK_N)
+
+
+def _sql_mask_dup_spans(n: int = _MASK_N) -> str:
+    return f"""
+WITH w AS ({_sql_words()}),
+g AS (SELECT doc_id, i AS pos, array_to_string(words[i:i+{n}-1], ' ') AS gram
+      FROM w, unnest(range(1, len(words) - {n} + 2)) AS t(i)
+      WHERE len(words) >= {n}),
+freq AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+dup AS (SELECT doc_id, pos FROM g JOIN freq USING (gram) WHERE freq.c >= 2),
+cov AS (SELECT DISTINCT doc_id, dup.pos + j.j AS wpos
+        FROM dup, unnest(range({n})) AS j(j)),
+wp AS (SELECT doc_id, i AS wpos, words[i] AS word
+       FROM w, unnest(range(1, len(words)+1)) AS t(i)),
+ncov AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id),
+kept AS (SELECT wp.doc_id,
+                string_agg(wp.word, ' ' ORDER BY wp.wpos) AS kept_text
+         FROM wp ANTI JOIN cov USING (doc_id, wpos)
+         GROUP BY wp.doc_id)
+SELECT w.doc_id, len(w.words)::BIGINT AS n_words,
+       coalesce(ncov.n_dup, 0)::BIGINT AS n_dup_words,
+       coalesce(kept.kept_text, '') AS kept_text
+FROM w LEFT JOIN ncov USING (doc_id) LEFT JOIN kept USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------- retrieval
 
 # Fixed query set for the BM25 gate: terms drawn from the synthetic
@@ -2145,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q_unigram_logprob,
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
+        "mask_dup_spans": q_mask_dup_spans,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2204,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _sql_unigram_logprob(),
         "bm25_topk": _sql_bm25_topk(),
         "stratified_sample": _sql_stratified_sample(),
+        "mask_dup_spans": _sql_mask_dup_spans(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "hopping_window": SQL_HOPPING_WINDOW,
