@@ -1525,6 +1525,62 @@ ORDER BY df DESC, word LIMIT {k}
 """
 
 
+_CHUNK_W = 64          # chunk length (words)
+_CHUNK_STRIDE = 48     # 16-word overlap
+
+
+def q_chunk_docs(sf_dir: str):
+    """Overlapping text chunking (embedding / RAG ingestion prep):
+    split every document into 64-word windows every 48 words (16-word
+    overlap), one output row per chunk with its word offset. Pure
+    flat-map — zero shuffle, vectorized window arithmetic per batch;
+    chunk rows inherit doc_id so downstream embedding stages can
+    repartition by doc or by chunk count as they choose."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out_id, out_cid, out_start, out_nw, out_txt = [], [], [], [], []
+        for did, t in zip(ids, texts):
+            words = t.split() if t else []
+            n = len(words)
+            if n == 0:
+                continue
+            starts = range(0, n, _CHUNK_STRIDE)
+            for ci, s in enumerate(starts):
+                w = words[s:s + _CHUNK_W]
+                out_id.append(did)
+                out_cid.append(ci)
+                out_start.append(s)
+                out_nw.append(len(w))
+                out_txt.append(" ".join(w))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "word_start": pa.array(out_start, pa.int64()),
+            "n_chunk_words": pa.array(out_nw, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string())})
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def _sql_chunk_docs() -> str:
+    return f"""
+WITH w AS ({_sql_words()})
+SELECT doc_id,
+       ((i - 1) // {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+       (i - 1)::BIGINT AS word_start,
+       least({_CHUNK_W}, len(words) - i + 1)::BIGINT AS n_chunk_words,
+       array_to_string(words[i:i+{_CHUNK_W}-1], ' ') AS chunk_text
+FROM w, unnest(range(1, len(words) + 1, {_CHUNK_STRIDE})) AS t(i)
+WHERE len(words) > 0
+"""
+
+
 _MASK_N = 10
 
 
@@ -2184,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "mask_dup_spans": q_mask_dup_spans,
+        "chunk_docs": q_chunk_docs,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2244,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "stratified_sample": _sql_stratified_sample(),
         "mask_dup_spans": _sql_mask_dup_spans(),
+        "chunk_docs": _sql_chunk_docs(),
         "ann_topk": SQL_ANN_TOPK,
         "events_window": SQL_EVENTS_WINDOW,
         "hopping_window": SQL_HOPPING_WINDOW,
