@@ -200,8 +200,9 @@ def _mask_oracle(texts, n):
     return out
 
 
+@pytest.mark.parametrize("gram_key", ["hash", "text"])
 @pytest.mark.parametrize("nblocks", [1, 6])
-def test_mask_dup_spans_differential(ray_session, nblocks):
+def test_mask_dup_spans_differential(ray_session, nblocks, gram_key):
     import ray.data as rd
     rng = random.Random(7)
     vocab = ["k", "v", "tab", "row", "col", "x", "y", "z"]
@@ -215,11 +216,49 @@ def test_mask_dup_spans_differential(ray_session, nblocks):
     texts[17] = "self " + shared + " loop " + shared + " done"  # self-repeat
     ds = rd.from_arrow(_tbl(texts)).repartition(nblocks)
     got = {r["doc_id"]: (r["n_words"], r["n_dup_words"], r["kept_text"])
-           for r in corpusstats.mask_dup_spans(ds, n=5).take_all()}
+           for r in corpusstats.mask_dup_spans(
+               ds, n=5, gram_key=gram_key).take_all()}
     exp = _mask_oracle(texts, n=5)
     assert got == exp
     # the planted cross-doc span was actually masked
     assert "three" not in got[3][2] and "three" not in got[9][2]
+
+
+def test_gram_hash_deterministic_across_batches():
+    """The 128-bit gram hash must be pure content hashing: the same
+    gram text in different batches (different dictionaries, different
+    positions) maps to the same 16-byte key — that is the property the
+    cross-batch duplicate sort relies on."""
+    t1 = corpusstats.emit_gram_occurrences_hashed(
+        _tbl(["alpha beta gamma delta", "x y z"]), 3)
+    t2 = corpusstats.emit_gram_occurrences_hashed(
+        _tbl(["junk junk alpha beta gamma delta junk"]), 3)
+    g1 = {r["pos"]: r["gh"] for r in t1.to_pylist() if r["doc_id"] == 0}
+    g2 = {r["pos"]: r["gh"] for r in t2.to_pylist()}
+    # "alpha beta gamma" at pos 0 in doc 0 == pos 2 in the other batch
+    assert g1[0] == g2[2] and g1[1] == g2[3]
+    # distinct grams get distinct keys; no window crosses the doc edge
+    assert len({r["gh"] for r in t1.to_pylist()}) == t1.num_rows == 3
+
+
+def test_gram_hash_matches_string_emitter_shape():
+    """Hashed and string emitters agree on (doc_id, pos) coverage and
+    on the duplicate structure (equal grams <-> equal hashes) over a
+    corpus with planted self- and cross-doc repeats."""
+    texts = ["a b c a b c a b", "z a b c q", ""]
+    ts = corpusstats.emit_gram_occurrences(_tbl(texts), 3)
+    th = corpusstats.emit_gram_occurrences_hashed(_tbl(texts), 3)
+    assert ts.num_rows == th.num_rows
+    ks = [(r["doc_id"], r["pos"]) for r in ts.to_pylist()]
+    kh = [(r["doc_id"], r["pos"]) for r in th.to_pylist()]
+    assert ks == kh
+    by_gram: dict = {}
+    for r, h in zip(ts.to_pylist(), th.to_pylist()):
+        by_gram.setdefault(r["gram"], set()).add(h["gh"])
+    # every distinct gram -> exactly one hash; distinct grams -> distinct
+    assert all(len(v) == 1 for v in by_gram.values())
+    hashes = [next(iter(v)) for v in by_gram.values()]
+    assert len(set(hashes)) == len(by_gram)
 
 
 def test_mask_dup_spans_no_dups(ray_session):

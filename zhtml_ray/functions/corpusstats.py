@@ -246,7 +246,77 @@ def emit_gram_occurrences(batch: pa.Table, n: int) -> pa.Table:
                      "gram": pa.array(out_grams, pa.string())})
 
 
-def mask_dup_spans(ds, n: int = 10):
+# two independent 64-bit polynomial lanes (distinct odd multipliers,
+# distinct blake2b-derived word lanes) -> 128-bit gram key
+_GRAM_R1 = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_R2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _word_hash_lanes(vocab: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two content-based uint64 hash lanes per DISTINCT word (batch
+    dictionary), via blake2b — deterministic across batches/processes
+    (Python's ``hash()`` is per-process-seeded, unusable here)."""
+    from hashlib import blake2b
+    m = len(vocab)
+    h1 = np.empty(m, np.uint64)
+    h2 = np.empty(m, np.uint64)
+    for i in range(m):
+        d = blake2b(vocab[i].as_py().encode("utf-8", "surrogatepass"),
+                    digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1, h2
+
+
+def emit_gram_occurrences_hashed(batch: pa.Table, n: int) -> pa.Table:
+    """``emit_gram_occurrences`` with the gram as a 128-bit content
+    hash (``gh: fixed_size_binary(16)``) instead of the exact string —
+    the 100-TB shuffle form (~4× fewer shuffle bytes for n=10 grams,
+    integer compares in the sort). Fully vectorized: blake2b once per
+    DISTINCT word in the batch dictionary, then a two-lane polynomial
+    over the window computed with n wrapping uint64 vector ops on the
+    whole flattened token array (no per-gram Python, no gram strings).
+
+    Collision margin: 2^-128 per pair — at 10^13 grams (~100 TB) the
+    corpus-wide collision expectation is ~10^-12, far below hardware
+    error rates; a collision could only ever mask one extra span."""
+    ids = batch["doc_id"]
+    texts = batch["text"].to_pylist()
+    words_per, lens = _split_words(texts)
+    row, codes, vocab = _encode_flat(words_per, lens)
+    empty = pa.table({"doc_id": pa.array([], ids.type),
+                      "pos": pa.array([], pa.int64()),
+                      "gh": pa.array([], pa.binary(16))})
+    m = codes.size - n + 1
+    if m <= 0:
+        return empty
+    h1v, h2v = _word_hash_lanes(vocab)
+    hw1 = h1v[codes]
+    hw2 = h2v[codes]
+    g1 = np.zeros(m, np.uint64)
+    g2 = np.zeros(m, np.uint64)
+    for j in range(n):
+        g1 = g1 * _GRAM_R1 + hw1[j:j + m]
+        g2 = g2 * _GRAM_R2 + hw2[j:j + m]
+    valid = row[:m] == row[n - 1:]   # window must not cross documents
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        return empty
+    row_starts = np.r_[np.int64(0), np.cumsum(lens)][:-1]
+    rows_sel = row[idx]
+    pos = idx - row_starts[rows_sel]
+    packed = np.column_stack([g1[idx], g2[idx]]).astype(">u8").tobytes()
+    gh = pa.Array.from_buffers(pa.binary(16), idx.size,
+                               [None, pa.py_buffer(packed)])
+    did = ids.combine_chunks().take(pa.array(rows_sel, pa.int64())) \
+        if isinstance(ids, pa.ChunkedArray) \
+        else ids.take(pa.array(rows_sel, pa.int64()))
+    return pa.table({"doc_id": did,
+                     "pos": pa.array(pos, pa.int64()),
+                     "gh": gh})
+
+
+def mask_dup_spans(ds, n: int = 10, gram_key: str = "hash"):
     """Exact duplicated-span masking (the word-level form of suffix-
     array substring dedup, Lee et al. 2022 "Deduplicating Training
     Data Makes Language Models Better"): every word position covered
@@ -261,14 +331,24 @@ def mask_dup_spans(ds, n: int = 10):
     document's start positions into a list row -> the positions list
     merge-joins onto the docs table (``sorted_lookup_join``) -> a
     pure-map span-union rebuild (numpy +1/-1 boundary cumsum, no
-    per-position Python). Grams travel as exact strings — what the
-    DuckDB oracle certifies; at 100 TB swap the gram column for a
-    128-bit content hash (same plan, ~n× less shuffle bytes)."""
+    per-position Python).
+
+    ``gram_key="hash"`` (default) shuffles a 128-bit content hash per
+    gram (``emit_gram_occurrences_hashed``) — ~4× fewer shuffle bytes
+    and integer sort compares; ``gram_key="text"`` shuffles the exact
+    gram strings (the literal form the DuckDB oracle computes; a
+    pinned differential test holds the two output-identical)."""
     from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
                                           sorted_lookup_join)
 
-    rows = ds.map_batches(lambda b: emit_gram_occurrences(b, n),
-                          batch_format="pyarrow")
+    if gram_key == "hash":
+        gcol = "gh"
+        rows = ds.map_batches(lambda b: emit_gram_occurrences_hashed(b, n),
+                              batch_format="pyarrow")
+    else:
+        gcol = "gram"
+        rows = ds.map_batches(lambda b: emit_gram_occurrences(b, n),
+                              batch_format="pyarrow")
 
     dup_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "pos": pa.array([], pa.int64())})
@@ -289,7 +369,7 @@ def mask_dup_spans(ds, n: int = 10):
             return dup_empty
         return pa.table({"doc_id": g["doc_id"], "pos": g["pos"]})
 
-    dups = sorted_bucket_apply(rows, "gram", ["gram"],
+    dups = sorted_bucket_apply(rows, gcol, [gcol],
                                dup_interior, dup_edge, dup_empty)
 
     pos_type = pa.list_(pa.int64())
