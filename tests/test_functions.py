@@ -680,3 +680,70 @@ def test_pack_sequences_properties(ray_session):
         last = (r["tok_start"] + max(r["n_tokens"], 1) - 1) // 2048
         assert r["n_seqs"] == last - r["first_seq"] + 1
     assert acc > 0
+
+
+# ------------------------------------------------ kmeans / semantic dedup
+
+def test_kmeans_fit_distributed_branch(ray_session):
+    """Force the distributed Lloyd branch (driver_budget_rows below n)
+    and check it against the serial kernel on quality, not bytes (init
+    and summation order legitimately differ): quantization error within
+    10%, and the run is deterministic for a fixed block layout."""
+    import ray.data as rd
+    from zhtml_ray.functions.similarity import _kmeans, _normalize, kmeans_fit
+    rng = np.random.RandomState(3)
+    centers = _normalize(rng.standard_normal((6, 32)).astype(np.float32))
+    x = np.repeat(centers, 200, axis=0) + \
+        rng.standard_normal((1200, 32)).astype(np.float32) * 0.05
+    t = pa.table({"embedding": pa.array([r.tolist() for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(7).materialize()
+
+    def qerr(cent):
+        xn = _normalize(x.copy())
+        return float(1.0 - (xn @ cent.T).max(axis=1).mean())
+
+    c_dist = kmeans_fit(ds, n_centroids=6, iters=8, seed=11,
+                        driver_budget_rows=100)
+    c_ser = _kmeans(x.copy(), 6, iters=8, seed=11)
+    assert qerr(c_dist) <= qerr(c_ser) * 1.10 + 1e-6
+    c_dist2 = kmeans_fit(ds, n_centroids=6, iters=8, seed=11,
+                         driver_budget_rows=100)
+    assert np.array_equal(c_dist, c_dist2)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_semantic_dedup_invariants(ray_session, nblocks):
+    """Planted near-identical pairs are deduplicated (the later key is
+    dropped, pointing at the earlier), every dup_of references a KEPT
+    row in the SAME cell with a smaller key, and output covers every
+    input exactly once."""
+    import ray.data as rd
+    from zhtml_ray.functions.similarity import semantic_dedup
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((120, 16)).astype(np.float32)
+    dup = base[::4] + rng.standard_normal(
+        base[::4].shape).astype(np.float32) * 0.001
+    x = np.concatenate([base, dup])
+    ids = np.r_[np.arange(120), np.arange(0, 120, 4) + 1000]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(nblocks)
+    rows = semantic_dedup(ds, threshold=0.99, n_centroids=4,
+                          iters=5, seed=7).take_all()
+    assert sorted(r["vec_id"] for r in rows) == sorted(ids.tolist())
+    info = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        if not r["kept"]:
+            lead = info[r["dup_of"]]
+            assert lead["kept"] and lead["cell"] == r["cell"]
+            assert r["dup_of"] < r["vec_id"]
+        else:
+            assert r["dup_of"] == -1
+    # every planted copy (cos ~ 0.9999 with its base) was dropped —
+    # unless kmeans split the pair across cells, which the tiny noise
+    # makes effectively impossible
+    for b in range(0, 120, 4):
+        assert info[b + 1000]["kept"] is False
+        assert info[b + 1000]["dup_of"] == b

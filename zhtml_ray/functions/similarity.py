@@ -185,3 +185,216 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_probe: int = 4,
     # coarse-probe behavior (per-query cell masking would only shrink
     # recall); keep as-is.
     return results
+
+
+# -------------------------------------------------- distributed k-means
+
+def _content_sorted(x: np.ndarray) -> np.ndarray:
+    """Rows in a deterministic CONTENT order (lexicographic over the
+    raw row bytes). Ray's streaming executor does not preserve block
+    order through map operators (preserve_order is off), so anything
+    collected on the driver arrives in completion order — imposing a
+    content total order makes the fit layout- AND schedule-invariant.
+    Tie rows are byte-identical, hence interchangeable downstream."""
+    if len(x) <= 1:
+        return x
+    v = np.ascontiguousarray(x).view(
+        np.dtype((np.void, x.shape[1] * x.dtype.itemsize))).ravel()
+    return x[np.argsort(v, kind="stable")]
+
+
+def kmeans_fit(ds, n_centroids: int = 16, iters: int = 10,
+               col: str = "embedding", seed: int = 42,
+               driver_budget_rows: int = 65536) -> np.ndarray:
+    """Full-dataset Lloyd iterations, distributed: each round is ONE
+    ``map_batches`` pass emitting per-(batch, cell) float64 partial
+    sums + counts (≤ blocks×k tiny rows), reduced on the driver in a
+    DETERMINISTIC order (partials sorted by value, so arrival order —
+    which Ray does not fix — cannot change the float result). Per
+    round the driver holds O(blocks×k×dim), never O(n).
+
+    Below ``driver_budget_rows`` the vectors stream to the driver,
+    are put in deterministic content order (``_content_sorted``) and
+    the shared serial ``_kmeans`` kernel runs — exactly layout- and
+    schedule-invariant, byte-deterministic; that is the mode every
+    gate scale uses and the pinned serial golden replicates (the same
+    duality as ``train_centroids`` / ``_gen_ivf_topk``). The
+    distributed mode is differential-tested against the serial kernel
+    with a float tolerance instead."""
+    import ray
+
+    n = ds.count()
+    if n <= driver_budget_rows:
+        arr = [np.asarray(b[col].to_pylist(), np.float32)
+               for b in ds.iter_batches(batch_size=4096,
+                                        batch_format="pyarrow")]
+        x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
+        return _kmeans(_content_sorted(x), n_centroids, iters, seed)
+
+    # deterministic unbiased init sample: CONTENT-hash each vector and
+    # keep ~n_centroids×8 rows — `ds.random_sample(frac, seed=...)` is
+    # NOT run-deterministic on this Ray version (measured: two calls
+    # with the same seed on the same materialized blocks pick different
+    # rows), which would make the whole fit irreproducible
+    target = n_centroids * 8
+    mod = max(1, n // target)
+
+    def _init_keep(b: pa.Table) -> pa.Table:
+        emb = np.asarray(b[col].to_pylist(), np.float32)
+        if emb.size == 0:
+            return pa.table({col: b[col]})
+        u = emb.view(np.uint32).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)).sum(axis=1)
+        m = (h % np.uint64(mod)) == 0
+        return pa.table({col: b[col].combine_chunks().filter(pa.array(m))
+                         if isinstance(b[col], pa.ChunkedArray)
+                         else b[col].filter(pa.array(m))})
+
+    init_rows = [np.asarray(b[col].to_pylist(), np.float32)
+                 for b in ds.map_batches(
+                     _init_keep, batch_format="pyarrow").iter_batches(
+                         batch_size=1024, batch_format="pyarrow")]
+    xi = np.concatenate([r for r in init_rows if r.size] or
+                        [np.zeros((0, 1), np.float32)])
+    if len(xi) < n_centroids:   # pathological mod skew: fall back to head
+        xi = np.concatenate([np.asarray(b[col].to_pylist(), np.float32)
+                             for b in ds.limit(target).iter_batches(
+                                 batch_size=1024, batch_format="pyarrow")])
+    xi = _normalize(_content_sorted(xi))
+    rng = np.random.RandomState(seed)
+    cent = xi[rng.choice(len(xi), size=min(n_centroids, len(xi)),
+                         replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = _normalize(np.asarray(b[col].to_pylist(), np.float32))
+            if emb.size == 0:
+                return pa.table({
+                    "cell": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            a = (emb @ c.T).argmax(axis=1)
+            order = np.argsort(a, kind="stable")
+            srt = emb[order].astype(np.float64)
+            asrt = a[order]
+            starts = np.flatnonzero(np.r_[True, asrt[1:] != asrt[:-1]])
+            sums = np.add.reduceat(srt, starts, axis=0)
+            cnt = np.diff(np.r_[starts, len(asrt)])
+            return pa.table({
+                "cell": pa.array(asrt[starts], pa.int32()),
+                "n": pa.array(cnt, pa.int64()),
+                "vsum": pa.array([r.tolist() for r in sums],
+                                 pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        # deterministic reduce order: sort by full value, not arrival
+        parts.sort(key=lambda r: (r["cell"], r["n"], tuple(r["vsum"])))
+        new = cent.astype(np.float64).copy()
+        acc: dict = {}
+        cnts: dict = {}
+        for r in parts:
+            cell = r["cell"]
+            v = np.asarray(r["vsum"], np.float64)
+            if cell in acc:
+                acc[cell] = acc[cell] + v
+                cnts[cell] += r["n"]
+            else:
+                acc[cell] = v
+                cnts[cell] = r["n"]
+        for cell, v in acc.items():
+            new[cell] = v / cnts[cell]
+        cent = _normalize(new.astype(np.float32))
+    return cent
+
+
+# ------------------------------------------- SemDeDup semantic dedup
+
+def _greedy_leader(keys: np.ndarray, emb_n: np.ndarray,
+                   threshold: float, chunk: int = 1024):
+    """Greedy leader dedup inside one cluster, in ascending-key order:
+    a member is a duplicate of the EARLIEST already-kept member with
+    cosine ≥ threshold, else becomes a leader itself. Vectorized in
+    ``chunk``-row blocks against the leader matrix (one matmul per
+    block); only rows with no prior-leader hit take the short
+    sequential pass against the block's own new leaders. Returns
+    (sorted keys, kept mask, leader key or -1) — shared verbatim by
+    the distributed operator and the pinned serial golden."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    E = np.ascontiguousarray(emb_n[order])
+    m = len(ks)
+    dup_of = np.full(m, -1, np.int64)
+    leader_idx: list = []
+    lmat = np.empty((0, E.shape[1]), E.dtype)
+    for s in range(0, m, chunk):
+        blk = E[s:s + chunk]
+        hit = np.full(len(blk), -1, np.int64)
+        if leader_idx:
+            sims = blk @ lmat.T
+            ok = sims >= threshold
+            has = ok.any(axis=1)
+            first = ok.argmax(axis=1)
+            la = np.asarray(leader_idx)
+            hit[has] = la[first[has]]
+        new_loc: list = []
+        for i in np.flatnonzero(hit < 0):
+            gi = s + i
+            if new_loc:
+                sims_i = E[new_loc] @ E[gi]
+                j = np.flatnonzero(sims_i >= threshold)
+                if j.size:
+                    hit[i] = new_loc[int(j[0])]
+                    continue
+            new_loc.append(gi)
+        dup_of[s:s + len(blk)] = hit
+        if new_loc:
+            leader_idx.extend(new_loc)
+            lmat = np.concatenate([lmat, E[new_loc]])
+    kept = dup_of < 0
+    leader_key = np.where(kept, np.int64(-1), ks[np.maximum(dup_of, 0)])
+    return ks, kept, leader_key
+
+
+def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
+                   iters: int = 10, key: str = "vec_id",
+                   col: str = "embedding", seed: int = 42):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then deduplicate WITHIN each cluster — members
+    with cosine ≥ threshold to an earlier kept member (ascending key)
+    are dropped as semantic duplicates. Output one row per input:
+    (key, cell, kept, dup_of).
+
+    Scale shape: the fit is ``kmeans_fit`` (per-round partial sums,
+    driver holds O(blocks×k×dim)); assignment is a pure map; the
+    per-cluster pass is a ``groupby(cell).map_groups`` — exactly the
+    partitioning SemDeDup prescribes (size ``n_centroids`` so clusters
+    fit a worker: n/5k at corpus scale). The within-cluster cost is
+    O(|cell|·leaders) vectorized matmuls, not all-pairs."""
+    import ray
+    from zhtml_ray.stages.util import autoscale_pool
+
+    cent = kmeans_fit(ds, n_centroids=n_centroids, iters=iters,
+                      col=col, seed=seed)
+    cref = ray.put(cent)
+    assigned = ds.map_batches(IvfAssign,
+                              fn_constructor_kwargs=dict(centroids_ref=cref,
+                                                         col=col),
+                              batch_format="pyarrow",
+                              concurrency=autoscale_pool(0.5))
+
+    def dedup_cell(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g[key].to_pylist(), np.int64)
+        emb_n = _normalize(np.asarray(g[col].to_pylist(), np.float32))
+        cell = g["ivf_cell"][0].as_py()
+        ks, kept, leader = _greedy_leader(keys, emb_n, threshold)
+        return pa.table({
+            key: pa.array(ks, pa.int64()),
+            "cell": pa.array([cell] * len(ks), pa.int32()),
+            "kept": pa.array(kept, pa.bool_()),
+            "dup_of": pa.array(leader, pa.int64())})
+
+    return assigned.groupby("ivf_cell").map_groups(
+        dedup_cell, batch_format="pyarrow")

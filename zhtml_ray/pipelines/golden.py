@@ -399,6 +399,42 @@ def _gen_ivf_topk(sf_dir: str) -> pa.Table:
                      "vec_id": pa.array(key_out, pa.int64())})
 
 
+def _gen_semantic_dedup(sf_dir: str) -> pa.Table:
+    """Serial same-kernel pinned run of the SemDeDup path. Valid at
+    gate scales for the same reason as ``_gen_ivf_topk``: the fit is
+    the exactly-layout-invariant driver mode of ``kmeans_fit`` (which
+    IS the shared serial ``_kmeans`` on vectors in dataset order), the
+    assignment is a row-stable float32 matmul-argmax, and the
+    within-cluster pass is the SAME ``_greedy_leader`` kernel on the
+    same ascending-key member order."""
+    import numpy as np
+    from zhtml_ray.functions.similarity import (_content_sorted,
+                                                _greedy_leader, _kmeans,
+                                                _normalize)
+    from zhtml_ray.pipelines.ops_queries import planted_embeddings
+    t = planted_embeddings(sf_dir)
+    keys = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), np.float32)
+    assert len(emb) <= 65536, \
+        "serial semantic_dedup golden needs kmeans_fit's driver mode"
+    cent = _kmeans(_content_sorted(emb.copy()), 8, iters=10,
+                   seed=42)  # q_semantic_dedup's params
+    emb_n = _normalize(emb.copy())
+    assign = (emb_n @ cent.T).argmax(axis=1).astype(np.int32)
+    out_key, out_cell, out_kept, out_dup = [], [], [], []
+    for c in sorted(set(assign.tolist())):
+        sel = assign == c
+        ks, kept, leader = _greedy_leader(keys[sel], emb_n[sel], 0.98)
+        out_key.extend(ks.tolist())
+        out_cell.extend([c] * len(ks))
+        out_kept.extend(kept.tolist())
+        out_dup.extend(leader.tolist())
+    return pa.table({"vec_id": pa.array(out_key, pa.int64()),
+                     "cell": pa.array(out_cell, pa.int32()),
+                     "kept": pa.array(out_kept, pa.bool_()),
+                     "dup_of": pa.array(out_dup, pa.int64())})
+
+
 def _gen_pdf_extract(sf_dir: str) -> pa.Table:
     from zhtml_ray.functions.pdf import PdfExtractBatch, gen_pdf_table
     from zhtml_ray.pipelines.ops_queries import _media_rows_for
@@ -448,6 +484,7 @@ _GENERATORS = {
     "minhash_dedup": _gen_minhash_dedup,
     "embedding_neardup": _gen_embedding_neardup,
     "ivf_topk": _gen_ivf_topk,
+    "semantic_dedup": _gen_semantic_dedup,
     "pdf_extract": _gen_pdf_extract,
     "media_features": _gen_media_features,
     "audio_features": _gen_audio_features,

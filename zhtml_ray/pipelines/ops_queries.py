@@ -1863,6 +1863,25 @@ def q_embedding_neardup(sf_dir: str):
     return schema_safe_result(out.select_columns(["key_a", "key_b"]))
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic deduplication (k-means clusters -> greedy
+    within-cluster cosine leader dedup), oracled against a serial
+    same-kernel pinned golden — valid at gate scales because
+    ``kmeans_fit`` takes its exactly-layout-invariant driver path
+    there (the `_gen_ivf_topk` duality); the distributed fit is
+    tolerance-differential-tested in pytest."""
+    import ray.data as rd
+    from zhtml_ray.functions.similarity import semantic_dedup
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.util import schema_safe_result
+
+    ensure_golden("semantic_dedup", sf_dir)
+    ds = rd.from_arrow(planted_embeddings(sf_dir))
+    out = semantic_dedup(ds, threshold=0.98, n_centroids=8, iters=10)
+    return schema_safe_result(
+        out.select_columns(["vec_id", "cell", "kept", "dup_of"]))
+
+
 # -------------------------------------------------------------- similarity
 
 def _query_vectors(sf_dir, n=5):
@@ -2248,6 +2267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "events_window": q_events_window,
         "hopping_window": q_hopping_window,
         "events_sessionize": q_events_sessionize,
@@ -2267,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": golden_sql("ngram_jaccard"),
         "embedding_neardup": golden_sql("embedding_neardup"),
         "ivf_topk": golden_sql("ivf_topk"),
+        "semantic_dedup": golden_sql("semantic_dedup"),
         "pdf_extract": golden_sql("pdf_extract"),
         "media_features": golden_sql("media_features"),
         "audio_features": golden_sql("audio_features"),
