@@ -1093,6 +1093,64 @@ FROM events
 """
 
 
+def q_events_cumsum(sf_dir: str):
+    """Per-user running total (cumulative SUM window ordered by ts) —
+    the `event_lag` shape: ONE range-shuffle sort on (user, ts,
+    event_id), vectorized block-local np.cumsum with per-run rebasing
+    for users fully inside a block, per-group pass only for the ≤ 2
+    users straddling each block edge (the whole straddling group
+    reaches ``edge_fn``, so no cross-block carry protocol is needed).
+    The float total is decimal-pinned identically on both sides (the
+    q1 convention) — sequential np.cumsum and DuckDB's windowed
+    segment-tree sum legitimately differ in last-ulp association."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "cum_value": pa.array([], pa.float64())})
+
+    def cum_of(b: pa.Table, starts: np.ndarray,
+               ends: np.ndarray) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.cumsum(v)
+        base = np.where(starts > 0, c[starts - 1], 0.0)
+        cum = c - np.repeat(base, ends - starts)
+        cum = np.floor(cum * 1e2 + 0.5) / 1e2
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "cum_value": pa.array(cum, pa.float64())})
+
+    def interior(b, starts, ends, mask):
+        rows = cum_of(b, starts, ends)
+        return rows.filter(pa.array(np.repeat(mask, ends - starts)))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        return cum_of(g.take(order), np.zeros(1, np.int64),
+                      np.asarray([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+SQL_EVENTS_CUMSUM = """
+SELECT event_id, user_id,
+       floor(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) * 1e2 + 0.5)
+           / 1e2 AS cum_value
+FROM events
+"""
+
+
 def q_session_label(sf_dir: str):
     """Range join (event → the session window containing it) composed
     from the as-of primitive: session windows are disjoint per user and
@@ -2249,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_docs": q_jsonl_docs,
         "click_attribution": q_click_attribution,
         "event_lag": q_event_lag,
+        "events_cumsum": q_events_cumsum,
         "session_label": q_session_label,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -2311,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_docs": _sql_jsonl_docs(),
         "click_attribution": SQL_CLICK_ATTRIBUTION,
         "event_lag": SQL_EVENT_LAG,
+        "events_cumsum": SQL_EVENTS_CUMSUM,
         "session_label": _sql_session_label(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,

@@ -348,6 +348,130 @@ WHERE o_orderkey IN (
 """
 
 
+def q3_shipping(sf_dir: str, seg: str = "BUILDING",
+                cutoff: str = "1998-06-01"):
+    """TPC-H Q3 shape (shipping priority): three-table join, composed
+    scale-first — the segment-filtered customer keys broadcast once as
+    a semi-join set (dim-sized; the budgeted fallback for a fact-sized
+    side is ``q_big_discount_orders``'s pattern), lineitem revenue
+    pre-aggregates per batch THEN per orderkey, and the order
+    attributes attach via ``sorted_lookup_join`` (merge-join-as-sort,
+    measured ~5× cheaper than the hash join on this Ray version). Only
+    the top-10 result materializes on the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    cut = np.datetime64(cutoff, "us")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], seg))["c_custkey"]
+    cref = ray.put(pa.array(sorted(ckeys.to_pylist()), pa.int64()))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def keep_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.less(b["o_orderdate"], pa.scalar(cut)),
+                    pc.is_in(b["o_custkey"], value_set=ray.get(cref)))
+        t = b.filter(m)
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    ord_f = drop_empty_blocks(
+        orders.map_batches(keep_orders, batch_format="pyarrow"))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}) \
+            .group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "rev"])
+
+    rev = drop_empty_blocks(
+        li.map_batches(rev_partial, batch_format="pyarrow")) \
+        .groupby("o_orderkey").aggregate(Sum("rev", alias_name="rev"))
+
+    joined = sorted_lookup_join(rev, ord_f, "o_orderkey",
+                                ["o_orderdate", "o_orderpriority"],
+                                how="inner")
+    top = joined.sort(["rev", "o_orderkey"],
+                      descending=[True, False]).limit(10)
+    pdf = top.to_pandas()
+    # decimal-pin the float sum identically to the oracle (see q1)
+    pdf["revenue"] = np.floor(pdf["rev"] * 1e2 + 0.5) / 1e2
+    pdf = pdf[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+    return pdf.sort_values(["revenue", "o_orderkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+SQL_Q3_SHIPPING = """
+SELECT o_orderkey,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+           AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_top_orders_per_cust(sf_dir: str, n: int = 3):
+    """Per-group top-k (the grouped form of `top_orders`): each
+    customer's ``n`` highest-value orders, ties broken by orderkey.
+    ``sorted_head_n_per_group`` — ONE range shuffle on custkey,
+    block-local run slices, ≤ 2n boundary rows per block, so a
+    mega-customer never lands whole on one worker. Descending price
+    rides the ascending primitive via a negated sort column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_head_n_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey",
+                                  "o_totalprice"])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "neg_price", pc.negate(b["o_totalprice"]))
+
+    kept = sorted_head_n_per_group(
+        ds.map_batches(neg, batch_format="pyarrow"),
+        ["o_custkey"], ["neg_price", "o_orderkey"], n=n)
+    return kept.select_columns(["o_custkey", "o_orderkey",
+                                "o_totalprice"])
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders) t
+WHERE rn <= 3
+"""
+
+
 def q_top_docs_by_length(sf_dir: str):
     """Top-k largest documents (SURVEY.md §2.6 diagnostics: distributed
     sort + limit; the length column is computed vectorized per batch)."""
@@ -428,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": q_top_docs_by_length,
         "brand_revenue": q_brand_revenue,
         "big_discount_orders": q_big_discount_orders,
+        "q3_shipping": q3_shipping,
+        "top_orders_per_cust": q_top_orders_per_cust,
     }
     out.update(ops_queries.queries())
     return out
@@ -451,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_length": SQL_TOP_DOCS_BY_LENGTH,
         "brand_revenue": SQL_BRAND_REVENUE,
         "big_discount_orders": SQL_BIG_DISCOUNT_ORDERS,
+        "q3_shipping": SQL_Q3_SHIPPING,
+        "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     }
     out.update(ops_queries.oracle_sql())
     return out
