@@ -334,10 +334,8 @@ def test_ivf_recall_vs_brute_force(ray_session):
     t = pq.read_table(f"{sf}/embeddings.parquet")
     q = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:5], np.float64)
     exact = similarity.brute_force_topk(ds, q, k=10)
-    stats = {}
     approx = similarity.ivf_topk(rd.read_parquet(f"{sf}/embeddings.parquet"),
-                                 q, k=10, n_probe=4, n_centroids=8,
-                                 scan_stats=stats)
+                                 q, k=10, n_probe=4, n_centroids=8)
     recalls = []
     for qid in range(5):
         e = set(exact.loc[exact.query_id == qid, "vec_id"])
@@ -345,7 +343,14 @@ def test_ivf_recall_vs_brute_force(ray_session):
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
     # the probe filter must actually prune — a regression silently
-    # degrading IVF to full brute force must fail here (VERDICT r2 #6)
+    # degrading IVF to full brute force must fail here (VERDICT r2 #6).
+    # 5 queries × 4 probes happen to union to all 8 cells on these
+    # centroids, so the prune property is asserted on a 2-query run
+    # (union 5/8 cells, measured scan 309/500).
+    stats = {}
+    similarity.ivf_topk(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                        q[:2], k=10, n_probe=4, n_centroids=8,
+                        scan_stats=stats)
     assert 0 < stats["n_scanned"] < stats["n_total"], stats
 
 
@@ -747,3 +752,22 @@ def test_semantic_dedup_invariants(ray_session, nblocks):
     for b in range(0, 120, 4):
         assert info[b + 1000]["kept"] is False
         assert info[b + 1000]["dup_of"] == b
+
+
+def test_ray_random_sample_set_deterministic_order_not(ray_session):
+    """Library landmine pin (the pyarrow utf8_normalize pattern):
+    ``ds.random_sample(frac, seed=...)`` on this Ray version returns
+    the same row SET on repeat calls, but the streaming executor gives
+    NO arrival-order guarantee through map operators — two identical
+    driver collections can disagree in order (measured; it silently
+    broke kmeans reproducibility until rows were content-sorted).
+    train_centroids / kmeans_fit therefore sample by content hash and
+    sort by content. If the set-determinism half ever breaks, the
+    samplers' assumptions must be revisited."""
+    import ray.data as rd
+    t = pa.table({"x": pa.array(range(2000))})
+    ds = rd.from_arrow(t).repartition(7).materialize()
+    draws = [tuple(sorted(r["x"] for r in
+                          ds.random_sample(0.05, seed=11).take_all()))
+             for _ in range(4)]
+    assert len(set(draws)) == 1, "seeded row SET became unstable"

@@ -112,25 +112,27 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
     """K-means (Lloyd) on a driver-side sample — the coarse quantizer.
     Deterministic: seeded init, fixed iterations.
 
-    The sample is a seeded `ds.random_sample` across ALL blocks — taking
-    the first blocks would train the quantizer on one shard's
-    distribution at scale (skewed centroids, bad probe recall). Only
-    when the table fits the sample budget itself (n ≤ sample) is the
-    training set the whole table with no thinning — that path is
-    layout-independent, which is what lets the serial golden pin the
-    gate-scale IVF output (between sample and 2×sample the stream is
-    consumed whole but still permutation-thinned to `sample` rows)."""
+    The sample is an unbiased CONTENT-hash filter across ALL blocks —
+    taking the first blocks would train the quantizer on one shard's
+    distribution at scale (skewed centroids, bad probe recall). Rows
+    are put in content order before thinning/training
+    (``_content_sorted``): the streaming executor gives no arrival-
+    order guarantee through map operators (measured — it silently
+    broke reproducibility), so anything collected on the driver must
+    impose its own total order. The result is layout- and schedule-
+    invariant at EVERY scale; when the table fits the sample budget
+    (n ≤ sample) the training set is the whole table — the path that
+    lets the serial golden pin the gate-scale IVF output."""
     n = ds.count()
-    frac = min(1.0, (sample * 2.0) / max(n, 1))
-    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
-    # consume the WHOLE sampled stream (≈2·sample rows) — breaking early
-    # would keep only the front blocks and re-introduce the
-    # ordered-shard skew this sampling exists to avoid; then thin to
-    # `sample` rows with a seeded shuffle
-    arr = []
-    for b in sampled.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        arr.append(np.asarray(b[col].to_pylist(), np.float32))
-    x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
+    if n > sample * 2:
+        x = _content_hash_sample(ds, col, target=sample * 2, n=n,
+                                 seed=seed)
+    else:
+        arr = [np.asarray(b[col].to_pylist(), np.float32)
+               for b in ds.iter_batches(batch_size=1024,
+                                        batch_format="pyarrow")]
+        x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
+    x = _content_sorted(x)
     if len(x) > sample:
         idx = np.random.RandomState(seed).permutation(len(x))[:sample]
         x = x[idx]
@@ -203,6 +205,36 @@ def _content_sorted(x: np.ndarray) -> np.ndarray:
     return x[np.argsort(v, kind="stable")]
 
 
+def _content_hash_sample(ds, col: str, target: int, n: int,
+                         seed: int) -> np.ndarray:
+    """~``target`` rows sampled by a deterministic CONTENT hash of each
+    vector (keep when hash % (n//target) == 0) — unbiased across all
+    blocks like a seeded random sample, but with the chosen set a pure
+    function of the data (``ds.random_sample(frac, seed=...)``'s row
+    set is empirically stable on this Ray version, but that is
+    undocumented — and per-row RNG costs more than a vectorized hash).
+    Collected rows are returned WITHOUT order guarantees (streaming
+    executor arrival order); callers must sort by content."""
+    mod = max(1, n // max(target, 1))
+
+    def _keep(b: pa.Table) -> pa.Table:
+        emb = np.asarray(b[col].to_pylist(), np.float32)
+        if emb.size == 0:
+            return pa.table({col: b[col]})
+        u = emb.view(np.uint32).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)).sum(axis=1)
+        m = (h % np.uint64(mod)) == 0
+        c = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) \
+            else b[col]
+        return pa.table({col: c.filter(pa.array(m))})
+
+    rows = [np.asarray(b[col].to_pylist(), np.float32)
+            for b in ds.map_batches(_keep, batch_format="pyarrow")
+            .iter_batches(batch_size=1024, batch_format="pyarrow")]
+    rows = [r for r in rows if r.size]
+    return np.concatenate(rows) if rows else np.zeros((0, 1), np.float32)
+
+
 def kmeans_fit(ds, n_centroids: int = 16, iters: int = 10,
                col: str = "embedding", seed: int = 42,
                driver_budget_rows: int = 65536) -> np.ndarray:
@@ -231,31 +263,9 @@ def kmeans_fit(ds, n_centroids: int = 16, iters: int = 10,
         x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
         return _kmeans(_content_sorted(x), n_centroids, iters, seed)
 
-    # deterministic unbiased init sample: CONTENT-hash each vector and
-    # keep ~n_centroids×8 rows — `ds.random_sample(frac, seed=...)` is
-    # NOT run-deterministic on this Ray version (measured: two calls
-    # with the same seed on the same materialized blocks pick different
-    # rows), which would make the whole fit irreproducible
+    # deterministic unbiased init sample (see _content_hash_sample)
     target = n_centroids * 8
-    mod = max(1, n // target)
-
-    def _init_keep(b: pa.Table) -> pa.Table:
-        emb = np.asarray(b[col].to_pylist(), np.float32)
-        if emb.size == 0:
-            return pa.table({col: b[col]})
-        u = emb.view(np.uint32).astype(np.uint64)
-        h = (u * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)).sum(axis=1)
-        m = (h % np.uint64(mod)) == 0
-        return pa.table({col: b[col].combine_chunks().filter(pa.array(m))
-                         if isinstance(b[col], pa.ChunkedArray)
-                         else b[col].filter(pa.array(m))})
-
-    init_rows = [np.asarray(b[col].to_pylist(), np.float32)
-                 for b in ds.map_batches(
-                     _init_keep, batch_format="pyarrow").iter_batches(
-                         batch_size=1024, batch_format="pyarrow")]
-    xi = np.concatenate([r for r in init_rows if r.size] or
-                        [np.zeros((0, 1), np.float32)])
+    xi = _content_hash_sample(ds, col, target=target, n=n, seed=seed)
     if len(xi) < n_centroids:   # pathological mod skew: fall back to head
         xi = np.concatenate([np.asarray(b[col].to_pylist(), np.float32)
                              for b in ds.limit(target).iter_batches(

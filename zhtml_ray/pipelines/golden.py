@@ -370,7 +370,8 @@ def _gen_ivf_topk(sf_dir: str) -> pa.Table:
     is separately pytest-gated
     (tests/test_functions.py::test_ivf_recall_vs_brute_force)."""
     import numpy as np
-    from zhtml_ray.functions.similarity import _kmeans, _normalize
+    from zhtml_ray.functions.similarity import (_content_sorted, _kmeans,
+                                                _normalize)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t["vec_id"].to_pylist())
     emb = np.asarray(t["embedding"].to_pylist(), np.float32)
@@ -381,7 +382,10 @@ def _gen_ivf_topk(sf_dir: str) -> pa.Table:
     n_centroids, n_probe, k, seed = 8, 4, 10, 42  # q_ivf_topk's params
     assert len(emb) <= 2048, \
         "serial ivf golden needs the untrimmed full-table training path"
-    cent = _kmeans(emb.copy(), n_centroids, iters=10, seed=seed)
+    # train_centroids puts rows in content order before training
+    # (layout/schedule invariance) — replicate exactly
+    cent = _kmeans(_content_sorted(emb.copy()), n_centroids,
+                   iters=10, seed=seed)
     emb_n = _normalize(emb.copy())
     assign = (emb_n @ cent.T).argmax(axis=1)
     q = _normalize(np.asarray(qv, np.float32))
