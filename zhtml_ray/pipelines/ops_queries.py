@@ -981,6 +981,89 @@ def _sql_jsonl_docs() -> str:
     """
 
 
+_CSV_ROOT = "/tmp/zhtml_ray_csv"
+
+
+def _csv_current_dir() -> str:
+    import os
+    return f"{_CSV_ROOT}/current_{os.getpid()}"
+
+
+def _ensure_csv_fixture(sf_dir: str) -> str:
+    """4 gzipped RFC-4180 CSV shards of the documents table (quoted
+    text fields — embedded commas/quotes/newlines round-trip), the
+    same per-process/dead-pid-swept lifecycle as the JSONL fixture."""
+    import csv
+    import gzip
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    d = _csv_current_dir()
+    tag = os.path.join(d, ".sf_dir")
+    if os.path.exists(tag) and open(tag).read() == sf_dir:
+        return d
+    if os.path.isdir(_CSV_ROOT):
+        for name in os.listdir(_CSV_ROOT):
+            try:
+                pid = int(name.rsplit("_", 1)[1])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, ProcessLookupError):
+                shutil.rmtree(os.path.join(_CSV_ROOT, name),
+                              ignore_errors=True)
+            except PermissionError:
+                pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    rows = t.to_pylist()
+    for shard in range(4):
+        with gzip.open(os.path.join(d, f"part-{shard}.csv.gz"),
+                       "wt", encoding="utf-8", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["doc_id", "text", "lang", "source"])
+            for r in rows[shard::4]:
+                w.writerow([r["doc_id"], r["text"], r["lang"],
+                            r["source"]])
+    with open(tag, "w") as f:
+        f.write(sf_dir)
+    return d
+
+
+def q_csv_docs(sf_dir: str):
+    """CSV shard ingestion (label tables / manifests / legacy exports):
+    file-as-parallelism-unit read through the C++ CSV parser
+    (``sources/csvsrc.py``), pinned schema, vectorized projection —
+    the fourth source on-ramp next to parquet, WARC and JSONL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.sources.csvsrc import read_csv_shards
+
+    d = _ensure_csv_fixture(sf_dir)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string())])
+    ds = read_csv_shards(d, schema=schema)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "n_chars_text": pc.cast(pc.utf8_length(b["text"]),
+                                    pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def _sql_csv_docs() -> str:
+    return f"""
+    SELECT doc_id, source, length(text)::BIGINT AS n_chars_text
+    FROM read_csv('{_csv_current_dir()}/*.csv.gz', header=true,
+                  columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                            'lang': 'VARCHAR', 'source': 'VARCHAR'}})
+    """
+
+
 def q_click_attribution(sf_dir: str):
     """As-of join (purchase → latest prior-or-same-instant click of the
     same user — the attribution join of every event pipeline), an
@@ -2308,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": q_click_attribution,
         "event_lag": q_event_lag,
         "events_cumsum": q_events_cumsum,
+        "csv_docs": q_csv_docs,
         "session_label": q_session_label,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -2371,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "click_attribution": SQL_CLICK_ATTRIBUTION,
         "event_lag": SQL_EVENT_LAG,
         "events_cumsum": SQL_EVENTS_CUMSUM,
+        "csv_docs": _sql_csv_docs(),
         "session_label": _sql_session_label(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
