@@ -794,3 +794,29 @@ def test_emb_matrix_layouts():
         similarity._emb_matrix(withnull)
     except (TypeError, ValueError):
         pass  # slow path may reject nulls loudly; silence is also fine
+
+
+def test_ivf_partitioned_index_roundtrip(ray_session, tmp_path):
+    """build_ivf_index + ivf_index_topk (the at-rest IVF form) must
+    return exactly what the in-memory ivf_topk returns — kmeans_fit's
+    driver mode and train_centroids produce identical centroids at
+    this scale — while reading only the probed cells' partitions."""
+    import ray.data as rd
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:2],
+                   np.float64)
+    out = str(tmp_path / "ivf")
+    similarity.build_ivf_index(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                               out, n_centroids=8)
+    stats = {}
+    got = similarity.ivf_index_topk(out, q, k=10, n_probe=4,
+                                    scan_stats=stats)
+    assert stats["n_cells_read"] < stats["n_cells_total"] == 8, stats
+    want = similarity.ivf_topk(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                               q, k=10, n_probe=4, n_centroids=8)
+    g = got.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert g["vec_id"].tolist() == w["vec_id"].tolist()
+    assert g["query_id"].tolist() == w["query_id"].tolist()

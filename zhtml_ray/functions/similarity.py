@@ -432,3 +432,68 @@ def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
 
     return assigned.groupby("ivf_cell").map_groups(
         dedup_cell, batch_format="pyarrow")
+
+
+# ------------------------------------------- IVF partitioned index
+
+def build_ivf_index(ds, out_dir: str, n_centroids: int = 16,
+                    key: str = "vec_id", col: str = "embedding",
+                    seed: int = 42, iters: int = 10,
+                    fit_kwargs: dict | None = None):
+    """Materialize the IVF scale path `ivf_topk`'s docstring promises:
+    assign every vector to its cell and WRITE the corpus partitioned
+    by cell (``cell=<c>/`` parquet dirs, Hive layout) plus
+    ``centroids.npy``. Probes then READ only the probed cells'
+    files — the at-rest form of the probe filter, so query cost is
+    `n_probe / n_centroids` of the corpus I/O, not a full scan that
+    filters after reading. One ``map_batches`` assignment pass + one
+    partitioned write; the fit is ``kmeans_fit`` (distributed beyond
+    the driver budget)."""
+    import os
+
+    import ray
+    from zhtml_ray.stages.util import autoscale_pool
+
+    cent = kmeans_fit(ds, n_centroids=n_centroids, iters=iters,
+                      col=col, seed=seed, **(fit_kwargs or {}))
+    cref = ray.put(cent)
+    assigned = ds.map_batches(IvfAssign,
+                              fn_constructor_kwargs=dict(centroids_ref=cref,
+                                                         col=col),
+                              batch_format="pyarrow",
+                              concurrency=autoscale_pool(0.5))
+    assigned.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_index_topk(out_dir: str, query_vectors: np.ndarray, k: int = 10,
+                   n_probe: int = 4, key: str = "vec_id",
+                   col: str = "embedding",
+                   scan_stats: dict | None = None):
+    """Query a ``build_ivf_index`` directory: pick each query's
+    ``n_probe`` nearest cells from the stored centroids, read ONLY
+    those cells' parquet partitions (directory-level pruning — the
+    other cells' files are never opened), brute-force within.
+    ``scan_stats`` receives {"n_cells_total", "n_cells_read"} so tests
+    can assert the read actually pruned."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(out_dir, "centroids.npy"))
+    q = _normalize(np.asarray(query_vectors, np.float32))
+    probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(c) for row in probe_cells for c in row})
+    all_cells = sorted(glob.glob(os.path.join(out_dir, "ivf_cell=*")))
+    dirs = [d for d in all_cells
+            if int(d.rsplit("=", 1)[1]) in set(wanted)]
+    if scan_stats is not None:
+        scan_stats["n_cells_total"] = len(all_cells)
+        scan_stats["n_cells_read"] = len(dirs)
+    # expand to files: this Ray version reads list elements as files
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    ds = rd.read_parquet(files, columns=[key, col])
+    return brute_force_topk(ds, q, k=k, key=key, col=col)
