@@ -981,6 +981,94 @@ def _sql_jsonl_docs() -> str:
     """
 
 
+_WARC_ROOT = "/tmp/zhtml_ray_warcfix"
+
+
+def _warc_current_dir() -> str:
+    import os
+    return f"{_WARC_ROOT}/current_{os.getpid()}"
+
+
+def _ensure_warc_fixture(sf_dir: str) -> str:
+    """4 gzipped WARC shards built from the documents table with the
+    engine's own serializer (url/date/body derived from doc_id by a
+    closed formula the SQL oracle recomputes independently — the gate
+    then certifies the full write→parse→HTTP-strip roundtrip)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    from zhtml_ray.sources.warc import build_warc
+
+    d = _warc_current_dir()
+    tag = os.path.join(d, ".sf_dir")
+    if os.path.exists(tag) and open(tag).read() == sf_dir:
+        return d
+    if os.path.isdir(_WARC_ROOT):
+        for name in os.listdir(_WARC_ROOT):
+            try:
+                pid = int(name.rsplit("_", 1)[1])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, ProcessLookupError):
+                shutil.rmtree(os.path.join(_WARC_ROOT, name),
+                              ignore_errors=True)
+            except PermissionError:
+                pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    import gzip
+
+    from datetime import datetime, timedelta
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = t.to_pylist()
+    epoch = datetime(2017, 1, 1)
+    for shard in range(4):
+        recs = []
+        for r in rows[shard::4]:
+            did = r["doc_id"]
+            date = (epoch + timedelta(seconds=did)).strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+            recs.append((f"https://warc.example/{did}", date,
+                         (r["text"] or "").encode("utf-8")))
+        with open(os.path.join(d, f"part-{shard}.warc.gz"), "wb") as f:
+            f.write(gzip.compress(build_warc(recs)))
+    with open(tag, "w") as f:
+        f.write(sf_dir)
+    return d
+
+
+def q_warc_docs(sf_dir: str):
+    """WARC shard ingestion gate: crawl-native ``.warc.gz`` shards
+    (written by the engine's own deterministic serializer) through
+    ``sources/warc.py:read_warc`` — record framing, multi-member gzip,
+    HTTP-header stripping and WARC-Date parsing are all on the hook,
+    because the oracle recomputes url/warc_ts/body-bytes from the base
+    documents table by formula, never touching the WARC bytes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.sources.warc import read_warc
+
+    d = _ensure_warc_fixture(sf_dir)
+    ds = read_warc(d)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"], "warc_ts": b["warc_ts"],
+            "n_bytes_html": pc.cast(pc.binary_length(b["html"]),
+                                    pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_WARC_DOCS = """
+SELECT 'https://warc.example/' || doc_id AS url,
+       TIMESTAMP '2017-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+       strlen(coalesce(text, ''))::BIGINT AS n_bytes_html
+FROM documents
+"""
+
+
 _CSV_ROOT = "/tmp/zhtml_ray_csv"
 
 
@@ -2392,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": q_event_lag,
         "events_cumsum": q_events_cumsum,
         "csv_docs": q_csv_docs,
+        "warc_docs": q_warc_docs,
         "session_label": q_session_label,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -2456,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "event_lag": SQL_EVENT_LAG,
         "events_cumsum": SQL_EVENTS_CUMSUM,
         "csv_docs": _sql_csv_docs(),
+        "warc_docs": SQL_WARC_DOCS,
         "session_label": _sql_session_label(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
