@@ -820,3 +820,29 @@ def test_ivf_partitioned_index_roundtrip(ray_session, tmp_path):
     w = want.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     assert g["vec_id"].tolist() == w["vec_id"].tolist()
     assert g["query_id"].tolist() == w["query_id"].tolist()
+
+
+def test_semantic_dedup_hot_cell_cap(ray_session):
+    """A mega-cell beyond cell_cap must salt into sub-cells (bounded
+    per-group work), warn loudly, keep full output coverage, and still
+    honor the dup_of invariants within each sub-cell."""
+    import warnings
+
+    import ray.data as rd
+    from zhtml_ray.functions.similarity import semantic_dedup
+    rng = np.random.RandomState(9)
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(300), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in x],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = semantic_dedup(ds, threshold=0.999, n_centroids=1,
+                              iters=2, seed=3, cell_cap=50).take_all()
+    assert any("cell_cap" in str(x.message) for x in w)
+    assert sorted(r["vec_id"] for r in rows) == list(range(300))
+    info = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        if not r["kept"]:
+            assert info[r["dup_of"]]["kept"] and r["dup_of"] < r["vec_id"]

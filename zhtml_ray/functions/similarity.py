@@ -393,7 +393,8 @@ def _greedy_leader(keys: np.ndarray, emb_n: np.ndarray,
 
 def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
                    iters: int = 10, key: str = "vec_id",
-                   col: str = "embedding", seed: int = 42):
+                   col: str = "embedding", seed: int = 42,
+                   cell_cap: int = 100_000):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then deduplicate WITHIN each cluster — members
     with cosine ≥ threshold to an earlier kept member (ascending key)
@@ -405,24 +406,72 @@ def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
     per-cluster pass is a ``groupby(cell).map_groups`` — exactly the
     partitioning SemDeDup prescribes (size ``n_centroids`` so clusters
     fit a worker: n/5k at corpus scale). The within-cluster cost is
-    O(|cell|·leaders) vectorized matmuls, not all-pairs."""
+    O(|cell|·leaders) vectorized matmuls, not all-pairs — but a hot
+    cell of DISTINCT vectors makes leaders ≈ |cell| and the pass
+    quadratic, so cells beyond ``cell_cap`` are salted by vector
+    content hash into ⌈size/cap⌉ sub-cells (dedup then sees only
+    within-sub-cell pairs — bounded work, reduced recall on the hot
+    cell, loudly warned; the ``bucket_cap``/``clique_limit`` pattern
+    of the LSH dedups). Cell sizes come from per-batch bincounts, a
+    k-bounded driver reduce."""
+    import warnings
+
     import ray
     from zhtml_ray.stages.util import autoscale_pool
 
     cent = kmeans_fit(ds, n_centroids=n_centroids, iters=iters,
                       col=col, seed=seed)
+    k = len(cent)
     cref = ray.put(cent)
     assigned = ds.map_batches(IvfAssign,
                               fn_constructor_kwargs=dict(centroids_ref=cref,
                                                          col=col),
                               batch_format="pyarrow",
-                              concurrency=autoscale_pool(0.5))
+                              concurrency=autoscale_pool(0.5)
+                              ).materialize()
+
+    def cell_counts(b: pa.Table) -> pa.Table:
+        c = np.bincount(b["ivf_cell"].combine_chunks().to_numpy(
+            zero_copy_only=False), minlength=k)
+        return pa.table({"cell": pa.array(np.arange(k), pa.int32()),
+                         "n": pa.array(c, pa.int64())})
+
+    sizes = np.zeros(k, np.int64)
+    for r in assigned.map_batches(cell_counts,
+                                  batch_format="pyarrow").take_all():
+        sizes[r["cell"]] += r["n"]
+    nsub = np.maximum(1, -(-sizes // cell_cap))  # ceil-div
+    hot = np.flatnonzero(nsub > 1)
+    if hot.size:
+        warnings.warn(
+            f"semantic_dedup: {hot.size} cell(s) over cell_cap="
+            f"{cell_cap} (max {int(sizes.max())} rows) salted into "
+            f"sub-cells — within-sub-cell dedup only on those; raise "
+            f"n_centroids for full recall")
+    nsub_ref = ray.put(nsub)
+
+    def add_group(b: pa.Table) -> pa.Table:
+        cells = b["ivf_cell"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ns = ray.get(nsub_ref)[cells]
+        sub = np.zeros(len(cells), np.int64)
+        m = ns > 1
+        if m.any():
+            emb = _emb_matrix(b[col])[m]
+            u = emb.view(np.uint32).astype(np.uint64)
+            h = (u * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64(seed)).sum(axis=1)
+            sub[m] = (h % ns[m].astype(np.uint64)).astype(np.int64)
+        return b.append_column(
+            "gkey", pa.array(cells * (1 << 20) + sub, pa.int64()))
+
+    grouped = assigned.map_batches(add_group, batch_format="pyarrow")
 
     def dedup_cell(g: pa.Table) -> pa.Table:
         keys = g[key].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64)
         emb_n = _normalize(_emb_matrix(g[col]))
-        cell = g["ivf_cell"][0].as_py()
+        cell = int(g["gkey"][0].as_py() >> 20)
         ks, kept, leader = _greedy_leader(keys, emb_n, threshold)
         return pa.table({
             key: pa.array(ks, pa.int64()),
@@ -430,7 +479,7 @@ def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
             "kept": pa.array(kept, pa.bool_()),
             "dup_of": pa.array(leader, pa.int64())})
 
-    return assigned.groupby("ivf_cell").map_groups(
+    return grouped.groupby("gkey").map_groups(
         dedup_cell, batch_format="pyarrow")
 
 
