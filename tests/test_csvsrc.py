@@ -73,3 +73,16 @@ def test_csv_docs_matches_duckdb(ray_session):
     con = duckdb.connect()
     want = sorted(map(tuple, con.sql(_sql_csv_docs()).fetchall()))
     assert got == want and len(got) == 500
+
+
+def test_large_shard_with_quoted_newlines():
+    """Shards beyond the reader's 1 MB block size with quoted embedded
+    newlines desync the chunker unless newlines_in_values is set — the
+    failure mode was a SILENT zero-row parse (review find)."""
+    body = b'"line one\nline two three four five six seven eight nine"'
+    buf = b'doc_id,text\n' + b"".join(
+        b"%d,%s\n" % (i, body) for i in range(40000))
+    assert len(buf) > 2_000_000
+    t = parse_csv_bytes(buf, schema=SCHEMA)
+    assert t.num_rows == 40000
+    assert t["text"][0].as_py() == body.decode()[1:-1]

@@ -38,7 +38,7 @@ def main() -> None:
 
     from zhtml_ray.functions.corpusstats import mask_dup_spans
     from zhtml_ray.functions.retrieval import bm25_topk
-    from zhtml_ray.pipelines.ops_queries import _BM25_QUERIES, q_chunk_docs
+    from zhtml_ray.pipelines.ops_queries import _BM25_QUERIES
 
     walls = {}
 
@@ -55,38 +55,11 @@ def main() -> None:
                                "rows": masked.count()}
     del masked
 
-    # chunk_docs reads from an sf dir; point it at the corpus dir shape
-    import pyarrow as pa
-
     t0 = time.perf_counter()
-    from zhtml_ray.pipelines.ops_queries import (_CHUNK_STRIDE,  # noqa
-                                                 _CHUNK_W)
-
-    def chunk(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        texts = b["text"].to_pylist()
-        out_id, out_cid, out_start, out_nw, out_txt = [], [], [], [], []
-        for did, t in zip(ids, texts):
-            words = t.split() if t else []
-            n = len(words)
-            if n == 0:
-                continue
-            for ci, s in enumerate(range(0, n, _CHUNK_STRIDE)):
-                w = words[s:s + _CHUNK_W]
-                out_id.append(did)
-                out_cid.append(ci)
-                out_start.append(s)
-                out_nw.append(len(w))
-                out_txt.append(" ".join(w))
-        return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "chunk_id": pa.array(out_cid, pa.int64()),
-            "word_start": pa.array(out_start, pa.int64()),
-            "n_chunk_words": pa.array(out_nw, pa.int64()),
-            "chunk_text": pa.array(out_txt, pa.string())})
+    from zhtml_ray.pipelines.ops_queries import chunk_docs_batch  # noqa
 
     ch = rd.read_parquet(path).map_batches(
-        chunk, batch_format="pyarrow").materialize()
+        chunk_docs_batch, batch_format="pyarrow").materialize()
     walls["chunk_docs"] = {"wall": round(time.perf_counter() - t0, 3),
                            "rows": ch.count()}
     del ch

@@ -32,7 +32,10 @@ def _emb_matrix(col) -> np.ndarray:
     dominant cost of a distributed k-means round)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if len(col) > 0 and col.null_count == 0:
+    # null ELEMENTS inside a list leave the outer null_count at 0 but
+    # would decode as silent NaNs through the values buffer — check the
+    # child too so malformed embeddings still fail loudly (review find)
+    if len(col) > 0 and col.null_count == 0 and col.values.null_count == 0:
         offs = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offs)
         if widths.size and (widths == widths[0]).all() and widths[0] > 0:
@@ -145,6 +148,10 @@ def train_centroids(ds, n_centroids: int = 16, col: str = "embedding",
     if n > sample * 2:
         x = _content_hash_sample(ds, col, target=sample * 2, n=n,
                                  seed=seed)
+        if len(x) < n_centroids:   # degenerate residue skew: head fallback
+            x = np.concatenate(
+                [_emb_matrix(b[col]) for b in ds.limit(sample)
+                 .iter_batches(batch_size=1024, batch_format="pyarrow")])
     else:
         arr = [_emb_matrix(b[col])
                for b in ds.iter_batches(batch_size=1024,
@@ -223,6 +230,23 @@ def _content_sorted(x: np.ndarray) -> np.ndarray:
     return x[np.argsort(v, kind="stable")]
 
 
+def _row_content_hash(emb: np.ndarray, seed: int) -> np.ndarray:
+    """Per-row uint64 content hash of a float32 matrix: each column
+    gets its own wrapping power of an odd multiplier (position-
+    DEPENDENT — a plain ``(u*R).sum`` reduces to R·Σu, which collapses
+    permutations and equal-sum rows into one residue class and lets a
+    duplicate-heavy corpus defeat hash sampling entirely; review
+    find)."""
+    u = np.ascontiguousarray(emb).view(np.uint32).astype(np.uint64)
+    R = np.uint64(0x9E3779B97F4A7C15)
+    muls = np.empty(u.shape[1], np.uint64)
+    m = R
+    for j in range(u.shape[1]):
+        muls[j] = m
+        m = m * R   # wraps mod 2^64
+    return (u * muls).sum(axis=1) + np.uint64(seed)
+
+
 def _content_hash_sample(ds, col: str, target: int, n: int,
                          seed: int) -> np.ndarray:
     """~``target`` rows sampled by a deterministic CONTENT hash of each
@@ -239,9 +263,7 @@ def _content_hash_sample(ds, col: str, target: int, n: int,
         emb = _emb_matrix(b[col])
         if emb.size == 0:
             return pa.table({col: b[col]})
-        u = emb.view(np.uint32).astype(np.uint64)
-        h = (u * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)).sum(axis=1)
-        m = (h % np.uint64(mod)) == 0
+        m = (_row_content_hash(emb, seed) % np.uint64(mod)) == 0
         c = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) \
             else b[col]
         return pa.table({col: c.filter(pa.array(m))})
@@ -457,10 +479,7 @@ def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
         sub = np.zeros(len(cells), np.int64)
         m = ns > 1
         if m.any():
-            emb = _emb_matrix(b[col])[m]
-            u = emb.view(np.uint32).astype(np.uint64)
-            h = (u * np.uint64(0x9E3779B97F4A7C15)
-                 + np.uint64(seed)).sum(axis=1)
+            h = _row_content_hash(_emb_matrix(b[col])[m], seed)
             sub[m] = (h % ns[m].astype(np.uint64)).astype(np.int64)
         return b.append_column(
             "gkey", pa.array(cells * (1 << 20) + sub, pa.int64()))
@@ -499,9 +518,15 @@ def build_ivf_index(ds, out_dir: str, n_centroids: int = 16,
     partitioned write; the fit is ``kmeans_fit`` (distributed beyond
     the driver budget)."""
     import os
+    import shutil
 
     import ray
     from zhtml_ray.stages.util import autoscale_pool
+
+    # a rebuild over a stale index would UNION old and new partitions
+    # at probe time (write_parquet appends) — clear first (review find)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     cent = kmeans_fit(ds, n_centroids=n_centroids, iters=iters,
                       col=col, seed=seed, **(fit_kwargs or {}))
@@ -544,5 +569,10 @@ def ivf_index_topk(out_dir: str, query_vectors: np.ndarray, k: int = 10,
     # expand to files: this Ray version reads list elements as files
     files = sorted(f for d in dirs
                    for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        # every probed cell is memberless: empty result, not a crash
+        return pd.DataFrame({"query_id": pd.array([], dtype="int32"),
+                             key: pd.array([], dtype="int64"),
+                             "cosine": pd.array([], dtype="float64")})
     ds = rd.read_parquet(files, columns=[key, col])
     return brute_force_topk(ds, q, k=k, key=key, col=col)

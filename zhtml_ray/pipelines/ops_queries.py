@@ -903,6 +903,38 @@ def _sql_group_quantiles() -> str:
 # JSON escaping, gzip framing and type mapping end-to-end. Per-pid dir
 # (the golden.py pattern) so concurrent gates at different scales can't
 # interleave.
+def _ensure_pid_fixture(root: str, sf_dir: str, write_fn) -> str:
+    """Shared per-process source-fixture lifecycle (jsonl/warc/csv):
+    a ``current_<pid>`` dir keyed by a ``.sf_dir`` tag, dead-pid
+    sweeping of sibling dirs, atomic-enough rebuild via rmtree+mkdir,
+    then ``write_fn(dir, sf_dir)`` emits the shards. Extracted from
+    three verbatim copies (review find) so lifecycle fixes can't
+    drift."""
+    import os
+    import shutil
+
+    d = os.path.join(root, f"current_{os.getpid()}")
+    tag = os.path.join(d, ".sf_dir")
+    if os.path.exists(tag) and open(tag).read() == sf_dir:
+        return d
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            try:
+                pid = int(name.rsplit("_", 1)[1])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, ProcessLookupError):
+                shutil.rmtree(os.path.join(root, name),
+                              ignore_errors=True)
+            except PermissionError:
+                pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    write_fn(d, sf_dir)
+    with open(tag, "w") as f:
+        f.write(sf_dir)
+    return d
+
+
 _JSONL_ROOT = "/tmp/zhtml_ray_jsonl"
 
 
@@ -911,31 +943,12 @@ def _jsonl_current_dir() -> str:
     return f"{_JSONL_ROOT}/current_{os.getpid()}"
 
 
-def _ensure_jsonl_fixture(sf_dir: str) -> str:
+def _write_jsonl_shards(d: str, sf_dir: str) -> None:
     import gzip
     import json
     import os
-    import shutil
 
     import pyarrow.parquet as pq
-
-    d = _jsonl_current_dir()
-    tag = os.path.join(d, ".sf_dir")
-    if os.path.exists(tag) and open(tag).read() == sf_dir:
-        return d
-    # sweep dead-pid dirs (same leak the golden cache had, r3 review)
-    if os.path.isdir(_JSONL_ROOT):
-        for name in os.listdir(_JSONL_ROOT):
-            try:
-                pid = int(name.rsplit("_", 1)[1])
-                os.kill(pid, 0)
-            except (ValueError, IndexError, ProcessLookupError):
-                shutil.rmtree(os.path.join(_JSONL_ROOT, name),
-                              ignore_errors=True)
-            except PermissionError:
-                pass
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text", "lang", "source"])
     rows = t.to_pylist()
@@ -945,9 +958,10 @@ def _ensure_jsonl_fixture(sf_dir: str) -> str:
         with gzip.open(os.path.join(d, f"part-{shard}.jsonl.gz"),
                        "wt", encoding="utf-8") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
-    with open(tag, "w") as f:
-        f.write(sf_dir)
-    return d
+
+
+def _ensure_jsonl_fixture(sf_dir: str) -> str:
+    return _ensure_pid_fixture(_JSONL_ROOT, sf_dir, _write_jsonl_shards)
 
 
 def q_jsonl_docs(sf_dir: str):
@@ -989,36 +1003,18 @@ def _warc_current_dir() -> str:
     return f"{_WARC_ROOT}/current_{os.getpid()}"
 
 
-def _ensure_warc_fixture(sf_dir: str) -> str:
+def _write_warc_shards(d: str, sf_dir: str) -> None:
     """4 gzipped WARC shards built from the documents table with the
     engine's own serializer (url/date/body derived from doc_id by a
     closed formula the SQL oracle recomputes independently — the gate
     then certifies the full write→parse→HTTP-strip roundtrip)."""
+    import gzip
     import os
-    import shutil
+    from datetime import datetime, timedelta
 
     import pyarrow.parquet as pq
     from zhtml_ray.sources.warc import build_warc
 
-    d = _warc_current_dir()
-    tag = os.path.join(d, ".sf_dir")
-    if os.path.exists(tag) and open(tag).read() == sf_dir:
-        return d
-    if os.path.isdir(_WARC_ROOT):
-        for name in os.listdir(_WARC_ROOT):
-            try:
-                pid = int(name.rsplit("_", 1)[1])
-                os.kill(pid, 0)
-            except (ValueError, IndexError, ProcessLookupError):
-                shutil.rmtree(os.path.join(_WARC_ROOT, name),
-                              ignore_errors=True)
-            except PermissionError:
-                pass
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    import gzip
-
-    from datetime import datetime, timedelta
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text"])
     rows = t.to_pylist()
@@ -1033,9 +1029,10 @@ def _ensure_warc_fixture(sf_dir: str) -> str:
                          (r["text"] or "").encode("utf-8")))
         with open(os.path.join(d, f"part-{shard}.warc.gz"), "wb") as f:
             f.write(gzip.compress(build_warc(recs)))
-    with open(tag, "w") as f:
-        f.write(sf_dir)
-    return d
+
+
+def _ensure_warc_fixture(sf_dir: str) -> str:
+    return _ensure_pid_fixture(_WARC_ROOT, sf_dir, _write_warc_shards)
 
 
 def q_warc_docs(sf_dir: str):
@@ -1077,33 +1074,15 @@ def _csv_current_dir() -> str:
     return f"{_CSV_ROOT}/current_{os.getpid()}"
 
 
-def _ensure_csv_fixture(sf_dir: str) -> str:
+def _write_csv_shards(d: str, sf_dir: str) -> None:
     """4 gzipped RFC-4180 CSV shards of the documents table (quoted
-    text fields — embedded commas/quotes/newlines round-trip), the
-    same per-process/dead-pid-swept lifecycle as the JSONL fixture."""
+    text fields — embedded commas/quotes/newlines round-trip)."""
     import csv
     import gzip
     import os
-    import shutil
 
     import pyarrow.parquet as pq
 
-    d = _csv_current_dir()
-    tag = os.path.join(d, ".sf_dir")
-    if os.path.exists(tag) and open(tag).read() == sf_dir:
-        return d
-    if os.path.isdir(_CSV_ROOT):
-        for name in os.listdir(_CSV_ROOT):
-            try:
-                pid = int(name.rsplit("_", 1)[1])
-                os.kill(pid, 0)
-            except (ValueError, IndexError, ProcessLookupError):
-                shutil.rmtree(os.path.join(_CSV_ROOT, name),
-                              ignore_errors=True)
-            except PermissionError:
-                pass
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text", "lang", "source"])
     rows = t.to_pylist()
@@ -1115,9 +1094,10 @@ def _ensure_csv_fixture(sf_dir: str) -> str:
             for r in rows[shard::4]:
                 w.writerow([r["doc_id"], r["text"], r["lang"],
                             r["source"]])
-    with open(tag, "w") as f:
-        f.write(sf_dir)
-    return d
+
+
+def _ensure_csv_fixture(sf_dir: str) -> str:
+    return _ensure_pid_fixture(_CSV_ROOT, sf_dir, _write_csv_shards)
 
 
 def q_csv_docs(sf_dir: str):
@@ -1758,43 +1738,44 @@ _CHUNK_W = 64          # chunk length (words)
 _CHUNK_STRIDE = 48     # 16-word overlap
 
 
+def chunk_docs_batch(b, w: int = _CHUNK_W,
+                     stride: int = _CHUNK_STRIDE):
+    """Per-batch overlapping-window chunk kernel (shared by
+    ``q_chunk_docs`` and the scale bench so they can never drift)."""
+    import pyarrow as pa
+
+    ids = b["doc_id"].to_pylist()
+    texts = b["text"].to_pylist()
+    out_id, out_cid, out_start, out_nw, out_txt = [], [], [], [], []
+    for did, t in zip(ids, texts):
+        words = t.split() if t else []
+        n = len(words)
+        if n == 0:
+            continue
+        for ci, s in enumerate(range(0, n, stride)):
+            ww = words[s:s + w]
+            out_id.append(did)
+            out_cid.append(ci)
+            out_start.append(s)
+            out_nw.append(len(ww))
+            out_txt.append(" ".join(ww))
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "chunk_id": pa.array(out_cid, pa.int64()),
+        "word_start": pa.array(out_start, pa.int64()),
+        "n_chunk_words": pa.array(out_nw, pa.int64()),
+        "chunk_text": pa.array(out_txt, pa.string())})
+
+
 def q_chunk_docs(sf_dir: str):
     """Overlapping text chunking (embedding / RAG ingestion prep):
     split every document into 64-word windows every 48 words (16-word
     overlap), one output row per chunk with its word offset. Pure
-    flat-map — zero shuffle, vectorized window arithmetic per batch;
-    chunk rows inherit doc_id so downstream embedding stages can
-    repartition by doc or by chunk count as they choose."""
-    import numpy as np
-    import pyarrow as pa
-
+    flat-map — zero shuffle; chunk rows inherit doc_id so downstream
+    embedding stages can repartition by doc or by chunk count as they
+    choose."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def chunk(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        texts = b["text"].to_pylist()
-        out_id, out_cid, out_start, out_nw, out_txt = [], [], [], [], []
-        for did, t in zip(ids, texts):
-            words = t.split() if t else []
-            n = len(words)
-            if n == 0:
-                continue
-            starts = range(0, n, _CHUNK_STRIDE)
-            for ci, s in enumerate(starts):
-                w = words[s:s + _CHUNK_W]
-                out_id.append(did)
-                out_cid.append(ci)
-                out_start.append(s)
-                out_nw.append(len(w))
-                out_txt.append(" ".join(w))
-        return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "chunk_id": pa.array(out_cid, pa.int64()),
-            "word_start": pa.array(out_start, pa.int64()),
-            "n_chunk_words": pa.array(out_nw, pa.int64()),
-            "chunk_text": pa.array(out_txt, pa.string())})
-
-    return ds.map_batches(chunk, batch_format="pyarrow")
+    return ds.map_batches(chunk_docs_batch, batch_format="pyarrow")
 
 
 def _sql_chunk_docs() -> str:

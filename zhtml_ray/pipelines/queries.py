@@ -408,11 +408,20 @@ def q3_shipping(sf_dir: str, seg: str = "BUILDING",
     joined = sorted_lookup_join(rev, ord_f, "o_orderkey",
                                 ["o_orderdate", "o_orderpriority"],
                                 how="inner")
-    top = joined.sort(["rev", "o_orderkey"],
-                      descending=[True, False]).limit(10)
+
+    def pin(b: pa.Table) -> pa.Table:
+        # decimal-pin BEFORE the top-10 sort: the oracle orders by the
+        # ROUNDED alias, so a raw-float sort could pick a different
+        # boundary row on pinned-revenue ties (review find)
+        r = pc.divide(pc.floor(pc.add(pc.multiply(b["rev"],
+                                                  pa.scalar(1e2)),
+                                      pa.scalar(0.5))), pa.scalar(1e2))
+        return b.set_column(b.schema.get_field_index("rev"), "rev", r)
+
+    top = joined.map_batches(pin, batch_format="pyarrow") \
+        .sort(["rev", "o_orderkey"], descending=[True, False]).limit(10)
     pdf = top.to_pandas()
-    # decimal-pin the float sum identically to the oracle (see q1)
-    pdf["revenue"] = np.floor(pdf["rev"] * 1e2 + 0.5) / 1e2
+    pdf["revenue"] = pdf["rev"]
     pdf = pdf[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
     return pdf.sort_values(["revenue", "o_orderkey"],
                            ascending=[False, True]).reset_index(drop=True)

@@ -55,7 +55,11 @@ def parse_csv_bytes(buf: bytes, schema: pa.Schema | None = None,
         if schema is not None else None)
     # one task = one file: per-file reader threads would oversubscribe
     read = pa_csv.ReadOptions(use_threads=False)
+    # newlines_in_values: without it, quoted embedded newlines in any
+    # shard larger than the reader's 1 MB block size desync the
+    # chunker and the WHOLE shard parses to zero rows (review find)
     parse = pa_csv.ParseOptions(delimiter=delimiter,
+                                newlines_in_values=True,
                                 invalid_row_handler=lambda _row: "skip")
     try:
         return pa_csv.read_csv(io.BytesIO(buf), read_options=read,
@@ -80,6 +84,14 @@ def read_csv_shards(paths_or_dir, schema: pa.Schema | None = None,
     files = _expand(paths_or_dir)
     if not files:
         raise ValueError("no .csv/.tsv(.gz) files found")
+    if columns is not None:
+        # validate HERE, not inside a Ray task's all-empty fallback
+        if schema is None:
+            raise ValueError("columns projection requires a schema "
+                             "(per-file inference cannot guarantee them)")
+        missing = set(columns) - set(schema.names)
+        if missing:
+            raise ValueError(f"columns not in schema: {sorted(missing)}")
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
