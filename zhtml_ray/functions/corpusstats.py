@@ -180,8 +180,14 @@ def dup_ngrams(ds, n: int = 5):
         return pa.table({"doc_id": g["doc_id"],
                          "dup": pa.array(dup, pa.int64())})
 
-    annotated = sorted_bucket_apply(rows, "gram", ["gram"],
-                                    df_interior, df_edge, annot_empty)
+    from zhtml_ray.stages.util import compact_blocks
+
+    # compact between sortagg stages: ~2 tiny blocks per input block
+    # otherwise poison the next sort (O(blocks × partitions) — see
+    # compact_blocks / the 500k mask_dup_spans probe)
+    annotated = compact_blocks(
+        sorted_bucket_apply(rows, "gram", ["gram"],
+                            df_interior, df_edge, annot_empty))
 
     # -------- pass 2: sort by doc_id; per-doc counts as run sums
     agg_empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -369,8 +375,14 @@ def mask_dup_spans(ds, n: int = 10, gram_key: str = "hash"):
             return dup_empty
         return pa.table({"doc_id": g["doc_id"], "pos": g["pos"]})
 
-    dups = sorted_bucket_apply(rows, gcol, [gcol],
-                               dup_interior, dup_edge, dup_empty)
+    from zhtml_ray.stages.util import compact_blocks
+
+    # each sortagg stage emits ~2 tiny blocks per input block; compact
+    # between stages or the NEXT sort pays O(blocks × partitions) —
+    # measured 420 s -> 28 s on the final join at 500k docs
+    dups = compact_blocks(
+        sorted_bucket_apply(rows, gcol, [gcol],
+                            dup_interior, dup_edge, dup_empty))
 
     pos_type = pa.list_(pa.int64())
     lists_empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -401,8 +413,9 @@ def mask_dup_spans(ds, n: int = 10, gram_key: str = "hash"):
         return pa.table({"doc_id": g["doc_id"].slice(0, 1),
                          "positions": lst})
 
-    pos_lists = sorted_bucket_apply(dups, "doc_id", ["doc_id", "pos"],
-                                    fold_interior, fold_edge, lists_empty)
+    pos_lists = compact_blocks(
+        sorted_bucket_apply(dups, "doc_id", ["doc_id", "pos"],
+                            fold_interior, fold_edge, lists_empty))
 
     joined = sorted_lookup_join(ds, pos_lists, "doc_id", ["positions"],
                                 how="left")
@@ -566,9 +579,10 @@ def unigram_logprob(ds, broadcast_budget: int = 256 << 20):
                          "n": pa.array([pc.sum(g["n"]).as_py() or 0],
                                        pa.int64())})
 
-    freq = sorted_bucket_apply(partial, "word", ["word"],
-                               sum_interior, sum_edge, fempty)
-    freq = freq.materialize()
+    from zhtml_ray.stages.util import compact_blocks
+    freq = compact_blocks(
+        sorted_bucket_apply(partial, "word", ["word"],
+                            sum_interior, sum_edge, fempty))
     total = float(freq.sum("n") or 0)
     out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_tokens": pa.array([], pa.int64()),
@@ -613,8 +627,10 @@ def unigram_logprob(ds, broadcast_budget: int = 256 << 20):
         return ds.map_batches(score, batch_format="pyarrow")
 
     # over budget: join frequencies onto token rows, then per-doc sums
+    from zhtml_ray.stages.util import compact_blocks
     rows = ds.map_batches(_emit_tokens, batch_format="pyarrow")
-    joined = sorted_lookup_join(rows, freq, "word", ["n"])
+    joined = compact_blocks(
+        sorted_lookup_join(rows, freq, "word", ["n"]))
 
     def doc_interior(b, starts, ends, mask):
         if not mask.any():

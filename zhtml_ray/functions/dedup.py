@@ -425,7 +425,9 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
 
         docs_a = docs_ds.map_batches(proj_a, batch_format="pyarrow")
         docs_b = docs_ds.map_batches(proj_b, batch_format="pyarrow")
-        j1 = sorted_lookup_join(pairs, docs_a, "key_a", ["_text_a"])
+        from zhtml_ray.stages.util import compact_blocks
+        j1 = compact_blocks(
+            sorted_lookup_join(pairs, docs_a, "key_a", ["_text_a"]))
         joined = sorted_lookup_join(j1, docs_b, "key_b", ["_text_b"])
 
         class VerifyJoined:

@@ -46,6 +46,24 @@ def drop_empty_blocks(ds):
     return rd.from_arrow_refs(refs)
 
 
+def compact_blocks(ds, target_rows: int = 65536):
+    """Materialize and coalesce a tiny-block-heavy Dataset to
+    ~``target_rows`` rows per block. A ``sorted_bucket_apply`` output
+    carries ~2 small blocks per INPUT block (interior + boundary), and
+    Ray's range sort costs O(input_blocks × output_partitions) block
+    parts — feeding one sortagg stage's output straight into the next
+    sort measured 420+ s where the same rows in 3 compacted blocks
+    sorted in seconds (500k-doc mask_dup_spans probe, session 7).
+    No-op (beyond the materialize) when blocks are already
+    reasonably sized."""
+    ds = ds.materialize()
+    n = ds.count()
+    want = max(1, -(-n // target_rows))
+    if ds.num_blocks() > want * 2:
+        return ds.repartition(want).materialize()
+    return ds
+
+
 def schema_safe_result(ds):
     """For SMALL final results only: Ray's ``to_pandas()`` returns a
     column-less frame for an all-empty Dataset (whatever the blocks'
