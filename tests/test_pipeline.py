@@ -100,6 +100,55 @@ def test_big_discount_orders_join_path_matches_broadcast(ray_session):
     assert len(a) > 0
 
 
+def test_cust_no_urgent_orders_sort_path_matches_broadcast(ray_session):
+    """broadcast_budget=0 forces the sorted_lookup_join anti path; rows
+    must equal the inverted pc.is_in broadcast path."""
+    from zhtml_ray.pipelines.queries import q_cust_no_urgent_orders
+    sf = "/root/testdata/sf0.001"
+    a = q_cust_no_urgent_orders(sf).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    b = q_cust_no_urgent_orders(sf, broadcast_budget=0).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    assert a[["c_custkey", "c_acctbal"]].equals(
+        b[["c_custkey", "c_acctbal"]])
+    assert len(a) > 0
+
+
+def test_q13_order_counts_matches_pandas(ray_session, tmp_path):
+    """Randomized multi-block differential: zero-order customers (the
+    LEFT JOIN survivors) must appear in the 0 bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.queries import q13_order_counts
+
+    rng = np.random.default_rng(7)
+    n_cust, n_ord = 500, 3000
+    cust = pd.DataFrame({"c_custkey": np.arange(n_cust, dtype=np.int64)})
+    orders = pd.DataFrame({
+        # skip a band of custkeys entirely → guaranteed zero-count rows
+        "o_custkey": rng.integers(0, 350, n_ord).astype(np.int64),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "5-LOW"], n_ord)})
+    pq.write_table(pa.Table.from_pandas(cust),
+                   str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders),
+                   str(tmp_path / "orders.parquet"))
+
+    got = q13_order_counts(str(tmp_path))
+    kept = orders[orders.o_orderpriority != "1-URGENT"]
+    per_cust = kept.groupby("o_custkey").size().reindex(
+        cust.c_custkey, fill_value=0)
+    want = per_cust.value_counts().rename_axis("c_count") \
+        .reset_index(name="custdist") \
+        .sort_values(["custdist", "c_count"], ascending=[False, False]) \
+        .reset_index(drop=True)
+    assert got.c_count.astype(int).tolist() == want.c_count.astype(int).tolist()
+    assert got.custdist.astype(int).tolist() == want.custdist.astype(int).tolist()
+    assert 0 in set(got.c_count.astype(int))
+
+
 def test_big_discount_orders_empty_qualifying_set(ray_session, tmp_path):
     """No qualifying lineitem → typed empty result, no KeyError on the
     schema-less distinct set."""

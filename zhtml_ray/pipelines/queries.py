@@ -481,6 +481,131 @@ WHERE rn <= 3
 """
 
 
+def q13_order_counts(sf_dir: str, excl: str = "1-URGENT"):
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join where customers with zero qualifying orders must
+    survive with count 0. Scale-first composition: orders pre-count
+    per custkey inside each batch (partial combine) → one small
+    groupby, then the per-customer counts attach to the customer table
+    via ``sorted_lookup_join(how='left')`` — ONE range shuffle of
+    (customer ∪ counts), never a hash join, never a driver-side dict.
+    The final histogram is two more partial-combine groupbys; only the
+    ≤ #distinct-counts histogram lands on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["o_orderpriority"], excl))
+        g = pa.table({"c_custkey": t["o_custkey"]}) \
+            .group_by("c_custkey").aggregate([("c_custkey", "count")])
+        return g.rename_columns(["c_custkey", "part_n"])
+
+    counts = drop_empty_blocks(
+        orders.map_batches(count_partial, batch_format="pyarrow")) \
+        .groupby("c_custkey").aggregate(Sum("part_n", alias_name="n_ord"))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    joined = sorted_lookup_join(cust, counts, "c_custkey", ["n_ord"],
+                                how="left")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        c_count = pc.fill_null(b["n_ord"], 0)
+        g = pa.table({"c_count": c_count}) \
+            .group_by("c_count").aggregate([("c_count", "count")])
+        return g.rename_columns(["c_count", "part_d"])
+
+    hist = joined.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("part_d", alias_name="custdist"))
+    pdf = hist.to_pandas()
+    return pdf.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+SQL_Q13_ORDER_COUNTS = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_cust_no_urgent_orders(sf_dir: str, broadcast_budget: int = 1_000_000):
+    """Anti-join (NOT EXISTS): customers with no '1-URGENT' order —
+    the blocklist-filter shape of a crawl pipeline. Mirrors
+    ``q_big_discount_orders``'s budgeted plan: the qualifying key set
+    is made distinct DISTRIBUTED (sort-based grouped-first); under the
+    budget it broadcasts once for an inverted map-side ``pc.is_in``,
+    above it the anti-join runs as ``sorted_lookup_join(how='left')``
+    with a marker payload + null filter — one range shuffle, nothing
+    unbounded on the driver either way."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        return pa.table({"c_custkey": pc.unique(t["o_custkey"])})
+
+    distinct = sorted_first_per_group(
+        orders.map_batches(urgent_keys, batch_format="pyarrow"),
+        ["c_custkey"]).materialize()
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+
+    n_keys = distinct.count()
+    if n_keys == 0:
+        return cust
+    if n_keys <= broadcast_budget:
+        keys = pa.array(sorted(distinct.to_pandas()["c_custkey"]))
+        ref = ray.put(keys)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch["c_custkey"], value_set=ray.get(ref))
+            return batch.filter(pc.invert(pc.fill_null(hit, False)))
+
+        return cust.map_batches(anti, batch_format="pyarrow")
+
+    # big key set: merge-join-as-sort with a marker payload, keep nulls
+    def mark(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_hit", pa.array([1] * b.num_rows, pa.int8()))
+
+    marked = distinct.map_batches(mark, batch_format="pyarrow")
+    joined = sorted_lookup_join(cust, marked, "c_custkey", ["_hit"],
+                                how="left")
+
+    def keep_missing(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b["_hit"])) \
+            .select(["c_custkey", "c_acctbal"])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
+SQL_CUST_NO_URGENT_ORDERS = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 def q_top_docs_by_length(sf_dir: str):
     """Top-k largest documents (SURVEY.md §2.6 diagnostics: distributed
     sort + limit; the length column is computed vectorized per batch)."""
@@ -563,6 +688,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_discount_orders": q_big_discount_orders,
         "q3_shipping": q3_shipping,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "q13_order_counts": q13_order_counts,
+        "cust_no_urgent_orders": q_cust_no_urgent_orders,
     }
     out.update(ops_queries.queries())
     return out
@@ -588,6 +715,8 @@ def oracle_sql() -> dict[str, str]:
         "big_discount_orders": SQL_BIG_DISCOUNT_ORDERS,
         "q3_shipping": SQL_Q3_SHIPPING,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+        "q13_order_counts": SQL_Q13_ORDER_COUNTS,
+        "cust_no_urgent_orders": SQL_CUST_NO_URGENT_ORDERS,
     }
     out.update(ops_queries.oracle_sql())
     return out
