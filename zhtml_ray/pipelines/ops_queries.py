@@ -1302,6 +1302,211 @@ FROM events
 """
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Per-event-type COUNT(DISTINCT user_id) at scale: per-batch
+    distinct (type, user) pairs (Arrow group_by combiner) → sort-based
+    grouped-first for the global distinct → per-batch partial counts →
+    tiny final groupby. The distinct never lands on the driver and the
+    shuffle moves (type, user) pairs only — the two-stage
+    distinct-then-count plan that a naive COUNT(DISTINCT) groupby
+    (shipping every raw row to one reducer per type) cannot survive at
+    100 TB. Totals come from a separate partial-count pass; only the
+    ≤ #types result rows reach the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def total_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "part_n"])
+
+    totals = ds.map_batches(total_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("part_n",
+                                             alias_name="n_events"))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    distinct = sorted_first_per_group(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["event_type", "user_id"])
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "part_u"])
+
+    users = drop_empty_blocks(
+        distinct.map_batches(user_partial, batch_format="pyarrow")) \
+        .groupby("event_type").aggregate(Sum("part_u",
+                                             alias_name="n_users"))
+
+    pdf = totals.to_pandas().merge(users.to_pandas(), on="event_type")
+    return pdf.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_moving_avg(ds, w: int = 3):
+    """Sliding ROWS-frame moving average (AVG over the current + w-1
+    preceding events per user) — the `events_cumsum` shape: ONE
+    range-shuffle sort on (user, ts, event_id), block-local cumsum
+    differences with per-run window clamping, per-group pass only for
+    edge-straddling users. Pinned at 6 decimals on both sides; with
+    w=3 the true mean×1e6 has fractional part in {0, 1/3, 2/3}, never
+    the unstable 0.5, so the pin is exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "mavg_value": pa.array([], pa.float64())})
+
+    def mavg_of(b: pa.Table, starts: np.ndarray,
+                ends: np.ndarray) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.cumsum(v)
+        pos = np.arange(len(v))
+        lo = np.maximum(pos - (w - 1), np.repeat(starts, ends - starts))
+        num = c - np.where(lo > 0, c[lo - 1], 0.0)
+        m = num / (pos - lo + 1)
+        m = np.floor(m * 1e6 + 0.5) / 1e6
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "mavg_value": pa.array(m, pa.float64())})
+
+    def interior(b, starts, ends, mask):
+        rows = mavg_of(b, starts, ends)
+        return rows.filter(pa.array(np.repeat(mask, ends - starts)))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        return mavg_of(g.take(order), np.zeros(1, np.int64),
+                       np.asarray([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+def q_events_moving_avg(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return events_moving_avg(ds)
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id, user_id,
+       floor(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * 1e6 + 0.5) / 1e6 AS mavg_value
+FROM events
+"""
+
+
+_FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def events_funnel(ds, stages=_FUNNEL_STAGES):
+    """Ordered conversion funnel (how many users did signup, then
+    later a view, then later a purchase): per-user STAGED sequence
+    matching, fully vectorized — per sorted block, each stage's
+    earliest qualifying timestamp per user-run is one masked
+    ``np.minimum.reduceat``, with the previous stage's time as a
+    strictly-greater threshold. Users fully inside a block count
+    locally; edge-straddling users resolve whole in the per-group
+    pass. Only ≤ #stages partial-count rows leave each block."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    empty = pa.table({"stage": pa.array([], pa.string()),
+                      "part": pa.array([], pa.int64())})
+    INF = np.iinfo(np.int64).max
+
+    def stage_reached(b: pa.Table, starts: np.ndarray,
+                      ends: np.ndarray) -> list[np.ndarray]:
+        """Per run (user), per stage: bool 'reached stage k in order'."""
+        import pyarrow.compute as pc
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        code_of = {v: i for i, v in enumerate(enc.dictionary.to_pylist())}
+        lens = ends - starts
+        thr = np.repeat(np.full(len(starts), -1, np.int64), lens)
+        out = []
+        for st in stages:
+            code = code_of.get(st, -1)
+            cand = np.where((codes == code) & (ts > thr), ts, INF)
+            tk = np.minimum.reduceat(cand, starts)
+            out.append(tk < INF)
+            thr = np.repeat(tk, lens)  # unreached stays INF → no match
+        return out
+
+    def partial(reached: list[np.ndarray],
+                mask: np.ndarray) -> pa.Table:
+        return pa.table({
+            "stage": pa.array(list(stages), pa.string()),
+            "part": pa.array([int((r & mask).sum()) for r in reached],
+                             pa.int64())})
+
+    def interior(b, starts, ends, mask):
+        return partial(stage_reached(b, starts, ends), mask)
+
+    def edge(g: pa.Table) -> pa.Table:
+        # order-independent (value-based mins/thresholds) — no re-sort
+        return partial(stage_reached(g, np.zeros(1, np.int64),
+                                     np.asarray([g.num_rows], np.int64)),
+                       np.ones(1, bool))
+
+    parts = sorted_bucket_apply(ds, "user_id", ["user_id", "ts"],
+                                interior, edge, empty)
+    agg = parts.groupby("stage").aggregate(Sum("part",
+                                               alias_name="users"))
+    return agg.to_pandas().sort_values("stage").reset_index(drop=True)
+
+
+def q_events_funnel(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return events_funnel(ds)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+       GROUP BY e.user_id)
+SELECT 'signup' AS stage, count(*)::BIGINT AS users FROM s1
+UNION ALL SELECT 'view', count(*)::BIGINT FROM s2
+UNION ALL SELECT 'purchase', count(*)::BIGINT FROM s3
+ORDER BY stage
+"""
+
+
 def q_session_label(sf_dir: str):
     """Range join (event → the session window containing it) composed
     from the as-of primitive: session windows are disjoint per user and
@@ -2460,6 +2665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": q_click_attribution,
         "event_lag": q_event_lag,
         "events_cumsum": q_events_cumsum,
+        "events_distinct_users": q_events_distinct_users,
+        "events_moving_avg": q_events_moving_avg,
+        "events_funnel": q_events_funnel,
         "csv_docs": q_csv_docs,
         "warc_docs": q_warc_docs,
         "session_label": q_session_label,
@@ -2525,6 +2733,9 @@ def oracle_sql() -> dict[str, str]:
         "click_attribution": SQL_CLICK_ATTRIBUTION,
         "event_lag": SQL_EVENT_LAG,
         "events_cumsum": SQL_EVENTS_CUMSUM,
+        "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+        "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "csv_docs": _sql_csv_docs(),
         "warc_docs": SQL_WARC_DOCS,
         "session_label": _sql_session_label(),
