@@ -606,6 +606,309 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q5_region_supplier_volume(sf_dir: str, region: str = "ASIA",
+                              lo: str = "1996-01-01",
+                              hi: str = "1998-01-01"):
+    """TPC-H Q5 shape (6-table star join: revenue by nation where the
+    customer's and supplier's nation agree, within one region and date
+    range). Scale-first composition — THREE range shuffles, zero hash
+    joins, and the only broadcasts are the ≤25-row nation⋈region dim:
+
+      1. date-filtered orders ⋈ customer (merge-join-as-sort on
+         custkey) → (o_orderkey, c_nationkey);
+      2. lineitem (revenue precomputed map-side, columns pruned to 3)
+         ⋈ that lookup on orderkey → + c_nationkey, then a map-side
+         region filter drops ~4/5 of rows BEFORE the third shuffle;
+      3. ⋈ supplier on suppkey → + s_nationkey (supplier is SF×10k —
+         too big to broadcast at 100 TB, so it shuffles like any big
+         side; the lineitem side is already region-pruned).
+
+    Nation equality + per-nation partial aggregation run map-side;
+    only ≤ #nations rows reach the driver. Chained sortagg outputs are
+    compacted between sorts (CLAUDE.md sort-chain rule)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(reg, keys="n_regionkey", right_keys="r_regionkey")
+    dim = dim.filter(pc.equal(dim["r_name"], region))
+    nat_keys = pc.cast(dim["n_nationkey"], pa.int32()).combine_chunks()
+    nat_names = dim["n_name"].combine_chunks()
+    dim_ref = ray.put((nat_keys, nat_names))
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                        pa.scalar(lo_ts)),
+                       pc.less(b["o_orderdate"], pa.scalar(hi_ts)))
+        return b.filter(keep).select(["o_orderkey", "o_custkey"]) \
+                .rename_columns(["o_orderkey", "c_custkey"])
+
+    o_filtered = orders.map_batches(date_filter, batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    # shuffle 1: orders rows get their customer's nation
+    o_nat = compact_blocks(sorted_lookup_join(
+        o_filtered, cust, "c_custkey", ["c_nationkey"], how="inner")) \
+        .drop_columns(["c_custkey"])
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def prep_line(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev": rev})
+
+    line_p = line.map_batches(prep_line, batch_format="pyarrow")
+    # shuffle 2: lineitem rows get the order's customer nation
+    li_nat = sorted_lookup_join(line_p, o_nat, "o_orderkey",
+                                ["c_nationkey"], how="inner")
+
+    def region_prune(b: pa.Table) -> pa.Table:
+        keys, _ = ray.get(dim_ref)
+        keep = pc.is_in(b["c_nationkey"], value_set=keys)
+        return b.filter(pc.fill_null(keep, False)) \
+                .select(["l_suppkey", "rev", "c_nationkey"]) \
+                .rename_columns(["s_suppkey", "rev", "c_nationkey"])
+
+    pruned = compact_blocks(
+        li_nat.map_batches(region_prune, batch_format="pyarrow"))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    # shuffle 3: attach the supplier's nation
+    with_s = sorted_lookup_join(pruned, supp, "s_suppkey",
+                                ["s_nationkey"], how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        same = pc.equal(pc.cast(b["c_nationkey"], pa.int32()),
+                        b["s_nationkey"])
+        t = b.filter(pc.fill_null(same, False))
+        g = pa.table({"n_nationkey": t["s_nationkey"], "rev": t["rev"]}) \
+            .group_by("n_nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["n_nationkey", "part_rev"])
+
+    agg = drop_empty_blocks(
+        with_s.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("n_nationkey").aggregate(Sum("part_rev",
+                                              alias_name="revenue"))
+    pdf = agg.to_pandas()
+    keys, names = nat_keys.to_pylist(), nat_names.to_pylist()
+    name_of = dict(zip(keys, names))
+    pdf["n_name"] = pdf["n_nationkey"].map(name_of)
+    import numpy as _np
+    pdf["revenue"] = _np.floor(pdf["revenue"] * 1e2 + 0.5) / 1e2
+    return pdf[["n_name", "revenue"]] \
+        .sort_values(["revenue", "n_name"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+SQL_Q5_REGION_SUPPLIER_VOLUME = """
+SELECT n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+           AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q14_promo_revenue(sf_dir: str, lo: str = "1996-01-01",
+                      hi: str = "1996-07-01"):
+    """TPC-H Q14 shape (promotion revenue share in a date window):
+    broadcast the part dimension once as a sorted partkey → is-promo
+    bitmap (the q_brand_revenue small-side pattern — one int64 array +
+    one bool array via ``ray.put``, read zero-copy per actor), then a
+    single pure-map pass over date-filtered lineitem emitting one
+    2-float partial row per batch; the global reduce is
+    ``Dataset.aggregate`` over ≤ #blocks tiny rows. Zero shuffles.
+    Both revenue sums are 2-dp-pinned BEFORE the ratio on both sides
+    so the percentage derives from identical doubles."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.util import autoscale_pool
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    promo = np.asarray(
+        pc.equal(part["p_type"], "PROMO").to_pylist(), bool)
+    order = np.argsort(keys)
+    lookup_ref = ray.put((keys[order], promo[order]))
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    class Partial:
+        def __init__(self):
+            self.keys, self.promo = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(b["l_shipdate"],
+                                            pa.scalar(lo_ts)),
+                           pc.less(b["l_shipdate"], pa.scalar(hi_ts)))
+            t = b.filter(keep)
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          t["l_discount"])).to_numpy()
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, pk)
+            is_promo = self.promo[idx]  # fixture FKs always resolve
+            return pa.table({
+                "p": pa.array([float(rev[is_promo].sum())]),
+                "t": pa.array([float(rev.sum())])})
+
+    parts = ds.map_batches(Partial, batch_format="pyarrow",
+                           concurrency=autoscale_pool(0.5))
+    got = parts.aggregate(Sum("p", alias_name="p"),
+                          Sum("t", alias_name="t"))
+    import math
+    pr = math.floor((got["p"] or 0.0) * 1e2 + 0.5) / 1e2
+    tr = math.floor((got["t"] or 0.0) * 1e2 + 0.5) / 1e2
+    pct = math.floor(100.0 * pr / tr * 1e6 + 0.5) / 1e6 if tr else 0.0
+    import pandas as pd
+    return pd.DataFrame({"promo_revenue": [pr], "total_revenue": [tr],
+                         "promo_pct": [pct]})
+
+
+SQL_Q14_PROMO_REVENUE = """
+WITH s AS (
+  SELECT
+    floor(sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount)
+                   ELSE 0 END) * 1e2 + 0.5) / 1e2 AS promo_revenue,
+    floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+        AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01')
+SELECT promo_revenue, total_revenue,
+       floor(100.0 * promo_revenue / total_revenue * 1e6 + 0.5) / 1e6
+           AS promo_pct
+FROM s
+"""
+
+
+def q4_priority_exists(sf_dir: str, disc: float = 0.09,
+                       lo: str = "1996-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q4 shape (order-priority histogram over orders that HAVE
+    at least one qualifying lineitem — EXISTS semi-join): qualifying
+    orderkeys are made distinct DISTRIBUTED (per-batch Arrow unique →
+    sort-based grouped-first), then attach to date-filtered orders as
+    a marker payload via ``sorted_lookup_join(how='left')`` — the
+    always-shuffle counterpart of the budgeted-broadcast semi-join
+    (`q_big_discount_orders`) for when the qualifying set is a large
+    fraction of orders and no broadcast budget can hold it. Per-batch
+    priority counts partial-combine; ≤5 rows reach the driver."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_discount"])
+
+    def qual_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_discount"], disc))
+        return pa.table({"o_orderkey": pc.unique(t["l_orderkey"])})
+
+    def mark(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "_hit": pa.array([1] * b.num_rows, pa.int8())})
+
+    marked = compact_blocks(sorted_first_per_group(
+        line.map_batches(qual_keys, batch_format="pyarrow")
+            .map_batches(mark, batch_format="pyarrow"),
+        ["o_orderkey"]))
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                        pa.scalar(lo_ts)),
+                       pc.less(b["o_orderdate"], pa.scalar(hi_ts)))
+        return b.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    o_f = orders.map_batches(date_filter, batch_format="pyarrow")
+    joined = sorted_lookup_join(o_f, marked, "o_orderkey", ["_hit"],
+                                how="left")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["_hit"]))
+        g = pa.table({"o_orderpriority": t["o_orderpriority"]}) \
+            .group_by("o_orderpriority") \
+            .aggregate([("o_orderpriority", "count")])
+        return g.rename_columns(["o_orderpriority", "part_n"])
+
+    agg = drop_empty_blocks(
+        joined.map_batches(count_partial, batch_format="pyarrow")) \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("part_n", alias_name="order_count"))
+    return agg.to_pandas().sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+
+
+SQL_Q4_PRIORITY_EXISTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_top_docs_by_length(sf_dir: str):
     """Top-k largest documents (SURVEY.md §2.6 diagnostics: distributed
     sort + limit; the length column is computed vectorized per batch)."""
@@ -690,6 +993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "q13_order_counts": q13_order_counts,
         "cust_no_urgent_orders": q_cust_no_urgent_orders,
+        "q5_region_supplier_volume": q5_region_supplier_volume,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q4_priority_exists": q4_priority_exists,
     }
     out.update(ops_queries.queries())
     return out
@@ -717,6 +1023,9 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "q13_order_counts": SQL_Q13_ORDER_COUNTS,
         "cust_no_urgent_orders": SQL_CUST_NO_URGENT_ORDERS,
+        "q5_region_supplier_volume": SQL_Q5_REGION_SUPPLIER_VOLUME,
+        "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
+        "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
     }
     out.update(ops_queries.oracle_sql())
     return out
