@@ -2642,6 +2642,208 @@ def q_frame_sample(sf_dir: str):
                           batch_size=32)
 
 
+# ------------------------------------------------- mixture / ordering ops
+
+def q_mixture_rollup(sf_dir: str):
+    """Data-mixture accounting with ROLLUP subtotals (docs/chars per
+    (source, lang), per source, and grand total — the mixture sheet a
+    training run is configured from). One pass of per-batch partial
+    aggregation at the FINEST grain → a ≤ #sources×#langs groupby; the
+    two coarser grains are re-aggregated on the driver from that tiny
+    result, never from row data. Subtotal keys use 'ALL' (not NULL) on
+    both sides so the gate's row sort is total."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "lang", "part_d", "part_c"])
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]) \
+        .aggregate(Sum("part_d", alias_name="n_docs"),
+                   Sum("part_c", alias_name="n_chars")) \
+        .to_pandas()
+
+    by_src = fine.groupby("source", as_index=False)[
+        ["n_docs", "n_chars"]].sum()
+    by_src["lang"] = "ALL"
+    total = pd.DataFrame({"source": ["ALL"], "lang": ["ALL"],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "n_chars": [fine["n_chars"].sum()]})
+    out = pd.concat([fine, by_src, total], ignore_index=True)
+    out = out[["source", "lang", "n_docs", "n_chars"]].astype(
+        {"n_docs": "int64", "n_chars": "int64"})
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+SQL_MIXTURE_ROLLUP = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+ORDER BY source, lang
+"""
+
+
+def q_source_upsample(sf_dir: str):
+    """Epoch-weighted source upsampling (mixture tuning: repeat every
+    doc of a source w times, tagging each copy with its epoch index) —
+    a row-EXPANDING pure map: per batch, ``np.repeat`` of the take
+    indices plus a per-copy epoch counter, zero shuffles, streams at
+    any scale. The weight is a deterministic function of the source
+    name shared verbatim with the oracle (len(source) % 3 + 1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        slen = pc.utf8_length(b["source"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = slen % 3 + 1
+        idx = np.repeat(np.arange(b.num_rows), w)
+        ends = np.cumsum(w)
+        epoch = np.arange(len(idx), dtype=np.int64) - \
+            np.repeat(ends - w, w) + 1
+        t = b.take(pa.array(idx, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "epoch": pa.array(epoch, pa.int64())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+SQL_SOURCE_UPSAMPLE = """
+SELECT doc_id, source, e.epoch
+FROM documents,
+LATERAL unnest(generate_series(1, length(source) % 3 + 1)) AS e(epoch)
+"""
+
+
+def q_shuffle_order(sf_dir: str, seed: int = 7):
+    """Deterministic seeded training-order shuffle: every doc gets a
+    stable global position ordered by a salted Knuth multiplicative
+    hash — reproducible across runs/clusters, unlike
+    ``random_shuffle`` (whose row order is schedule-dependent; see
+    CLAUDE.md). Scale shape: ONE range-shuffle sort by (hash, doc_id)
+    + a distributed prefix count — per-block row counts to the driver
+    (block-count-bounded), exclusive offsets broadcast keyed by each
+    block's first doc_id, block-local ``arange`` for the positions.
+    The q_pack_sequences prefix-sum pattern over row counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(
+                pc.cast(pc.add(b["doc_id"], seed), pa.uint64()),
+                pa.scalar(2654435761, pa.uint64())),
+            pa.scalar(0xFFFFFFFF, pa.uint64()))
+        return pa.table({"doc_id": b["doc_id"],
+                         "h": pc.cast(h, pa.int64())})
+
+    srt = ds.map_batches(hashed, batch_format="pyarrow") \
+        .sort(["h", "doc_id"]).materialize()
+
+    def block_head(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_doc": pa.array([], pa.int64()),
+                             "h0": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "first_doc": pa.array([b["doc_id"][0].as_py()], pa.int64()),
+            "h0": pa.array([b["h"][0].as_py()], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    heads = srt.map_batches(block_head, batch_size=None,
+                            batch_format="pyarrow").take_all()
+    heads.sort(key=lambda r: (r["h0"], r["first_doc"]))
+    offsets, acc = {}, 0
+    for r in heads:
+        offsets[r["first_doc"]] = acc
+        acc += r["n"]
+    oref = ray.put(offsets)
+
+    def number(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        base = ray.get(oref)[b["doc_id"][0].as_py()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pos": pa.array(base + np.arange(b.num_rows), pa.int64())})
+
+    return srt.map_batches(number, batch_size=None,
+                           batch_format="pyarrow")
+
+
+SQL_SHUFFLE_ORDER = """
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
+                    doc_id) - 1 AS pos
+FROM documents
+"""
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental snapshot dedup (new crawl shard vs the at-rest
+    corpus): new docs are dropped when their content hash already
+    exists in the old corpus, then exact-deduped within the shard
+    (first-wins by doc_id). ONE range shuffle of (hash, priority, key)
+    rows: old rows ride as priority-0 blockers (at scale, one row per
+    distinct hash from the at-rest fingerprint index — X1's output,
+    not the raw corpus), new rows as priority-1; the grouped-first
+    winner per hash is a new row iff no old copy exists. Text never
+    enters the shuffle. The old/new split is deterministic
+    (doc_id % 10 >= 8 = the 'new shard')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import add_content_hash
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        import numpy as np
+        h = add_content_hash(b, "text")
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        is_new = (ids % 10 >= 8).astype(np.int8)
+        return pa.table({"content_hash": h["content_hash"],
+                         "prio": pa.array(is_new, pa.int8()),
+                         "doc_id": b["doc_id"],
+                         "source": b["source"]})
+
+    winners = sorted_first_per_group(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["content_hash"], tie_cols=("prio", "doc_id"))
+
+    def keep_new(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["prio"], 1)) \
+                .select(["doc_id", "source"])
+
+    return winners.map_batches(keep_new, batch_format="pyarrow")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH newdocs AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+     old     AS (SELECT * FROM documents WHERE doc_id % 10 < 8)
+SELECT n.doc_id, n.source FROM newdocs n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+  AND n.doc_id = (SELECT min(n2.doc_id) FROM newdocs n2
+                  WHERE n2.text = n.text)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -2668,6 +2870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "events_moving_avg": q_events_moving_avg,
         "events_funnel": q_events_funnel,
+        "mixture_rollup": q_mixture_rollup,
+        "source_upsample": q_source_upsample,
+        "shuffle_order": q_shuffle_order,
+        "incremental_dedup": q_incremental_dedup,
         "csv_docs": q_csv_docs,
         "warc_docs": q_warc_docs,
         "session_label": q_session_label,
@@ -2736,6 +2942,10 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "mixture_rollup": SQL_MIXTURE_ROLLUP,
+        "source_upsample": SQL_SOURCE_UPSAMPLE,
+        "shuffle_order": SQL_SHUFFLE_ORDER,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "csv_docs": _sql_csv_docs(),
         "warc_docs": SQL_WARC_DOCS,
         "session_label": _sql_session_label(),
