@@ -1507,6 +1507,84 @@ ORDER BY stage
 """
 
 
+def q_events_value_rank(sf_dir: str):
+    """RANK + DENSE_RANK per user over floored value DESC — the
+    tie-aware window shapes (X48's per-group top-k is row_number;
+    rank/dense_rank additionally need the value-change boundaries).
+    ONE range-shuffle sort on (user, -floor(value), event_id); per
+    block, both ranks come from one vectorized boundary scan
+    (``np.maximum.accumulate`` for RANK's first-equal position, run-
+    local cumsum of the change mask for DENSE_RANK). Floored values
+    make ties REAL — the gate exercises tie semantics, not just
+    ordering. Edge-straddling users resolve whole in the per-group
+    pass (order-restored inside)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        fv = pc.cast(pc.floor(b["value"]), pa.int64())
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "fv": fv,
+                         "neg": pc.negate_checked(fv)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "fv": pa.array([], pa.int64()),
+                      "rnk": pa.array([], pa.int64()),
+                      "drnk": pa.array([], pa.int64())})
+
+    def ranks_of(b: pa.Table, starts: np.ndarray,
+                 ends: np.ndarray) -> pa.Table:
+        fv = b["fv"].to_numpy(zero_copy_only=False)
+        n = len(fv)
+        pos = np.arange(n)
+        lens = ends - starts
+        run_start = np.repeat(starts, lens)
+        newv = np.r_[True, fv[1:] != fv[:-1]]
+        newv[starts] = True
+        first = np.maximum.accumulate(np.where(newv, pos, -1))
+        cs = np.cumsum(newv)
+        drnk = cs - np.repeat(cs[starts], lens) + 1
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "fv": b["fv"],
+                         "rnk": pa.array(first - run_start + 1,
+                                         pa.int64()),
+                         "drnk": pa.array(drnk, pa.int64())})
+
+    def interior(b, starts, ends, mask):
+        rows = ranks_of(b, starts, ends)
+        return rows.filter(pa.array(np.repeat(mask, ends - starts)))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("neg", "ascending"),
+                                              ("event_id", "ascending")])
+        return ranks_of(g.take(order), np.zeros(1, np.int64),
+                        np.asarray([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(prepped, "user_id",
+                               ["user_id", "neg", "event_id"],
+                               interior, edge, empty)
+
+
+SQL_EVENTS_VALUE_RANK = """
+SELECT event_id, user_id, floor(value)::BIGINT AS fv,
+       rank() OVER (PARTITION BY user_id
+                    ORDER BY floor(value) DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY user_id
+                          ORDER BY floor(value) DESC) AS drnk
+FROM events
+"""
+
+
 def q_session_label(sf_dir: str):
     """Range join (event → the session window containing it) composed
     from the as-of primitive: session windows are disjoint per user and
@@ -2870,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "events_moving_avg": q_events_moving_avg,
         "events_funnel": q_events_funnel,
+        "events_value_rank": q_events_value_rank,
         "mixture_rollup": q_mixture_rollup,
         "source_upsample": q_source_upsample,
         "shuffle_order": q_shuffle_order,
@@ -2942,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "mixture_rollup": SQL_MIXTURE_ROLLUP,
         "source_upsample": SQL_SOURCE_UPSAMPLE,
         "shuffle_order": SQL_SHUFFLE_ORDER,
