@@ -1,0 +1,110 @@
+"""HyperLogLog sketch kernels (functions/sketch.py): bit-level rho
+correctness, merge algebra, layout invariance, and accuracy vs exact."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zhtml_ray.functions.sketch import (approx_distinct, hll_estimate,
+                                        hll_partial_batch, hll_registers,
+                                        hll_rho, splitmix64)
+
+
+def test_splitmix64_reference_vector():
+    # public reference sequence (Steele et al. splitmix64, seed 0):
+    # first output of the generator == finalizer applied to state 0
+    out = splitmix64(np.array([0], np.uint64))
+    assert out[0] == np.uint64(0xE220A8397B1DCDAF)
+
+
+def test_rho_bit_math():
+    p = 12
+    # suffix all zeros -> sentinel 64 - p + 1
+    z = np.array([0], np.uint64)
+    j, rho = hll_rho(z, p)
+    assert j[0] == 0 and rho[0] == 64 - p + 1
+    # suffix with its top bit set -> rho 1
+    z = np.array([np.uint64(1) << np.uint64(63 - p)], np.uint64)
+    _, rho = hll_rho(z, p)
+    assert rho[0] == 1
+    # suffix == 1 (lowest bit only) -> rho 64 - p
+    z = np.array([1], np.uint64)
+    _, rho = hll_rho(z, p)
+    assert rho[0] == 64 - p
+    # top p bits form the register index
+    z = np.array([np.uint64(5) << np.uint64(64 - p)], np.uint64)
+    j, _ = hll_rho(z, p)
+    assert j[0] == 5
+
+
+def test_rho_matches_python_bit_scan():
+    p = 10
+    rng = np.random.default_rng(7)
+    z = rng.integers(0, 2**63, 2000, np.uint64) * np.uint64(2) + \
+        rng.integers(0, 2, 2000, np.uint64)
+    _, rho = hll_rho(z, p)
+    for zi, ri in zip(z[:200].tolist(), rho[:200].tolist()):
+        suffix = (zi << p) & ((1 << 64) - 1)
+        if suffix == 0:
+            want = 64 - p + 1
+        else:
+            want = 64 - suffix.bit_length() + 1
+        assert ri == want
+
+
+def test_registers_merge_is_partition_invariant():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10**9, 5000, np.int64)
+    codes = rng.integers(0, 3, 5000, np.int64)
+    whole = hll_registers(vals, codes, 3, p=8)
+    # fold over arbitrary splits must give identical registers
+    acc = np.zeros_like(whole)
+    for lo, hi in [(0, 17), (17, 1000), (1000, 1001), (1001, 5000)]:
+        acc = np.maximum(acc, hll_registers(vals[lo:hi], codes[lo:hi],
+                                            3, p=8))
+    assert np.array_equal(whole, acc)
+    # duplication-invariant (idempotent merge)
+    acc2 = np.maximum(acc, hll_registers(vals[:300], codes[:300], 3, p=8))
+    assert np.array_equal(whole, acc2)
+
+
+@pytest.mark.parametrize("n,p,tol", [(100, 12, 0.05), (5000, 12, 0.05),
+                                     (200000, 12, 0.05)])
+def test_estimate_accuracy(n, p, tol):
+    rng = np.random.default_rng(n)
+    vals = rng.integers(0, 2**62, n, np.int64)
+    exact = len(np.unique(vals))
+    regs = hll_registers(vals, np.zeros(n, np.int64), 1, p=p)
+    est = hll_estimate(regs[0])
+    assert abs(est - exact) / exact < tol
+
+
+def test_partial_batch_empty_and_groups():
+    t = pa.table({"g": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int64())})
+    out = hll_partial_batch(t, "g", "v", p=6)
+    assert out.num_rows == 0 and out["regs"].type == pa.binary(64)
+    t = pa.table({"g": ["a", "b", "a"], "v": [1, 2, 3]})
+    out = hll_partial_batch(t, "g", "v", p=6)
+    assert sorted(out["g"].to_pylist()) == ["a", "b"]
+
+
+def test_approx_distinct_dataset_layout_invariant(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    n = 20000
+    t = pa.table({"g": pa.array(rng.integers(0, 4, n).astype(str)),
+                  "v": pa.array(rng.integers(0, 3000, n), pa.int64())})
+    import duckdb
+    exact = dict(duckdb.sql(
+        "SELECT g, count(DISTINCT v) FROM t GROUP BY g").fetchall())
+
+    def run(nblocks):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = approx_distinct(ds, "g", "v", p=12).to_pandas()
+        return dict(zip(out["g"], out["approx_n"]))
+
+    a, b = run(3), run(17)
+    assert a == b  # byte-identical registers -> identical estimates
+    for g, ex in exact.items():
+        assert abs(a[g] - ex) / ex < 0.05

@@ -476,6 +476,24 @@ def _gen_frame_sample(sf_dir: str) -> pa.Table:
     return FrameSampler(fps=1.0)(gen_media_table(_media_rows_for(sf_dir)))
 
 
+def _gen_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Serial same-kernel HLL run. Valid as a pin at EVERY scale (not
+    just gate scales): registers are an elementwise max of per-value
+    hashes, so any partitioning of the rows folds to byte-identical
+    registers — the distributed estimate can only differ if a kernel
+    changes, which the source digest in the cache tag catches."""
+    import numpy as np
+    from zhtml_ray.functions.sketch import hll_estimate, hll_partial_batch
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"])
+    part = hll_partial_batch(t, "event_type", "user_id", p=12)
+    ests = [int(round(hll_estimate(np.frombuffer(r, np.uint8))))
+            for r in part["regs"].to_pylist()]
+    out = pa.table({"event_type": part["event_type"],
+                    "approx_n": pa.array(ests, pa.int64())})
+    return out.sort_by("event_type")
+
+
 _GENERATORS = {
     "extract": _gen_extract,
     "extract_error_histogram": _gen_extract_error_histogram,
@@ -493,6 +511,7 @@ _GENERATORS = {
     "media_features": _gen_media_features,
     "audio_features": _gen_audio_features,
     "frame_sample": _gen_frame_sample,
+    "approx_distinct_users": _gen_approx_distinct_users,
 }
 
 

@@ -1585,6 +1585,27 @@ FROM events
 """
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user) per event type
+    (functions/sketch.py): per-batch register combiner → shuffle of
+    2**p bytes per (group × ~1024 batches) → bounded per-group fold.
+    The exact-distinct plan (`events_distinct_users`) shuffles every
+    (type, user) pair; this one moves KBs per group at ANY cardinality.
+    Golden-pinned EXACTLY (not within tolerance): max-merge registers
+    are layout/schedule/duplication-invariant, so the distributed run
+    must reproduce the serial pin byte-for-byte. Accuracy vs exact is
+    pytest-gated (tests/test_sketch.py)."""
+    import ray.data as rd
+
+    from zhtml_ray.functions.sketch import approx_distinct
+    from zhtml_ray.pipelines.golden import ensure_golden
+
+    ensure_golden("approx_distinct_users", sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return approx_distinct(ds, "event_type", "user_id", p=12)
+
+
 def q_session_label(sf_dir: str):
     """Range join (event → the session window containing it) composed
     from the as-of primitive: session windows are disjoint per user and
@@ -2949,6 +2970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q_events_moving_avg,
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
+        "approx_distinct_users": q_approx_distinct_users,
         "mixture_rollup": q_mixture_rollup,
         "source_upsample": q_source_upsample,
         "shuffle_order": q_shuffle_order,
@@ -2989,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "fingerprint": golden_sql("fingerprint"),
         "simhash": golden_sql("simhash"),
+        "approx_distinct_users": golden_sql("approx_distinct_users"),
         "minhash_dedup": golden_sql("minhash_dedup"),
         "ngram_jaccard": golden_sql("ngram_jaccard"),
         "embedding_neardup": golden_sql("embedding_neardup"),
