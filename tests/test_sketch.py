@@ -89,6 +89,47 @@ def test_partial_batch_empty_and_groups():
     assert sorted(out["g"].to_pylist()) == ["a", "b"]
 
 
+def test_bloom_no_false_negatives_and_fp_rate():
+    from zhtml_ray.functions.sketch import bloom_build, bloom_probe
+    rng = np.random.default_rng(5)
+    members = rng.integers(0, 2**62, 20000, np.int64)
+    bm = bloom_build(members, log2_bits=20, k=6)
+    assert bloom_probe(bm, members, 20, 6).all()  # never a false negative
+    probes = rng.integers(0, 2**62, 50000, np.int64)
+    outside = probes[~np.isin(probes, members)]
+    fp = bloom_probe(bm, outside, 20, 6).mean()
+    assert fp < 0.01  # ~0.5% theoretical at n=20k, m=2^20, k=6
+
+
+def test_bloom_merge_partition_invariant():
+    from zhtml_ray.functions.sketch import bloom_build
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 2**60, 5000, np.int64)
+    whole = bloom_build(vals, 16, 4)
+    acc = np.zeros_like(whole)
+    for lo, hi in [(0, 1), (1, 999), (999, 5000)]:
+        acc |= bloom_build(vals[lo:hi], 16, 4)
+    assert np.array_equal(whole, acc)
+
+
+def test_bloom_join_survivor_bound(ray_session):
+    """The bloom prefilter must actually prune: survivors ≤ true
+    matches + fp slack. A probe regression (e.g. a mask bug passing
+    everything) fails this, not just slows the join down."""
+    import ray
+    import ray.data as rd
+
+    from zhtml_ray.functions.sketch import bloom_from_dataset, bloom_probe
+    rng = np.random.default_rng(8)
+    keys = np.arange(10000, dtype=np.int64)
+    member = keys[keys % 10 == 0]  # 10% true match rate
+    small = rd.from_arrow(pa.table({"k": pa.array(member, pa.int64())}))
+    bm = bloom_from_dataset(small, "k", log2_bits=18, k=6)
+    keep = bloom_probe(bm, keys, 18, 6)
+    assert keep[keys % 10 == 0].all()
+    assert keep.mean() < 0.15  # 10% true + small fp slack — it pruned
+
+
 def test_approx_distinct_dataset_layout_invariant(ray_session):
     import ray.data as rd
     rng = np.random.default_rng(11)

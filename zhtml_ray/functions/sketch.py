@@ -120,6 +120,81 @@ def hll_merge_rows(tbl: pa.Table) -> np.ndarray:
     return mat.max(axis=0)
 
 
+# ------------------------------------------------------------ Bloom filter
+
+def bloom_hash_bits(values: np.ndarray, log2_bits: int,
+                    k: int) -> np.ndarray:
+    """(n, k) int64 bit positions for each value: k independent
+    SplitMix64 lanes (seed-salted), masked to 2**log2_bits. Shared by
+    build and probe so the two can never disagree."""
+    n = len(values)
+    out = np.empty((n, k), np.int64)
+    v = values.astype(np.uint64, copy=False)
+    mask = np.uint64((1 << log2_bits) - 1)
+    for lane in range(k):
+        with np.errstate(over="ignore"):
+            salted = v + np.uint64(0x9E3779B97F4A7C15) * np.uint64(lane)
+        out[:, lane] = (splitmix64(salted) & mask).astype(np.int64)
+    return out
+
+
+def bloom_build(values: np.ndarray, log2_bits: int = 20,
+                k: int = 6) -> np.ndarray:
+    """Byte-packed Bloom bitmap (2**log2_bits bits). Merging partial
+    bitmaps is ``np.bitwise_or`` — commutative/associative/idempotent,
+    so the built filter is exactly layout- and schedule-invariant."""
+    bits = bloom_hash_bits(values, log2_bits, k).reshape(-1)
+    bitmap = np.zeros((1 << log2_bits) // 8, np.uint8)
+    np.bitwise_or.at(bitmap, bits >> 3,
+                     np.left_shift(np.uint8(1),
+                                   (bits & 7).astype(np.uint8)))
+    return bitmap
+
+
+def bloom_probe(bitmap: np.ndarray, values: np.ndarray,
+                log2_bits: int, k: int) -> np.ndarray:
+    """Boolean might-contain mask (no false negatives)."""
+    if len(values) == 0:
+        return np.zeros(0, bool)
+    bits = bloom_hash_bits(values, log2_bits, k)
+    got = (bitmap[bits >> 3] >> (bits & 7).astype(np.uint8)) & 1
+    return got.all(axis=1)
+
+
+def bloom_from_dataset(ds, key_col: str, log2_bits: int = 20,
+                       k: int = 6) -> np.ndarray:
+    """Distributed Bloom build over a Dataset column: per-batch partial
+    bitmaps → a shuffle-free batch-level OR fold (~1024 partials per
+    task, same free tree level as ``approx_distinct``) → driver OR of
+    the per-task survivors (blocks/1024 bitmaps — add another fold
+    level before the driver if block count × bitmap bytes outgrows
+    it). The result is independent of partitioning (bitwise OR)."""
+    nbytes = (1 << log2_bits) // 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[key_col].to_numpy(zero_copy_only=False)
+        bm = bloom_build(vals, log2_bits, k)
+        return pa.table({"bm": pa.array([bm.tobytes()],
+                                        pa.binary(nbytes))})
+
+    def local_or(b: pa.Table) -> pa.Table:
+        rows = b["bm"].to_pylist()
+        mat = np.frombuffer(b"".join(rows), np.uint8) \
+            .reshape(len(rows), nbytes)
+        return pa.table({"bm": pa.array(
+            [np.bitwise_or.reduce(mat, axis=0).tobytes()],
+            pa.binary(nbytes))})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(local_or, batch_format="pyarrow", batch_size=1024)
+    acc = np.zeros(nbytes, np.uint8)
+    for b in folded.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        for row in b["bm"].to_pylist():
+            acc |= np.frombuffer(row, np.uint8)
+    return acc
+
+
 def approx_distinct(ds, group_col: str, value_col: str, p: int = 12):
     """Distributed approx COUNT(DISTINCT value) per group.
 

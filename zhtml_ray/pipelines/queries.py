@@ -909,6 +909,86 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_bloom_join_revenue(sf_dir: str, priority: str = "1-URGENT",
+                         log2_bits: int = 20, k: int = 6):
+    """Bloom-prefiltered join (urgent-order lineitem revenue): the
+    qualifying orderkey set rides to every lineitem task as a 128 KiB
+    Bloom BITMAP instead of an exact key array — at 100 TB the exact
+    set outgrows any broadcast budget, while the bitmap's size is
+    fixed by the chosen false-positive rate. The bitmap only
+    PREFILTERS (no false negatives, ~0.5% false positives at these
+    parameters); survivors still pass the exact merge join, so the
+    result is exact and SQL-oracled — the bloom's job is to slash the
+    shuffle bytes entering that join (measured survivor fraction ≈
+    the true match rate; a probe regression fails
+    tests/test_sketch.py's survivor-bound assert). Bitmap build is
+    bitwise-OR mergeable → layout/schedule-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.sketch import bloom_from_dataset, bloom_probe
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def urgent(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], priority))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "_hit": pa.array(
+                             np.ones(t.num_rows, np.int8))})
+
+    marked = orders.map_batches(urgent, batch_format="pyarrow") \
+        .materialize()
+    bitmap = bloom_from_dataset(marked, "o_orderkey",
+                                log2_bits=log2_bits, k=k)
+    bref = ray.put(bitmap)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount"])
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = bloom_probe(ray.get(bref), keys, log2_bits, k)
+        t = b.filter(pa.array(keep))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+
+    survivors = line.map_batches(prefilter, batch_format="pyarrow")
+    joined = sorted_lookup_join(survivors, marked, "o_orderkey",
+                                ["_hit"], how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r": pa.array([float(pc.sum(b["rev"]).as_py() or 0.0)]),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    got = drop_empty_blocks(
+        joined.map_batches(partial, batch_format="pyarrow")) \
+        .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
+    import math
+    import pandas as pd
+    rev = math.floor((got["r"] or 0.0) * 1e2 + 0.5) / 1e2
+    return pd.DataFrame({"revenue": [rev],
+                         "n_items": [int(got["n"] or 0)]})
+
+
+SQL_BLOOM_JOIN_REVENUE = """
+SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def q_top_docs_by_length(sf_dir: str):
     """Top-k largest documents (SURVEY.md §2.6 diagnostics: distributed
     sort + limit; the length column is computed vectorized per batch)."""
@@ -996,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_supplier_volume": q5_region_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
         "q4_priority_exists": q4_priority_exists,
+        "bloom_join_revenue": q_bloom_join_revenue,
     }
     out.update(ops_queries.queries())
     return out
@@ -1026,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_supplier_volume": SQL_Q5_REGION_SUPPLIER_VOLUME,
         "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
+        "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     }
     out.update(ops_queries.oracle_sql())
     return out
