@@ -1585,6 +1585,58 @@ FROM events
 """
 
 
+_EMB_DIM = 64  # driver fixture embedding width (TESTDATA.md)
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the class-prototype / cluster-
+    profile aggregate of an embedding pipeline): per-batch zero-copy
+    matrix decode (`_emb_matrix`) + one ``np.add.at`` scatter of
+    per-label vector sums → ONE Arrow-native groupby carrying 65 Sum
+    aggregates (no per-group UDF, no list column through the shuffle)
+    → ≤ #labels rows on the driver where sums become 6-dp-pinned
+    means. The oracle is a GENERATED 64-column DuckDB aggregate over
+    ``embedding[i]`` — both sides pin identically."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.similarity import _emb_matrix
+
+    ds = _emb(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = _emb_matrix(b["embedding"]).astype(np.float64)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.float64)
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=len(uniq))
+        cols = {"label": pa.array(uniq.astype(np.int32)),
+                "part_n": pa.array(counts, pa.int64())}
+        for i in range(mat.shape[1]):
+            cols[f"s{i}"] = pa.array(sums[:, i], pa.float64())
+        return pa.table(cols)
+
+    aggs = [Sum("part_n", alias_name="n")] + \
+        [Sum(f"s{i}", alias_name=f"s{i}") for i in range(_EMB_DIM)]
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("label").aggregate(*aggs)
+    pdf = agg.to_pandas()
+    for i in range(_EMB_DIM):
+        pdf[f"c{i}"] = np.floor(pdf[f"s{i}"] / pdf["n"] * 1e6 + 0.5) / 1e6
+        del pdf[f"s{i}"]
+    return pdf.sort_values("label").reset_index(drop=True)
+
+
+def _sql_label_centroids(dim: int = _EMB_DIM) -> str:
+    cols = ",\n       ".join(
+        f"floor(avg(embedding[{i + 1}]) * 1e6 + 0.5) / 1e6 AS c{i}"
+        for i in range(dim))
+    return (f"SELECT label, count(*) AS n,\n       {cols}\n"
+            "FROM embeddings GROUP BY label ORDER BY label")
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user) per event type
     (functions/sketch.py): per-batch register combiner → shuffle of
@@ -2971,6 +3023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
         "approx_distinct_users": q_approx_distinct_users,
+        "label_centroids": q_label_centroids,
         "mixture_rollup": q_mixture_rollup,
         "source_upsample": q_source_upsample,
         "shuffle_order": q_shuffle_order,
@@ -3045,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
+        "label_centroids": _sql_label_centroids(),
         "mixture_rollup": SQL_MIXTURE_ROLLUP,
         "source_upsample": SQL_SOURCE_UPSAMPLE,
         "shuffle_order": SQL_SHUFFLE_ORDER,
