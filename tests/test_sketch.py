@@ -89,6 +89,36 @@ def test_partial_batch_empty_and_groups():
     assert sorted(out["g"].to_pylist()) == ["a", "b"]
 
 
+def test_cms_overestimate_only_and_bound():
+    from zhtml_ray.functions.sketch import (cms_build, cms_estimate,
+                                            word_hash64)
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(3000)]
+    counts = rng.integers(1, 50, 3000).astype(np.int64)
+    h = word_hash64(words)
+    tbl = cms_build(h, counts, log2_w=12, d=4)
+    est = cms_estimate(tbl, h, 12)
+    assert (est >= counts).all()  # CMS never underestimates
+    n = counts.sum()
+    # standard bound: overshoot ≤ e/w · N w.h.p.; generous factor 3
+    assert (est - counts).max() <= 3 * np.e / 4096 * n
+    absent = cms_estimate(tbl, word_hash64(["nope-1", "nope-2"]), 12)
+    assert (absent >= 0).all()
+
+
+def test_cms_merge_partition_invariant():
+    from zhtml_ray.functions.sketch import cms_build, word_hash64
+    rng = np.random.default_rng(10)
+    words = [f"t{i}" for i in range(500)]
+    counts = rng.integers(1, 9, 500).astype(np.int64)
+    h = word_hash64(words)
+    whole = cms_build(h, counts, 10, 3)
+    acc = np.zeros_like(whole)
+    for lo, hi in [(0, 7), (7, 300), (300, 500)]:
+        acc += cms_build(h[lo:hi], counts[lo:hi], 10, 3)
+    assert np.array_equal(whole, acc)
+
+
 def test_bloom_no_false_negatives_and_fp_rate():
     from zhtml_ray.functions.sketch import bloom_build, bloom_probe
     rng = np.random.default_rng(5)

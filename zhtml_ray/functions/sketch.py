@@ -120,6 +120,53 @@ def hll_merge_rows(tbl: pa.Table) -> np.ndarray:
     return mat.max(axis=0)
 
 
+# -------------------------------------------------------- Count-Min sketch
+
+def word_hash64(words: list[str]) -> np.ndarray:
+    """Content-based uint64 hash per word via blake2b — deterministic
+    across processes (Python's ``hash()`` is per-process-seeded; the
+    corpusstats gram hashes use the same construction)."""
+    from hashlib import blake2b
+    out = np.empty(len(words), np.uint64)
+    for i, w in enumerate(words):
+        d = blake2b((w or "").encode("utf-8", "surrogatepass"),
+                    digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
+    return out
+
+
+def cms_buckets(hashes: np.ndarray, log2_w: int, d: int) -> np.ndarray:
+    """(n, d) bucket index per hash per lane — the same salted
+    SplitMix64 lanes as the Bloom filter, so build/probe/golden can
+    never disagree."""
+    return bloom_hash_bits(hashes, log2_w, d)
+
+
+def cms_build(hashes: np.ndarray, counts: np.ndarray, log2_w: int,
+              d: int) -> np.ndarray:
+    """(d, 2**log2_w) int64 Count-Min table. Cell values are SUMS →
+    merging partial tables is ``+`` (commutative/associative), so the
+    sketch is exactly layout- and schedule-invariant."""
+    tbl = np.zeros((d, 1 << log2_w), np.int64)
+    if len(hashes) == 0:
+        return tbl
+    b = cms_buckets(hashes, log2_w, d)
+    for lane in range(d):
+        np.add.at(tbl[lane], b[:, lane], counts)
+    return tbl
+
+
+def cms_estimate(tbl: np.ndarray, hashes: np.ndarray,
+                 log2_w: int) -> np.ndarray:
+    """Min-over-lanes frequency estimate per hash (Cormode &
+    Muthukrishnan 2005): never an underestimate; overshoot bounded by
+    collisions (εN with ε = e/w at the usual parameterization)."""
+    d = tbl.shape[0]
+    b = cms_buckets(hashes, log2_w, d)
+    lanes = np.stack([tbl[lane][b[:, lane]] for lane in range(d)])
+    return lanes.min(axis=0)
+
+
 # ------------------------------------------------------------ Bloom filter
 
 def bloom_hash_bits(values: np.ndarray, log2_bits: int,

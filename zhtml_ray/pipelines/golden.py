@@ -494,6 +494,29 @@ def _gen_approx_distinct_users(sf_dir: str) -> pa.Table:
     return out.sort_by("event_type")
 
 
+def _gen_word_freq_cms(sf_dir: str) -> pa.Table:
+    """Serial FULL-table Count-Min sketch, probed for the shared fixed
+    word list. The distributed path only ever materializes the probe
+    cells, but sums commute — its answer must equal this full sketch
+    byte-for-byte at any partitioning."""
+    import numpy as np
+    from zhtml_ray.functions.corpusstats import _encode_flat, _split_words
+    from zhtml_ray.functions.sketch import cms_build, cms_estimate, \
+        word_hash64
+    from zhtml_ray.pipelines.ops_queries import (CMS_D, CMS_LOG2W,
+                                                 CMS_PROBES)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    words_per, lens = _split_words(t["text"].to_pylist())
+    _, codes, vocab = _encode_flat(words_per, lens)
+    cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+    tbl = cms_build(word_hash64(vocab.to_pylist()), cnt, CMS_LOG2W,
+                    CMS_D)
+    est = cms_estimate(tbl, word_hash64(list(CMS_PROBES)), CMS_LOG2W)
+    out = pa.table({"word": pa.array(list(CMS_PROBES), pa.string()),
+                    "est_n": pa.array(est.astype(np.int64), pa.int64())})
+    return out.sort_by("word")
+
+
 _GENERATORS = {
     "extract": _gen_extract,
     "extract_error_histogram": _gen_extract_error_histogram,
@@ -512,6 +535,7 @@ _GENERATORS = {
     "audio_features": _gen_audio_features,
     "frame_sample": _gen_frame_sample,
     "approx_distinct_users": _gen_approx_distinct_users,
+    "word_freq_cms": _gen_word_freq_cms,
 }
 
 

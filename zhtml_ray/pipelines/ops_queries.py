@@ -1585,6 +1585,85 @@ FROM events
 """
 
 
+# fixed probe vocabulary for the Count-Min frequency query — shared
+# verbatim with the serial golden ('zzz-absent' shows the
+# overestimate-only property: absent words read collision mass, never
+# a negative)
+CMS_PROBES = ("scan", "column", "window", "order", "sort", "join",
+              "merge", "query", "group", "key", "value", "the",
+              "zzz-absent")
+CMS_LOG2W, CMS_D = 14, 4
+
+
+def q_word_freq_cms(sf_dir: str):
+    """Count-Min-sketch word frequencies for a fixed probe list
+    (functions/sketch.py): because CMS cells are SUMS, the estimate
+    for a known probe set needs only the ≤ |probes|×d cells those
+    words hash to — each batch emits JUST the probe cells' partial
+    counts (collision mass included, so the answer equals the full
+    2**14×4 sketch's exactly), a tiny (lane, bucket) groupby sums
+    them, and the driver takes the min over lanes. Raw tokens never
+    leave their batch; shuffle rows are bounded by probes×lanes×
+    blocks. Golden-pinned EXACTLY against a serial full-table sketch
+    (sum-merge is layout-invariant); overestimate-only and error
+    bounds are pytest-gated (tests/test_sketch.py)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.corpusstats import _encode_flat, _split_words
+    from zhtml_ray.functions.sketch import cms_buckets, word_hash64
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ensure_golden("word_freq_cms", sf_dir)
+    probes = list(CMS_PROBES)
+    probe_cells = cms_buckets(word_hash64(probes), CMS_LOG2W, CMS_D)
+
+    ds = _docs(sf_dir, ["text"])
+    empty = pa.table({"lane": pa.array([], pa.int32()),
+                      "bucket": pa.array([], pa.int64()),
+                      "part": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        words_per, lens = _split_words(b["text"].to_pylist())
+        _, codes, vocab = _encode_flat(words_per, lens)
+        if len(vocab) == 0:
+            return empty
+        cnt = np.bincount(codes, minlength=len(vocab))
+        buckets = cms_buckets(word_hash64(vocab.to_pylist()),
+                              CMS_LOG2W, CMS_D)
+        lanes_out, buck_out, part_out = [], [], []
+        for lane in range(CMS_D):
+            m = np.isin(buckets[:, lane], probe_cells[:, lane])
+            if not m.any():
+                continue
+            u, inv = np.unique(buckets[m, lane], return_inverse=True)
+            s = np.bincount(inv, weights=cnt[m]).astype(np.int64)
+            lanes_out.append(np.full(len(u), lane, np.int32))
+            buck_out.append(u)
+            part_out.append(s)
+        if not lanes_out:
+            return empty
+        return pa.table({"lane": pa.array(np.concatenate(lanes_out)),
+                         "bucket": pa.array(np.concatenate(buck_out)),
+                         "part": pa.array(np.concatenate(part_out))})
+
+    cells = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["lane", "bucket"]) \
+        .aggregate(Sum("part", alias_name="cnt")).to_pandas()
+    cell_of = {(int(r.lane), int(r.bucket)): int(r.cnt)
+               for r in cells.itertuples()}
+    ests = [min(cell_of.get((lane, int(probe_cells[i, lane])), 0)
+                for lane in range(CMS_D))
+            for i in range(len(probes))]
+    out = pd.DataFrame({"word": probes, "est_n": ests})
+    out["est_n"] = out["est_n"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
 _EMB_DIM = 64  # driver fixture embedding width (TESTDATA.md)
 
 
@@ -3024,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_rank": q_events_value_rank,
         "approx_distinct_users": q_approx_distinct_users,
         "label_centroids": q_label_centroids,
+        "word_freq_cms": q_word_freq_cms,
         "mixture_rollup": q_mixture_rollup,
         "source_upsample": q_source_upsample,
         "shuffle_order": q_shuffle_order,
@@ -3065,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": golden_sql("fingerprint"),
         "simhash": golden_sql("simhash"),
         "approx_distinct_users": golden_sql("approx_distinct_users"),
+        "word_freq_cms": golden_sql("word_freq_cms"),
         "minhash_dedup": golden_sql("minhash_dedup"),
         "ngram_jaccard": golden_sql("ngram_jaccard"),
         "embedding_neardup": golden_sql("embedding_neardup"),
