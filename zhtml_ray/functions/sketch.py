@@ -167,6 +167,64 @@ def cms_estimate(tbl: np.ndarray, hashes: np.ndarray,
     return lanes.min(axis=0)
 
 
+def cms_probe_freqs(ds, probes: list[str], log2_w: int, d: int,
+                    text_col: str = "text"):
+    """Distributed CMS frequency estimates for a FIXED probe list:
+    because cells are sums, only the ≤ |probes|×d cells the probe
+    words hash to need materializing — each batch emits just those
+    cells' partial counts (collision mass included, so the result
+    equals the full 2**log2_w×d sketch's exactly), a tiny
+    (lane, bucket) groupby sums them, and the driver takes the min
+    over lanes. Raw tokens never leave their batch. Returns a pandas
+    DataFrame (word, est_n) sorted by word."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.corpusstats import _encode_flat, _split_words
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    probe_cells = cms_buckets(word_hash64(probes), log2_w, d)
+    empty = pa.table({"lane": pa.array([], pa.int32()),
+                      "bucket": pa.array([], pa.int64()),
+                      "part": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        words_per, lens = _split_words(b[text_col].to_pylist())
+        _, codes, vocab = _encode_flat(words_per, lens)
+        if len(vocab) == 0:
+            return empty
+        cnt = np.bincount(codes, minlength=len(vocab))
+        buckets = cms_buckets(word_hash64(vocab.to_pylist()), log2_w, d)
+        lanes_out, buck_out, part_out = [], [], []
+        for lane in range(d):
+            m = np.isin(buckets[:, lane], probe_cells[:, lane])
+            if not m.any():
+                continue
+            u, inv = np.unique(buckets[m, lane], return_inverse=True)
+            s = np.bincount(inv, weights=cnt[m]).astype(np.int64)
+            lanes_out.append(np.full(len(u), lane, np.int32))
+            buck_out.append(u)
+            part_out.append(s)
+        if not lanes_out:
+            return empty
+        return pa.table({"lane": pa.array(np.concatenate(lanes_out)),
+                         "bucket": pa.array(np.concatenate(buck_out)),
+                         "part": pa.array(np.concatenate(part_out))})
+
+    cells = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["lane", "bucket"]) \
+        .aggregate(Sum("part", alias_name="cnt")).to_pandas()
+    cell_of = {(int(r.lane), int(r.bucket)): int(r.cnt)
+               for r in cells.itertuples()}
+    ests = [min(cell_of.get((lane, int(probe_cells[i, lane])), 0)
+                for lane in range(d))
+            for i in range(len(probes))]
+    out = pd.DataFrame({"word": list(probes), "est_n": ests})
+    out["est_n"] = out["est_n"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ Bloom filter
 
 def bloom_hash_bits(values: np.ndarray, log2_bits: int,

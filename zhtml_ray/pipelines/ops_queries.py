@@ -1529,9 +1529,11 @@ def q_events_value_rank(sf_dir: str):
                          columns=["event_id", "user_id", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
+        # only the negated sort key rides the shuffle; fv is re-derived
+        # after the sort (25% fewer shuffle bytes than carrying both)
         fv = pc.cast(pc.floor(b["value"]), pa.int64())
         return pa.table({"event_id": b["event_id"],
-                         "user_id": b["user_id"], "fv": fv,
+                         "user_id": b["user_id"],
                          "neg": pc.negate_checked(fv)})
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
@@ -1544,18 +1546,19 @@ def q_events_value_rank(sf_dir: str):
 
     def ranks_of(b: pa.Table, starts: np.ndarray,
                  ends: np.ndarray) -> pa.Table:
-        fv = b["fv"].to_numpy(zero_copy_only=False)
-        n = len(fv)
+        neg = b["neg"].to_numpy(zero_copy_only=False)
+        n = len(neg)
         pos = np.arange(n)
         lens = ends - starts
         run_start = np.repeat(starts, lens)
-        newv = np.r_[True, fv[1:] != fv[:-1]]
+        newv = np.r_[True, neg[1:] != neg[:-1]]
         newv[starts] = True
         first = np.maximum.accumulate(np.where(newv, pos, -1))
         cs = np.cumsum(newv)
         drnk = cs - np.repeat(cs[starts], lens) + 1
         return pa.table({"event_id": b["event_id"],
-                         "user_id": b["user_id"], "fv": b["fv"],
+                         "user_id": b["user_id"],
+                         "fv": pa.array(-neg, pa.int64()),
                          "rnk": pa.array(first - run_start + 1,
                                          pa.int64()),
                          "drnk": pa.array(drnk, pa.int64())})
@@ -1596,72 +1599,18 @@ CMS_LOG2W, CMS_D = 14, 4
 
 
 def q_word_freq_cms(sf_dir: str):
-    """Count-Min-sketch word frequencies for a fixed probe list
-    (functions/sketch.py): because CMS cells are SUMS, the estimate
-    for a known probe set needs only the ≤ |probes|×d cells those
-    words hash to — each batch emits JUST the probe cells' partial
-    counts (collision mass included, so the answer equals the full
-    2**14×4 sketch's exactly), a tiny (lane, bucket) groupby sums
-    them, and the driver takes the min over lanes. Raw tokens never
-    leave their batch; shuffle rows are bounded by probes×lanes×
-    blocks. Golden-pinned EXACTLY against a serial full-table sketch
-    (sum-merge is layout-invariant); overestimate-only and error
-    bounds are pytest-gated (tests/test_sketch.py)."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-    from ray.data.aggregate import Sum
-
-    from zhtml_ray.functions.corpusstats import _encode_flat, _split_words
-    from zhtml_ray.functions.sketch import cms_buckets, word_hash64
+    """Count-Min-sketch word frequencies for the fixed probe list
+    (`functions/sketch.py:cms_probe_freqs` — probe-cell-pruned, raw
+    tokens never leave their batch). Golden-pinned EXACTLY against a
+    serial full-table sketch (sum-merge is layout-invariant);
+    overestimate-only and error bounds are pytest-gated
+    (tests/test_sketch.py)."""
+    from zhtml_ray.functions.sketch import cms_probe_freqs
     from zhtml_ray.pipelines.golden import ensure_golden
-    from zhtml_ray.stages.util import drop_empty_blocks
 
     ensure_golden("word_freq_cms", sf_dir)
-    probes = list(CMS_PROBES)
-    probe_cells = cms_buckets(word_hash64(probes), CMS_LOG2W, CMS_D)
-
-    ds = _docs(sf_dir, ["text"])
-    empty = pa.table({"lane": pa.array([], pa.int32()),
-                      "bucket": pa.array([], pa.int64()),
-                      "part": pa.array([], pa.int64())})
-
-    def partial(b: pa.Table) -> pa.Table:
-        words_per, lens = _split_words(b["text"].to_pylist())
-        _, codes, vocab = _encode_flat(words_per, lens)
-        if len(vocab) == 0:
-            return empty
-        cnt = np.bincount(codes, minlength=len(vocab))
-        buckets = cms_buckets(word_hash64(vocab.to_pylist()),
-                              CMS_LOG2W, CMS_D)
-        lanes_out, buck_out, part_out = [], [], []
-        for lane in range(CMS_D):
-            m = np.isin(buckets[:, lane], probe_cells[:, lane])
-            if not m.any():
-                continue
-            u, inv = np.unique(buckets[m, lane], return_inverse=True)
-            s = np.bincount(inv, weights=cnt[m]).astype(np.int64)
-            lanes_out.append(np.full(len(u), lane, np.int32))
-            buck_out.append(u)
-            part_out.append(s)
-        if not lanes_out:
-            return empty
-        return pa.table({"lane": pa.array(np.concatenate(lanes_out)),
-                         "bucket": pa.array(np.concatenate(buck_out)),
-                         "part": pa.array(np.concatenate(part_out))})
-
-    cells = drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby(["lane", "bucket"]) \
-        .aggregate(Sum("part", alias_name="cnt")).to_pandas()
-    cell_of = {(int(r.lane), int(r.bucket)): int(r.cnt)
-               for r in cells.itertuples()}
-    ests = [min(cell_of.get((lane, int(probe_cells[i, lane])), 0)
-                for lane in range(CMS_D))
-            for i in range(len(probes))]
-    out = pd.DataFrame({"word": probes, "est_n": ests})
-    out["est_n"] = out["est_n"].astype("int64")
-    return out.sort_values("word").reset_index(drop=True)
+    return cms_probe_freqs(_docs(sf_dir, ["text"]), list(CMS_PROBES),
+                           CMS_LOG2W, CMS_D)
 
 
 _EMB_DIM = 64  # driver fixture embedding width (TESTDATA.md)
