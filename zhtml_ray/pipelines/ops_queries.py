@@ -2821,6 +2821,155 @@ def q_frame_sample(sf_dir: str):
                           batch_size=32)
 
 
+def q_group_quantiles_cont(sf_dir: str):
+    """Interpolated PER-GROUP length quantiles (PERCENTILE_CONT — the
+    continuous counterpart of `q_group_quantiles`): identical
+    value-counts combine (bounded by distinct (group, length) pairs),
+    then both bracketing ranks k=floor/ceil((n-1)·q) come from the
+    same cumsum pass and interpolate as ``lo*(1-f) + hi*f`` — pinned
+    to DuckDB's exact formula (verified bit-identical over a 2,500-
+    case n×q grid; the algebraically-equal ``lo + f*(hi-lo)`` differs
+    in the last ulp and is NOT safe)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"],
+                      "len": pc.cast(pc.utf8_length(b["text"]),
+                                     pa.int64())})
+        t = t.group_by(["lang", "len"]).aggregate([("len", "count")])
+        return t.rename_columns(["lang", "len", "cnt"])
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "q": pa.array([], pa.float64()),
+                      "n_chars": pa.array([], pa.float64())})
+    if not parts:
+        return empty
+    tbl = (pa.concat_tables(parts, promote_options="default")
+           .group_by(["lang", "len"]).aggregate([("cnt", "sum")])
+           .sort_by([("lang", "ascending"), ("len", "ascending")]))
+    langs = np.asarray(tbl["lang"].to_pylist(), object)
+    lens = tbl["len"].to_numpy(zero_copy_only=False)
+    cnts = tbl["cnt_sum"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+    ends = np.r_[starts[1:], len(langs)]
+    out_lang, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(cnts[s:e])
+        n = int(cum[-1])
+        for q in _QUANTS:
+            h = (n - 1) * q
+            k0, k1 = math.floor(h), math.ceil(h)
+            lo = float(lens[s + int(np.searchsorted(cum, k0, "right"))])
+            hi = float(lens[s + int(np.searchsorted(cum, k1, "right"))])
+            f = h - k0
+            out_lang.append(langs[s])
+            out_q.append(q)
+            out_v.append(lo * (1 - f) + hi * f)
+    return pa.table({"lang": pa.array(out_lang, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "n_chars": pa.array(out_v, pa.float64())})
+
+
+def _sql_group_quantiles_cont() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT lang, {q}::DOUBLE AS q, quantile_cont(len, {q})"
+        f" AS n_chars FROM l GROUP BY lang" for q in _QUANTS)
+    return f"""
+    WITH l AS (SELECT lang, length(text) AS len FROM documents)
+    {arms}
+    """
+
+
+def q_weighted_sample(sf_dir: str, k: int = 20):
+    """Deterministic WEIGHTED bottom-k sample (coordinated sampling,
+    Cohen & Kaplan style): each doc gets w = len(source)%3+1 hash
+    lanes and its priority is the MIN lane hash — inclusion odds rise
+    with weight (min of w uniforms), yet everything is integer
+    arithmetic shared verbatim with the oracle, so the sample is
+    reproducible across runs, clusters AND engines (no float pow/log
+    whose last-ulp behavior differs by libm). Pure map (lanes expand
+    and fold inside the batch via ``np.minimum.reduceat``) → global
+    top-k sort+limit with doc_id tie-break."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def priority(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        slen = pc.utf8_length(b["source"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = slen % 3 + 1
+        idx = np.repeat(np.arange(b.num_rows), w)
+        ends = np.cumsum(w)
+        lane = np.arange(len(idx), dtype=np.int64) - \
+            np.repeat(ends - w, w)
+        h = ((ids[idx] * 131 + lane) * 2654435761) % 4294967296
+        pr = np.minimum.reduceat(h, ends - w)
+        return pa.table({"doc_id": b["doc_id"],
+                         "priority": pa.array(pr, pa.int64())})
+
+    return ds.map_batches(priority, batch_format="pyarrow") \
+        .sort(["priority", "doc_id"]).limit(k)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH lanes AS (
+  SELECT doc_id,
+         ((doc_id * 131 + e.lane) * 2654435761) % 4294967296 AS h
+  FROM documents,
+  LATERAL unnest(generate_series(0, length(source) % 3)) AS e(lane))
+SELECT doc_id, min(h) AS priority FROM lanes GROUP BY doc_id
+ORDER BY priority, doc_id LIMIT 20
+"""
+
+
+def q_source_except(sf_dir: str):
+    """Set-difference diagnostic (EXCEPT): sources that publish 'en'
+    docs but no 'zh' docs. One pure-map pass of per-batch (source,
+    has_en, has_zh) bool partials → a ≤ #sources Max-aggregate groupby
+    → map-side filter; raw rows never shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        en = pc.cast(pc.equal(b["lang"], "en"), pa.int8())
+        zh = pc.cast(pc.equal(b["lang"], "zh"), pa.int8())
+        t = pa.table({"source": b["source"], "en": en, "zh": zh})
+        return t.group_by("source").aggregate([("en", "max"),
+                                               ("zh", "max")]) \
+                .rename_columns(["source", "en", "zh"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Max("en", alias_name="has_en"),
+                                     Max("zh", alias_name="has_zh"))
+    pdf = agg.to_pandas()
+    pdf = pdf[(pdf["has_en"] > 0) & (pdf["has_zh"] == 0)][["source"]]
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_EXCEPT = """
+SELECT source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+ORDER BY source
+"""
+
+
 # ------------------------------------------------- mixture / ordering ops
 
 def q_mixture_rollup(sf_dir: str):
@@ -3053,6 +3202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "label_centroids": q_label_centroids,
         "word_freq_cms": q_word_freq_cms,
+        "group_quantiles_cont": q_group_quantiles_cont,
+        "weighted_sample": q_weighted_sample,
+        "source_except": q_source_except,
         "mixture_rollup": q_mixture_rollup,
         "source_upsample": q_source_upsample,
         "shuffle_order": q_shuffle_order,
@@ -3129,6 +3281,9 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "label_centroids": _sql_label_centroids(),
+        "group_quantiles_cont": _sql_group_quantiles_cont(),
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "source_except": SQL_SOURCE_EXCEPT,
         "mixture_rollup": SQL_MIXTURE_ROLLUP,
         "source_upsample": SQL_SOURCE_UPSAMPLE,
         "shuffle_order": SQL_SHUFFLE_ORDER,
