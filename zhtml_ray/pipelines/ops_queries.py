@@ -1665,6 +1665,143 @@ def _sql_label_centroids(dim: int = _EMB_DIM) -> str:
             "FROM embeddings GROUP BY label ORDER BY label")
 
 
+def q_user_median_value(sf_dir: str):
+    """Exact per-user MEDIAN over a DOUBLE column — the value-counts
+    quantile plan (X34/X42) doesn't apply to continuous values (the
+    distinct-value table would be the data), so this is the sort
+    shape: ONE range shuffle on (user, value), block-local vectorized
+    bracketing-rank picks for runs fully inside their block, edge-
+    straddling users whole in the per-group pass. Interpolation is
+    the DuckDB-pinned ``lo*(1-f)+hi*f`` (f ∈ {0, 0.5} here — both
+    branches exact)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "med_value": pa.array([], pa.float64())})
+
+    def med_of(v: np.ndarray, starts: np.ndarray,
+               lens: np.ndarray) -> np.ndarray:
+        h = (lens - 1) * 0.5
+        k0 = np.floor(h).astype(np.int64)
+        f = h - k0
+        lo = v[starts + k0]
+        hi = v[starts + np.ceil(h).astype(np.int64)]
+        return lo * (1 - f) + hi * f
+
+    def interior(b: pa.Table, starts, ends, mask):
+        if not mask.any():
+            return empty
+        v = b["value"].to_numpy(zero_copy_only=False)
+        users = b["user_id"].combine_chunks()
+        med = med_of(v, starts[mask], (ends - starts)[mask])
+        return pa.table({
+            "user_id": users.take(pa.array(starts[mask], pa.int64())),
+            "med_value": pa.array(med, pa.float64())})
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("value", "ascending")])
+        v = g["value"].combine_chunks().take(order) \
+            .to_numpy(zero_copy_only=False)
+        med = med_of(v, np.zeros(1, np.int64),
+                     np.asarray([g.num_rows], np.int64))
+        return pa.table({"user_id": g["user_id"][:1],
+                         "med_value": pa.array(med, pa.float64())})
+
+    return sorted_bucket_apply(ds, "user_id", ["user_id", "value"],
+                               interior, edge, empty)
+
+
+SQL_USER_MEDIAN_VALUE = """
+SELECT user_id, quantile_cont(value, 0.5) AS med_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_value_ts_corr(sf_dir: str):
+    """Per-type Pearson correlation of (value, event time) — the
+    distributed-moments aggregate: each batch emits the six sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) per group, a tiny groupby
+    sums them, and BOTH engines derive the correlation from the same
+    DECIMAL-PINNED moments (the q14 pinned-ratio rule: a float
+    function of sums is only gate-stable if the sums are pinned first
+    — two engines' raw Σ differ in accumulation order). Pins are
+    WHOLE-number (0 dp): y is centered DAYS since 2024-01-01 (fixture
+    range; |y|≤31, |x|≤~600), so every moment stays ≲1e11 ≪ 2^53 and
+    the pin's 0.5 margin dwarfs both accumulation-order noise and any
+    per-term epoch()/division last-ulp skew between the engines."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    DAY0 = 19723.0  # 2024-01-01 in days-since-epoch, shared w/ oracle
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["value"].to_numpy(zero_copy_only=False)
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = us.astype(np.float64) / 1e6 / 86400.0 - DAY0
+        t = pa.table({"event_type": b["event_type"],
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                      "sxy": pa.array(x * y)})
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxx", "syy", "sxy"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    pdf = agg.to_pandas()
+    for c in ("sx", "sy", "sxx", "syy", "sxy"):
+        pdf[c] = np.floor(pdf[c] + 0.5)
+    n = pdf["n"].astype("float64")
+    cov = pdf["sxy"] - pdf["sx"] * pdf["sy"] / n
+    vx = pdf["sxx"] - pdf["sx"] * pdf["sx"] / n
+    vy = pdf["syy"] - pdf["sy"] * pdf["sy"] / n
+    pdf["corr_vt"] = np.floor(cov / np.sqrt(vx * vy) * 1e6 + 0.5) / 1e6
+    out = pdf[["event_type", "n", "corr_vt"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_TS_CORR = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+    floor(sum(value) + 0.5) AS sx,
+    floor(sum(y) + 0.5) AS sy,
+    floor(sum(value * value) + 0.5) AS sxx,
+    floor(sum(y * y) + 0.5) AS syy,
+    floor(sum(value * y) + 0.5) AS sxy
+  FROM (SELECT event_type, value,
+               epoch(ts) / 86400 - 19723 AS y
+        FROM events)
+  GROUP BY event_type)
+SELECT event_type, n,
+       floor((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+             * 1e6 + 0.5) / 1e6 AS corr_vt
+FROM m ORDER BY event_type
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user) per event type
     (functions/sketch.py): per-batch register combiner → shuffle of
@@ -3200,6 +3337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
         "approx_distinct_users": q_approx_distinct_users,
+        "user_median_value": q_user_median_value,
+        "value_ts_corr": q_value_ts_corr,
         "label_centroids": q_label_centroids,
         "word_freq_cms": q_word_freq_cms,
         "group_quantiles_cont": q_group_quantiles_cont,
@@ -3281,6 +3420,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "label_centroids": _sql_label_centroids(),
+        "user_median_value": SQL_USER_MEDIAN_VALUE,
+        "value_ts_corr": SQL_VALUE_TS_CORR,
         "group_quantiles_cont": _sql_group_quantiles_cont(),
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "source_except": SQL_SOURCE_EXCEPT,
