@@ -1665,6 +1665,117 @@ def _sql_label_centroids(dim: int = _EMB_DIM) -> str:
             "FROM embeddings GROUP BY label ORDER BY label")
 
 
+def q_user_mode(sf_dir: str):
+    """Per-user MODE (most frequent event type, ties → lexically
+    smallest): per-batch (user, type) Arrow count partials → one
+    sorted run-sum pass over the composite key → grouped-first by
+    user with (−count, type) tie keys. Two range shuffles of
+    (user, type, count) rows — never raw events — and the second
+    input is compacted (sort-chain rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "part_n"])
+
+    counts = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("part_n", alias_name="cnt"))
+
+    def neg(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        return b.append_column("neg_cnt", pa.array(-c, pa.int64()))
+
+    winners = sorted_first_per_group(
+        compact_blocks(counts.map_batches(neg, batch_format="pyarrow")),
+        ["user_id"], tie_cols=("neg_cnt", "event_type"))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "mode_type": b["event_type"],
+                         "mode_n": b["cnt"]})
+
+    return winners.map_batches(project, batch_format="pyarrow")
+
+
+SQL_USER_MODE = """
+SELECT user_id, event_type AS mode_type, count(*)::BIGINT AS mode_n
+FROM events
+GROUP BY user_id, event_type
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) = 1
+"""
+
+
+def q_user_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user (first and last event type by
+    time) in ONE sorted pass: range sort on (user, ts, event_id),
+    interior runs read their endpoints directly, edge-straddling
+    users resolve whole in the per-group pass. No second shuffle, no
+    driver-side merge of two grouped-first outputs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "first_type": pa.array([], pa.string()),
+                      "last_type": pa.array([], pa.string())})
+
+    def interior(b: pa.Table, starts, ends, mask):
+        if not mask.any():
+            return empty
+        types = b["event_type"].combine_chunks()
+        users = b["user_id"].combine_chunks()
+        s = pa.array(starts[mask], pa.int64())
+        e = pa.array(ends[mask] - 1, pa.int64())
+        return pa.table({"user_id": users.take(s),
+                         "first_type": types.take(s),
+                         "last_type": types.take(e)})
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        t = g["event_type"].combine_chunks()
+        return pa.table({
+            "user_id": g["user_id"][:1],
+            "first_type": t.take(order[:1]),
+            "last_type": t.take(order[-1:])})
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+SQL_USER_FIRST_LAST = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_user_median_value(sf_dir: str):
     """Exact per-user MEDIAN over a DOUBLE column — the value-counts
     quantile plan (X34/X42) doesn't apply to continuous values (the
@@ -3338,6 +3449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_rank": q_events_value_rank,
         "approx_distinct_users": q_approx_distinct_users,
         "user_median_value": q_user_median_value,
+        "user_mode": q_user_mode,
+        "user_first_last": q_user_first_last,
         "value_ts_corr": q_value_ts_corr,
         "label_centroids": q_label_centroids,
         "word_freq_cms": q_word_freq_cms,
@@ -3421,6 +3534,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "label_centroids": _sql_label_centroids(),
         "user_median_value": SQL_USER_MEDIAN_VALUE,
+        "user_mode": SQL_USER_MODE,
+        "user_first_last": SQL_USER_FIRST_LAST,
         "value_ts_corr": SQL_VALUE_TS_CORR,
         "group_quantiles_cont": _sql_group_quantiles_cont(),
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
