@@ -1,0 +1,144 @@
+"""Randomized multi-block differential tests for the session-8 window
+operators (rank / funnel / moving-avg / median / mode / first-last):
+each runs the DISTRIBUTED pipeline over a hostile layout (many tiny
+blocks, so most users straddle block edges and exercise the edge pass)
+and compares against an independent pandas implementation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Small synthetic events table with heavy per-user tie load and a
+    mega-user, written as <dir>/events.parquet for sf_dir callables."""
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(42)
+    n = 4000
+    user = rng.integers(0, 25, n)
+    user[: n // 5] = 7  # hot key: one user owns 20% of events
+    d = tmp_path_factory.mktemp("ev")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            np.int64(1_700_000_000_000_000)
+            + rng.integers(0, 10**9, n) * 1000).cast(pa.timestamp("us")),
+        "user_id": pa.array(user.astype(np.int64)),
+        "event_type": pa.array(
+            rng.choice(["signup", "view", "purchase", "x"], n).tolist()),
+        "value": pa.array(rng.integers(0, 40, n).astype(np.float64)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, d / "events.parquet")
+    return str(d), t
+
+
+def _pdf(t):
+    return t.to_pandas()
+
+
+def test_value_rank_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_events_value_rank
+    d, t = events_dir
+    got = q_events_value_rank(d).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pdf = _pdf(t)
+    pdf["fv"] = np.floor(pdf["value"]).astype("int64")
+    g = pdf.groupby("user_id")["fv"]
+    pdf["rnk"] = g.rank(method="min", ascending=False).astype("int64")
+    pdf["drnk"] = g.rank(method="dense", ascending=False).astype("int64")
+    want = pdf.sort_values("event_id").reset_index(drop=True)
+    for c in ("fv", "rnk", "drnk"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_moving_avg_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_events_moving_avg
+    d, t = events_dir
+    got = q_events_moving_avg(d).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pdf = _pdf(t).sort_values(["user_id", "ts", "event_id"])
+    m = pdf.groupby("user_id")["value"] \
+        .rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+    pdf["mavg_value"] = np.floor(m * 1e6 + 0.5) / 1e6
+    want = pdf.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["mavg_value"], want["mavg_value"],
+                       rtol=0, atol=0)
+
+
+def test_funnel_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_events_funnel
+    d, t = events_dir
+    got = dict(zip(*(q_events_funnel(d)[c] for c in ("stage", "users"))))
+    pdf = _pdf(t).sort_values(["user_id", "ts"])
+    counts = {"signup": 0, "view": 0, "purchase": 0}
+    for _, g in pdf.groupby("user_id"):
+        thr = -1
+        reached = []
+        for st in ("signup", "view", "purchase"):
+            hits = g[(g["event_type"] == st)
+                     & (g["ts"].astype("int64") > thr)]
+            if len(hits) == 0:
+                break
+            thr = int(hits["ts"].astype("int64").min())
+            reached.append(st)
+        for st in reached:
+            counts[st] += 1
+    assert got == counts
+
+
+def test_user_median_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_user_median_value
+    d, t = events_dir
+    got = q_user_median_value(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = _pdf(t).groupby("user_id")["value"].median().reset_index()
+    assert np.allclose(got["med_value"],
+                       want["value"], rtol=0, atol=0)
+
+
+def test_user_mode_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_user_mode
+    d, t = events_dir
+    got = q_user_mode(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pdf = _pdf(t)
+    want = (pdf.groupby(["user_id", "event_type"]).size()
+            .rename("n").reset_index()
+            .sort_values(["user_id", "n", "event_type"],
+                         ascending=[True, False, True])
+            .groupby("user_id").head(1)
+            .sort_values("user_id").reset_index(drop=True))
+    assert (got["mode_type"].to_numpy() ==
+            want["event_type"].to_numpy()).all()
+    assert (got["mode_n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_user_first_last_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_user_first_last
+    d, t = events_dir
+    got = q_user_first_last(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pdf = _pdf(t).sort_values(["user_id", "ts", "event_id"])
+    first = pdf.groupby("user_id").head(1).set_index("user_id")
+    last = pdf.groupby("user_id").tail(1).set_index("user_id")
+    users = got["user_id"].tolist()
+    assert got["first_type"].tolist() == \
+        [first.loc[u, "event_type"] for u in users]
+    assert got["last_type"].tolist() == \
+        [last.loc[u, "event_type"] for u in users]
+
+
+def test_distinct_users_differential(ray_session, events_dir):
+    from zhtml_ray.pipelines.ops_queries import q_events_distinct_users
+    d, t = events_dir
+    got = q_events_distinct_users(d)
+    pdf = _pdf(t)
+    want = pdf.groupby("event_type").agg(
+        n_events=("user_id", "size"),
+        n_users=("user_id", "nunique")).reset_index()
+    want = want.sort_values("event_type").reset_index(drop=True)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
