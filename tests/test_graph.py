@@ -1,0 +1,115 @@
+"""Differential tests for the link-graph operators (functions/graph.py):
+the distributed int64 PageRank vs an independent serial dict
+implementation over hostile block layouts, and the Arrow href-resolution
+kernel vs the generated DuckDB SQL (two independent RE2 engines)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def serial_pagerank(edges, iters=5, scale=1_000_000_000, num=85, den=100):
+    """Independent reference: plain dicts, same integer recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    v = len(nodes)
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        dm = sum(r[n] for n in nodes if n not in odeg)
+        dshare = dm // v
+        insum = {}
+        for s, d in edges:
+            insum[d] = insum.get(d, 0) + r[s] // odeg[s]
+        r = {n: ((den - num) * scale
+                 + num * (insum.get(n, 0) + dshare)) // den
+             for n in nodes}
+    return r
+
+
+def _rand_edges(rng, n_nodes, n_edges):
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    keep = src != dst
+    return sorted({(f"n{s}", f"n{d}")
+                   for s, d in zip(src[keep], dst[keep])})
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (1, 30, 120), (2, 8, 10), (3, 200, 900)])
+def test_pagerank_differential(ray_session, seed, n_nodes, n_edges):
+    import ray.data as rd
+    from zhtml_ray.functions.graph import pagerank
+    rng = np.random.default_rng(seed)
+    edges = _rand_edges(rng, n_nodes, n_edges)
+    t = pa.table({"src": [s for s, _ in edges],
+                  "dst": [d for _, d in edges]})
+    # hostile layout: many tiny blocks so boundary runs dominate
+    ds = rd.from_arrow(t).repartition(13)
+    got = {r["node"]: r["pagerank_scaled"]
+           for r in pagerank(ds).take_all()}
+    want = serial_pagerank(edges)
+    assert got == want
+    # mass sanity: damped total stays within [(1-d)V·scale, V·scale]
+    v = len(want)
+    assert sum(got.values()) <= v * 1_000_000_000
+    assert sum(got.values()) >= v * 150_000_000
+
+
+def test_pagerank_layout_invariance(ray_session):
+    import ray.data as rd
+    from zhtml_ray.functions.graph import pagerank
+    rng = np.random.default_rng(7)
+    edges = _rand_edges(rng, 50, 300)
+    t = pa.table({"src": [s for s, _ in edges],
+                  "dst": [d for _, d in edges]})
+    outs = []
+    for parts in (1, 4, 17):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(sorted(
+            (r["node"], r["pagerank_scaled"])
+            for r in pagerank(ds).take_all()))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pagerank_dangling_and_empty(ray_session):
+    import ray.data as rd
+    from zhtml_ray.functions.graph import pagerank
+    # star: a -> b,c,d (b,c,d dangling); exact hand computation, 1 iter
+    t = pa.table({"src": ["a"] * 3, "dst": ["b", "c", "d"]})
+    got = {r["node"]: r["pagerank_scaled"]
+           for r in pagerank(rd.from_arrow(t), iters=1).take_all()}
+    scale = 1_000_000_000
+    dshare = (3 * scale) // 4
+    a = (15 * scale + 85 * dshare) // 100
+    leaf = (15 * scale + 85 * (scale // 3 + dshare)) // 100
+    assert got == {"a": a, "b": leaf, "c": leaf, "d": leaf}
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert pagerank(rd.from_arrow(empty)).count() == 0
+
+
+def test_resolve_edges_vs_duckdb():
+    import duckdb
+    from zhtml_ray.functions.graph import (resolve_edges_batch,
+                                           sql_edges_select)
+    b = pa.table({
+        "url": ["https://a.ex/p/1", "https://a.ex/p/1", "HTTPS://A.ex/",
+                "notaurl", "http://b.ex:8080/x", "https://c.ex/p",
+                "https://c.ex/p", "https://c.ex/p"],
+        "href": ["/cat/1#frag", "https://b.ex/y#z", "/only",
+                 "/rel", "mailto:x@y", "", "rel/path", "/p"]})
+    got = sorted((r["src"], r["dst"])
+                 for r in resolve_edges_batch(b).to_pylist())
+    con = duckdb.connect()
+    con.register("lk", b)
+    want = sorted(map(tuple,
+                      con.sql(sql_edges_select("SELECT * FROM lk"))
+                      .fetchall()))
+    assert got == want
+    # self-edge (/p on https://c.ex/p) dropped; scheme-less url drops
+    # its relative href; uppercase-scheme url resolves nothing (rule is
+    # case-sensitive on BOTH sides — consistency, not i18n)
+    assert ("https://c.ex/p", "https://c.ex/p") not in got
+    assert all(s != "notaurl" for s, _ in got)

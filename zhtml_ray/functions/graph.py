@@ -1,0 +1,270 @@
+"""Distributed web-graph operators over the extracted out-link table.
+
+The reference's Document tracks a per-page ``links`` collection
+(/root/reference/src/node.zig:28-33); at corpus scale the natural
+consumers of that table are graph algorithms — link-based quality
+priors (PageRank) and anchor-text signals. This module provides:
+
+* :func:`resolve_edges_batch` — vectorized (url, href) → (src, dst)
+  resolution (absolute http(s) hrefs as-is; root-relative hrefs
+  against the source page's scheme+host; everything else dropped;
+  fragments stripped; self-edges dropped), with the SAME RE2 rule
+  text driving both the Arrow kernel and the generated DuckDB oracle
+  (:func:`sql_edges_select`) — the differential gate compares two
+  independent RE2 engines.
+* :func:`pagerank` — damped PageRank with dangling-mass
+  redistribution, run ENTIRELY in int64 arithmetic so the result is
+  bit-identical across block layouts, schedules and engines: ranks
+  are integers scaled by ``SCALE``; each edge contributes
+  ``rank // outdeg``; int sums commute exactly, so no float pin is
+  needed anywhere (the established float-oracle rules in
+  BENCH/BASELINE.md become unnecessary by construction).
+
+Scale design (the 100-TB story):
+
+* edges / nodes / ranks never converge on the driver — distinct,
+  out-degree and the per-iteration contribution sums are per-batch
+  Arrow partials followed by Arrow-native groupby aggregates;
+* each iteration's rank attach is a ``sorted_lookup_join`` (merge
+  join as one range-shuffle sort — measured ~5× cheaper than hash
+  ``Dataset.join`` on this Ray build, see stages/sortagg.py);
+* per-iteration driver state is exactly TWO scalars (node count,
+  dangling mass) from ``Dataset.aggregate``;
+* a mega-in-degree host is a per-batch ``group_by(dst)`` partial, so
+  its rows pre-combine inside every block before the shuffle; a
+  mega-OUT-degree host repeats its key on the big side of the merge
+  join, which ``sorted_bucket_apply`` chains across blocks.
+
+Overflow bound: with ``SCALE = 10**9`` and damping 85/100, every
+intermediate is ≤ 85 × total_mass ≈ 85 · V · SCALE, int64-safe to
+V ≈ 10**8 nodes; shrink SCALE for a larger node set (the constant is
+a parameter).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# single source of truth for the resolution rule — both the Arrow
+# kernel and the DuckDB oracle are generated from these three strings
+ABS_RE = r"^https?://"                    # href is already absolute
+SCHEME_HOST_RE = r"^(https?://[^/?#]+)"   # page's scheme+host prefix
+FRAG_RE = "#.*$"                          # fragment strip (applied 'g')
+
+SCALE = 1_000_000_000
+
+
+def resolve_edges_batch(batch: pa.Table, url_col: str = "url",
+                        href_col: str = "href") -> pa.Table:
+    """(url, href) rows → distinct-within-batch (src, dst) edges.
+
+    Rules (mirrored exactly by :func:`sql_edges_select`):
+    absolute ``http(s)://`` hrefs are used as-is; hrefs starting with
+    ``/`` resolve against the source page's scheme+host (pages whose
+    url is not absolute http(s) resolve nothing); anything else
+    (relative paths, empty, mailto:, javascript:) is dropped;
+    fragments are stripped from the destination; self-edges are
+    dropped. Pure vectorized RE2 — no Python per row."""
+    src = batch[url_col]
+    href = batch[href_col]
+    sh = pc.struct_field(
+        pc.extract_regex(src, r"^(?P<sh>https?://[^/?#]+)"), "sh")
+    is_abs = pc.match_substring_regex(href, ABS_RE)
+    is_root = pc.starts_with(href, "/")
+    rel = pc.binary_join_element_wise(sh, href, "")
+    dst = pc.if_else(is_abs, href,
+                     pc.if_else(is_root, rel, pa.scalar(None, pa.string())))
+    dst = pc.replace_substring_regex(dst, FRAG_RE, "")
+    keep = pc.and_kleene(pc.is_valid(dst),
+                         pc.not_equal(dst, src))
+    t = pa.table({"src": src, "dst": dst}).filter(
+        pc.fill_null(keep, False))
+    # per-batch distinct pre-combine (group_by with no aggregates)
+    return t.group_by(["src", "dst"]).aggregate([])
+
+
+def sql_edges_select(links_sql: str) -> str:
+    """DuckDB SELECT producing the same distinct (src, dst) edge set
+    from a (url, href, ...) relation — the oracle side of
+    :func:`resolve_edges_batch`, generated from the same rule text."""
+    return f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT url AS src,
+         CASE WHEN regexp_matches(href, '{ABS_RE}')
+                THEN regexp_replace(href, '{FRAG_RE}', '', 'g')
+              WHEN href LIKE '/%'
+                   AND regexp_extract(url, '{SCHEME_HOST_RE}', 1) <> ''
+                THEN regexp_extract(url, '{SCHEME_HOST_RE}', 1)
+                     || regexp_replace(href, '{FRAG_RE}', '', 'g')
+         END AS dst
+  FROM ({links_sql}))
+WHERE dst IS NOT NULL AND dst <> src
+"""
+
+
+def link_edges(links_ds):
+    """links Dataset (url, href, ...) → globally distinct (src, dst)
+    edge Dataset: per-batch resolve+distinct partials, then one
+    sort-based grouped-first pass (raw link rows never reach a global
+    shuffle un-combined)."""
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+
+    part = links_ds.map_batches(resolve_edges_batch,
+                                batch_format="pyarrow")
+    return sorted_first_per_group(part, ["src", "dst"])
+
+
+def pagerank(edges, iters: int = 5, scale: int = SCALE,
+             damping: tuple[int, int] = (85, 100)):
+    """Exact-integer damped PageRank with dangling redistribution.
+
+    ``edges`` is a distinct (src, dst) Dataset. Returns a Dataset of
+    (node, pagerank_scaled:int64) where ranks start at ``scale`` per
+    node and each iteration computes, for damping d = num/den::
+
+        r'(v) = ((den-num)*scale
+                 + num * (sum_{u->v} r(u)//outdeg(u) + D//V)) // den
+
+    with ``D`` the summed rank of dangling (no-out-edge) nodes and
+    ``V`` the node count — all int64, so results are layout-,
+    schedule- and engine-invariant with NO float pinning. ``//`` is
+    truncating division; every operand is non-negative, so this
+    equals floor division in Arrow, numpy and DuckDB alike."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks
+
+    num, den = damping
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "pagerank_scaled": pa.array([], pa.int64())})
+
+    edges = compact_blocks(edges)
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    # ---- static structure: nodes, out-degrees ------------------------
+    def srcs(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"]}).group_by("node").aggregate([])
+
+    def dsts(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["dst"]}).group_by("node").aggregate([])
+
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    node_part = edges.map_batches(srcs, batch_format="pyarrow").union(
+        edges.map_batches(dsts, batch_format="pyarrow"))
+    nodes = sorted_first_per_group(node_part, ["node"])
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        g = b.group_by("src").aggregate([("dst", "count")])
+        return g.rename_columns(["node", "d"])
+
+    odeg = edges.map_batches(deg_part, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="odeg"))
+
+    # nodes ⟕ odeg: dangling nodes get odeg = 0
+    nd = sorted_lookup_join(nodes, odeg, "node", ["odeg"], how="left")
+
+    def fill_deg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "odeg": pc.fill_null(pc.cast(b["odeg"], pa.int64()), 0)})
+
+    nd = compact_blocks(nd.map_batches(fill_deg, batch_format="pyarrow"))
+    v_count = nd.count()
+
+    # attach outdeg to edges ONCE (it is static across iterations)
+    def edge_key(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["node", "dst"])
+
+    ekey = edges.map_batches(edge_key, batch_format="pyarrow")
+    edges_o = compact_blocks(
+        sorted_lookup_join(ekey, nd, "node", ["odeg"]))
+
+    # ---- iterations ---------------------------------------------------
+    def init_rank(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "r", pa.array([scale] * b.num_rows, pa.int64()))
+
+    rank = compact_blocks(nd.map_batches(init_rank,
+                                         batch_format="pyarrow"))
+
+    base_add = (den - num) * scale
+
+    for _ in range(iters):
+        # two driver scalars per round: dangling mass, via one tiny
+        # per-batch partial + Dataset.aggregate
+        def dang_part(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["odeg"], 0)
+            s = pc.sum(b.filter(m)["r"]).as_py() or 0
+            return pa.table({"dm": pa.array([s], pa.int64())})
+
+        got = rank.map_batches(dang_part, batch_format="pyarrow") \
+            .aggregate(Sum("dm", alias_name="dm"))
+        dshare = (got["dm"] or 0) // v_count
+
+        joined = sorted_lookup_join(edges_o, rank, "node", ["r"])
+
+        def contrib(b: pa.Table) -> pa.Table:
+            c = pc.divide(b["r"], b["odeg"])  # trunc = floor (r ≥ 0)
+            t = pa.table({"node": b["dst"], "c": c})
+            g = t.group_by("node").aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c"])
+
+        insum = joined.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("c", alias_name="s"))
+        nxt = sorted_lookup_join(nd, insum, "node", ["s"], how="left")
+
+        def step(b: pa.Table) -> pa.Table:
+            s = pc.fill_null(pc.cast(b["s"], pa.int64()), 0)
+            r = pc.divide(
+                pc.add(pa.scalar(base_add, pa.int64()),
+                       pc.multiply(pa.scalar(num, pa.int64()),
+                                   pc.add(s, pa.scalar(dshare,
+                                                       pa.int64())))),
+                pa.scalar(den, pa.int64()))
+            return pa.table({"node": b["node"], "odeg": b["odeg"],
+                             "r": r})
+
+        rank = compact_blocks(nxt.map_batches(step,
+                                              batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "pagerank_scaled": b["r"]})
+
+    return rank.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_pagerank(links_sql: str, iters: int = 5, scale: int = SCALE,
+                 damping: tuple[int, int] = (85, 100)) -> str:
+    """Unrolled-iteration DuckDB oracle for :func:`pagerank` over the
+    edge set of ``sql_edges_select(links_sql)`` — same int64
+    arithmetic, independently executed (DuckDB's joins/aggregates vs
+    the engine's sort-based shuffle plan)."""
+    num, den = damping
+    parts = [f"WITH edges AS ({sql_edges_select(links_sql)}),",
+             """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS node, count(*)::BIGINT AS odeg
+         FROM edges GROUP BY 1),
+nd AS (SELECT n.node, coalesce(o.odeg, 0)::BIGINT AS odeg
+       FROM nodes n LEFT JOIN odeg o USING (node)),
+nv AS (SELECT count(*)::BIGINT AS v FROM nd),""",
+             f"r0 AS (SELECT node, odeg, {scale}::BIGINT AS r FROM nd)"]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT nd.node, nd.odeg,
+         (({den - num}::BIGINT * {scale}::BIGINT)
+          + {num}::BIGINT * (coalesce(i.s, 0)
+             + (SELECT coalesce(sum(r), 0)::BIGINT FROM r{k - 1}
+                WHERE odeg = 0) // (SELECT v FROM nv))) // {den}::BIGINT
+             AS r
+  FROM nd
+  LEFT JOIN (SELECT e.dst AS node, sum(pr.r // pr.odeg)::BIGINT AS s
+             FROM edges e JOIN r{k - 1} pr ON e.src = pr.node
+             GROUP BY e.dst) i USING (node))""")
+    parts.append(f"\nSELECT node, r AS pagerank_scaled FROM r{iters}")
+    return "".join(parts)

@@ -1028,6 +1028,33 @@ def q_links(sf_dir: str):
     return ds.map_batches(LinksBatch(), batch_format="pyarrow")
 
 
+def q_link_pagerank(sf_dir: str):
+    """Link-graph PageRank over the extracted out-link table (X76):
+    parse → links → vectorized href resolution → distinct (src, dst)
+    edges → 5 damped iterations with dangling-mass redistribution,
+    ENTIRELY in int64 arithmetic (functions/graph.py) so the result is
+    bit-identical across layouts/schedules/engines — the oracle is an
+    independent DuckDB implementation (unrolled-CTE iterations) over
+    the pinned links golden, certifying the distributed graph plan
+    (merge joins + partial-combine aggregates), not a same-kernel
+    replay."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import link_edges, pagerank
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)  # the oracle reads the links golden
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    return pagerank(link_edges(links))
+
+
+def _sql_link_pagerank() -> str:
+    from zhtml_ray.functions.graph import sql_pagerank
+    from zhtml_ray.pipelines.golden import golden_sql
+    return sql_pagerank(golden_sql("links"))
+
+
 def q_node_table(sf_dir: str):
     """Flattened DOM node table per document (SURVEY.md §1.3): the full
     columnar index-linked tree, JSON-projected for the gate and oracled
@@ -1077,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q4_priority_exists": q4_priority_exists,
         "bloom_join_revenue": q_bloom_join_revenue,
+        "link_pagerank": q_link_pagerank,
     }
     out.update(ops_queries.queries())
     return out
@@ -1108,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
         "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
+        "link_pagerank": _sql_link_pagerank(),
     }
     out.update(ops_queries.oracle_sql())
     return out
