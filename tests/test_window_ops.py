@@ -142,3 +142,56 @@ def test_distinct_users_differential(ray_session, events_dir):
     want = want.sort_values("event_type").reset_index(drop=True)
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["n_users"].tolist() == want["n_users"].tolist()
+
+
+def test_events_ntile_differential(ray_session, events_dir):
+    import duckdb
+    from zhtml_ray.pipelines.ops_queries import (SQL_EVENTS_NTILE,
+                                                 q_events_ntile)
+    d, t = events_dir
+    got = q_events_ntile(d).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(SQL_EVENTS_NTILE).df() \
+        .sort_values("event_id").reset_index(drop=True)
+    for c in ("rn", "nt"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    for c in ("prk", "cd"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_user_event_path_differential(ray_session, events_dir):
+    import duckdb
+    from zhtml_ray.pipelines.ops_queries import (SQL_USER_EVENT_PATH,
+                                                 q_user_event_path)
+    d, t = events_dir
+    got = q_user_event_path(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(SQL_USER_EVENT_PATH).df() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got["path"].tolist() == want["path"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    # hot user's path is capped at 20 hops but counts every event
+    hot = got[got["user_id"] == 7].iloc[0]
+    n7 = int((_pdf(t)["user_id"] == 7).sum())
+    assert hot["path"].count(">") == 19 and hot["n_events"] == n7 > 20
+
+
+def test_events_retention_differential(ray_session, events_dir):
+    import duckdb
+    from zhtml_ray.pipelines.ops_queries import (SQL_EVENTS_RETENTION,
+                                                 q_events_retention)
+    d, t = events_dir
+    got = q_events_retention(d).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(SQL_EVENTS_RETENTION).df() \
+        .sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))

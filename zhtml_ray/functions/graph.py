@@ -55,19 +55,14 @@ FRAG_RE = "#.*$"                          # fragment strip (applied 'g')
 SCALE = 1_000_000_000
 
 
-def resolve_edges_batch(batch: pa.Table, url_col: str = "url",
-                        href_col: str = "href") -> pa.Table:
-    """(url, href) rows → distinct-within-batch (src, dst) edges.
-
-    Rules (mirrored exactly by :func:`sql_edges_select`):
-    absolute ``http(s)://`` hrefs are used as-is; hrefs starting with
-    ``/`` resolve against the source page's scheme+host (pages whose
-    url is not absolute http(s) resolve nothing); anything else
-    (relative paths, empty, mailto:, javascript:) is dropped;
-    fragments are stripped from the destination; self-edges are
-    dropped. Pure vectorized RE2 — no Python per row."""
-    src = batch[url_col]
-    href = batch[href_col]
+def resolve_dst(src: pa.ChunkedArray, href) -> pa.ChunkedArray:
+    """Vectorized href resolution (the rule, mirrored exactly by
+    :func:`sql_resolve_dst_expr`): absolute ``http(s)://`` hrefs are
+    used as-is; hrefs starting with ``/`` resolve against the source
+    page's scheme+host (pages whose url is not absolute http(s)
+    resolve nothing); anything else (relative paths, empty, mailto:,
+    javascript:) is null; fragments are stripped. Pure RE2, no Python
+    per row. Self-edges are NOT dropped here — callers filter."""
     sh = pc.struct_field(
         pc.extract_regex(src, r"^(?P<sh>https?://[^/?#]+)"), "sh")
     is_abs = pc.match_substring_regex(href, ABS_RE)
@@ -75,7 +70,28 @@ def resolve_edges_batch(batch: pa.Table, url_col: str = "url",
     rel = pc.binary_join_element_wise(sh, href, "")
     dst = pc.if_else(is_abs, href,
                      pc.if_else(is_root, rel, pa.scalar(None, pa.string())))
-    dst = pc.replace_substring_regex(dst, FRAG_RE, "")
+    return pc.replace_substring_regex(dst, FRAG_RE, "")
+
+
+def sql_resolve_dst_expr(url_col: str = "url",
+                         href_col: str = "href") -> str:
+    """The DuckDB expression computing :func:`resolve_dst` (NULL where
+    unresolvable), generated from the same rule text."""
+    return f"""CASE WHEN regexp_matches({href_col}, '{ABS_RE}')
+                THEN regexp_replace({href_col}, '{FRAG_RE}', '', 'g')
+              WHEN {href_col} LIKE '/%'
+                   AND regexp_extract({url_col}, '{SCHEME_HOST_RE}', 1) <> ''
+                THEN regexp_extract({url_col}, '{SCHEME_HOST_RE}', 1)
+                     || regexp_replace({href_col}, '{FRAG_RE}', '', 'g')
+         END"""
+
+
+def resolve_edges_batch(batch: pa.Table, url_col: str = "url",
+                        href_col: str = "href") -> pa.Table:
+    """(url, href) rows → distinct-within-batch (src, dst) edges:
+    :func:`resolve_dst` + drop unresolvable and self-edges."""
+    src = batch[url_col]
+    dst = resolve_dst(src, batch[href_col])
     keep = pc.and_kleene(pc.is_valid(dst),
                          pc.not_equal(dst, src))
     t = pa.table({"src": src, "dst": dst}).filter(
@@ -90,14 +106,7 @@ def sql_edges_select(links_sql: str) -> str:
     :func:`resolve_edges_batch`, generated from the same rule text."""
     return f"""
 SELECT DISTINCT src, dst FROM (
-  SELECT url AS src,
-         CASE WHEN regexp_matches(href, '{ABS_RE}')
-                THEN regexp_replace(href, '{FRAG_RE}', '', 'g')
-              WHEN href LIKE '/%'
-                   AND regexp_extract(url, '{SCHEME_HOST_RE}', 1) <> ''
-                THEN regexp_extract(url, '{SCHEME_HOST_RE}', 1)
-                     || regexp_replace(href, '{FRAG_RE}', '', 'g')
-         END AS dst
+  SELECT url AS src, {sql_resolve_dst_expr()} AS dst
   FROM ({links_sql}))
 WHERE dst IS NOT NULL AND dst <> src
 """

@@ -2997,6 +2997,216 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention matrix (X78) — the activation/retention
+    sheet every product-analytics stack computes: users bucketed by
+    their FIRST active week (cohort), counted in every later week they
+    return, keyed (cohort_week, week_offset). Plan: per-batch distinct
+    (user, week) partials → one grouped-first shuffle → Arrow-native
+    Min(week) per user → merge-join the cohort back on → per-batch
+    (cohort, offset) count partials → tiny groupby. Raw events never
+    shuffle; the widest exchange carries at most |users|×|weeks| rows,
+    pre-combined per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks
+
+    WEEK_US = 604_800 * 1_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def uw_partial(b: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.cast(b["ts"], pa.int64()),
+                       pa.scalar(WEEK_US, pa.int64()))
+        return pa.table({"user_id": b["user_id"], "week": wk}) \
+            .group_by(["user_id", "week"]).aggregate([])
+
+    uw = compact_blocks(sorted_first_per_group(
+        ds.map_batches(uw_partial, batch_format="pyarrow"),
+        ["user_id", "week"]))
+    cohort = uw.groupby("user_id").aggregate(
+        Min("week", alias_name="cohort_week"))
+    joined = sorted_lookup_join(uw, cohort, "user_id", ["cohort_week"])
+
+    def off_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "cohort_week": b["cohort_week"],
+            "week_offset": pc.subtract(b["week"], b["cohort_week"])})
+        g = t.group_by(["cohort_week", "week_offset"]) \
+            .aggregate([("cohort_week", "count")])
+        return g.rename_columns(["cohort_week", "week_offset", "c"])
+
+    return joined.map_batches(off_partial, batch_format="pyarrow") \
+        .groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("c", alias_name="users"))
+
+
+SQL_EVENTS_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events),
+fw AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(*)::BIGINT AS users
+FROM uw JOIN fw USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_events_ntile(sf_dir: str):
+    """NTILE(4) + PERCENT_RANK + CUME_DIST per user over (value,
+    event_id) — the quantile-bucket window family (X79), completing
+    rank/dense_rank (X64) and row_number (X48). ONE range-shuffle
+    sort; per sorted block every interior run computes all three
+    vectorized from (row offset, run length) alone — the (value,
+    event_id) order key is unique, so percent_rank = (rn-1)/(n-1) and
+    cume_dist = rn/n are single exact int→float divisions, identical
+    IEEE ops on both engines (no pin needed); NTILE uses DuckDB's
+    first-(n mod k)-buckets-get-the-extra-row rule. Edge-straddling
+    users resolve whole in the bounded per-group pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    K = 4
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "rn": pa.array([], pa.int64()),
+                      "nt": pa.array([], pa.int64()),
+                      "prk": pa.array([], pa.float64()),
+                      "cd": pa.array([], pa.float64())})
+
+    def windows_of(b: pa.Table, starts: np.ndarray,
+                   ends: np.ndarray) -> pa.Table:
+        n_rows = b.num_rows
+        lens = ends - starts
+        rn = np.arange(n_rows) - np.repeat(starts, lens) + 1
+        n = np.repeat(lens, lens)
+        size_low = n // K
+        rem = n % K
+        cut = rem * (size_low + 1)
+        in_first = rn <= cut
+        nt = np.where(
+            in_first,
+            1 + (rn - 1) // (size_low + 1),
+            rem + 1 + (rn - 1 - cut) // np.maximum(size_low, 1))
+        prk = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "rn": pa.array(rn, pa.int64()),
+                         "nt": pa.array(nt, pa.int64()),
+                         "prk": pa.array(prk, pa.float64()),
+                         "cd": pa.array(rn / n, pa.float64())})
+
+    def interior(b, starts, ends, mask):
+        rows = windows_of(b, starts, ends)
+        return rows.filter(pa.array(np.repeat(mask, ends - starts)))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("value", "ascending"),
+                                              ("event_id", "ascending")])
+        return windows_of(g.take(order), np.zeros(1, np.int64),
+                          np.asarray([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "value", "event_id"],
+                               interior, edge, empty)
+
+
+SQL_EVENTS_NTILE = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       ntile(4) OVER w AS nt,
+       percent_rank() OVER w AS prk,
+       cume_dist() OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+def q_user_event_path(sf_dir: str):
+    """Per-user ordered event-type path (X82): the first 20 event
+    types in (ts, event_id) order joined with '>' plus the user's
+    total event count — the sequence-mining / clickstream-export
+    shape (ordered string_agg). ONE range-shuffle sort; interior runs
+    assemble paths via offset-built ListArray + ``pc.binary_join``
+    (no per-row Python); a mega-user spans blocks and resolves whole
+    in the bounded edge pass, but only its FIRST 20 rows contribute
+    to the string, so the output row stays tiny."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    CAP = 20
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "path": pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64())})
+
+    def paths_of(b: pa.Table, starts: np.ndarray,
+                 ends: np.ndarray) -> pa.Table:
+        lens = ends - starts
+        take_n = np.minimum(lens, CAP)
+        idx = np.concatenate([np.arange(s, s + t)
+                              for s, t in zip(starts, take_n)]) \
+            if len(starts) else np.empty(0, np.int64)
+        vals = b["event_type"].combine_chunks().take(
+            pa.array(idx, pa.int64()))
+        offsets = pa.array(np.r_[0, np.cumsum(take_n)], pa.int32())
+        la = pa.ListArray.from_arrays(offsets, vals)
+        return pa.table({
+            "user_id": b["user_id"].combine_chunks().take(
+                pa.array(starts, pa.int64())),
+            "path": pc.binary_join(la, ">"),
+            "n_events": pa.array(lens, pa.int64())})
+
+    def interior(b, starts, ends, mask):
+        rows = paths_of(b, starts, ends)
+        return rows.filter(pa.array(mask))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        return paths_of(g.take(order), np.zeros(1, np.int64),
+                        np.asarray([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+SQL_USER_EVENT_PATH = """
+WITH t AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       max(n_events)::BIGINT AS n_events
+FROM t WHERE rn <= 20 GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------- pdf/layout
 
 def q_pdf_extract(sf_dir: str):
@@ -3215,6 +3425,93 @@ SELECT source FROM (
   EXCEPT
   SELECT DISTINCT source FROM documents WHERE lang = 'zh')
 ORDER BY source
+"""
+
+
+def q_source_intersect(sf_dir: str):
+    """Set-intersection diagnostic (INTERSECT, X80 — the EXCEPT
+    mirror): sources publishing BOTH 'en' and 'zh' docs. Same
+    scale-safe shape as X71: per-batch bool partials → ≤ #sources
+    Max-aggregate groupby → driver filter on the tiny result."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        en = pc.cast(pc.equal(b["lang"], "en"), pa.int8())
+        zh = pc.cast(pc.equal(b["lang"], "zh"), pa.int8())
+        t = pa.table({"source": b["source"], "en": en, "zh": zh})
+        return t.group_by("source").aggregate([("en", "max"),
+                                               ("zh", "max")]) \
+                .rename_columns(["source", "en", "zh"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Max("en", alias_name="has_en"),
+                                     Max("zh", alias_name="has_zh"))
+    pdf = agg.to_pandas()
+    pdf = pdf[(pdf["has_en"] > 0) & (pdf["has_zh"] > 0)][["source"]]
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_INTERSECT = """
+SELECT source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+ORDER BY source
+"""
+
+
+def q_top_words(sf_dir: str, k: int = 100):
+    """Exact global heavy hitters (X81): the corpus's top-``k`` words
+    by total occurrence count, ties broken lexically — the exact
+    counterpart of the Count-Min probe (X68), certifying that a
+    vocabulary-bounded full count is affordable when the key space is
+    words (≪ rows). Per-batch ListArray explode + word-count
+    pre-combine → one Arrow-native groupby Sum over the VOCABULARY
+    (never raw tokens) → tiny sort+limit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+
+    ws_pat = "[" + PY_WS_RE2_IN + "]+"
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(b["text"],
+                                    pattern=ws_pat).combine_chunks()
+        flat = la.flatten()  # null lists contribute nothing
+        t = pa.table({"word": flat}).filter(pc.not_equal(flat, ""))
+        g = t.group_by("word").aggregate([("word", "count")])
+        return g.rename_columns(["word", "c"])
+
+    cnt = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="cnt"))
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("neg", pc.negate_checked(b["cnt"]))
+
+    top = cnt.map_batches(neg, batch_format="pyarrow") \
+        .sort(["neg", "word"]).limit(k)
+    return top.map_batches(lambda b: b.drop_columns(["neg"]),
+                           batch_format="pyarrow")
+
+
+def _sql_top_words(k: int = 100) -> str:
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH w AS (
+  SELECT u.t AS word
+  FROM documents, unnest(regexp_split_to_array(text, '{ws}')) AS u(t)
+  WHERE u.t <> '')
+SELECT word, count(*)::BIGINT AS cnt FROM w
+GROUP BY 1 ORDER BY cnt DESC, word LIMIT {k}
 """
 
 
@@ -3447,6 +3744,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q_events_moving_avg,
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
+        "events_retention": q_events_retention,
+        "events_ntile": q_events_ntile,
+        "user_event_path": q_user_event_path,
+        "source_intersect": q_source_intersect,
+        "top_words": q_top_words,
         "approx_distinct_users": q_approx_distinct_users,
         "user_median_value": q_user_median_value,
         "user_mode": q_user_mode,
@@ -3532,6 +3834,11 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
+        "events_retention": SQL_EVENTS_RETENTION,
+        "events_ntile": SQL_EVENTS_NTILE,
+        "user_event_path": SQL_USER_EVENT_PATH,
+        "source_intersect": SQL_SOURCE_INTERSECT,
+        "top_words": _sql_top_words(),
         "label_centroids": _sql_label_centroids(),
         "user_median_value": SQL_USER_MEDIAN_VALUE,
         "user_mode": SQL_USER_MODE,

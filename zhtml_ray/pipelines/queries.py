@@ -1055,6 +1055,87 @@ def _sql_link_pagerank() -> str:
     return sql_pagerank(golden_sql("links"))
 
 
+def q_anchor_terms(sf_dir: str, k: int = 3):
+    """Anchor-text term index (X77): for every resolved link target,
+    the top-``k`` incoming anchor terms by (count DESC, term ASC) —
+    the classic web-search signal where OTHER pages' link text
+    describes the target. Per-batch: vectorized href resolution +
+    ListArray term explode + (dst, term) count pre-combine; then one
+    Arrow-native groupby Sum and one sorted-head-k pass. Raw anchor
+    text never reaches a shuffle — only (dst, term, partial_count)
+    rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.graph import resolve_dst
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    from zhtml_ray.stages.sortagg import sorted_head_n_per_group
+    from zhtml_ray.stages.util import compact_blocks
+
+    ws_pat = "[" + PY_WS_RE2_IN + "]+"
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)  # the oracle reads the links golden
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+
+    def term_partials(b: pa.Table) -> pa.Table:
+        dst = resolve_dst(b["url"], b["href"])
+        keep = pc.and_kleene(pc.is_valid(dst),
+                             pc.not_equal(dst, b["url"]))
+        t = pa.table({"dst": dst, "anchor_text": b["anchor_text"]}) \
+            .filter(pc.fill_null(keep, False))
+        la = pc.split_pattern_regex(
+            t["anchor_text"], pattern=ws_pat).combine_chunks()
+        lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        flat = la.flatten()
+        tt = pa.table({
+            "dst": t["dst"].combine_chunks().take(
+                pa.array(parent, pa.int64())),
+            "term": flat,
+        }).filter(pc.not_equal(flat, ""))
+        g = tt.group_by(["dst", "term"]).aggregate([("dst", "count")])
+        return g.rename_columns(["dst", "term", "c"])
+
+    cnt = links.map_batches(term_partials, batch_format="pyarrow") \
+        .groupby(["dst", "term"]).aggregate(Sum("c", alias_name="cnt"))
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("neg", pc.negate_checked(b["cnt"]))
+
+    ranked = sorted_head_n_per_group(
+        compact_blocks(cnt.map_batches(neg, batch_format="pyarrow")),
+        ["dst"], ["neg", "term"], k)
+    return ranked.map_batches(lambda b: b.drop_columns(["neg"]),
+                              batch_format="pyarrow")
+
+
+def _sql_anchor_terms(k: int = 3) -> str:
+    from zhtml_ray.functions.graph import sql_resolve_dst_expr
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    from zhtml_ray.pipelines.golden import golden_sql
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH res AS (
+  SELECT url AS src, {sql_resolve_dst_expr()} AS dst, anchor_text
+  FROM ({golden_sql("links")})),
+terms AS (
+  SELECT dst, u.t AS term
+  FROM res, unnest(regexp_split_to_array(anchor_text, '{ws}')) AS u(t)
+  WHERE dst IS NOT NULL AND dst <> src AND u.t <> ''),
+cnt AS (SELECT dst, term, count(*)::BIGINT AS cnt
+        FROM terms GROUP BY 1, 2)
+SELECT dst, term, cnt FROM cnt
+QUALIFY row_number() OVER (PARTITION BY dst
+                           ORDER BY cnt DESC, term) <= {k}
+"""
+
+
 def q_node_table(sf_dir: str):
     """Flattened DOM node table per document (SURVEY.md §1.3): the full
     columnar index-linked tree, JSON-projected for the gate and oracled
@@ -1105,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": q4_priority_exists,
         "bloom_join_revenue": q_bloom_join_revenue,
         "link_pagerank": q_link_pagerank,
+        "anchor_terms": q_anchor_terms,
     }
     out.update(ops_queries.queries())
     return out
@@ -1137,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
         "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
         "link_pagerank": _sql_link_pagerank(),
+        "anchor_terms": _sql_anchor_terms(),
     }
     out.update(ops_queries.oracle_sql())
     return out
