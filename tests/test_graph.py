@@ -113,3 +113,44 @@ def test_resolve_edges_vs_duckdb():
     # case-sensitive on BOTH sides — consistency, not i18n)
     assert ("https://c.ex/p", "https://c.ex/p") not in got
     assert all(s != "notaurl" for s, _ in got)
+
+
+def test_degree_histogram_differential(ray_session):
+    import ray.data as rd
+    from zhtml_ray.functions.graph import degree_histogram
+    rng = np.random.default_rng(11)
+    edges = _rand_edges(rng, 40, 220)
+    t = pa.table({"src": [s for s, _ in edges],
+                  "dst": [d for _, d in edges]})
+    got = sorted((r["direction"], r["degree"], r["n_nodes"])
+                 for r in degree_histogram(
+                     rd.from_arrow(t).repartition(9)).take_all())
+    # independent check: plain dict counting over the same edge set
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    want = []
+    for direction, pick in (("out", 0), ("in", 1)):
+        deg = {n: 0 for n in nodes}
+        for e in edges:
+            deg[e[pick]] += 1
+        hist = {}
+        for v in deg.values():
+            hist[v] = hist.get(v, 0) + 1
+        want += [(direction, k, v) for k, v in hist.items()]
+    assert got == sorted(want)
+    assert sum(n for d, _, n in got if d == "out") == len(nodes)
+
+
+def test_pagerank_sums_to_links_fixture(ray_session, tmp_path):
+    """End-to-end smoke over real parsed pages: every page site is a
+    star (page -> /cat,/r targets), so components equal sites and
+    target in-rank exceeds page in-rank."""
+    from zhtml_ray.pipelines.queries import q_link_pagerank
+    import pyarrow.parquet as pq  # noqa: F401
+    got = q_link_pagerank("/root/testdata/sf0.001").take_all()
+    by_node = {r["node"]: r["pagerank_scaled"] for r in got}
+    pages = [n for n in by_node if "/p/" in n]
+    targets = [n for n in by_node if "/cat/" in n]
+    assert pages and targets
+    # pages have no in-links beyond the dangling share; targets do
+    assert max(by_node[p] for p in pages) < min(by_node[t]
+                                                for t in targets)

@@ -246,6 +246,89 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
     return rank.map_batches(finish, batch_format="pyarrow")
 
 
+def degree_histogram(edges):
+    """Degree-distribution histogram of a distinct (src, dst) edge
+    Dataset: (direction 'out'|'in', degree, n_nodes), zero-degree
+    nodes included (a node with no out-links still counts in the
+    out-degree-0 bucket). Per-batch degree partials → node-bounded
+    groupby → left merge join onto the node set → per-batch histogram
+    partials → ≤ #distinct-degrees groupby. Raw edges shuffle once
+    (the distinct is assumed done by the caller)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks
+
+    empty = pa.table({"direction": pa.array([], pa.string()),
+                      "degree": pa.array([], pa.int64()),
+                      "n_nodes": pa.array([], pa.int64())})
+    edges = compact_blocks(edges)
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    def col_nodes(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col]}).group_by("node") \
+                .aggregate([])
+        return f
+
+    nodes = sorted_first_per_group(
+        edges.map_batches(col_nodes("src"), batch_format="pyarrow")
+        .union(edges.map_batches(col_nodes("dst"),
+                                 batch_format="pyarrow")),
+        ["node"])
+    nodes = compact_blocks(nodes)
+
+    out = None
+    for direction, col in (("out", "src"), ("in", "dst")):
+        def deg_part(b: pa.Table, col=col) -> pa.Table:
+            g = b.group_by(col).aggregate([(col, "count")])
+            return g.rename_columns(["node", "d"])
+
+        deg = edges.map_batches(deg_part, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("d", alias_name="deg"))
+        nd = sorted_lookup_join(nodes, deg, "node", ["deg"],
+                                how="left")
+
+        def hist_part(b: pa.Table, direction=direction) -> pa.Table:
+            d = pc.fill_null(pc.cast(b["deg"], pa.int64()), 0)
+            g = pa.table({"degree": d}).group_by("degree") \
+                .aggregate([("degree", "count")]) \
+                .rename_columns(["degree", "c"])
+            return g.append_column(
+                "direction",
+                pa.array([direction] * g.num_rows, pa.string()))
+
+        h = nd.map_batches(hist_part, batch_format="pyarrow") \
+            .groupby(["direction", "degree"]) \
+            .aggregate(Sum("c", alias_name="n_nodes"))
+        out = h if out is None else out.union(h)
+    return out
+
+
+def sql_degree_histogram(links_sql: str) -> str:
+    """DuckDB oracle for :func:`degree_histogram` over the edge set of
+    ``sql_edges_select(links_sql)``."""
+    return f"""
+WITH edges AS ({sql_edges_select(links_sql)}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT n.node, coalesce(o.c, 0)::BIGINT AS deg
+       FROM nodes n LEFT JOIN (SELECT src, count(*)::BIGINT AS c
+                               FROM edges GROUP BY 1) o
+       ON n.node = o.src),
+id AS (SELECT n.node, coalesce(i.c, 0)::BIGINT AS deg
+       FROM nodes n LEFT JOIN (SELECT dst, count(*)::BIGINT AS c
+                               FROM edges GROUP BY 1) i
+       ON n.node = i.dst)
+SELECT 'out' AS direction, deg AS degree, count(*)::BIGINT AS n_nodes
+FROM od GROUP BY 2
+UNION ALL
+SELECT 'in', deg, count(*)::BIGINT FROM id GROUP BY 2
+"""
+
+
 def sql_pagerank(links_sql: str, iters: int = 5, scale: int = SCALE,
                  damping: tuple[int, int] = (85, 100)) -> str:
     """Unrolled-iteration DuckDB oracle for :func:`pagerank` over the

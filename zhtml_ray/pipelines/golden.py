@@ -313,6 +313,41 @@ def _gen_minhash_dedup(sf_dir: str) -> pa.Table:
     })
 
 
+def _gen_link_components(sf_dir: str) -> pa.Table:
+    """Serial oracle for link-graph weakly-connected components with an
+    INDEPENDENT clustering algorithm: the same link-extraction +
+    href-resolution kernels run in one process, then plain UNION-FIND
+    with min-key roots — vs the engine's distributed bounded-round
+    min-label propagation. Equal output certifies the distributed
+    distinct + component machinery, not just the resolution."""
+    from zhtml_ray.functions.graph import resolve_edges_batch
+    from zhtml_ray.stages.node_table import LinksBatch
+    fn = LinksBatch()
+    edges = set()
+    for f in _pages_files(sf_dir):
+        links = fn(pq.read_table(f, columns=["url", "html"]))
+        t = resolve_edges_batch(links)
+        edges.update(zip(t["src"].to_pylist(), t["dst"].to_pylist()))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "component": pa.array([find(n) for n in nodes], pa.string()),
+    })
+
+
 def _gen_embedding_neardup(sf_dir: str, bucket_cap: int = 1024) -> pa.Table:
     """Serial run of the same hyperplane-LSH bucketing + per-bucket
     cosine verify (sorted by key, identical float32 op order), INCLUDING
@@ -527,6 +562,7 @@ _GENERATORS = {
     "simhash": _gen_simhash,
     "ngram_jaccard": _gen_ngram_jaccard,
     "minhash_dedup": _gen_minhash_dedup,
+    "link_components": _gen_link_components,
     "embedding_neardup": _gen_embedding_neardup,
     "ivf_topk": _gen_ivf_topk,
     "semantic_dedup": _gen_semantic_dedup,

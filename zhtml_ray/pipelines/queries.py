@@ -1055,6 +1055,61 @@ def _sql_link_pagerank() -> str:
     return sql_pagerank(golden_sql("links"))
 
 
+def q_link_components(sf_dir: str):
+    """Weakly-connected components of the link graph (X83): site/farm
+    cluster discovery — the graph twin of the dedup clustering. Edges
+    from the shared resolution kernel; components via the SAME
+    distributed bounded-round min-label propagation that clusters
+    near-duplicates (functions/dedup.py:label_propagation — one
+    machinery, two operators). Oracle: an INDEPENDENT serial
+    union-find over the pinned links golden (algorithm-independent,
+    the strongest gate form)."""
+    import ray.data as rd
+
+    from zhtml_ray.functions.dedup import label_propagation
+    from zhtml_ray.functions.graph import link_edges
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("link_components", sf_dir)
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    edges = link_edges(links)
+
+    def to_keys(b):
+        return b.rename_columns(["key_a", "key_b"])
+
+    lbl = label_propagation(edges.map_batches(to_keys,
+                                              batch_format="pyarrow"))
+    return lbl.map_batches(
+        lambda b: b.rename_columns(["node", "component"]),
+        batch_format="pyarrow")
+
+
+def q_link_degree_hist(sf_dir: str):
+    """Link-graph degree-distribution histogram (X84): in/out degree →
+    node count, zero-degree buckets included — the graph-shape
+    diagnostic run before committing to a partitioning strategy (skew
+    detection: a power-law in-degree tail means salting the contribution
+    groupby)."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import degree_histogram, link_edges
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    return degree_histogram(link_edges(links))
+
+
+def _sql_link_degree_hist() -> str:
+    from zhtml_ray.functions.graph import sql_degree_histogram
+    from zhtml_ray.pipelines.golden import golden_sql
+    return sql_degree_histogram(golden_sql("links"))
+
+
 def q_anchor_terms(sf_dir: str, k: int = 3):
     """Anchor-text term index (X77): for every resolved link target,
     the top-``k`` incoming anchor terms by (count DESC, term ASC) —
@@ -1187,6 +1242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_revenue": q_bloom_join_revenue,
         "link_pagerank": q_link_pagerank,
         "anchor_terms": q_anchor_terms,
+        "link_components": q_link_components,
+        "link_degree_hist": q_link_degree_hist,
     }
     out.update(ops_queries.queries())
     return out
@@ -1220,6 +1277,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
         "link_pagerank": _sql_link_pagerank(),
         "anchor_terms": _sql_anchor_terms(),
+        "link_components": golden_sql("link_components"),
+        "link_degree_hist": _sql_link_degree_hist(),
     }
     out.update(ops_queries.oracle_sql())
     return out
