@@ -1,0 +1,44 @@
+"""Property tests for the session-9 ops: budget apportionment
+invariants, nearest-centroid quality on the clustered fixture, and
+tf-idf ranking sanity."""
+
+import numpy as np
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_budget_sums_exactly(ray_session):
+    from zhtml_ray.pipelines.ops_queries import q_token_budget
+    got = q_token_budget(SF, budget=99_991)  # prime: forces remainders
+    assert int(got["alloc"].sum()) == 99_991
+    assert (got["alloc"] >= 0).all()
+    # proportionality: every allocation within 1 of the exact quota
+    q = 99_991 * got["w"].to_numpy(np.float64) / got["w"].sum()
+    assert (np.abs(got["alloc"].to_numpy() - q) < 1.0).all()
+
+
+def test_nearest_centroid_recovers_labels(ray_session):
+    from zhtml_ray.pipelines.ops_queries import q_nearest_centroid
+    got = q_nearest_centroid(SF).to_pandas()
+    # the fixture's label clusters are NOISY (measured own-centroid
+    # mean cosine ~0.14 vs ~0.001 cross): the prototype classifier
+    # can't recover every label, but must beat 10-label chance by 3×
+    assert got["is_own"].mean() > 0.30
+    assert (got["cos_r"] <= 1.0000005).all()
+    assert got["assigned_label"].nunique() == 10
+
+
+def test_tfidf_rankings(ray_session):
+    from zhtml_ray.pipelines.ops_queries import q_tfidf_top_terms
+    got = q_tfidf_top_terms(SF, k=3).to_pandas()
+    g = got.groupby("doc_id")
+    assert (g.size() <= 3).all()
+    # within a doc, scores are non-increasing in (score, term) order
+    for _, grp in list(g)[:50]:
+        s = grp.sort_values(["score", "term"],
+                            ascending=[False, True])["score"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+    # a term present in EVERY doc scores tf * N // N = tf; rare terms
+    # outrank it at equal tf
+    assert (got["score"] >= got["tf"]).all()

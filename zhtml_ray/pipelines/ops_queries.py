@@ -1665,6 +1665,206 @@ def _sql_label_centroids(dim: int = _EMB_DIM) -> str:
             "FROM embeddings GROUP BY label ORDER BY label")
 
 
+def q_nearest_centroid(sf_dir: str):
+    """Nearest-centroid label assignment (X86) — the classification /
+    cluster-assignment join of an embedding pipeline: each vector gets
+    the label of its most-cosine-similar class prototype. Centroids
+    are the X67 6-dp-PINNED means (both engines round the SAME pinned
+    components before any cosine, per the decimal-pinned-moments rule),
+    broadcast once via ``ray.put``; assignment is one chunked matmul
+    per batch (zero-copy matrix decode), argmax with ascending-label
+    tie-break on the 6-dp-rounded score."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from zhtml_ray.functions.similarity import _emb_matrix
+
+    cent = q_label_centroids(sf_dir)  # pandas, label-ascending, pinned
+    labels = cent["label"].to_numpy(np.int32)
+    C = cent[[f"c{i}" for i in range(_EMB_DIM)]].to_numpy(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ref = ray.put((labels, Cn))
+
+    class Assign:
+        def __init__(self):
+            self.labels, self.Cn = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            M = _emb_matrix(b["embedding"]).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.floor(Mn @ self.Cn.T * 1e6 + 0.5) / 1e6
+            idx = np.argmax(S, axis=1)  # first max = smallest label
+            assigned = self.labels[idx]
+            own = b["label"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "label": b["label"],
+                "assigned_label": pa.array(assigned, pa.int32()),
+                "cos_r": pa.array(S[np.arange(len(idx)), idx],
+                                  pa.float64()),
+                "is_own": pa.array(assigned == own)})
+
+    return _emb(sf_dir).map_batches(
+        Assign, batch_format="pyarrow",
+        concurrency=autoscale_pool(0.5))
+
+
+def _sql_nearest_centroid(dim: int = 64) -> str:
+    lst = ", ".join(f"c.c{i}" for i in range(dim))
+    return f"""
+WITH c AS ({_sql_label_centroids()}),
+s AS (
+  SELECT e.vec_id, e.label, c.label AS cl,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      list_value({lst})) * 1e6 + 0.5)
+             / 1e6 AS cos_r
+  FROM embeddings e CROSS JOIN c)
+SELECT vec_id, label, cl AS assigned_label, cos_r,
+       (cl = label) AS is_own
+FROM s
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_r DESC, cl) = 1
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Integer tf-idf top terms per document (X85): keyword extraction
+    with the idf expressed as the EXACT integer ``tf * N // df`` —
+    monotone in tf·(N/df), so rankings match a float tf-idf while
+    staying bit-identical across engines (no log, no float pin).
+    Plan: per-batch term explode → exact per-doc tf (docs are whole
+    rows, so tf needs no combine) → vocabulary-bounded df groupby →
+    merge-join df back on term → sorted head-k per doc. Raw text never
+    shuffles; the wide exchanges carry (doc,term,tf) and (term,df)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    from zhtml_ray.stages.sortagg import (sorted_head_n_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks
+
+    import numpy as np
+
+    ws_pat = "[" + PY_WS_RE2_IN + "]+"
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(b["text"],
+                                    pattern=ws_pat).combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(la), 0) \
+            .to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        flat = la.flatten()
+        t = pa.table({
+            "doc_id": b["doc_id"].combine_chunks().take(
+                pa.array(parent, pa.int64())),
+            "term": flat,
+        }).filter(pc.not_equal(flat, ""))
+        g = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    tfds = compact_blocks(
+        ds.map_batches(tf_partial, batch_format="pyarrow"))
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("term").aggregate([("doc_id", "count")])
+        return g.rename_columns(["term", "d"])
+
+    df = tfds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("d", alias_name="df"))
+
+    joined = sorted_lookup_join(tfds, df, "term", ["df"])
+
+    def score(b: pa.Table) -> pa.Table:
+        s = pc.divide(pc.multiply(b["tf"],
+                                  pa.scalar(n_docs, pa.int64())),
+                      b["df"])
+        t = b.append_column("score", s)
+        return t.append_column("neg", pc.negate_checked(s))
+
+    scored = compact_blocks(
+        joined.map_batches(score, batch_format="pyarrow"))
+    top = sorted_head_n_per_group(scored, ["doc_id"], ["neg", "term"], k)
+    return top.map_batches(lambda b: b.drop_columns(["neg"]),
+                           batch_format="pyarrow")
+
+
+def _sql_tfidf_top_terms(k: int = 5) -> str:
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH t AS (
+  SELECT doc_id, u.t AS term
+  FROM documents, unnest(regexp_split_to_array(text, '{ws}')) AS u(t)
+  WHERE u.t <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df,
+       tf * (SELECT count(*) FROM documents)::BIGINT // df AS score
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= {k}
+"""
+
+
+def q_token_budget(sf_dir: str, budget: int = 100_000):
+    """Training-mixture budget apportionment (X87): split a fixed
+    token budget across sources proportionally to their available
+    chars using LARGEST-REMAINDER (Hamilton) rounding — allocations
+    sum EXACTLY to the budget, all arithmetic integer (quota =
+    budget·w // total; leftovers go to the largest remainders, source
+    ASC ties). Per-batch char-sum partials → ≤ #sources groupby →
+    apportionment on the tiny driver table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate([("n_chars", "sum")])
+        return g.rename_columns(["source", "w"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("w", alias_name="w")) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    w = agg["w"].to_numpy(np.int64)
+    total = int(w.sum())
+    base = budget * w // total
+    rem = budget * w - base * total
+    extra = budget - int(base.sum())
+    # largest remainder, ties to the lexically-smallest source (rows
+    # are already source-ascending, so stable argsort on -rem works)
+    order = np.argsort(-rem, kind="stable")
+    bump = np.zeros(len(w), np.int64)
+    bump[order[:extra]] = 1
+    return pd.DataFrame({"source": agg["source"], "w": w,
+                         "alloc": base + bump})
+
+
+def _sql_token_budget(budget: int = 100_000) -> str:
+    return f"""
+WITH s AS (SELECT source, sum(n_chars)::BIGINT AS w
+           FROM documents GROUP BY 1),
+t AS (SELECT sum(w)::BIGINT AS tw FROM s),
+a AS (SELECT source, w,
+             ({budget}::BIGINT * w) // (SELECT tw FROM t) AS base,
+             ({budget}::BIGINT * w) % (SELECT tw FROM t) AS rem
+      FROM s),
+l AS (SELECT {budget} - sum(base)::BIGINT AS extra FROM a)
+SELECT source, w,
+       base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                        <= (SELECT extra FROM l)
+                   THEN 1 ELSE 0 END AS alloc
+FROM a
+"""
+
+
 def q_user_mode(sf_dir: str):
     """Per-user MODE (most frequent event type, ties → lexically
     smallest): per-batch (user, type) Arrow count partials → one
@@ -3755,6 +3955,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q_user_first_last,
         "value_ts_corr": q_value_ts_corr,
         "label_centroids": q_label_centroids,
+        "nearest_centroid": q_nearest_centroid,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_budget": q_token_budget,
         "word_freq_cms": q_word_freq_cms,
         "group_quantiles_cont": q_group_quantiles_cont,
         "weighted_sample": q_weighted_sample,
@@ -3840,6 +4043,9 @@ def oracle_sql() -> dict[str, str]:
         "source_intersect": SQL_SOURCE_INTERSECT,
         "top_words": _sql_top_words(),
         "label_centroids": _sql_label_centroids(),
+        "nearest_centroid": _sql_nearest_centroid(),
+        "tfidf_top_terms": _sql_tfidf_top_terms(),
+        "token_budget": _sql_token_budget(),
         "user_median_value": SQL_USER_MEDIAN_VALUE,
         "user_mode": SQL_USER_MODE,
         "user_first_last": SQL_USER_FIRST_LAST,
