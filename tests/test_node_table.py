@@ -53,3 +53,38 @@ def test_token_stats():
     assert r["n_comments"] == 1
     assert r["n_errors"] >= 1
     assert r["n_chars"] >= 2
+
+
+def test_images_extraction():
+    from zhtml_ray.stages.node_table import ImagesBatch
+    t = ImagesBatch()(_pages([
+        '<img src="/a.png" alt="first" title=T><p><img src=b.gif></p>',
+        '<picture><img src="/c.webp" alt=""></picture><img>']))
+    assert t["url"].to_pylist() == ["u0", "u0", "u1", "u1"]
+    assert t["src"].to_pylist() == ["/a.png", "b.gif", "/c.webp", ""]
+    assert t["alt"].to_pylist() == ["first", "", "", ""]
+    assert t["title"].to_pylist() == ["T", "", "", ""]
+
+
+def test_forms_extraction():
+    from zhtml_ray.stages.node_table import FormsBatch
+    t = FormsBatch()(_pages([
+        '<form action="/s" method=POST><input name=a>'
+        '<div><select></select><textarea></textarea></div></form>'
+        '<form><button>go</button></form>',
+        '<p>no forms</p>']))
+    assert t["url"].to_pylist() == ["u0", "u0"]
+    assert t["action"].to_pylist() == ["/s", ""]
+    assert t["method"].to_pylist() == ["POST", ""]
+    assert t["n_inputs"].to_pylist() == [3, 1]
+
+
+def test_forms_nested_form_ignored():
+    # spec: a <form> inside an open form is IGNORED by the tree
+    # builder (form element pointer), so its fields belong to the
+    # outer form and no second row is emitted
+    from zhtml_ray.stages.node_table import FormsBatch
+    t = FormsBatch()(_pages([
+        '<form action=/outer><form action=/inner><input></form></form>']))
+    assert t["action"].to_pylist() == ["/outer"]
+    assert t["n_inputs"].to_pylist() == [1]

@@ -193,6 +193,14 @@ def _gen_links(sf_dir: str) -> pa.Table:
          for f in _pages_files(sf_dir)])
 
 
+def _gen_images(sf_dir: str) -> pa.Table:
+    from zhtml_ray.stages.node_table import ImagesBatch
+    fn = ImagesBatch()
+    return pa.concat_tables(
+        [fn(pq.read_table(f, columns=["url", "html"]))
+         for f in _pages_files(sf_dir)])
+
+
 def _gen_token_stats(sf_dir: str) -> pa.Table:
     from zhtml_ray.stages.node_table import TokenStatsBatch
     fn = TokenStatsBatch()
@@ -556,6 +564,7 @@ _GENERATORS = {
     "extract": _gen_extract,
     "extract_error_histogram": _gen_extract_error_histogram,
     "links": _gen_links,
+    "images": _gen_images,
     "node_table": _gen_node_table,
     "token_stats": _gen_token_stats,
     "fingerprint": _gen_fingerprint,

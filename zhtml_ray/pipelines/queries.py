@@ -1055,6 +1055,23 @@ def _sql_link_pagerank() -> str:
     return sql_pagerank(golden_sql("links"))
 
 
+def q_images(sf_dir: str):
+    """Image (media-catalog) extraction from the parsed DOM — the
+    reference Document's images collection as a derived table
+    (/root/reference/src/node.zig:28-33), completing the links/images
+    projection pair. (The forms collection is implemented too —
+    stages/node_table.py:FormsBatch — but the driver fixture contains
+    no <form> markup, so it is pytest-gated on synthetic pages instead
+    of carrying a vacuous 0-row oracle.)"""
+    import ray.data as rd
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import ImagesBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("images", sf_dir)
+    return ds.map_batches(ImagesBatch(), batch_format="pyarrow")
+
+
 def q_link_components(sf_dir: str):
     """Weakly-connected components of the link graph (X83): site/farm
     cluster discovery — the graph twin of the dedup clustering. Edges
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract": q_extract,
         "extract_error_histogram": q_extract_error_histogram,
         "links": q_links,
+        "images": q_images,
         "node_table": q_node_table,
         "token_stats": q_token_stats,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1258,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "extract": golden_sql("extract"),
         "extract_error_histogram": golden_sql("extract_error_histogram"),
         "links": golden_sql("links"),
+        "images": golden_sql("images"),
         "node_table": golden_sql("node_table"),
         "token_stats": golden_sql("token_stats"),
         "q1_pricing_summary": SQL_Q1,

@@ -138,3 +138,89 @@ class TokenStatsBatch:
             cols["n_doctypes"].append(counts["DOCTYPE"])
             cols["n_errors"].append(len(t.errors))
         return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+class ImagesBatch:
+    """pages → exploded image table (url, src, alt, title) — the
+    reference Document's images collection as a derived table
+    (/root/reference/src/node.zig:28-33), CC-style media-catalog
+    extraction from the parsed DOM."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_out, srcs, alts, titles = [], [], [], []
+        for url, h in zip(batch["url"].to_pylist(),
+                          batch["html"].to_pylist()):
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+            except Exception:  # noqa: BLE001
+                continue
+            kind = flat["kind"]
+            tag = flat["tag"]
+            for i in range(len(kind)):
+                if kind[i] == ELEMENT and tag[i] == "img":
+                    attrs = dict(zip(flat["attr_keys"][i],
+                                     flat["attr_vals"][i]))
+                    urls_out.append(url)
+                    srcs.append(attrs.get("src", ""))
+                    alts.append(attrs.get("alt", ""))
+                    titles.append(attrs.get("title", ""))
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "src": pa.array(srcs, pa.string()),
+            "alt": pa.array(alts, pa.string()),
+            "title": pa.array(titles, pa.string()),
+        })
+
+
+class FormsBatch:
+    """pages → exploded form table (url, action, method, n_inputs) —
+    the reference Document's forms collection
+    (/root/reference/src/node.zig:28-33). ``n_inputs`` counts
+    input/select/textarea/button DESCENDANTS of each form via the
+    same depth-stack walk as LinksBatch's anchor-text scan. The
+    driver fixture contains no <form> markup, so this projection is
+    pytest-gated on synthetic pages rather than oracled (a 0-row
+    driver gate would certify nothing)."""
+
+    _FIELD_TAGS = frozenset(("input", "select", "textarea", "button"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_out, actions, methods, n_inputs = [], [], [], []
+        for url, h in zip(batch["url"].to_pylist(),
+                          batch["html"].to_pylist()):
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+            except Exception:  # noqa: BLE001
+                continue
+            kind = flat["kind"]
+            tag = flat["tag"]
+            depth = flat["depth"]
+            counts: dict[int, int] = {}
+            meta: dict[int, tuple[str, str]] = {}
+            stack: list[int] = []
+            for i in range(len(kind)):
+                while stack and depth[i] <= depth[stack[-1]]:
+                    stack.pop()
+                if kind[i] != ELEMENT:
+                    continue
+                if tag[i] == "form":
+                    attrs = dict(zip(flat["attr_keys"][i],
+                                     flat["attr_vals"][i]))
+                    meta[i] = (attrs.get("action", ""),
+                               attrs.get("method", ""))
+                    counts[i] = 0
+                    stack.append(i)
+                elif tag[i] in self._FIELD_TAGS:
+                    for f_idx in stack:
+                        counts[f_idx] += 1
+            for i, (action, method) in meta.items():
+                urls_out.append(url)
+                actions.append(action)
+                methods.append(method)
+                n_inputs.append(counts[i])
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "action": pa.array(actions, pa.string()),
+            "method": pa.array(methods, pa.string()),
+            "n_inputs": pa.array(n_inputs, pa.int64()),
+        })
