@@ -36,9 +36,17 @@ def _rand_edges(rng, n_nodes, n_edges):
                    for s, d in zip(src[keep], dst[keep])})
 
 
+# (driver_budget, broadcast_budget) forcing each execution tier:
+# defaults → in-process numpy; (0, big) → broadcast-rank loop;
+# (0, 0) → fully distributed merge-join rounds
+_TIERS = [(2_000_000, 20_000_000), (0, 20_000_000), (0, 0)]
+
+
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [
     (1, 30, 120), (2, 8, 10), (3, 200, 900)])
-def test_pagerank_differential(ray_session, seed, n_nodes, n_edges):
+@pytest.mark.parametrize("dbud,bbud", _TIERS)
+def test_pagerank_differential(ray_session, seed, n_nodes, n_edges,
+                               dbud, bbud):
     import ray.data as rd
     from zhtml_ray.functions.graph import pagerank
     rng = np.random.default_rng(seed)
@@ -48,7 +56,8 @@ def test_pagerank_differential(ray_session, seed, n_nodes, n_edges):
     # hostile layout: many tiny blocks so boundary runs dominate
     ds = rd.from_arrow(t).repartition(13)
     got = {r["node"]: r["pagerank_scaled"]
-           for r in pagerank(ds).take_all()}
+           for r in pagerank(ds, driver_budget=dbud,
+                             broadcast_budget=bbud).take_all()}
     want = serial_pagerank(edges)
     assert got == want
     # mass sanity: damped total stays within [(1-d)V·scale, V·scale]
@@ -66,10 +75,12 @@ def test_pagerank_layout_invariance(ray_session):
                   "dst": [d for _, d in edges]})
     outs = []
     for parts in (1, 4, 17):
+        # the distributed merge-join tier is the layout-sensitive one
         ds = rd.from_arrow(t).repartition(parts)
         outs.append(sorted(
             (r["node"], r["pagerank_scaled"])
-            for r in pagerank(ds).take_all()))
+            for r in pagerank(ds, driver_budget=0,
+                              broadcast_budget=0).take_all()))
     assert outs[0] == outs[1] == outs[2]
 
 

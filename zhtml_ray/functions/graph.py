@@ -125,7 +125,9 @@ def link_edges(links_ds):
 
 
 def pagerank(edges, iters: int = 5, scale: int = SCALE,
-             damping: tuple[int, int] = (85, 100)):
+             damping: tuple[int, int] = (85, 100),
+             driver_budget: int = 2_000_000,
+             broadcast_budget: int = 20_000_000):
     """Exact-integer damped PageRank with dangling redistribution.
 
     ``edges`` is a distinct (src, dst) Dataset. Returns a Dataset of
@@ -139,42 +141,153 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
     ``V`` the node count — all int64, so results are layout-,
     schedule- and engine-invariant with NO float pinning. ``//`` is
     truncating division; every operand is non-negative, so this
-    equals floor division in Arrow, numpy and DuckDB alike."""
+    equals floor division in Arrow, numpy and DuckDB alike.
+
+    Three execution tiers, same integers (the budgeted-path pattern of
+    ``label_propagation`` / the broadcast joins; a pytest runs all
+    three over the same graph and asserts byte equality):
+
+    * ``|edges| ≤ driver_budget`` — one in-process numpy run (each
+      distributed round costs seconds of fixed orchestration, which
+      dwarfs a million-edge vectorized loop: the staged form measured
+      47 s where this path takes < 1 s at 200k edges);
+    * ``V ≤ broadcast_budget`` — the classic big-edges/small-ranks
+      plan: edges integer-coded ONCE against the broadcast sorted
+      node array, then per iteration one pure map over coded edges +
+      one (dst_idx → partial sum) groupby whose ≤ V-row result
+      updates the driver-held rank vector (re-broadcast via
+      ``ray.put``). No sort anywhere in the loop.
+    * else — fully distributed merge-join rounds: rank attach via
+      ``sorted_lookup_join``, contribution sums as per-batch partials
+      + Arrow-native groupby; per-iteration driver state is two
+      scalars. This is the 10⁹-node tier where neither the node list
+      nor the rank vector fits one machine."""
+    import numpy as np
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
     from zhtml_ray.stages.util import compact_blocks
 
     num, den = damping
+    base_add = (den - num) * scale
     empty = pa.table({"node": pa.array([], pa.string()),
                       "pagerank_scaled": pa.array([], pa.int64())})
 
     edges = compact_blocks(edges)
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(empty)
 
-    # ---- static structure: nodes, out-degrees ------------------------
-    def srcs(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["src"]}).group_by("node").aggregate([])
+    # ---- tier 1: in-process numpy under the driver budget -------------
+    if n_edges <= driver_budget:
+        tb = pa.concat_tables(list(edges.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        s = np.asarray(tb["src"].to_pylist(), object)
+        d = np.asarray(tb["dst"].to_pylist(), object)
+        uniq, inv = np.unique(np.concatenate([s, d]),
+                              return_inverse=True)
+        scode, dcode = inv[:len(s)], inv[len(s):]
+        v = len(uniq)
+        odeg = np.bincount(scode, minlength=v).astype(np.int64)
+        dang = odeg == 0
+        r = np.full(v, scale, np.int64)
+        for _ in range(iters):
+            dshare = int(r[dang].sum()) // v
+            insum = np.zeros(v, np.int64)
+            np.add.at(insum, dcode, r[scode] // odeg[scode])
+            r = (base_add + num * (insum + dshare)) // den
+        return rd.from_arrow(pa.table({
+            "node": pa.array(uniq.tolist(), pa.string()),
+            "pagerank_scaled": pa.array(r, pa.int64())}))
 
-    def dsts(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["dst"]}).group_by("node").aggregate([])
+    # ---- shared structure: distinct nodes, out-degrees ----------------
+    def col_nodes(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col]}).group_by("node") \
+                .aggregate([])
+        return f
 
-    from zhtml_ray.stages.sortagg import sorted_first_per_group
-    node_part = edges.map_batches(srcs, batch_format="pyarrow").union(
-        edges.map_batches(dsts, batch_format="pyarrow"))
-    nodes = sorted_first_per_group(node_part, ["node"])
+    nodes = sorted_first_per_group(
+        edges.map_batches(col_nodes("src"), batch_format="pyarrow")
+        .union(edges.map_batches(col_nodes("dst"),
+                                 batch_format="pyarrow")),
+        ["node"])
+    nodes = compact_blocks(nodes)
+    v_count = nodes.count()
 
     def deg_part(b: pa.Table) -> pa.Table:
         g = b.group_by("src").aggregate([("dst", "count")])
         return g.rename_columns(["node", "d"])
 
-    odeg = edges.map_batches(deg_part, batch_format="pyarrow") \
+    odeg_ds = edges.map_batches(deg_part, batch_format="pyarrow") \
         .groupby("node").aggregate(Sum("d", alias_name="odeg"))
 
-    # nodes ⟕ odeg: dangling nodes get odeg = 0
-    nd = sorted_lookup_join(nodes, odeg, "node", ["odeg"], how="left")
+    # ---- tier 2: broadcast ranks, coded edges, no sorts in the loop ---
+    if v_count <= broadcast_budget:
+        node_arr = np.asarray(
+            pa.concat_tables(list(nodes.iter_batches(
+                batch_size=None,
+                batch_format="pyarrow")))["node"].to_pylist(), object)
+        node_arr.sort()
+        odeg_vec = np.zeros(len(node_arr), np.int64)
+        ot = pa.concat_tables(list(odeg_ds.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        if ot.num_rows:
+            pos = np.searchsorted(node_arr,
+                                  np.asarray(ot["node"].to_pylist(),
+                                             object))
+            odeg_vec[pos] = ot["odeg"].to_numpy(zero_copy_only=False)
+        nref = ray.put(node_arr)
+
+        def code(b: pa.Table) -> pa.Table:
+            na = ray.get(nref)
+            si = np.searchsorted(na, np.asarray(b["src"].to_pylist(),
+                                                object))
+            di = np.searchsorted(na, np.asarray(b["dst"].to_pylist(),
+                                                object))
+            return pa.table({"si": pa.array(si, pa.int64()),
+                             "di": pa.array(di, pa.int64())})
+
+        coded = compact_blocks(edges.map_batches(
+            code, batch_format="pyarrow"))
+        oref = ray.put(odeg_vec)
+        dang = odeg_vec == 0
+        v = len(node_arr)
+        r = np.full(v, scale, np.int64)
+        for _ in range(iters):
+            dshare = int(r[dang].sum()) // v
+            rref = ray.put(r)
+
+            def part(b: pa.Table, rref=rref) -> pa.Table:
+                rr, ov = ray.get(rref), ray.get(oref)
+                si = b["si"].to_numpy(zero_copy_only=False)
+                di = b["di"].to_numpy(zero_copy_only=False)
+                contrib = rr[si] // ov[si]
+                u, inv2 = np.unique(di, return_inverse=True)
+                cs = np.zeros(len(u), np.int64)
+                np.add.at(cs, inv2, contrib)
+                return pa.table({"di": pa.array(u, pa.int64()),
+                                 "c": pa.array(cs, pa.int64())})
+
+            it = coded.map_batches(part, batch_format="pyarrow") \
+                .groupby("di").aggregate(Sum("c", alias_name="s"))
+            insum = np.zeros(v, np.int64)
+            st = pa.concat_tables(list(it.iter_batches(
+                batch_size=None, batch_format="pyarrow")))
+            if st.num_rows:
+                insum[st["di"].to_numpy(zero_copy_only=False)] = \
+                    st["s"].to_numpy(zero_copy_only=False)
+            r = (base_add + num * (insum + dshare)) // den
+        return rd.from_arrow(pa.table({
+            "node": pa.array(node_arr.tolist(), pa.string()),
+            "pagerank_scaled": pa.array(r, pa.int64())}))
+
+    # ---- tier 3: fully distributed merge-join rounds -------------------
+    nd = sorted_lookup_join(nodes, odeg_ds, "node", ["odeg"],
+                            how="left")
 
     def fill_deg(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -182,29 +295,23 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
             "odeg": pc.fill_null(pc.cast(b["odeg"], pa.int64()), 0)})
 
     nd = compact_blocks(nd.map_batches(fill_deg, batch_format="pyarrow"))
-    v_count = nd.count()
 
-    # attach outdeg to edges ONCE (it is static across iterations)
-    def edge_key(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["node", "dst"])
-
-    ekey = edges.map_batches(edge_key, batch_format="pyarrow")
-    edges_o = compact_blocks(
-        sorted_lookup_join(ekey, nd, "node", ["odeg"]))
-
-    # ---- iterations ---------------------------------------------------
     def init_rank(b: pa.Table) -> pa.Table:
+        import numpy as _np
         return b.append_column(
-            "r", pa.array([scale] * b.num_rows, pa.int64()))
+            "r", pa.array(_np.full(b.num_rows, scale, _np.int64)))
 
     rank = compact_blocks(nd.map_batches(init_rank,
                                          batch_format="pyarrow"))
 
-    base_add = (den - num) * scale
+    def edge_key(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["node", "dst"])
+
+    ekey = compact_blocks(edges.map_batches(edge_key,
+                                            batch_format="pyarrow"))
 
     for _ in range(iters):
-        # two driver scalars per round: dangling mass, via one tiny
-        # per-batch partial + Dataset.aggregate
+        # two driver scalars per round: dangling mass + node count
         def dang_part(b: pa.Table) -> pa.Table:
             m = pc.equal(b["odeg"], 0)
             s = pc.sum(b.filter(m)["r"]).as_py() or 0
@@ -214,7 +321,9 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
             .aggregate(Sum("dm", alias_name="dm"))
         dshare = (got["dm"] or 0) // v_count
 
-        joined = sorted_lookup_join(edges_o, rank, "node", ["r"])
+        # ONE merge join per round fetches both the static out-degree
+        # and the round's rank from the same lookup table
+        joined = sorted_lookup_join(ekey, rank, "node", ["odeg", "r"])
 
         def contrib(b: pa.Table) -> pa.Table:
             c = pc.divide(b["r"], b["odeg"])  # trunc = floor (r ≥ 0)

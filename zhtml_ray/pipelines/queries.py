@@ -1046,7 +1046,10 @@ def q_link_pagerank(sf_dir: str):
     ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
     ensure_golden("links", sf_dir)  # the oracle reads the links golden
     links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
-    return pagerank(link_edges(links))
+    # driver_budget below the sf0.01 edge count so the driver gate
+    # exercises the broadcast-rank tier, not just the in-process one
+    # (the merge-join tier is certified by the tier-differential pytest)
+    return pagerank(link_edges(links), driver_budget=50_000)
 
 
 def _sql_link_pagerank() -> str:
