@@ -541,6 +541,39 @@ def test_sorted_first_per_group_matches_pandas(ray_session, nblocks):
     pd.testing.assert_frame_equal(got, want)
 
 
+@pytest.mark.parametrize("nblocks", [1, 7, 40])
+def test_sorted_sum_per_group_matches_pandas(ray_session, nblocks):
+    """sorted_sum_per_group vs pandas groupby.sum across block layouts
+    that force boundary runs (hot groups spanning several blocks,
+    string + null group keys, two sum columns)."""
+    import pandas as pd
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+
+    rng = np.random.RandomState(100 + nblocks)
+    n = 5000
+    g = rng.randint(0, 300, n)
+    g2 = np.array([f"s{v % 5}" if v % 13 else None for v in g],
+                  dtype=object)
+    a = rng.randint(-50, 50, n)
+    b_ = rng.randint(0, 9, n)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "g2": pa.array(g2, pa.string()),
+                  "a": pa.array(a, pa.int64()),
+                  "b": pa.array(b_, pa.int64())})
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = (sorted_sum_per_group(ds, ["g", "g2"], ["a", "b"])
+           .to_pandas().sort_values(["g", "g2"], na_position="last")
+           .reset_index(drop=True))
+    want = (t.to_pandas()
+            .groupby(["g", "g2"], dropna=False, as_index=False)
+            [["a", "b"]].sum()
+            .sort_values(["g", "g2"], na_position="last")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["g", "g2", "a", "b"]],
+                                  want[["g", "g2", "a", "b"]])
+
+
 @pytest.mark.parametrize("how,nblocks", [("inner", 1), ("inner", 7),
                                          ("left", 7), ("left", 40)])
 def test_sorted_lookup_join_matches_pandas(ray_session, how, nblocks):

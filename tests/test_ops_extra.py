@@ -42,3 +42,17 @@ def test_tfidf_rankings(ray_session):
     # a term present in EVERY doc scores tf * N // N = tf; rare terms
     # outrank it at equal tf
     assert (got["score"] >= got["tf"]).all()
+
+
+def test_tfidf_plans_identical(ray_session):
+    """The broadcast-df map-side plan and the open-vocabulary shuffle
+    plan emit the same integers over the same corpus (vocab_budget=0
+    forces the fallback)."""
+    from zhtml_ray.pipelines.ops_queries import q_tfidf_top_terms
+    cols = ["doc_id", "term", "tf", "df", "score"]
+    fast = q_tfidf_top_terms(SF, k=4).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    slow = q_tfidf_top_terms(SF, k=4, vocab_budget=0).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    assert fast[cols].equals(slow[cols])
+    assert len(fast) > 0

@@ -168,7 +168,8 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
     from ray.data.aggregate import Sum
 
     from zhtml_ray.stages.sortagg import (sorted_first_per_group,
-                                          sorted_lookup_join)
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
     from zhtml_ray.stages.util import compact_blocks
 
     num, den = damping
@@ -222,8 +223,14 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
         g = b.group_by("src").aggregate([("dst", "count")])
         return g.rename_columns(["node", "d"])
 
-    odeg_ds = edges.map_batches(deg_part, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("d", alias_name="odeg"))
+    def _rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["node", "odeg"])
+
+    # sorted_sum, not groupby().aggregate(): Ray's Aggregate measured
+    # ~8× slower on high-cardinality keys (BENCH/BASELINE.md)
+    odeg_ds = sorted_sum_per_group(
+        edges.map_batches(deg_part, batch_format="pyarrow"),
+        ["node"], ["d"]).map_batches(_rn, batch_format="pyarrow")
 
     # ---- tier 2: broadcast ranks, coded edges, no sorts in the loop ---
     if v_count <= broadcast_budget:
@@ -272,14 +279,15 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
                 return pa.table({"di": pa.array(u, pa.int64()),
                                  "c": pa.array(cs, pa.int64())})
 
-            it = coded.map_batches(part, batch_format="pyarrow") \
-                .groupby("di").aggregate(Sum("c", alias_name="s"))
+            it = sorted_sum_per_group(
+                coded.map_batches(part, batch_format="pyarrow"),
+                ["di"], ["c"])
             insum = np.zeros(v, np.int64)
             st = pa.concat_tables(list(it.iter_batches(
                 batch_size=None, batch_format="pyarrow")))
             if st.num_rows:
                 insum[st["di"].to_numpy(zero_copy_only=False)] = \
-                    st["s"].to_numpy(zero_copy_only=False)
+                    st["c"].to_numpy(zero_copy_only=False)
             r = (base_add + num * (insum + dshare)) // den
         return rd.from_arrow(pa.table({
             "node": pa.array(node_arr.tolist(), pa.string()),
@@ -331,8 +339,11 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
             g = t.group_by("node").aggregate([("c", "sum")])
             return g.rename_columns(["node", "c"])
 
-        insum = joined.map_batches(contrib, batch_format="pyarrow") \
-            .groupby("node").aggregate(Sum("c", alias_name="s"))
+        insum = sorted_sum_per_group(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], ["c"]).map_batches(
+                lambda b: b.rename_columns(["node", "s"]),
+                batch_format="pyarrow")
         nxt = sorted_lookup_join(nd, insum, "node", ["s"], how="left")
 
         def step(b: pa.Table) -> pa.Table:
@@ -359,62 +370,85 @@ def degree_histogram(edges):
     """Degree-distribution histogram of a distinct (src, dst) edge
     Dataset: (direction 'out'|'in', degree, n_nodes), zero-degree
     nodes included (a node with no out-links still counts in the
-    out-degree-0 bucket). Per-batch degree partials → node-bounded
-    groupby → left merge join onto the node set → per-batch histogram
-    partials → ≤ #distinct-degrees groupby. Raw edges shuffle once
-    (the distinct is assumed done by the caller)."""
+    out-degree-0 bucket).
+
+    The zero bucket never joins: a node has out-degree 0 exactly when
+    it is absent from the out-degree table, so its count is the SCALAR
+    ``V − |deg table|`` — two driver integers replace the two
+    node-set ``sorted_lookup_join``s of the first version (measured
+    31.9 s → the joins were 2 of the 5 exchanges at 2M edges). What
+    remains: per-batch degree partials → node-bounded groupby per
+    direction, one tiny sort over the ≤ 2V degree-table keys for the
+    node count, and ≤ #distinct-degrees histogram groupbys."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from zhtml_ray.stages.sortagg import (sorted_first_per_group,
-                                          sorted_lookup_join)
+                                          sorted_sum_per_group)
     from zhtml_ray.stages.util import compact_blocks
 
     empty = pa.table({"direction": pa.array([], pa.string()),
                       "degree": pa.array([], pa.int64()),
                       "n_nodes": pa.array([], pa.int64())})
-    edges = compact_blocks(edges)
-    if edges.count() == 0:
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        """Both directions' degree partials from ONE pass over the
+        edges — the edge read happens exactly once."""
+        outs = []
+        for direction, col in (("out", "src"), ("in", "dst")):
+            g = b.group_by(col).aggregate([(col, "count")]) \
+                .rename_columns(["node", "deg"])
+            outs.append(g.append_column(
+                "direction",
+                pa.array([direction] * g.num_rows, pa.string())))
+        return pa.concat_tables(outs)
+
+    # sorted_sum, not groupby().aggregate(): Ray's Aggregate measured
+    # 14.8 s vs 1.8 s for the range-sort form on this exact shape
+    # (1.75M partial rows, 200k string keys — BENCH/BASELINE.md)
+    deg = sorted_sum_per_group(
+        compact_blocks(edges).map_batches(deg_part,
+                                          batch_format="pyarrow"),
+        ["direction", "node"], ["deg"]).materialize()
+    if deg.count() == 0:
         return rd.from_arrow(empty)
 
-    def col_nodes(col):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({"node": b[col]}).group_by("node") \
-                .aggregate([])
-        return f
+    # V = |distinct node over the deg table| — it already holds every
+    # node that appears in any edge, so the distinct runs over ≤ 2V
+    # rows, never over per-batch edge partials
+    v_count = sorted_first_per_group(
+        deg.select_columns(["node"]), ["node"]).count()
 
-    nodes = sorted_first_per_group(
-        edges.map_batches(col_nodes("src"), batch_format="pyarrow")
-        .union(edges.map_batches(col_nodes("dst"),
-                                 batch_format="pyarrow")),
-        ["node"])
-    nodes = compact_blocks(nodes)
+    def hist_part(b: pa.Table) -> pa.Table:
+        g = pa.table({"direction": b["direction"],
+                      "degree": pc.cast(b["deg"], pa.int64())}) \
+            .group_by(["direction", "degree"]) \
+            .aggregate([("degree", "count")])
+        return g.rename_columns(["direction", "degree", "c"])
 
-    out = None
-    for direction, col in (("out", "src"), ("in", "dst")):
-        def deg_part(b: pa.Table, col=col) -> pa.Table:
-            g = b.group_by(col).aggregate([(col, "count")])
-            return g.rename_columns(["node", "d"])
+    h = deg.map_batches(hist_part, batch_format="pyarrow") \
+        .groupby(["direction", "degree"]) \
+        .aggregate(Sum("c", alias_name="n_nodes")).materialize()
 
-        deg = edges.map_batches(deg_part, batch_format="pyarrow") \
-            .groupby("node").aggregate(Sum("d", alias_name="deg"))
-        nd = sorted_lookup_join(nodes, deg, "node", ["deg"],
-                                how="left")
-
-        def hist_part(b: pa.Table, direction=direction) -> pa.Table:
-            d = pc.fill_null(pc.cast(b["deg"], pa.int64()), 0)
-            g = pa.table({"degree": d}).group_by("degree") \
-                .aggregate([("degree", "count")]) \
-                .rename_columns(["degree", "c"])
-            return g.append_column(
-                "direction",
-                pa.array([direction] * g.num_rows, pa.string()))
-
-        h = nd.map_batches(hist_part, batch_format="pyarrow") \
-            .groupby(["direction", "degree"]) \
-            .aggregate(Sum("c", alias_name="n_nodes"))
-        out = h if out is None else out.union(h)
-    return out
+    # zero-degree buckets never join: a node has degree 0 in a
+    # direction exactly when it is absent from that direction's rows,
+    # so the count is the scalar V − Σ(that direction's histogram)
+    nnz = {"out": 0, "in": 0}
+    for b in h.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = pa.table({"direction": b["direction"], "n": b["n_nodes"]}) \
+            .group_by("direction").aggregate([("n", "sum")])
+        for d, n in zip(t["direction"].to_pylist(),
+                        t["n_sum"].to_pylist()):
+            nnz[d] += n
+    zeros = [(d, 0, v_count - n) for d, n in nnz.items()
+             if v_count - n > 0]
+    if zeros:
+        zt = pa.table({
+            "direction": pa.array([z[0] for z in zeros], pa.string()),
+            "degree": pa.array([z[1] for z in zeros], pa.int64()),
+            "n_nodes": pa.array([z[2] for z in zeros], pa.int64())})
+        h = h.union(rd.from_arrow(zt))
+    return h
 
 
 def sql_degree_histogram(links_sql: str) -> str:

@@ -1728,55 +1728,129 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
 """
 
 
-def q_tfidf_top_terms(sf_dir: str, k: int = 5):
+def q_tfidf_top_terms(sf_dir: str, k: int = 5,
+                      vocab_budget: int = 5_000_000):
     """Integer tf-idf top terms per document (X85): keyword extraction
     with the idf expressed as the EXACT integer ``tf * N // df`` —
     monotone in tf·(N/df), so rankings match a float tf-idf while
     staying bit-identical across engines (no log, no float pin).
-    Plan: per-batch term explode → exact per-doc tf (docs are whole
-    rows, so tf needs no combine) → vocabulary-bounded df groupby →
-    merge-join df back on term → sorted head-k per doc. Raw text never
-    shuffles; the wide exchanges carry (doc,term,tf) and (term,df)."""
+
+    tf is per-document and every document is whole inside one batch,
+    so once df is known the score AND the per-doc top-k are pure
+    map-side work. Two plans on that observation:
+
+    * vocabulary ≤ ``vocab_budget`` — df (one vocabulary-bounded
+      groupby over per-batch distinct-term partials) broadcasts once
+      via ``ray.put`` as a sorted term array + df vector; a second
+      tokenise pass computes tf, binary-searches df, and takes each
+      doc's top-k inside the batch. ZERO wide exchanges of the
+      (doc, term, tf) table — the first version merge-joined df onto
+      it and then range-sorted it again for head-k, two all-to-all
+      sorts of the widest table in the query (193 s at 500k docs; the
+      re-tokenise costs ~a tenth of that).
+    * else (open-vocabulary web text blows any budget: urls, typos) —
+      the shuffle plan: explode → merge-join df on term → sorted
+      head-k per doc. Correct at any vocabulary, two wide sorts.
+
+    Both plans emit identical integers; the differential pytest runs
+    them over the same corpus."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    import ray
 
     from zhtml_ray.functions.textstats import PY_WS_RE2_IN
-    from zhtml_ray.stages.sortagg import (sorted_head_n_per_group,
-                                          sorted_lookup_join)
     from zhtml_ray.stages.util import compact_blocks
-
-    import numpy as np
 
     ws_pat = "[" + PY_WS_RE2_IN + "]+"
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()
 
-    def tf_partial(b: pa.Table) -> pa.Table:
+    def _explode(b: pa.Table):
+        """(parent row index, term) pairs, empties dropped."""
         la = pc.split_pattern_regex(b["text"],
                                     pattern=ws_pat).combine_chunks()
         lens = pc.fill_null(pc.list_value_length(la), 0) \
             .to_numpy(zero_copy_only=False)
-        parent = np.repeat(np.arange(len(lens)), lens)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         flat = la.flatten()
-        t = pa.table({
-            "doc_id": b["doc_id"].combine_chunks().take(
-                pa.array(parent, pa.int64())),
-            "term": flat,
-        }).filter(pc.not_equal(flat, ""))
-        g = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
-        return g.rename_columns(["doc_id", "term", "tf"])
+        t = pa.table({"p": pa.array(parent, pa.int64()),
+                      "term": flat}).filter(pc.not_equal(flat, ""))
+        return t
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        t = _explode(b)
+        # distinct (doc, term) then count per term — all within batch
+        dt = t.group_by(["p", "term"]).aggregate([])
+        g = dt.group_by("term").aggregate([("p", "count")])
+        return g.rename_columns(["term", "df"])
+
+    # sorted_sum, not groupby().aggregate(): Ray's Aggregate measured
+    # ~8× slower on high-cardinality keys (BENCH/BASELINE.md)
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    df = sorted_sum_per_group(
+        compact_blocks(ds.map_batches(df_partial,
+                                      batch_format="pyarrow")),
+        ["term"], ["df"]).materialize()
+    vocab = df.count()
+
+    if vocab <= vocab_budget:
+        dt = pa.concat_tables(list(df.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        varr = np.asarray(dt["term"].to_pylist(), object)
+        order = np.argsort(varr)
+        varr = varr[order]
+        dfv = dt["df"].to_numpy(zero_copy_only=False)[order]
+        df_ref = ray.put((varr, dfv))
+
+        def score_topk(b: pa.Table) -> pa.Table:
+            va, dv = ray.get(df_ref)
+            t = _explode(b)
+            g = t.group_by(["p", "term"]).aggregate([("term", "count")])
+            terms = np.asarray(g["term"].to_pylist(), object)
+            tf = g["term_count"].to_numpy(zero_copy_only=False)
+            dfn = dv[np.searchsorted(va, terms)]
+            score = tf.astype(np.int64) * n_docs // dfn
+            st = pa.table({
+                "p": g["p"], "term": g["term"],
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(dfn, pa.int64()),
+                "score": pa.array(score, pa.int64())})
+            idx = pc.sort_indices(st, sort_keys=[
+                ("p", "ascending"), ("score", "descending"),
+                ("term", "ascending")])
+            st = st.take(idx)
+            ps = st["p"].to_numpy(zero_copy_only=False)
+            if len(ps) == 0:
+                first = np.zeros(0, bool)
+            else:
+                first = np.empty(len(ps), bool)
+                first[0] = True
+                first[1:] = ps[1:] != ps[:-1]
+            run_start = np.flatnonzero(first)
+            rank = np.arange(len(ps)) - \
+                run_start[np.cumsum(first) - 1]
+            st = st.filter(pa.array(rank < k))
+            doc = b["doc_id"].combine_chunks().take(st["p"])
+            return pa.table({"doc_id": doc, "term": st["term"],
+                             "tf": st["tf"], "df": st["df"],
+                             "score": st["score"]})
+
+        return ds.map_batches(score_topk, batch_format="pyarrow")
+
+    # open-vocabulary fallback: shuffle plan (two wide sorts)
+    from zhtml_ray.stages.sortagg import (sorted_head_n_per_group,
+                                          sorted_lookup_join)
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        t = _explode(b)
+        g = t.group_by(["p", "term"]).aggregate([("term", "count")])
+        doc = b["doc_id"].combine_chunks().take(g["p"])
+        return pa.table({"doc_id": doc, "term": g["term"],
+                         "tf": pc.cast(g["term_count"], pa.int64())})
 
     tfds = compact_blocks(
         ds.map_batches(tf_partial, batch_format="pyarrow"))
-
-    def df_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("term").aggregate([("doc_id", "count")])
-        return g.rename_columns(["term", "d"])
-
-    df = tfds.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("d", alias_name="df"))
-
     joined = sorted_lookup_join(tfds, df, "term", ["df"])
 
     def score(b: pa.Table) -> pa.Table:

@@ -157,6 +157,80 @@ def sorted_head_n_per_group(ds, group_cols, tie_cols, n):
     return interior.union(boundary)
 
 
+def sorted_sum_per_group(ds, group_cols, sum_cols):
+    """``groupby(group_cols).sum(sum_cols)`` as ONE range-shuffle sort
+    + block-local ``np.add.reduceat`` run sums. Measured on this Ray
+    version: ``groupby().aggregate(Sum)`` costs ~10.5 s over 1.75M
+    rows / 200k groups regardless of key type, while the same data
+    range-sorts in 0.4–0.7 s and segment sums are C-speed — ~15–25×.
+
+    A hot group never converges on one worker: each block contributes
+    at most TWO boundary rows (the PARTIAL SUMS of its first and last
+    runs), and the boundary combine runs over ≤ 2×blocks rows in one
+    task. Sum columns must be non-null (partial tables always are);
+    int64 sums are exact and layout-invariant, float sums follow the
+    caller's pin rules exactly as with Ray's Aggregate. Output
+    columns: group_cols + sum_cols (same names, summed)."""
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    srt = ds.sort(group_cols).materialize()
+    if srt.count() == 0:
+        return srt
+    schema = srt.schema().base_schema
+    empty = pa.table({c: pa.array([], schema.field(c).type)
+                      for c in group_cols + sum_cols})
+
+    def block_runsums(b: pa.Table):
+        starts = _run_starts(b, group_cols)
+        keys = {c: b[c].combine_chunks().take(
+            pa.array(starts, pa.int64())) for c in group_cols}
+        sums = {c: np.add.reduceat(
+            b[c].combine_chunks().to_numpy(zero_copy_only=False),
+            starts) for c in sum_cols}
+        return starts, keys, sums
+
+    def pick(keys, sums, sel) -> pa.Table:
+        return pa.table({**{c: keys[c].take(pa.array(sel, pa.int64()))
+                            for c in group_cols},
+                         **{c: pa.array(sums[c][sel])
+                            for c in sum_cols}})
+
+    def interior(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        starts, keys, sums = block_runsums(b)
+        if len(starts) <= 2:
+            return empty
+        return pick(keys, sums, np.arange(1, len(starts) - 1))
+
+    def edge_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        starts, keys, sums = block_runsums(b)
+        sel = np.unique([0, len(starts) - 1])
+        return pick(keys, sums, sel)
+
+    interior_ds = srt.map_batches(interior, batch_size=None,
+                                  batch_format="pyarrow")
+    edges = drop_empty_blocks(
+        srt.map_batches(edge_partials, batch_size=None,
+                        batch_format="pyarrow"))
+    if edges.count() == 0:
+        return interior_ds
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(group_cols).aggregate(
+            [(c, "sum") for c in sum_cols])
+        return g.rename_columns(group_cols + sum_cols)
+
+    # ≤ 2×blocks partial rows: one task combines them all
+    boundary = edges.repartition(1).map_batches(
+        combine, batch_size=None, batch_format="pyarrow")
+    return interior_ds.union(boundary)
+
+
 def sorted_bucket_apply(ds, bucket_col, sort_keys, interior_fn, edge_fn,
                         empty_result: pa.Table):
     """The sort-based per-bucket pattern, shared by the LSH pair
