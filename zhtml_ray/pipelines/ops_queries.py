@@ -1949,9 +1949,9 @@ def q_user_mode(sf_dir: str):
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_sum_per_group)
     from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -1960,12 +1960,14 @@ def q_user_mode(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["user_id", "event_type"]).aggregate(
             [("event_type", "count")])
-        return g.rename_columns(["user_id", "event_type", "part_n"])
+        return g.rename_columns(["user_id", "event_type", "cnt"])
 
-    counts = drop_empty_blocks(
-        ds.map_batches(partial, batch_format="pyarrow")) \
-        .groupby(["user_id", "event_type"]) \
-        .aggregate(Sum("part_n", alias_name="cnt"))
+    # sorted_sum, not groupby().aggregate(): ~8× cheaper on
+    # high-cardinality keys (BENCH/BASELINE.md sorted_sum section)
+    counts = sorted_sum_per_group(
+        drop_empty_blocks(
+            ds.map_batches(partial, batch_format="pyarrow")),
+        ["user_id", "event_type"], ["cnt"])
 
     def neg(b: pa.Table) -> pa.Table:
         c = b["cnt"].to_numpy(zero_copy_only=False)
@@ -3277,14 +3279,14 @@ def q_events_retention(sf_dir: str):
     their FIRST active week (cohort), counted in every later week they
     return, keyed (cohort_week, week_offset). Plan: per-batch distinct
     (user, week) partials → one grouped-first shuffle → Arrow-native
-    Min(week) per user → merge-join the cohort back on → per-batch
+    grouped-first min week per user → merge-join the cohort back on → per-batch
     (cohort, offset) count partials → tiny groupby. Raw events never
     shuffle; the widest exchange carries at most |users|×|weeks| rows,
     pre-combined per block."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     from zhtml_ray.stages.sortagg import (sorted_first_per_group,
                                           sorted_lookup_join)
@@ -3304,8 +3306,12 @@ def q_events_retention(sf_dir: str):
     uw = compact_blocks(sorted_first_per_group(
         ds.map_batches(uw_partial, batch_format="pyarrow"),
         ["user_id", "week"]))
-    cohort = uw.groupby("user_id").aggregate(
-        Min("week", alias_name="cohort_week"))
+    # min-by as grouped-first (sort form — Ray's Aggregate measured
+    # ~8× slower on high-cardinality keys, BENCH/BASELINE.md)
+    cohort = sorted_first_per_group(uw, ["user_id"],
+                                    tie_cols=("week",)) \
+        .map_batches(lambda b: b.rename_columns(
+            ["user_id", "cohort_week"]), batch_format="pyarrow")
     joined = sorted_lookup_join(uw, cohort, "user_id", ["cohort_week"])
 
     def off_partial(b: pa.Table) -> pa.Table:
@@ -3749,7 +3755,6 @@ def q_top_words(sf_dir: str, k: int = 100):
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from zhtml_ray.functions.textstats import PY_WS_RE2_IN
 
@@ -3762,10 +3767,14 @@ def q_top_words(sf_dir: str, k: int = 100):
         flat = la.flatten()  # null lists contribute nothing
         t = pa.table({"word": flat}).filter(pc.not_equal(flat, ""))
         g = t.group_by("word").aggregate([("word", "count")])
-        return g.rename_columns(["word", "c"])
+        return g.rename_columns(["word", "cnt"])
 
-    cnt = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("c", alias_name="cnt"))
+    # sorted_sum, not groupby().aggregate(): ~8× cheaper on
+    # high-cardinality keys (BENCH/BASELINE.md sorted_sum section)
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    cnt = sorted_sum_per_group(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], ["cnt"])
 
     def neg(b: pa.Table) -> pa.Table:
         return b.append_column("neg", pc.negate_checked(b["cnt"]))

@@ -505,11 +505,15 @@ def q13_order_counts(sf_dir: str, excl: str = "1-URGENT"):
         t = b.filter(pc.not_equal(b["o_orderpriority"], excl))
         g = pa.table({"c_custkey": t["o_custkey"]}) \
             .group_by("c_custkey").aggregate([("c_custkey", "count")])
-        return g.rename_columns(["c_custkey", "part_n"])
+        return g.rename_columns(["c_custkey", "n_ord"])
 
-    counts = drop_empty_blocks(
-        orders.map_batches(count_partial, batch_format="pyarrow")) \
-        .groupby("c_custkey").aggregate(Sum("part_n", alias_name="n_ord"))
+    # sorted_sum, not groupby().aggregate(): ~8× cheaper on
+    # high-cardinality keys (BENCH/BASELINE.md sorted_sum section)
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    counts = sorted_sum_per_group(
+        drop_empty_blocks(
+            orders.map_batches(count_partial, batch_format="pyarrow")),
+        ["c_custkey"], ["n_ord"])
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
@@ -1136,14 +1140,13 @@ def q_anchor_terms(sf_dir: str, k: int = 3):
     the classic web-search signal where OTHER pages' link text
     describes the target. Per-batch: vectorized href resolution +
     ListArray term explode + (dst, term) count pre-combine; then one
-    Arrow-native groupby Sum and one sorted-head-k pass. Raw anchor
+    sorted run-sum pass and one sorted-head-k pass. Raw anchor
     text never reaches a shuffle — only (dst, term, partial_count)
     rows."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from zhtml_ray.functions.graph import resolve_dst
     from zhtml_ray.functions.textstats import PY_WS_RE2_IN
@@ -1175,10 +1178,14 @@ def q_anchor_terms(sf_dir: str, k: int = 3):
             "term": flat,
         }).filter(pc.not_equal(flat, ""))
         g = tt.group_by(["dst", "term"]).aggregate([("dst", "count")])
-        return g.rename_columns(["dst", "term", "c"])
+        return g.rename_columns(["dst", "term", "cnt"])
 
-    cnt = links.map_batches(term_partials, batch_format="pyarrow") \
-        .groupby(["dst", "term"]).aggregate(Sum("c", alias_name="cnt"))
+    # sorted_sum, not groupby().aggregate(): ~8× cheaper on
+    # high-cardinality keys (BENCH/BASELINE.md sorted_sum section)
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    cnt = sorted_sum_per_group(
+        links.map_batches(term_partials, batch_format="pyarrow"),
+        ["dst", "term"], ["cnt"])
 
     def neg(b: pa.Table) -> pa.Table:
         return b.append_column("neg", pc.negate_checked(b["cnt"]))
