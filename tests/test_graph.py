@@ -165,3 +165,47 @@ def test_pagerank_sums_to_links_fixture(ray_session, tmp_path):
     # pages have no in-links beyond the dangling share; targets do
     assert max(by_node[p] for p in pages) < min(by_node[t]
                                                 for t in targets)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (5, 6, 30), (6, 25, 140), (7, 120, 700), (8, 40, 0)])
+def test_triangle_stats_differential(ray_session, seed, n_nodes,
+                                     n_edges):
+    """Degree-oriented distributed triangle census vs a serial
+    adjacency-set intersection over the same undirected edge set,
+    on a hostile many-tiny-block layout."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import triangle_stats
+    rng = np.random.default_rng(seed)
+    edges = _rand_edges(rng, n_nodes, n_edges)
+    und = {(min(s, d), max(s, d)) for s, d in edges}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want_tri = sum(len(adj[a] & adj[b]) for a, b in und) // 3
+    want_wedge = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    t = pa.table({"src": pa.array([s for s, _ in edges], pa.string()),
+                  "dst": pa.array([d for _, d in edges], pa.string())})
+    got = triangle_stats(
+        rd.from_arrow(t).repartition(11)).take_all()[0]
+    assert (got["n_triangles"], got["n_wedges"]) == (want_tri,
+                                                     want_wedge)
+
+
+def test_triangle_stats_hot_hub(ray_session):
+    """A star hub (one node linked to everything) plus a ring: the
+    orientation must keep the hub's oriented out-degree tiny — and the
+    counts exact. Star+ring triangles = ring edges (hub,i,i+1)."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import triangle_stats
+    n = 200
+    edges = [("hub", f"n{i}") for i in range(n)]
+    edges += [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+    t = pa.table({"src": [s for s, _ in edges],
+                  "dst": [d for _, d in edges]})
+    got = triangle_stats(
+        rd.from_arrow(t).repartition(7)).take_all()[0]
+    # wedges: hub C(200,2) + each ring node C(3,2)=3
+    assert got["n_triangles"] == n
+    assert got["n_wedges"] == n * (n - 1) // 2 + 3 * n

@@ -503,3 +503,192 @@ r{k} AS (
              GROUP BY e.dst) i USING (node))""")
     parts.append(f"\nSELECT node, r AS pagerank_scaled FROM r{iters}")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------- triangles
+
+_WSEP = "\x1f"  # unit separator — cannot appear in a resolved http(s) url
+
+
+def triangle_stats(edges):
+    """Exact triangle and wedge counts of the UNDIRECTED graph beneath
+    a distinct directed (src, dst) edge Dataset — the global clustering
+    ingredients (transitivity = 3·triangles / wedges; link-farm and
+    mutual-citation cliques show up as a triangle excess long before
+    they dominate PageRank). Returns a one-row Dataset
+    ``(n_triangles:int64, n_wedges:int64)``; both are exact integers,
+    so the result is layout/schedule-invariant with no float pin.
+
+    Plan (compact-forward / degree orientation — the classic bound
+    that keeps a power-law graph tractable):
+
+    * canonicalize to distinct undirected edges ``(a < b)`` —
+      per-batch ``min/max_element_wise`` partials, one grouped-first;
+    * undirected degree per node via :func:`sorted_sum_per_group`;
+    * orient every edge from the (deg, node)-smaller endpoint to the
+      larger: every node's oriented out-degree is O(√m), so the wedge
+      candidate volume is Σ d_out² = O(m^1.5) worst case instead of
+      Σ d² (a 10⁶-degree hub contributes ~10³ oriented neighbors,
+      not 10¹² pairs);
+    * per-source wedge pairs in ONE :func:`sorted_bucket_apply` pass —
+      pair indices are built by pure integer ``repeat``/``cumsum``
+      vectors (no per-run Python), each pair re-oriented by
+      (deg, node) so its key equals the oriented edge key;
+    * triangle = wedge key present in the oriented edge set: one
+      :func:`sorted_lookup_join` semi-join, count matched rows.
+
+    Wedges (paths of length 2) are Σ d·(d−1)/2 over undirected
+    degrees — a per-block partial sum over the degree table, two
+    scalars on the driver. int64-safe to d ≈ 4.3·10⁹.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_first_per_group,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks
+
+    out_schema = pa.table({"n_triangles": pa.array([0], pa.int64()),
+                           "n_wedges": pa.array([0], pa.int64())})
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(b["src"], b["dst"])
+        bb = pc.max_element_wise(b["src"], b["dst"])
+        t = pa.table({"a": a, "b": bb}).filter(pc.not_equal(a, bb))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = compact_blocks(sorted_first_per_group(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]))
+    if und.count() == 0:
+        return rd.from_arrow(out_schema)
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array([b["a"].combine_chunks(),
+                                  b["b"].combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node") \
+            .aggregate([("node", "count")])
+        return g.rename_columns(["node", "deg"])
+
+    deg = compact_blocks(sorted_sum_per_group(
+        und.map_batches(deg_part, batch_format="pyarrow"),
+        ["node"], ["deg"]))
+
+    # n_wedges = Σ d·(d−1)/2 — per-block int partials, driver sums
+    def wedge_part(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    n_wedges = int(deg.map_batches(
+        wedge_part, batch_size=None, batch_format="pyarrow").sum("w")
+        or 0)
+
+    def rn(names):
+        return lambda b: b.rename_columns(names)
+
+    dega = deg.map_batches(rn(["a", "deg_a"]), batch_format="pyarrow")
+    degb = deg.map_batches(rn(["b", "deg_b"]), batch_format="pyarrow")
+    e1 = compact_blocks(sorted_lookup_join(und, dega, "a", ["deg_a"]))
+    e2 = compact_blocks(sorted_lookup_join(e1, degb, "b", ["deg_b"]))
+
+    def orient(b: pa.Table) -> pa.Table:
+        """(a, b, deg_a, deg_b) → (u, v, dv): u precedes v in the
+        (deg, node) total order. a < b lexically, so a deg tie keeps
+        (a → b) — exactly 'node breaks degree ties'."""
+        da = b["deg_a"].to_numpy(zero_copy_only=False)
+        db = b["deg_b"].to_numpy(zero_copy_only=False)
+        swap = pa.array(db < da)
+        u = pc.if_else(swap, b["b"], b["a"])
+        v = pc.if_else(swap, b["a"], b["b"])
+        dv = pc.if_else(swap, b["deg_a"], b["deg_b"])
+        return pa.table({"u": u, "v": v, "dv": dv})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(b["u"], b["v"], _WSEP)
+        return pa.table({"wkey": k,
+                         "one": pa.nulls(b.num_rows, pa.int8())})
+
+    okeys = compact_blocks(oriented.map_batches(edge_keys,
+                                                batch_format="pyarrow"))
+
+    def _pairs(v: pa.Array, dv: np.ndarray, starts: np.ndarray,
+               run_mask: np.ndarray, n: int) -> pa.Table:
+        """All (i < j) index pairs within masked runs, pure integer
+        vectors: a row at within-run position k is the SECOND element
+        of k pairs whose firsts are the k rows before it."""
+        run_of = np.repeat(np.arange(len(starts)),
+                           np.diff(np.r_[starts, n]))
+        wpos = np.arange(n) - starts[run_of]
+        rep = np.where(run_mask[run_of], wpos, 0)
+        tot = int(rep.sum())
+        if tot == 0:
+            return pa.table({"wkey": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int8())})
+        j_idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+        t = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(rep)[:-1]], rep)
+        i_idx = j_idx - np.repeat(rep, rep) + t
+        vi = v.take(pa.array(i_idx))
+        vj = v.take(pa.array(j_idx))
+        swap = pa.array(dv[j_idx] < dv[i_idx])
+        # deg tie → lexical node order (vi, vj sorted by v inside the
+        # run, so i < j already means vi < vj on ties)
+        lo = pc.if_else(swap, vj, vi)
+        hi = pc.if_else(swap, vi, vj)
+        return pa.table({"wkey": pc.binary_join_element_wise(
+            lo, hi, _WSEP), "one": pa.nulls(tot, pa.int8())})
+
+    empty_pairs = pa.table({"wkey": pa.array([], pa.string()),
+                            "one": pa.array([], pa.int8())})
+
+    def interior_fn(b: pa.Table, starts, ends, mask) -> pa.Table:
+        return _pairs(b["v"].combine_chunks(),
+                      b["dv"].combine_chunks().to_numpy(
+                          zero_copy_only=False),
+                      starts, mask, b.num_rows)
+
+    def edge_fn(g: pa.Table) -> pa.Table:
+        g = g.sort_by("v")
+        return _pairs(g["v"].combine_chunks(),
+                      g["dv"].combine_chunks().to_numpy(
+                          zero_copy_only=False),
+                      np.array([0], np.int64),
+                      np.array([True]), g.num_rows)
+
+    wedge_keys = compact_blocks(sorted_bucket_apply(
+        oriented, "u", ["u", "v"], interior_fn, edge_fn, empty_pairs))
+
+    if wedge_keys.count() == 0:
+        n_tri = 0
+    else:
+        n_tri = sorted_lookup_join(
+            wedge_keys.select_columns(["wkey"]), okeys, "wkey",
+            ["one"], how="inner").count()
+
+    return rd.from_arrow(pa.table({
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64())}))
+
+
+def sql_triangle_stats(links_sql: str) -> str:
+    """DuckDB oracle for :func:`triangle_stats` — an INDEPENDENT plan
+    (three-way self-join on the canonical a<b edge set; the engine
+    never materializes that join) over ``sql_edges_select``'s edges."""
+    return f"""
+WITH edges AS ({sql_edges_select(links_sql)}),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node)
+SELECT
+  (SELECT count(*)::BIGINT FROM e e1
+     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles,
+  (SELECT coalesce(sum(d * (d - 1) // 2), 0)::BIGINT FROM deg)
+      AS n_wedges
+"""

@@ -1111,6 +1111,31 @@ def q_link_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_link_triangles(sf_dir: str):
+    """Exact triangle + wedge census of the link graph (X89): the
+    global-clustering / link-farm diagnostic. Degree-oriented
+    compact-forward counting (functions/graph.py:triangle_stats) —
+    wedge candidates bounded O(m^1.5) by orientation, closure tested
+    with one sort-merge semi-join; both outputs are exact int64, so
+    no float pin. Oracle: an INDEPENDENT DuckDB three-way self-join
+    over the pinned links golden — a completely different plan."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import link_edges, triangle_stats
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    return triangle_stats(link_edges(links))
+
+
+def _sql_link_triangles() -> str:
+    from zhtml_ray.functions.graph import sql_triangle_stats
+    from zhtml_ray.pipelines.golden import golden_sql
+    return sql_triangle_stats(golden_sql("links"))
+
+
 def q_link_degree_hist(sf_dir: str):
     """Link-graph degree-distribution histogram (X84): in/out degree →
     node count, zero-degree buckets included — the graph-shape
@@ -1272,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms": q_anchor_terms,
         "link_components": q_link_components,
         "link_degree_hist": q_link_degree_hist,
+        "link_triangles": q_link_triangles,
     }
     out.update(ops_queries.queries())
     return out
@@ -1308,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_terms": _sql_anchor_terms(),
         "link_components": golden_sql("link_components"),
         "link_degree_hist": _sql_link_degree_hist(),
+        "link_triangles": _sql_link_triangles(),
     }
     out.update(ops_queries.oracle_sql())
     return out
