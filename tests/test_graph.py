@@ -209,3 +209,63 @@ def test_triangle_stats_hot_hub(ray_session):
     # wedges: hub C(200,2) + each ring node C(3,2)=3
     assert got["n_triangles"] == n
     assert got["n_wedges"] == n * (n - 1) // 2 + 3 * n
+
+
+def _serial_bfs(edges, seeds, max_depth):
+    from collections import deque
+    adj = {}
+    nodes = set(seeds)
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    depth = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if depth[u] >= max_depth:
+            continue
+        for v in adj.get(u, ()):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return {n: depth.get(n, -1) for n in nodes}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (9, 8, 30), (10, 60, 200), (11, 150, 450)])
+@pytest.mark.parametrize("bbud", [20_000_000, 0])
+def test_bfs_depth_differential(ray_session, seed, n_nodes, n_edges,
+                                bbud):
+    """Frontier-expansion BFS (broadcast tier AND merge-join tier) vs
+    a serial deque BFS from the same in-degree-0 seed set."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import bfs_depth, indegree_zero_seeds
+    rng = np.random.default_rng(seed)
+    edges = _rand_edges(rng, n_nodes, n_edges)
+    t = pa.table({"src": pa.array([s for s, _ in edges], pa.string()),
+                  "dst": pa.array([d for _, d in edges], pa.string())})
+    eds = rd.from_arrow(t).repartition(9)
+    seeds_ds = indegree_zero_seeds(eds)
+    seeds = sorted(r["node"] for r in seeds_ds.take_all())
+    assert seeds == sorted({s for s, _ in edges}
+                           - {d for _, d in edges})
+    got = {r["node"]: r["depth"]
+           for r in bfs_depth(eds, seeds_ds, max_depth=6,
+                              broadcast_budget=bbud).take_all()}
+    assert got == _serial_bfs(edges, seeds, 6)
+
+
+def test_bfs_depth_chain_cutoff_and_extra_seed(ray_session):
+    """A 10-link chain with max_depth=4: nodes past the horizon are
+    -1; a seed absent from the edge set still appears at depth 0."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import bfs_depth
+    edges = [(f"c{i}", f"c{i + 1}") for i in range(10)]
+    eds = rd.from_arrow(pa.table(
+        {"src": [s for s, _ in edges], "dst": [d for _, d in edges]}))
+    seeds = rd.from_arrow(pa.table({"node": ["c0", "island"]}))
+    got = {r["node"]: r["depth"]
+           for r in bfs_depth(eds, seeds, max_depth=4).take_all()}
+    want = {f"c{i}": (i if i <= 4 else -1) for i in range(11)}
+    want["island"] = 0
+    assert got == want

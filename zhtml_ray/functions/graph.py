@@ -692,3 +692,172 @@ SELECT
   (SELECT coalesce(sum(d * (d - 1) // 2), 0)::BIGINT FROM deg)
       AS n_wedges
 """
+
+
+# ------------------------------------------------------------- crawl depth
+
+def indegree_zero_seeds(edges):
+    """Crawl entry points: nodes that appear as a source but never as
+    a destination — per-batch (node, is_dst) flag partials, one sorted
+    run-sum, filter sum == 0. One exchange over ≤ |V| pre-combined
+    rows; the raw edge table never shuffles un-combined."""
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    from zhtml_ray.stages.util import compact_blocks
+
+    def flag_part(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "node": pa.chunked_array([b["src"].combine_chunks(),
+                                      b["dst"].combine_chunks()]),
+            "is_dst": pa.chunked_array([
+                pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+                pa.nulls(b.num_rows, pa.int64()).fill_null(1)])})
+        g = t.group_by("node").aggregate([("is_dst", "sum")])
+        return g.rename_columns(["node", "is_dst"])
+
+    def keep_sources_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["is_dst"], 0))
+        return pa.table({"node": t["node"]})
+
+    flags = sorted_sum_per_group(
+        edges.map_batches(flag_part, batch_format="pyarrow"),
+        ["node"], ["is_dst"])
+    return compact_blocks(flags.map_batches(keep_sources_only,
+                                            batch_format="pyarrow"))
+
+
+def bfs_depth(edges, seeds, max_depth: int = 8,
+              broadcast_budget: int = 20_000_000):
+    """Bounded-round BFS depth from a seed set over a distinct
+    directed (src, dst) edge Dataset — crawl-frontier depth: how many
+    hops from an entry point each url sits. Returns (node, depth) for
+    EVERY node in the graph (plus any extra seed nodes); unreached
+    nodes carry depth −1. Exact int64, layout/schedule-invariant.
+
+    Per round the frontier (nodes at depth r−1) expands one hop:
+
+    * fast tier — while the frontier fits ``broadcast_budget`` bytes
+      it broadcasts ONCE via ``ray.put`` and each edge block keeps
+      matching rows with ``pc.is_in`` (a pure map, no exchange; real
+      frontiers are tiny compared to the corpus);
+    * scale tier — a frontier too big to broadcast attaches through
+      :func:`sorted_lookup_join` (merge join, one range shuffle).
+
+    New depths merge by grouped-min (``sorted_first_per_group`` with a
+    depth tie key); rounds stop early when a frontier is empty. The
+    known-depth table is O(V), never O(E); unreached nodes come from
+    one LEFT merge join of the node set at the end."""
+    import ray
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "depth": pa.array([], pa.int64())})
+
+    def node_part(b: pa.Table) -> pa.Table:
+        t = pa.table({"node": pa.chunked_array(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
+        return t.group_by("node").aggregate([])
+
+    def seed_part(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"]})
+
+    # node universe = edge endpoints ∪ seeds (one distinct pass)
+    nodes = compact_blocks(sorted_first_per_group(
+        edges.map_batches(node_part, batch_format="pyarrow").union(
+            seeds.map_batches(seed_part, batch_format="pyarrow")),
+        ["node"]))
+
+    def seed0(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "depth": pa.nulls(b.num_rows,
+                                           pa.int64()).fill_null(0)})
+
+    depths = compact_blocks(sorted_first_per_group(
+        seeds.map_batches(seed0, batch_format="pyarrow"), ["node"]))
+    edges = compact_blocks(edges)
+
+    for r in range(1, max_depth + 1):
+        frontier = depths.map_batches(
+            lambda b, _r=r: b.filter(pc.equal(b["depth"], _r - 1)),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        fsize = sum(m.size_bytes or 0
+                    for bundle in frontier.iter_internal_ref_bundles()
+                    for _, m in bundle.blocks)
+        if fsize <= broadcast_budget:
+            fset = pa.chunked_array([
+                b["node"].combine_chunks() for b in frontier
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows]).combine_chunks()
+            fref = ray.put(fset)
+
+            def hop(b: pa.Table, _r=r, _fref=fref) -> pa.Table:
+                m = pc.is_in(b["src"], value_set=ray.get(_fref))
+                t = b.filter(m)
+                return pa.table({
+                    "node": t["dst"],
+                    "depth": pa.nulls(t.num_rows,
+                                      pa.int64()).fill_null(_r)})
+
+            cand = edges.map_batches(hop, batch_format="pyarrow")
+        else:
+            fr = frontier.map_batches(
+                lambda b: pa.table({"src": b["node"],
+                                    "fd": b["depth"]}),
+                batch_format="pyarrow")
+            j = sorted_lookup_join(edges, fr, "src", ["fd"],
+                                   how="inner")
+            cand = compact_blocks(j).map_batches(
+                lambda b, _r=r: pa.table({
+                    "node": b["dst"],
+                    "depth": pa.nulls(b.num_rows,
+                                      pa.int64()).fill_null(_r)}),
+                batch_format="pyarrow")
+        depths = compact_blocks(sorted_first_per_group(
+            depths.union(cand), ["node"], tie_cols=("depth",)))
+
+    if nodes.count() == 0:
+        return rd.from_arrow(empty)
+    if depths.count() == 0:
+        def all_unreached(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b["node"],
+                             "depth": pa.nulls(
+                                 b.num_rows, pa.int64()).fill_null(-1)})
+        return nodes.map_batches(all_unreached, batch_format="pyarrow")
+
+    out = sorted_lookup_join(nodes, depths, "node", ["depth"],
+                             how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "depth": b["depth"].fill_null(-1)})
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+def sql_bfs_depth(links_sql: str, max_depth: int = 8) -> str:
+    """Unrolled-round DuckDB oracle for :func:`bfs_depth` seeded by
+    :func:`indegree_zero_seeds` — independent plan (hash joins +
+    grouped min per round vs the engine's broadcast/merge-join
+    frontier expansion)."""
+    parts = [f"WITH edges AS ({sql_edges_select(links_sql)}),",
+             """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+d0 AS (SELECT node, 0::BIGINT AS depth FROM nodes
+       WHERE node NOT IN (SELECT dst FROM edges))"""]
+    for k in range(1, max_depth + 1):
+        parts.append(f""",
+d{k} AS (SELECT node, min(depth)::BIGINT AS depth FROM (
+  SELECT node, depth FROM d{k - 1}
+  UNION ALL
+  SELECT e.dst, f.depth + 1 FROM edges e
+  JOIN d{k - 1} f ON e.src = f.node AND f.depth = {k - 1}
+) GROUP BY node)""")
+    parts.append(f"""
+SELECT n.node, coalesce(d.depth, -1)::BIGINT AS depth
+FROM nodes n LEFT JOIN d{max_depth} d USING (node)""")
+    return "".join(parts)

@@ -1136,6 +1136,33 @@ def _sql_link_triangles() -> str:
     return sql_triangle_stats(golden_sql("links"))
 
 
+def q_crawl_depth(sf_dir: str):
+    """BFS crawl depth of every url from the graph's entry points
+    (X90): seeds = in-degree-0 nodes, bounded-round frontier expansion
+    (budgeted broadcast `pc.is_in` fast tier / merge-join scale tier),
+    grouped-min depth merge per round, unreached nodes at −1. Exact
+    int64 — no pin. Oracle: independent unrolled-round DuckDB plan
+    over the pinned links golden."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import (bfs_depth,
+                                           indegree_zero_seeds,
+                                           link_edges)
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    edges = link_edges(links)
+    return bfs_depth(edges, indegree_zero_seeds(edges), max_depth=6)
+
+
+def _sql_crawl_depth() -> str:
+    from zhtml_ray.functions.graph import sql_bfs_depth
+    from zhtml_ray.pipelines.golden import golden_sql
+    return sql_bfs_depth(golden_sql("links"), max_depth=6)
+
+
 def q_link_degree_hist(sf_dir: str):
     """Link-graph degree-distribution histogram (X84): in/out degree →
     node count, zero-degree buckets included — the graph-shape
@@ -1298,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components": q_link_components,
         "link_degree_hist": q_link_degree_hist,
         "link_triangles": q_link_triangles,
+        "crawl_depth": q_crawl_depth,
     }
     out.update(ops_queries.queries())
     return out
@@ -1335,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "link_components": golden_sql("link_components"),
         "link_degree_hist": _sql_link_degree_hist(),
         "link_triangles": _sql_link_triangles(),
+        "crawl_depth": _sql_crawl_depth(),
     }
     out.update(ops_queries.oracle_sql())
     return out
