@@ -179,3 +179,62 @@ def test_approx_distinct_dataset_layout_invariant(ray_session):
     assert a == b  # byte-identical registers -> identical estimates
     for g, ex in exact.items():
         assert abs(a[g] - ex) / ex < 0.05
+
+
+# --------------------------------------------------- log-histogram sketch
+
+def test_loghist_bucket_bit_math():
+    from zhtml_ray.functions.sketch import loghist_bucket
+    iv = np.array([0, 1, 2, 3, 4, 7, 8, -1, -2, -1000000,
+                   2**62, -(2**62)], np.int64)
+    got = loghist_bucket(iv)
+    # bucket = sign * bit_length(|iv|)
+    want = np.array([0, 1, 2, 2, 3, 3, 4, -1, -2,
+                     -(1000000).bit_length(), 63, -63], np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_loghist_rep_is_bucket_lower_bound():
+    from zhtml_ray.functions.sketch import _loghist_rep, loghist_bucket
+    for v in (0.000001, 0.5, 1.0, 3.7, -42.0, 123456.789):
+        iv = int(np.floor(v * 1e6 + 0.5))
+        b = int(loghist_bucket(np.array([iv], np.int64))[0])
+        rep = _loghist_rep(b)
+        if iv == 0:
+            assert rep == 0.0
+        elif iv > 0:
+            assert rep <= iv / 1e6 < 2 * rep
+        else:
+            assert rep >= iv / 1e6 > 2 * rep
+
+
+def test_loghist_quantiles_layout_invariant_and_bounded(ray_session):
+    """Merged sketch (int64 count sums) must be layout-invariant, and
+    every reported quantile within the DDSketch 2x relative-error
+    guarantee of the exact discrete quantile."""
+    import duckdb
+    import ray.data as rd
+
+    from zhtml_ray.functions.sketch import loghist_quantiles
+    rng = np.random.default_rng(7)
+    n = 30000
+    t = pa.table({"g": pa.array(rng.integers(0, 3, n).astype(str)),
+                  "v": pa.array(np.abs(rng.lognormal(2.0, 1.5, n)),
+                                pa.float64())})
+
+    def run(nblocks):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        return loghist_quantiles(ds, "g", "v").to_pandas()
+
+    a, b = run(3), run(19)
+    assert a.equals(b)
+
+    con = duckdb.connect()
+    con.register("t", t)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = dict(con.sql(
+            f"SELECT g, quantile_disc(v, {q}) FROM t GROUP BY g"
+        ).fetchall())
+        for _, row in a.iterrows():
+            ex = exact[row["g"]]
+            assert row[col] <= ex <= 2 * row[col] + 2e-6

@@ -350,3 +350,135 @@ def approx_distinct(ds, group_col: str, value_col: str, p: int = 12):
                                   batch_size=1024)
     return merged.groupby(group_col).map_groups(fold,
                                                 batch_format="pyarrow")
+
+
+# ------------------------------------------------- log-histogram quantiles
+
+def loghist_bucket(iv: np.ndarray) -> np.ndarray:
+    """DDSketch-style base-2 bucket of a 6-dp-scaled int64 value
+    (Masson, Lee, Rim, "DDSketch: a fast and fully-mergeable quantile
+    sketch with relative-error guarantees", VLDB 2019 — γ = 2 and an
+    INTEGER mantissa domain, so bucketing is an exact bit-scan with no
+    float log anywhere): iv > 0 → bit_length(iv); 0 → 0; iv < 0 →
+    −bit_length(−iv). Deterministic and engine-independent — the SQL
+    side computes the identical bucket as ``length(bin(iv))``."""
+    out = np.zeros(len(iv), np.int64)
+    pos = iv > 0
+    neg = iv < 0
+    if pos.any():
+        out[pos] = _floor_log2(iv[pos].astype(np.uint64)) + 1
+    if neg.any():
+        out[neg] = -(_floor_log2((-iv[neg]).astype(np.uint64)) + 1)
+    return out
+
+
+def loghist_partial_batch(batch: pa.Table, group_col: str,
+                          value_col: str) -> pa.Table:
+    """Per-batch (group, bucket) count partials: pin-scale the value
+    with the house formula floor(v·1e6 + 0.5) (IEEE-identical to the
+    SQL side), exact-bit-scan bucket, Arrow group_by count. Counts are
+    int64 sums → the merged sketch is layout/schedule-invariant."""
+    v = batch[value_col].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    iv = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    t = pa.table({group_col: batch[group_col],
+                  "bucket": pa.array(loghist_bucket(iv), pa.int64())})
+    g = t.group_by([group_col, "bucket"]).aggregate([("bucket",
+                                                      "count")])
+    return g.rename_columns([group_col, "bucket", "c"])
+
+
+_LOGHIST_QS = ((50, 100, "p50"), (90, 100, "p90"), (99, 100, "p99"))
+
+
+def _loghist_rep(bucket: int) -> float:
+    """Bucket → representative value: the bucket's lower bound
+    2^(|b|−1)/1e6 (sign-carried; 0 for the zero bucket). An exact
+    power of two divided by the same literal — bit-identical IEEE in
+    any engine."""
+    if bucket == 0:
+        return 0.0
+    mag = float(1 << (abs(bucket) - 1)) / 1e6
+    return mag if bucket > 0 else -mag
+
+
+def loghist_quantiles(ds, group_col: str, value_col: str,
+                      qs=_LOGHIST_QS) -> pa.Table:
+    """Approximate per-group quantiles from the mergeable base-2
+    log-histogram: per-batch partials → one sorted run-sum over
+    (group, bucket) → a driver-side selection over the TINY merged
+    sketch (≤ #groups × 128 rows — 64 magnitudes per sign — no matter
+    how many input rows). Quantile rule: 1-based rank ⌈q·n⌉, the
+    smallest bucket whose cumulative count reaches the rank (the
+    ``quantile_disc`` convention over buckets); the answer is the
+    bucket's lower bound, i.e. a ≤2× relative-error estimate, with
+    rank arithmetic in exact integers. Returns one row per group:
+    (group, n, p50, p90, p99)."""
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+
+    merged = sorted_sum_per_group(
+        ds.map_batches(
+            lambda b: loghist_partial_batch(b, group_col, value_col),
+            batch_format="pyarrow"),
+        [group_col, "bucket"], ["c"])
+
+    groups: dict = {}
+    for b in merged.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+        for g, bk, c in zip(b[group_col].to_pylist(),
+                            b["bucket"].to_pylist(),
+                            b["c"].to_pylist()):
+            groups.setdefault(g, {})
+            groups[g][bk] = groups[g].get(bk, 0) + c
+
+    out = {group_col: [], "n": []}
+    for _, _, name in qs:
+        out[name] = []
+    for g in sorted(groups):
+        buckets = sorted(groups[g])
+        counts = np.array([groups[g][bk] for bk in buckets], np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out[group_col].append(g)
+        out["n"].append(n)
+        for qn, qd, name in qs:
+            rank = (n * qn + qd - 1) // qd
+            idx = int(np.searchsorted(cum, rank))
+            out[name].append(_loghist_rep(buckets[idx]))
+    return pa.table({
+        group_col: pa.array(out[group_col]),
+        "n": pa.array(out["n"], pa.int64()),
+        **{name: pa.array(out[name], pa.float64())
+           for _, _, name in qs}})
+
+
+def sql_loghist_quantiles(table_sql: str, group_col: str,
+                          value_col: str, qs=_LOGHIST_QS) -> str:
+    """DuckDB oracle for :func:`loghist_quantiles`: the identical pin
+    + ``length(bin(iv))`` bucket, window cumulative counts, integer
+    rank selection, and the same exact power-of-two representative."""
+    rep = """CASE WHEN {b} = 0 THEN 0.0
+         WHEN {b} > 0 THEN CAST(1::BIGINT << ({b} - 1) AS DOUBLE) / 1000000.0
+         ELSE -(CAST(1::BIGINT << (-{b} - 1) AS DOUBLE) / 1000000.0) END"""
+    qcols = []
+    for qn, qd, name in qs:
+        sub = f"""(SELECT min(bucket) FROM cum
+      WHERE cum.g = tot.g
+        AND cum.cm >= (tot.n * {qn} + {qd} - 1) // {qd})"""
+        qcols.append("  " + rep.format(b=sub) + f" AS {name}")
+    return f"""
+WITH iv AS (SELECT {group_col} AS g,
+                   CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)
+                       AS iv
+            FROM ({table_sql})),
+bk AS (SELECT g, CASE WHEN iv = 0 THEN 0
+                      WHEN iv > 0 THEN length(bin(iv))
+                      ELSE -length(bin(-iv)) END AS bucket FROM iv),
+cnt AS (SELECT g, bucket, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2),
+cum AS (SELECT g, bucket, sum(c) OVER (PARTITION BY g ORDER BY bucket
+                                       )::BIGINT AS cm FROM cnt),
+tot AS (SELECT g, sum(c)::BIGINT AS n FROM cnt GROUP BY 1)
+SELECT tot.g AS {group_col}, tot.n AS n,
+{",".join(qcols)}
+FROM tot
+"""

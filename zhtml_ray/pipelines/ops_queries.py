@@ -2210,6 +2210,32 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id", p=12)
 
 
+def q_value_loghist(sf_dir: str):
+    """DDSketch-style per-event-type p50/p90/p99 of `value` from a
+    MERGEABLE base-2 log histogram (functions/sketch.py:
+    loghist_quantiles): per-batch exact-bit-scan bucketing → one
+    sorted run-sum over (group, bucket) → driver selection over the
+    ≤ groups×128-row merged sketch. Unlike the exact quantile plans
+    (`group_quantiles*`, `user_median_value`) nothing is sorted by
+    VALUE and no group ever converges on one worker — sketch size is
+    independent of row count, the scale path for quantiles at 100 TB.
+    Deterministic (integer pins + bit scans, no float log), so the
+    DuckDB oracle replicates it exactly."""
+    import ray.data as rd
+
+    from zhtml_ray.functions.sketch import loghist_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return loghist_quantiles(ds, "event_type", "value")
+
+
+def _sql_value_loghist() -> str:
+    from zhtml_ray.functions.sketch import sql_loghist_quantiles
+    return sql_loghist_quantiles(
+        "SELECT event_type, value FROM events", "event_type", "value")
+
+
 def q_session_label(sf_dir: str):
     """Range join (event → the session window containing it) composed
     from the as-of primitive: session windows are disjoint per user and
@@ -4033,6 +4059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_intersect": q_source_intersect,
         "top_words": q_top_words,
         "approx_distinct_users": q_approx_distinct_users,
+        "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
         "user_mode": q_user_mode,
         "user_first_last": q_user_first_last,
@@ -4130,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "token_budget": _sql_token_budget(),
         "user_median_value": SQL_USER_MEDIAN_VALUE,
+        "value_loghist": _sql_value_loghist(),
         "user_mode": SQL_USER_MODE,
         "user_first_last": SQL_USER_FIRST_LAST,
         "value_ts_corr": SQL_VALUE_TS_CORR,
