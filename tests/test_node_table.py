@@ -88,3 +88,68 @@ def test_forms_nested_form_ignored():
         '<form action=/outer><form action=/inner><input></form></form>']))
     assert t["action"].to_pylist() == ["/outer"]
     assert t["n_inputs"].to_pylist() == [1]
+
+
+def test_page_meta_extraction():
+    from zhtml_ray.stages.node_table import PageMetaBatch
+    t = PageMetaBatch()(_pages([
+        '<html lang="fr"><head><title> My &amp; <b>Title </title>'
+        '<meta charset="utf-8"><meta name=VIEWPORT content=device-width>'
+        '<meta name="description" content="a desc">'
+        '<link rel="canonical" href="https://e.com/a"></head>'
+        '<body><title>second ignored</title></body></html>',
+        "<p>bare</p>",
+    ]))
+    assert t.num_rows == 2
+    r = {c: t[c][0].as_py() for c in t.column_names}
+    # <title> is RCDATA: "<b>" stays literal text, entity decoded,
+    # whitespace normalized; only the FIRST title counts
+    assert r["title"] == "My & <b>Title"
+    assert r["lang"] == "fr"
+    assert r["charset"] == "utf-8"
+    assert r["viewport"] == "device-width"
+    assert r["description"] == "a desc"
+    assert r["canonical"] == "https://e.com/a"
+    assert r["n_meta"] == 3
+    bare = {c: t[c][1].as_py() for c in t.column_names}
+    assert bare["title"] == "" and bare["n_meta"] == 0
+
+
+def test_table_cells_extraction():
+    from zhtml_ray.stages.node_table import TableCellsBatch
+    t = TableCellsBatch()(_pages([
+        "<table>stray<tr><th>H </th><td>a <b>b</b></td>"
+        "<tr><td>c</td></table>",
+    ]))
+    rows = sorted(zip(t["table_idx"].to_pylist(), t["row_idx"].to_pylist(),
+                      t["col_idx"].to_pylist(), t["header"].to_pylist(),
+                      t["cell_text"].to_pylist()))
+    # foster-parented "stray" text must NOT appear in any cell
+    assert rows == [(0, 0, 0, True, "H"), (0, 0, 1, False, "a b"),
+                    (0, 1, 0, False, "c")]
+
+
+def test_table_cells_nested_tables_independent():
+    from zhtml_ray.stages.node_table import TableCellsBatch
+    t = TableCellsBatch()(_pages([
+        "<table><tr><td>outer"
+        "<table><tr><td>inner</td></tr></table>"
+        " tail</td></tr></table>",
+    ]))
+    rows = sorted(zip(t["table_idx"].to_pylist(), t["row_idx"].to_pylist(),
+                      t["col_idx"].to_pylist(), t["cell_text"].to_pylist()))
+    # nearest-cell-only text: "inner" belongs to table 1, never leaks
+    # into the outer cell; outer keeps its own text on both sides
+    assert rows == [(0, 0, 0, "outer tail"), (1, 0, 0, "inner")]
+
+
+def test_table_cells_implied_sections():
+    from zhtml_ray.stages.node_table import TableCellsBatch
+    t = TableCellsBatch()(_pages([
+        "<table><thead><tr><th>h1<tbody><tr><td>b1<tr><td>b2"
+        "<tfoot><tr><td>f1</table>",
+    ]))
+    rows = sorted(zip(t["row_idx"].to_pylist(), t["header"].to_pylist(),
+                      t["cell_text"].to_pylist()))
+    assert rows == [(0, True, "h1"), (1, False, "b1"),
+                    (2, False, "b2"), (3, False, "f1")]

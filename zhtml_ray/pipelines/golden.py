@@ -201,6 +201,22 @@ def _gen_images(sf_dir: str) -> pa.Table:
          for f in _pages_files(sf_dir)])
 
 
+def _gen_page_meta(sf_dir: str) -> pa.Table:
+    from zhtml_ray.stages.node_table import PageMetaBatch
+    fn = PageMetaBatch()
+    return pa.concat_tables(
+        [fn(pq.read_table(f, columns=["url", "html"]))
+         for f in _pages_files(sf_dir)])
+
+
+def _gen_table_cells(sf_dir: str) -> pa.Table:
+    from zhtml_ray.stages.node_table import TableCellsBatch
+    fn = TableCellsBatch()
+    return pa.concat_tables(
+        [fn(pq.read_table(f, columns=["url", "html"]))
+         for f in _pages_files(sf_dir)])
+
+
 def _gen_token_stats(sf_dir: str) -> pa.Table:
     from zhtml_ray.stages.node_table import TokenStatsBatch
     fn = TokenStatsBatch()
@@ -566,6 +582,8 @@ _GENERATORS = {
     "links": _gen_links,
     "images": _gen_images,
     "node_table": _gen_node_table,
+    "page_meta": _gen_page_meta,
+    "table_cells": _gen_table_cells,
     "token_stats": _gen_token_stats,
     "fingerprint": _gen_fingerprint,
     "simhash": _gen_simhash,

@@ -1079,6 +1079,36 @@ def q_images(sf_dir: str):
     return ds.map_batches(ImagesBatch(), batch_format="pyarrow")
 
 
+def q_page_meta(sf_dir: str):
+    """<head> metadata projection (title / html-lang / charset /
+    viewport / description / canonical / meta count) — the crawl
+    catalog row per page, with <title> text through the real RCDATA
+    tokenizer and first-wins attribute semantics
+    (stages/node_table.py:PageMetaBatch)."""
+    import ray.data as rd
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import PageMetaBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("page_meta", sf_dir)
+    return ds.map_batches(PageMetaBatch(), batch_format="pyarrow")
+
+
+def q_table_cells(sf_dir: str):
+    """HTML-table structured-data extraction (url, table_idx, row_idx,
+    col_idx, header, cell_text) on top of the tree builder's real
+    table semantics — foster-parented stray text must land OUTSIDE
+    the table, implied sections inside
+    (stages/node_table.py:TableCellsBatch)."""
+    import ray.data as rd
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import TableCellsBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("table_cells", sf_dir)
+    return ds.map_batches(TableCellsBatch(), batch_format="pyarrow")
+
+
 def q_link_components(sf_dir: str):
     """Weakly-connected components of the link graph (X83): site/farm
     cluster discovery — the graph twin of the dedup clustering. Edges
@@ -1304,6 +1334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "links": q_links,
         "images": q_images,
         "node_table": q_node_table,
+        "page_meta": q_page_meta,
+        "table_cells": q_table_cells,
         "token_stats": q_token_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "filter_revenue": q_filter_revenue,
@@ -1342,6 +1374,8 @@ def oracle_sql() -> dict[str, str]:
         "links": golden_sql("links"),
         "images": golden_sql("images"),
         "node_table": golden_sql("node_table"),
+        "page_meta": golden_sql("page_meta"),
+        "table_cells": golden_sql("table_cells"),
         "token_stats": golden_sql("token_stats"),
         "q1_pricing_summary": SQL_Q1,
         "filter_revenue": SQL_FILTER_REVENUE,

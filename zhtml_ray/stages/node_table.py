@@ -172,6 +172,165 @@ class ImagesBatch:
         })
 
 
+class PageMetaBatch:
+    """pages → one metadata row per document (url, title, lang,
+    charset, viewport, description, canonical, n_meta) — the <head>
+    projection a crawl catalog is built from. ``title`` is the
+    whitespace-normalized descendant text of the FIRST <title>
+    element (RCDATA through the real tokenizer, entities decoded);
+    attribute lookups take the FIRST matching element, matching the
+    first-wins attribute rules of the tree builder. Missing values
+    are empty strings (never null) so the oracle compare is exact."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {"title": [], "lang": [], "charset": [], "viewport": [],
+                "description": [], "canonical": [], "n_meta": []}
+        for h in batch["html"].to_pylist():
+            row = {"title": "", "lang": "", "charset": "", "viewport": "",
+                   "description": "", "canonical": "", "n_meta": 0}
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+                kind = flat["kind"]
+                tag = flat["tag"]
+                depth = flat["depth"]
+                text = flat["text"]
+                title_depth = -1
+                title_parts: list[str] | None = None
+                title_done = False
+                for i in range(len(kind)):
+                    if title_parts is not None and not title_done:
+                        if kind[i] == TEXT and depth[i] > title_depth:
+                            title_parts.append(text[i])
+                        elif depth[i] <= title_depth:
+                            title_done = True
+                    if kind[i] != ELEMENT:
+                        continue
+                    t = tag[i]
+                    if t == "title" and title_parts is None:
+                        title_depth = depth[i]
+                        title_parts = []
+                        continue
+                    if t not in ("html", "meta", "link"):
+                        continue
+                    attrs = dict(zip(flat["attr_keys"][i],
+                                     flat["attr_vals"][i]))
+                    if t == "html":
+                        if not row["lang"]:
+                            row["lang"] = attrs.get("lang", "")
+                    elif t == "meta":
+                        row["n_meta"] += 1
+                        if not row["charset"] and "charset" in attrs:
+                            row["charset"] = attrs["charset"]
+                        name = attrs.get("name", "").lower()
+                        if name == "viewport" and not row["viewport"]:
+                            row["viewport"] = attrs.get("content", "")
+                        elif name == "description" and not row["description"]:
+                            row["description"] = attrs.get("content", "")
+                    elif t == "link":
+                        rel = attrs.get("rel", "").lower()
+                        if rel == "canonical" and not row["canonical"]:
+                            row["canonical"] = attrs.get("href", "")
+                if title_parts is not None:
+                    row["title"] = " ".join("".join(title_parts).split())
+            except Exception:  # noqa: BLE001 per-row isolation
+                pass
+            for k, v in row.items():
+                cols[k].append(v)
+        return pa.table({
+            "url": pc.cast(batch["url"].combine_chunks(), pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "charset": pa.array(cols["charset"], pa.string()),
+            "viewport": pa.array(cols["viewport"], pa.string()),
+            "description": pa.array(cols["description"], pa.string()),
+            "canonical": pa.array(cols["canonical"], pa.string()),
+            "n_meta": pa.array(cols["n_meta"], pa.int64()),
+        })
+
+
+class TableCellsBatch:
+    """pages → exploded HTML-table cell table (url, table_idx,
+    row_idx, col_idx, header, cell_text) — structured-data extraction
+    from the parsed DOM, on top of the tree builder's real table
+    semantics (implied tbody/tr synthesis, foster-parented stray text
+    landing OUTSIDE the table, section ordering). Contract: cells
+    attach to the nearest enclosing <tr>, rows to the nearest
+    enclosing <table> (nested tables number independently in document
+    order; their cells do NOT leak into the outer cell's text —
+    nearest-cell-only text attribution, same rule as LinksBatch
+    anchors). ``col_idx`` is the cell's ordinal within its row (no
+    colspan expansion — spans are kept as attributes upstream, the
+    consumer decides grid semantics)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_out: list[str] = []
+        t_idx: list[int] = []
+        r_idx: list[int] = []
+        c_idx: list[int] = []
+        header: list[bool] = []
+        cell_text: list[str] = []
+        for url, h in zip(batch["url"].to_pylist(),
+                          batch["html"].to_pylist()):
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+            except Exception:  # noqa: BLE001
+                continue
+            kind = flat["kind"]
+            tag = flat["tag"]
+            depth = flat["depth"]
+            text = flat["text"]
+            n_tables = 0
+            # stacks of mutable frames; nesting is strict so one
+            # depth-ordered pop pass per stack suffices
+            tstack: list[list] = []   # [depth, table_idx, next_row]
+            rstack: list[list] = []   # [depth, table_idx, row_idx, next_col]
+            cstack: list[list] = []   # [depth, t, r, c, is_th, parts]
+
+            def _flush_cell(fr):
+                urls_out.append(url)
+                t_idx.append(fr[1])
+                r_idx.append(fr[2])
+                c_idx.append(fr[3])
+                header.append(fr[4])
+                cell_text.append(" ".join("".join(fr[5]).split()))
+
+            for i in range(len(kind)):
+                d = depth[i]
+                while cstack and d <= cstack[-1][0]:
+                    _flush_cell(cstack.pop())
+                while rstack and d <= rstack[-1][0]:
+                    rstack.pop()
+                while tstack and d <= tstack[-1][0]:
+                    tstack.pop()
+                if kind[i] == ELEMENT:
+                    t = tag[i]
+                    if t == "table":
+                        tstack.append([d, n_tables, 0])
+                        n_tables += 1
+                    elif t == "tr" and tstack:
+                        tf = tstack[-1]
+                        rstack.append([d, tf[1], tf[2], 0])
+                        tf[2] += 1
+                    elif t in ("td", "th") and rstack:
+                        rf = rstack[-1]
+                        cstack.append([d, rf[1], rf[2], rf[3],
+                                       t == "th", []])
+                        rf[3] += 1
+                elif kind[i] == TEXT and cstack:
+                    cstack[-1][5].append(text[i])
+            while cstack:
+                _flush_cell(cstack.pop())
+        return pa.table({
+            "url": pa.array(urls_out, pa.string()),
+            "table_idx": pa.array(t_idx, pa.int64()),
+            "row_idx": pa.array(r_idx, pa.int64()),
+            "col_idx": pa.array(c_idx, pa.int64()),
+            "header": pa.array(header, pa.bool_()),
+            "cell_text": pa.array(cell_text, pa.string()),
+        })
+
+
 class FormsBatch:
     """pages → exploded form table (url, action, method, n_inputs) —
     the reference Document's forms collection
