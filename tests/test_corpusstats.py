@@ -270,3 +270,41 @@ def test_mask_dup_spans_no_dups(ray_session):
     assert got[0]["n_dup_words"] == 0
     assert got[0]["kept_text"] == "a b c d e"
     assert got[2]["n_words"] == 0 and got[2]["kept_text"] == ""
+
+
+def test_split_encode_matches_python_split_exactly():
+    """Pinned differential: the Arrow `_split_encode` fast path must be
+    BYTE-identical to the Python `str.split()` + `_encode_flat` path —
+    including the full Python whitespace set both directions (this
+    pyarrow build's utf8_split_whitespace covers \x1c-\x1f; if an
+    upgrade changes the split charset or dictionary order, this test
+    flips and corpus-stat oracles would silently drift)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from zhtml_ray.functions.corpusstats import (_encode_flat,
+                                                 _split_encode,
+                                                 _split_words)
+
+    py_ws = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+    texts = [
+        None, "", "   ", " a  b ", "\ta\nb\x1cc\x1dd\x1ee\x1ff",
+        "a" + py_ws + "b", py_ws,
+        "word " * 50 + "tail", "solo",
+        " nbsp ls ps　ideo", "dup dup dup x",
+    ]
+    import random
+    rng = random.Random(3)
+    words = ["w%d" % i for i in range(200)]
+    texts += [" ".join(rng.choice(words)
+                       for _ in range(rng.randint(0, 80)))
+              for _ in range(300)]
+    wp, lens0 = _split_words(texts)
+    row0, codes0, vocab0 = _encode_flat(wp, lens0)
+    row1, codes1, vocab1, lens1 = _split_encode(pa.array(texts,
+                                                         pa.string()))
+    assert np.array_equal(row0, row1)
+    assert np.array_equal(codes0, codes1)
+    assert np.array_equal(lens0, lens1)
+    assert vocab0.equals(vocab1) or vocab1.to_pylist() == \
+        vocab0.to_pylist()

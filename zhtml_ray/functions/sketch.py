@@ -180,7 +180,7 @@ def cms_probe_freqs(ds, probes: list[str], log2_w: int, d: int,
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    from zhtml_ray.functions.corpusstats import _encode_flat, _split_words
+    from zhtml_ray.functions.corpusstats import _split_encode
     from zhtml_ray.stages.util import drop_empty_blocks
 
     probe_cells = cms_buckets(word_hash64(probes), log2_w, d)
@@ -189,8 +189,7 @@ def cms_probe_freqs(ds, probes: list[str], log2_w: int, d: int,
                       "part": pa.array([], pa.int64())})
 
     def partial(b: pa.Table) -> pa.Table:
-        words_per, lens = _split_words(b[text_col].to_pylist())
-        _, codes, vocab = _encode_flat(words_per, lens)
+        _, codes, vocab, _lens = _split_encode(b[text_col])
         if len(vocab) == 0:
             return empty
         cnt = np.bincount(codes, minlength=len(vocab))
