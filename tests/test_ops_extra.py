@@ -56,3 +56,52 @@ def test_tfidf_plans_identical(ray_session):
         .sort_values(cols).reset_index(drop=True)
     assert fast[cols].equals(slow[cols])
     assert len(fast) > 0
+
+
+def test_pmi_collocations_differential(ray_session, tmp_path):
+    """Differential vs an independent dict-counting reference on a
+    synthetic corpus with doc-boundary traps (a frequent bigram split
+    across docs must NOT count), empty/whitespace-only docs, and a
+    null text row."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.ops_queries import q_pmi_collocations
+
+    rng = np.random.default_rng(7)
+    words = ["a", "b", "c", "dd", "ee"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 30)).tolist())
+             for _ in range(60)]
+    texts += ["", "   \t\n ", None, "x y", "x", "y x y x y"]
+    # boundary trap: 'zq' ends one doc, 'qz' starts the next
+    texts += ["a zq", "qz b"] * 6
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = {(r["w1"], r["w2"]): (r["pair_cnt"], r["pmi_e4"])
+           for r in q_pmi_collocations(str(tmp_path), min_count=2)
+           .take_all()}
+
+    uni = collections.Counter()
+    pairs = collections.Counter()
+    for s in texts:
+        toks = (s or "").split()
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    want = {}
+    for (w1, w2), c in pairs.items():
+        if c >= 2:
+            d = uni[w1] * uni[w2]
+            q, r = divmod(c * n, d)
+            want[(w1, w2)] = (c, q * 10_000 + r * 10_000 // d)
+    assert got == want and len(want) > 3
+    assert ("zq", "qz") not in got  # never crosses a doc boundary
+    # sanity: scores really are floor(1e4 * exp(PMI))
+    for (w1, w2), (c, s) in want.items():
+        assert s == math.floor(
+            __import__("fractions").Fraction(c * n * 10_000,
+                                             uni[w1] * uni[w2]))

@@ -4026,6 +4026,152 @@ WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
 """
 
 
+def q_pmi_collocations(sf_dir: str, min_count: int = 5):
+    """PMI collocation extraction (X94): every adjacent word bigram
+    occurring at least ``min_count`` times corpus-wide, scored by
+    pointwise mutual information — the classic phrase-mining signal
+    (Church & Hanks 1990) a tokenizer-vocabulary or phrase-merge pass
+    is built from.
+
+    The score is the EXACT integer floor of the PMI *ratio*
+    ``pair_cnt·N / (cnt1·cnt2)`` in 1e-4 units (monotone in true PMI
+    since log is monotone — rankings match, and no cross-engine libm
+    log skew can exist because no log is ever taken). Plan: per-batch
+    bigram/unigram count pre-combine over dictionary codes (bigrams
+    never cross doc boundaries; `_split_encode` row ids make the
+    boundary mask one vector compare) → two sorted run-sum shuffles
+    over the (bigram|word) VOCABULARY, never raw tokens → min-count
+    filter → two merge-join-as-sort passes attaching unigram counts →
+    vectorized divmod scoring. N (total tokens) is a driver scalar;
+    the unigram table is vocabulary-bounded and reused (materialized
+    once). int64 headroom is asserted: the divmod decomposition
+    ``q·1e4 + (r·1e4)//d`` keeps every intermediate ≤ max(pair·N,
+    d·1e4) — safe to ~3·10⁷ tokens per run at the 1e-4 pin; beyond
+    that shard the corpus or widen to object ints (documented here,
+    loud assert below)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.corpusstats import _split_encode
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+
+    ds = _docs(sf_dir, ["text"])
+    empty_pairs = pa.table({"w1": pa.array([], pa.string()),
+                            "w2": pa.array([], pa.string()),
+                            "pair_cnt": pa.array([], pa.int64())})
+    empty_uni = pa.table({"word": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        row, codes, vocab, _lens = _split_encode(b["text"])
+        if codes.size < 2:
+            return empty_pairs
+        adj = row[1:] == row[:-1]
+        a = codes[:-1][adj]
+        c = codes[1:][adj]
+        if a.size == 0:
+            return empty_pairs
+        order = np.lexsort((c, a))
+        a = a[order]
+        c = c[order]
+        new = np.empty(a.size, bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, a.size))
+        return pa.table({
+            "w1": vocab.take(pa.array(a[starts], pa.int64())),
+            "w2": vocab.take(pa.array(c[starts], pa.int64())),
+            "pair_cnt": pa.array(cnts, pa.int64())})
+
+    pairs = sorted_sum_per_group(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], ["pair_cnt"])
+
+    def keep_frequent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["pair_cnt"], min_count))
+
+    pairs = pairs.map_batches(keep_frequent, batch_format="pyarrow")
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        _row, codes, vocab, _lens = _split_encode(b["text"])
+        if codes.size == 0:
+            return empty_uni
+        cnt = np.bincount(codes, minlength=len(vocab))
+        return pa.table({"word": vocab,
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    uni = sorted_sum_per_group(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["word"], ["cnt"]).materialize()  # vocabulary-bounded
+    n_tokens = int(uni.sum("cnt") or 0)
+
+    def _rename(new_key: str, payload: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns([new_key, payload])
+        return fn
+
+    pairs = sorted_lookup_join(
+        pairs, uni.map_batches(_rename("w1", "cnt1"),
+                               batch_format="pyarrow"),
+        "w1", ["cnt1"])
+    pairs = sorted_lookup_join(
+        pairs, uni.map_batches(_rename("w2", "cnt2"),
+                               batch_format="pyarrow"),
+        "w2", ["cnt2"])
+
+    def score(b: pa.Table) -> pa.Table:
+        p = b["pair_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        c1 = b["cnt1"].combine_chunks().to_numpy(zero_copy_only=False)
+        c2 = b["cnt2"].combine_chunks().to_numpy(zero_copy_only=False)
+        if p.size:
+            # int64 headroom for pair·N and d·1e4 (see docstring)
+            assert int(p.max()) * n_tokens < 2**62 and \
+                int(c1.max()) * int(c2.max()) < 2**62 // 10_000, \
+                "pmi_collocations: corpus too large for the int64 " \
+                "divmod pin — shard the run or widen to object ints"
+        d = c1 * c2
+        q, r = np.divmod(p * n_tokens, d)
+        pmi_e4 = q * 10_000 + (r * 10_000) // d
+        return pa.table({"w1": b["w1"], "w2": b["w2"],
+                         "pair_cnt": b["pair_cnt"],
+                         "pmi_e4": pa.array(pmi_e4, pa.int64())})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_pmi_collocations(min_count: int = 5) -> str:
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH f AS (SELECT doc_id, regexp_split_to_array(text, '{ws}') AS a
+           FROM documents),
+t0 AS (SELECT doc_id, unnest(a) AS word,
+              unnest(range(1, len(a)+1)) AS pos FROM f),
+t AS (SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM t0 WHERE word <> ''),
+bi AS (SELECT t1.word AS w1, t2.word AS w2 FROM t t1
+       JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.rn = t1.rn + 1),
+p AS (SELECT w1, w2, count(*)::BIGINT AS pair_cnt FROM bi
+      GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+uni AS (SELECT word, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_tokens FROM t)
+SELECT p.w1, p.w2, p.pair_cnt,
+       ((p.pair_cnt::HUGEINT * n.n_tokens)
+          // (u1.cnt::HUGEINT * u2.cnt) * 10000
+        + ((p.pair_cnt::HUGEINT * n.n_tokens)
+           % (u1.cnt::HUGEINT * u2.cnt)) * 10000
+          // (u1.cnt::HUGEINT * u2.cnt))::BIGINT AS pmi_e4
+FROM p
+JOIN uni u1 ON u1.word = p.w1
+JOIN uni u2 ON u2.word = p.w2
+CROSS JOIN n
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -4058,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": q_user_event_path,
         "source_intersect": q_source_intersect,
         "top_words": q_top_words,
+        "pmi_collocations": q_pmi_collocations,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
@@ -4152,6 +4299,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_path": SQL_USER_EVENT_PATH,
         "source_intersect": SQL_SOURCE_INTERSECT,
         "top_words": _sql_top_words(),
+        "pmi_collocations": _sql_pmi_collocations(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
