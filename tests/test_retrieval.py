@@ -91,3 +91,42 @@ def test_bm25_tie_breaks_on_doc_id(ray_session):
     rows = bm25_topk(_ds(texts, ids, 3), [(0, "tie")], k=4).take_all()
     assert sorted(r["doc_id"] for r in rows) == [10, 20, 30, 40]
     assert len({round(r["score"], 6) for r in rows}) == 1
+
+
+def test_inverted_index_round_trip(ray_session, tmp_path):
+    """Postings built distributed over many tiny blocks (hot stopword
+    straddles every block edge) must equal an independent dict
+    reference exactly — term set, df, ascending doc order, per-doc tf
+    — and a probe must open only its terms' bucket partitions."""
+    from collections import Counter, defaultdict
+
+    from zhtml_ray.functions.retrieval import (build_inverted_index,
+                                               inverted_index_lookup)
+
+    rng = np.random.default_rng(11)
+    vocab = ["the"] + [f"w{i}" for i in range(40)]
+    texts = [" ".join(["the"] + rng.choice(
+        vocab, size=rng.integers(0, 25)).tolist()) for _ in range(200)]
+    texts += ["", "   ", None]
+    ids = list(range(len(texts)))
+    out = str(tmp_path / "idx")
+    build_inverted_index(_ds(texts, ids, 13), out)
+
+    ref = defaultdict(Counter)
+    for i, t in zip(ids, texts):
+        for w in (t or "").split():
+            ref[w][i] += 1
+
+    stats = {}
+    rows = inverted_index_lookup(
+        out, ["the", "w0", "w17", "absent_zz"],
+        scan_stats=stats).take_all()
+    assert stats["n_buckets_read"] < stats["n_buckets_total"]
+    got = {r["term"]: r for r in rows}
+    assert set(got) == {"the", "w0", "w17"}
+    for term, r in got.items():
+        want = sorted(ref[term].items())
+        assert r["df"] == len(want)
+        assert r["doc_ids"] == [d for d, _ in want]  # ascending
+        assert r["tfs"] == [c for _, c in want]
+    assert got["the"]["df"] == 200  # the hot term spans every block

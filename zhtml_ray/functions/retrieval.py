@@ -176,3 +176,151 @@ def bm25_topk(ds, queries: list[tuple[int, str]], k: int = 10,
     top = sorted_head_n_per_group(cand, ["query_id"],
                                   ["neg_score", "doc_id"], n=k)
     return top.select_columns(["query_id", "doc_id", "score"])
+
+
+# --------------------------------------------------- inverted index at rest
+
+def postings_table(ds, text_col: str = "text", key: str = "doc_id",
+                   n_buckets: int = 32):
+    """One posting row per distinct corpus term: ``(term, term_bucket,
+    df, doc_ids list<int64>, tfs list<int64>)`` with ``doc_ids``
+    ascending — the at-rest lexical index (the BM25 scale path when
+    queries outnumber corpus passes: term lookups replace full scans).
+
+    Plan: per-batch term×doc tf pre-combine over dictionary codes
+    (docs are whole rows, so batch-local tf is exact and ``(term,
+    doc)`` is globally unique) → ONE range-shuffle sort on
+    ``(term, doc_id)`` → block-local C-speed run assembly into
+    ListArrays via ``sorted_bucket_apply`` (edge terms — at most two
+    per block plus hot stopwords — resolve whole in the bounded
+    per-group pass). ``term_bucket`` is a blake2b content hash mod
+    ``n_buckets``: the Hive partition key ``build_inverted_index``
+    writes under, so probes open only matching partitions."""
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.corpusstats import _split_encode
+    from zhtml_ray.functions.sketch import word_hash64
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        row, codes, vocab, _lens = _split_encode(b[text_col])
+        if codes.size == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             key: pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        order = np.lexsort((row, codes))
+        cs, rs = codes[order], row[order]
+        new = np.empty(cs.size, bool)
+        new[0] = True
+        new[1:] = (cs[1:] != cs[:-1]) | (rs[1:] != rs[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, cs.size))
+        ids = b[key].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": vocab.take(pa.array(cs[starts], pa.int64())),
+            key: pa.array(ids[rs[starts]], pa.int64()),
+            "tf": pa.array(tf, pa.int64())})
+
+    pairs = ds.map_batches(tf_partial, batch_format="pyarrow")
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "term_bucket": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "doc_ids": pa.array([], pa.list_(pa.int64())),
+                      "tfs": pa.array([], pa.list_(pa.int64()))})
+
+    def _assemble(terms: pa.Array, ids: np.ndarray, tfs: np.ndarray,
+                  starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        off = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(ends - starts, out=off[1:])
+        pos = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, ends)]) \
+            if len(starts) else np.zeros(0, np.int64)
+        toff = pa.array(off, pa.int64())
+        return pa.table({
+            "term": terms,
+            # % must stay in uint64: numpy promotes uint64 % pyint
+            # to float64, garbling the low bits the bucket lives in
+            "term_bucket": pa.array(
+                (word_hash64(terms.to_pylist()) % np.uint64(n_buckets))
+                .astype(np.int64)),
+            "df": pa.array(ends - starts, pa.int64()),
+            "doc_ids": pa.ListArray.from_arrays(
+                toff, pa.array(ids[pos], pa.int64())),
+            "tfs": pa.ListArray.from_arrays(
+                toff, pa.array(tfs[pos], pa.int64()))})
+
+    def interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        starts, ends = starts[mask], ends[mask]
+        if len(starts) == 0:
+            return empty
+        terms = b["term"].combine_chunks().take(
+            pa.array(starts, pa.int64()))
+        ids = b[key].combine_chunks().to_numpy(zero_copy_only=False)
+        tfs = b["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        return _assemble(terms, ids, tfs, starts, ends)
+
+    def edge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("term", "ascending"), (key, "ascending")])
+        return _assemble(
+            g["term"].combine_chunks().slice(0, 1),
+            g[key].combine_chunks().to_numpy(zero_copy_only=False),
+            g["tf"].combine_chunks().to_numpy(zero_copy_only=False),
+            np.array([0], np.int64), np.array([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(pairs, "term", ["term", key],
+                               interior, edge, empty)
+
+
+def build_inverted_index(ds, out_dir: str, text_col: str = "text",
+                         key: str = "doc_id", n_buckets: int = 32):
+    """Write ``postings_table`` Hive-partitioned by ``term_bucket``
+    (cf. ``similarity.build_ivf_index`` — same at-rest pattern:
+    rebuild clears the directory so stale partitions can't union in)."""
+    import os
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    postings_table(ds, text_col=text_col, key=key,
+                   n_buckets=n_buckets).write_parquet(
+        out_dir, partition_cols=["term_bucket"])
+
+
+def inverted_index_lookup(out_dir: str, terms: list[str],
+                          n_buckets: int = 32,
+                          scan_stats: dict | None = None):
+    """Posting lookup against a ``build_inverted_index`` directory:
+    hash the probe terms, open ONLY their buckets' partitions
+    (directory-level pruning — ``scan_stats`` reports it for tests),
+    filter to the probe set. Returns a Dataset of posting rows."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.functions.sketch import word_hash64
+
+    want = sorted({int(h) for h in
+                   word_hash64(terms) % np.uint64(n_buckets)})
+    all_b = sorted(glob.glob(os.path.join(out_dir, "term_bucket=*")))
+    dirs = [d for d in all_b if int(d.rsplit("=", 1)[1]) in set(want)]
+    if scan_stats is not None:
+        scan_stats["n_buckets_total"] = len(all_b)
+        scan_stats["n_buckets_read"] = len(dirs)
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    tset = pa.array(sorted(set(terms)), pa.string())
+    if not files:
+        return rd.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "doc_ids": pa.array([], pa.list_(pa.int64())),
+            "tfs": pa.array([], pa.list_(pa.int64()))}))
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["term"], value_set=tset))
+        return t.select(["term", "df", "doc_ids", "tfs"])
+
+    return rd.read_parquet(files).map_batches(
+        keep, batch_format="pyarrow")

@@ -4172,6 +4172,78 @@ CROSS JOIN n
 """
 
 
+_INVIDX_PROBES = ["hash", "join", "vector", "sort", "zzz_absent_term"]
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index-at-rest round trip (X95): build the partitioned
+    posting-list index (`functions/retrieval.py:build_inverted_index`
+    — term×doc tf pre-combine → ONE range shuffle → ListArray run
+    assembly → Hive write under `term_bucket=<h>/`), then probe a
+    fixed term list reading ONLY the probed buckets' partitions.
+    Output per FOUND probe term: df, total tf, and the first 20
+    posting doc_ids ascending (comma string — certifies posting
+    ORDER, not just membership); absent probes yield no row. The
+    index lands in a per-pid /tmp dir (concurrent gate runs can't
+    interleave) and is rebuilt per call."""
+    import os
+
+    import pyarrow as pa
+
+    from zhtml_ray.functions.retrieval import (build_inverted_index,
+                                               inverted_index_lookup)
+
+    out_dir = f"/tmp/zhtml_ray_invidx_{os.getpid()}"
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    build_inverted_index(ds, out_dir)
+    stats: dict = {}
+    hits = inverted_index_lookup(out_dir, _INVIDX_PROBES,
+                                 scan_stats=stats)
+    assert stats["n_buckets_read"] < stats["n_buckets_total"], \
+        "inverted_index probe read every bucket — pruning regressed"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        ids20 = pc.list_slice(b["doc_ids"], 0, 20)
+        head = pc.binary_join(
+            pc.cast(ids20, pa.list_(pa.string())), ",")
+        tfs = b["tfs"].combine_chunks()
+        off = tfs.offsets.to_numpy(zero_copy_only=False)
+        vals = tfs.values.to_numpy(zero_copy_only=False)
+        tot = np.add.reduceat(vals, off[:-1]) if len(vals) \
+            else np.zeros(b.num_rows, np.int64)
+        tot[off[:-1] == off[1:]] = 0  # reduceat quirk on empty lists
+        return pa.table({
+            "term": b["term"], "df": b["df"],
+            "total_tf": pa.array(tot, pa.int64()),
+            "head_docs": head})
+
+    return hits.map_batches(fmt, batch_format="pyarrow")
+
+
+def _sql_inverted_index() -> str:
+    probes = ", ".join(f"'{t}'" for t in _INVIDX_PROBES)
+    return f"""
+WITH w AS ({_sql_words()}),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT word AS term, doc_id, count(*)::BIGINT AS tf FROM u
+       WHERE word IN ({probes}) AND word <> ''
+       GROUP BY 1, 2),
+agg AS (SELECT term, count(*)::BIGINT AS df,
+               sum(tf)::BIGINT AS total_tf FROM tf GROUP BY 1),
+h AS (SELECT term, doc_id FROM tf
+      QUALIFY row_number() OVER (PARTITION BY term
+                                 ORDER BY doc_id) <= 20),
+hs AS (SELECT term,
+              string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                  AS head_docs
+       FROM h GROUP BY 1)
+SELECT a.term, a.df, a.total_tf, hs.head_docs
+FROM agg a JOIN hs USING (term)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -4205,6 +4277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_intersect": q_source_intersect,
         "top_words": q_top_words,
         "pmi_collocations": q_pmi_collocations,
+        "inverted_index": q_inverted_index,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
@@ -4300,6 +4373,7 @@ def oracle_sql() -> dict[str, str]:
         "source_intersect": SQL_SOURCE_INTERSECT,
         "top_words": _sql_top_words(),
         "pmi_collocations": _sql_pmi_collocations(),
+        "inverted_index": _sql_inverted_index(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
