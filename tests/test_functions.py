@@ -575,7 +575,9 @@ def test_sorted_sum_per_group_matches_pandas(ray_session, nblocks):
 
 
 @pytest.mark.parametrize("how,nblocks", [("inner", 1), ("inner", 7),
-                                         ("left", 7), ("left", 40)])
+                                         ("left", 7), ("left", 40),
+                                         ("full", 1), ("full", 7),
+                                         ("full", 40)])
 def test_sorted_lookup_join_matches_pandas(ray_session, how, nblocks):
     """merge-join-as-sort primitive vs pandas merge on randomized data:
     repeated big-side keys, keys missing from the lookup, string keys,
@@ -589,8 +591,11 @@ def test_sorted_lookup_join_matches_pandas(ray_session, how, nblocks):
     keys = np.array([f"k{v}" for v in rng.randint(0, 300, n)], object)
     big = pa.table({"k": pa.array(keys, pa.string()),
                     "val": pa.array(rng.permutation(n), pa.int64())})
-    # lookup covers only 2/3 of the key space; unique per key
-    lk_keys = [f"k{v}" for v in range(0, 300, 1) if v % 3]
+    # lookup covers only 2/3 of the key space; unique per key; the
+    # x-keys exist ONLY in the lookup (they exercise the full-outer
+    # lookup-only emission — pandas drops them for inner/left)
+    lk_keys = [f"k{v}" for v in range(0, 300, 1) if v % 3] + \
+        [f"x{v}" for v in range(50)]
     lk = pa.table({"k": pa.array(lk_keys, pa.string()),
                    "p1": pa.array([f"text-{k}" for k in lk_keys]),
                    "p2": pa.array([hash(k) % 997 for k in lk_keys],
@@ -599,14 +604,19 @@ def test_sorted_lookup_join_matches_pandas(ray_session, how, nblocks):
         rd.from_arrow(big).repartition(nblocks),
         rd.from_arrow(lk).repartition(3), "k", ["p1", "p2"], how=how)
         .to_pandas().sort_values(["k", "val"]).reset_index(drop=True))
-    want = (big.to_pandas().merge(lk.to_pandas(), on="k", how=how)
+    pd_how = "outer" if how == "full" else how
+    want = (big.to_pandas().merge(lk.to_pandas(), on="k", how=pd_how)
             .sort_values(["k", "val"]).reset_index(drop=True))
-    got["p2"] = got["p2"].astype("float64") if how == "left" \
-        else got["p2"].astype("int64")
-    want["p2"] = want["p2"].astype("float64") if how == "left" \
-        else want["p2"].astype("int64")
+    for df in (got, want):
+        df["p2"] = df["p2"].astype(
+            "int64" if how == "inner" else "float64")
+        df["val"] = df["val"].astype(
+            "float64" if how == "full" else "int64")
     pd.testing.assert_frame_equal(got[["k", "val", "p1", "p2"]],
                                   want[["k", "val", "p1", "p2"]])
+    if how == "full":
+        assert (got["k"].str.startswith("x")).sum() == 50
+        assert got.loc[got["k"].str.startswith("x"), "val"].isna().all()
 
 
 def test_sorted_lookup_join_empty_sides(ray_session):

@@ -1326,6 +1326,60 @@ def q_token_stats(sf_dir: str):
     return ds.map_batches(TokenStatsBatch(), batch_format="pyarrow")
 
 
+def q_cust_orders_full_outer(sf_dir: str, segment: str = "AUTOMOBILE",
+                             prio: str = "1-URGENT"):
+    """FULL OUTER join (X96 — completes the join family: broadcast /
+    semi / anti / left / as-of / range / full): segment customers ⟗
+    per-customer urgent-order counts. Both null sides are real rows —
+    segment customers with no urgent order (null count) AND urgent-
+    ordering customers outside the segment (null acctbal). One range
+    shuffle via ``sorted_lookup_join(how='full')``; the counts side is
+    a per-batch partial combine first, so raw orders never reach the
+    join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], prio))
+        g = pa.table({"c_custkey": t["o_custkey"]}) \
+            .group_by("c_custkey").aggregate([("c_custkey", "count")])
+        return g.rename_columns(["c_custkey", "n_urgent"])
+
+    counts = sorted_sum_per_group(
+        drop_empty_blocks(
+            orders.map_batches(cnt_partial, batch_format="pyarrow")),
+        ["c_custkey"], ["n_urgent"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal",
+                                    "c_mktsegment"])
+
+    def seg(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], segment))
+        return t.select(["c_custkey", "c_acctbal"])
+
+    return sorted_lookup_join(
+        drop_empty_blocks(cust.map_batches(seg, batch_format="pyarrow")),
+        counts, "c_custkey", ["n_urgent"], how="full")
+
+
+SQL_CUST_ORDERS_FULL_OUTER = """
+WITH cust AS (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_mktsegment = 'AUTOMOBILE'),
+cnt AS (SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+SELECT c_custkey, cust.c_acctbal, cnt.n_urgent
+FROM cust FULL OUTER JOIN cnt USING (c_custkey)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from zhtml_ray.pipelines import ops_queries
     out = {
@@ -1347,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q3_shipping,
         "top_orders_per_cust": q_top_orders_per_cust,
         "q13_order_counts": q13_order_counts,
+        "cust_orders_full_outer": q_cust_orders_full_outer,
         "cust_no_urgent_orders": q_cust_no_urgent_orders,
         "q5_region_supplier_volume": q5_region_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
@@ -1387,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": SQL_Q3_SHIPPING,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "q13_order_counts": SQL_Q13_ORDER_COUNTS,
+        "cust_orders_full_outer": SQL_CUST_ORDERS_FULL_OUTER,
         "cust_no_urgent_orders": SQL_CUST_NO_URGENT_ORDERS,
         "q5_region_supplier_volume": SQL_Q5_REGION_SUPPLIER_VOLUME,
         "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,

@@ -319,7 +319,10 @@ def sorted_lookup_join(big, lookup, key_col, payload_cols, how="inner"):
     ``lookup`` must be unique per key (only the first lookup row of a
     key is consulted); ``big`` may repeat keys freely. ``how='left'``
     keeps unmatched big rows with null payloads; ``'inner'`` drops
-    them. Output columns: big's columns (in order) + payload_cols."""
+    them; ``'full'`` additionally emits one row per lookup key with NO
+    big rows (key + payloads populated, big's other columns null) —
+    the FULL OUTER join, still the same single range shuffle. Output
+    columns: big's columns (in order) + payload_cols."""
     import numpy as np
 
     big_schema = big.schema().base_schema
@@ -372,7 +375,7 @@ def sorted_lookup_join(big, lookup, key_col, payload_cols, how="inner"):
             keep = np.repeat(mask, lens) & S
         pos = np.flatnonzero(keep)
         headpos = starts[run_of][pos]
-        if how == "left":
+        if how in ("left", "full"):
             # null head index → null payload via Arrow take semantics
             hidx = pa.array(headpos, pa.int64(),
                             mask=~head_ok[run_of][pos])
@@ -382,7 +385,28 @@ def sorted_lookup_join(big, lookup, key_col, payload_cols, how="inner"):
         cols = {n: b[n].combine_chunks().take(posa) for n in big_cols}
         for p in payload_cols:
             cols[p] = b[p].combine_chunks().take(hidx)
-        return pa.table(cols)
+        out_tbl = pa.table(cols)
+        if how == "full":
+            # lookup keys with NO big rows in their run: emit the
+            # lookup row itself (lookup is head-sorted + unique, so a
+            # big-less run is exactly a length-1 run whose head is the
+            # lookup row)
+            big_per_run = np.add.reduceat(S.astype(np.int64), starts) \
+                if len(starts) else np.zeros(0, np.int64)
+            lonely = np.flatnonzero(mask & head_ok & (big_per_run == 0))
+            if lonely.size:
+                lpos = pa.array(starts[lonely], pa.int64())
+                nulls = pa.array(np.zeros(lonely.size, np.int64),
+                                 mask=np.ones(lonely.size, bool))
+                lcols = {}
+                for n in big_cols:
+                    col_ = b[n].combine_chunks()
+                    lcols[n] = col_.take(lpos) if n == key_col else \
+                        col_.take(nulls)
+                for p in payload_cols:
+                    lcols[p] = b[p].combine_chunks().take(lpos)
+                out_tbl = pa.concat_tables([out_tbl, pa.table(lcols)])
+        return out_tbl
 
     def edge_fn(g: pa.Table) -> pa.Table:
         S = (g["_src"].combine_chunks()
@@ -391,6 +415,18 @@ def sorted_lookup_join(big, lookup, key_col, payload_cols, how="inner"):
         epos = np.flatnonzero(S)
         if lpos.size == 0 and how == "inner":
             return empty_result
+        if how == "full" and epos.size == 0:
+            if lpos.size == 0:
+                return empty_result
+            la = pa.array(lpos[:1], pa.int64())
+            one_null = pa.array(np.zeros(1, np.int64),
+                                mask=np.ones(1, bool))
+            return pa.table(
+                {**{n: (g[n].combine_chunks().take(la) if n == key_col
+                        else g[n].combine_chunks().take(one_null))
+                    for n in big_cols},
+                 **{p: g[p].combine_chunks().take(la)
+                    for p in payload_cols}})
         posa = pa.array(epos, pa.int64())
         cols = {n: g[n].combine_chunks().take(posa) for n in big_cols}
         if lpos.size:
