@@ -105,3 +105,24 @@ def test_pmi_collocations_differential(ray_session, tmp_path):
         assert s == math.floor(
             __import__("fractions").Fraction(c * n * 10_000,
                                              uni[w1] * uni[w2]))
+
+
+def test_quality_classifier_matches_local_recompute(ray_session):
+    """Distributed logits equal a one-process numpy recompute from the
+    same parquet (pin formula included), and the threshold actually
+    splits the corpus (both classes non-empty)."""
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.ops_queries import (_clf_weights,
+                                                 q_quality_classifier)
+
+    got = {r["vec_id"]: (r["logit_r"], r["keep"])
+           for r in q_quality_classifier(SF).take_all()}
+    t = pq.read_table(SF + "/embeddings.parquet")
+    M = np.array(t["embedding"].to_pylist(), np.float64)
+    w, bias = _clf_weights(M.shape[1])
+    logit = np.floor((M @ np.asarray(w) + bias) * 1e6 + 0.5) / 1e6
+    want = {int(v): (float(l), bool(l > 0.0))
+            for v, l in zip(t["vec_id"].to_pylist(), logit)}
+    assert got == want
+    kept = sum(k for _, k in got.values())
+    assert 0 < kept < len(got)

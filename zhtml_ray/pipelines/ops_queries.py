@@ -4172,6 +4172,63 @@ CROSS JOIN n
 """
 
 
+def _clf_weights(dim: int = 64) -> tuple[list, float]:
+    """Deterministic linear-classifier weights (both engines build the
+    SAME double constants from these literals): w_i = ((i·37 mod 21)
+    − 10) / 10, bias −0.05."""
+    return [((i * 37) % 21 - 10) / 10.0 for i in range(dim)], -0.05
+
+
+def q_quality_classifier(sf_dir: str, threshold: float = 0.0):
+    """Linear quality-classifier scoring over the embedding column
+    (X97) — the CCNet/fastText-style model-based filter shape: a tiny
+    trained model (here deterministic fixture weights, injected the
+    same way real weights would be) broadcast once, scored as one
+    chunked matmul per batch, kept rows = logit above threshold.
+    Sigmoid is monotone, so thresholding the logit IS thresholding the
+    probability — no transcendental in the gate. Logits are 6-dp
+    house-pinned BEFORE the threshold compare on both engines (the
+    X86 rule: pin, then derive)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from zhtml_ray.functions.similarity import _emb_matrix
+
+    w, bias = _clf_weights(_EMB_DIM)
+    ref = ray.put(np.asarray(w, np.float64))
+
+    class Score:
+        def __init__(self):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            M = _emb_matrix(b["embedding"]).astype(np.float64)
+            logit = np.floor((M @ self.w + bias) * 1e6 + 0.5) / 1e6
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "logit_r": pa.array(logit, pa.float64()),
+                "keep": pa.array(logit > threshold)})
+
+    return _emb(sf_dir).map_batches(Score, batch_format="pyarrow",
+                                    concurrency=autoscale_pool(0.5))
+
+
+def _sql_quality_classifier(threshold: float = 0.0) -> str:
+    w, bias = _clf_weights(_EMB_DIM)
+    lst = ", ".join(repr(x) for x in w)
+    return f"""
+SELECT vec_id,
+       floor((list_dot_product(embedding::DOUBLE[],
+                               [{lst}]::DOUBLE[]) + ({bias!r})) * 1e6
+             + 0.5) / 1e6 AS logit_r,
+       floor((list_dot_product(embedding::DOUBLE[],
+                               [{lst}]::DOUBLE[]) + ({bias!r})) * 1e6
+             + 0.5) / 1e6 > {threshold!r} AS keep
+FROM embeddings
+"""
+
+
 _INVIDX_PROBES = ["hash", "join", "vector", "sort", "zzz_absent_term"]
 
 
@@ -4278,6 +4335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": q_top_words,
         "pmi_collocations": q_pmi_collocations,
         "inverted_index": q_inverted_index,
+        "quality_classifier": q_quality_classifier,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
@@ -4374,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "top_words": _sql_top_words(),
         "pmi_collocations": _sql_pmi_collocations(),
         "inverted_index": _sql_inverted_index(),
+        "quality_classifier": _sql_quality_classifier(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
