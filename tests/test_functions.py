@@ -889,3 +889,62 @@ def test_semantic_dedup_hot_cell_cap(ray_session):
     for r in rows:
         if not r["kept"]:
             assert info[r["dup_of"]]["kept"] and r["dup_of"] < r["vec_id"]
+
+
+def test_phash_neardup_hamming_radius(ray_session):
+    """TRUE near-duplicates through an injected decoder: base gradient
+    images plus variants perturbed so exactly 1-3 dHash bits flip.
+    The banded path must find every pair within hamming<=3 (pigeonhole
+    recall), report the exact distance, and exclude the hamming-8
+    variant; the result must equal a brute-force all-pairs scan."""
+    import itertools
+
+    import ray.data as rd
+    from zhtml_ray.functions.multimodal import (MEDIA_SCHEMA, dhash64,
+                                                phash_neardup)
+
+    def img_for(flips):
+        # monotone row gradient => dHash bits all 0; bump selected
+        # (row, col) cells of the 8x9 grid to flip chosen bits
+        img = np.tile(np.arange(0, 90, 10, np.uint8).repeat(3)
+                      .reshape(1, 9, 3), (8, 1, 1)).copy()
+        for r, c in flips:   # flip bit r*8+(c-1): make cell (r,c) dip
+            img[r, c] = 0
+        return np.ascontiguousarray(img)
+
+    plan = {  # media_id -> flipped grid cells
+        0: [], 1: [(0, 1)], 2: [(0, 1), (3, 4)],
+        3: [(0, 1), (3, 4), (7, 8)],
+        4: [(r, c) for r, c in itertools.product((1, 2, 4, 6), (2, 5))],
+    }
+    imgs = {k: img_for(v) for k, v in plan.items()}
+    # ground truth via serial dhash
+    hs = {k: dhash64(v) for k, v in imgs.items()}
+    def ham(a, b):
+        return bin(hs[a] ^ hs[b]).count("1")
+    want = sorted((a, b, ham(a, b))
+                  for a, b in itertools.combinations(sorted(hs), 2)
+                  if ham(a, b) <= 3)
+    assert (0, 1, 1) in want and (0, 3, 3) in want
+    assert not any(4 in (a, b) for a, b, _ in want)  # hamming 8 is out
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for mid in plan:
+        rows["media_id"].append(mid)
+        rows["kind"].append("image")
+        rows["payload"].append(bytes([mid]))
+        rows["mime"].append("image/png")
+        rows["width"].append(9)
+        rows["height"].append(8)
+        rows["duration_ms"].append(-1)
+    tbl = pa.table(rows, schema=MEDIA_SCHEMA)
+
+    def decode(payload, w, h):
+        return imgs[payload[0]]
+
+    got = sorted((r["key_a"], r["key_b"], r["hamming"])
+                 for r in phash_neardup(
+                     rd.from_arrow(tbl).repartition(3),
+                     max_hamming=3, decode=decode,
+                     concurrency=2).take_all())
+    assert got == want

@@ -27,7 +27,8 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
+                    dup_every: int = 0) -> pa.Table:
     """Deterministic synthetic media rows (payload = seeded bytes)."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
@@ -42,6 +43,16 @@ def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Tab
         rows["width"].append(64 + (i % 8) * 32 if kind != "audio" else -1)
         rows["height"].append(64 + (i % 5) * 32 if kind != "audio" else -1)
         rows["duration_ms"].append(-1 if kind == "image" else 1000 + i % 9000)
+    if dup_every:
+        # plant exact image duplicates for the near-dup operators:
+        # every dup_every-th image copies payload+dims from the image
+        # 10·dup_every rows back (same decode → same pixels → phash 0)
+        img_idx = [i for i in range(n) if i % 3 == 0]
+        for j, i in enumerate(img_idx):
+            if j % dup_every == dup_every - 1 and j >= dup_every:
+                src = img_idx[j - dup_every]
+                for c in ("payload", "width", "height"):
+                    rows[c][i] = rows[c][src]
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
@@ -203,3 +214,163 @@ class FrameSampler:
             "frame_idx": pa.array(out_frame, pa.int32()),
             "ts_ms": pa.array(out_ts, pa.int32()),
         })
+
+
+# ------------------------------------------------ perceptual-hash near-dup
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash (dHash) — 64-bit perceptual fingerprint, all
+    INTEGER math so it is bit-deterministic across platforms: integer
+    luma (299r+587g+114b)//1000 → exact block-mean downsample to 8×9 →
+    bit per horizontal gradient. Robust to re-encode/resize with a
+    real decoder; with the deterministic stub, equal payload+dims ⇒
+    equal hash."""
+    h, w = img.shape[:2]
+    lum = (img[:, :, 0].astype(np.uint32) * 299
+           + img[:, :, 1].astype(np.uint32) * 587
+           + img[:, :, 2].astype(np.uint32) * 114) // 1000
+    yb = (np.arange(9, dtype=np.int64) * h) // 8   # 8 row blocks
+    xb = (np.arange(10, dtype=np.int64) * w) // 9  # 9 col blocks
+    c = lum.cumsum(axis=0, dtype=np.uint64).cumsum(axis=1,
+                                                   dtype=np.uint64)
+    cz = np.zeros((h + 1, w + 1), np.uint64)
+    cz[1:, 1:] = c
+    area = (cz[yb[1:, None], xb[None, 1:]]
+            - cz[yb[:-1, None], xb[None, 1:]]
+            - cz[yb[1:, None], xb[None, :-1]]
+            + cz[yb[:-1, None], xb[None, :-1]])
+    cnt = ((yb[1:] - yb[:-1])[:, None].astype(np.uint64)
+           * (xb[1:] - xb[:-1])[None, :].astype(np.uint64))
+    g = area // cnt                                # 8×9 exact means
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class PHashBatch:
+    """Actor-pool stage: decode → dHash64 per image row. Emits
+    (media_id, phash) with phash as the int64 BITCAST of the uint64
+    hash (Arrow/DuckDB-native; xor/bit_count see the same bits).
+    Decode failures emit decoded=False with phash 0."""
+
+    def __init__(self, decode=None):
+        self.decode = decode or _fake_decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, ok = [], [], []
+        for mid, kind, p, w, h in zip(
+                batch["media_id"].to_pylist(),
+                (batch["kind"].to_pylist() if "kind" in
+                 batch.column_names else ["image"] * batch.num_rows),
+                batch["payload"].to_pylist(),
+                batch["width"].to_pylist(),
+                batch["height"].to_pylist()):
+            if kind != "image":
+                continue
+            ids.append(mid)
+            try:
+                hv = dhash64(self.decode(p, max(w, 1), max(h, 1)))
+                hashes.append(np.uint64(hv).astype(np.int64))
+                ok.append(True)
+            except Exception:  # noqa: BLE001 — per-row isolation
+                hashes.append(0)
+                ok.append(False)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(np.asarray(hashes, np.int64)),
+            "decoded": pa.array(ok, pa.bool_())})
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.int64).view(np.uint64)
+         ^ b.astype(np.int64).view(np.uint64))
+    v = x.view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(v, axis=1).sum(axis=1).astype(np.int64)
+
+
+def phash_neardup(ds, max_hamming: int = 3, decode=None,
+                  concurrency=None):
+    """Perceptual-hash image near-duplicate pairs: dHash per image →
+    4×16-bit band blocking (pigeonhole: ≤3 differing bits across 4
+    bands leave ≥1 band EXACT, so band recall is total for the
+    default radius) → candidate pairs via the shared sort-based
+    bucket pairing → hamming verify on XOR popcount. The verify
+    attaches hashes with two merge joins — 8 bytes per image, never a
+    broadcast dict. Returns (key_a, key_b, hamming ≤ max_hamming)."""
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import (_bucket_pairs_np,
+                                           dedup_candidate_pairs)
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import autoscale_pool
+
+    assert max_hamming <= 3, \
+        "4 bands of 16 bits guarantee recall only to hamming 3; " \
+        "raise the band count for a wider radius"
+    ph = ds.map_batches(PHashBatch if decode is None else
+                        PHashBatch(decode),
+                        batch_format="pyarrow", batch_size=32,
+                        concurrency=concurrency
+                        or autoscale_pool(0.5)).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        hv = b["phash"].combine_chunks().to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        ids = b["media_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = len(hv)
+        band = np.repeat(np.arange(4, dtype=np.uint64), n)
+        vals = np.concatenate(
+            [(hv >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+             for i in range(4)])
+        return pa.table({
+            "bucket": pa.array((band * np.uint64(1 << 16) + vals)
+                               .astype(np.int64)),
+            "media_id": pa.array(np.tile(ids, 4), pa.int64())})
+
+    exploded = ph.map_batches(explode, batch_format="pyarrow")
+    empty = pa.table({"key_a": pa.array([], pa.int64()),
+                      "key_b": pa.array([], pa.int64())})
+
+    def interior_pairs(b, starts, ends, runs_mask):
+        K = b["media_id"].combine_chunks()
+        return _bucket_pairs_np(K, b.num_rows, starts, ends, runs_mask,
+                                clique_limit=4096)
+
+    def edge_pairs(g: pa.Table) -> pa.Table:
+        K = g["media_id"].combine_chunks()
+        K = K.take(pc.sort_indices(K))
+        return _bucket_pairs_np(K, len(K), np.asarray([0]),
+                                np.asarray([len(K)]),
+                                np.asarray([True]), clique_limit=4096)
+
+    pairs = dedup_candidate_pairs(sorted_bucket_apply(
+        exploded, "bucket", ["bucket", "media_id"],
+        interior_pairs, edge_pairs, empty))
+
+    def rn(new_key, payload):
+        return lambda b: pa.table({new_key: b["media_id"],
+                                   payload: b["phash"]})
+
+    pairs = sorted_lookup_join(
+        pairs, ph.map_batches(rn("key_a", "ph_a"),
+                              batch_format="pyarrow"),
+        "key_a", ["ph_a"])
+    pairs = sorted_lookup_join(
+        pairs, ph.map_batches(rn("key_b", "ph_b"),
+                              batch_format="pyarrow"),
+        "key_b", ["ph_b"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"key_a": pa.array([], pa.int64()),
+                             "key_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ham = _hamming64(
+            b["ph_a"].combine_chunks().to_numpy(zero_copy_only=False),
+            b["ph_b"].combine_chunks().to_numpy(zero_copy_only=False))
+        t = pa.table({"key_a": b["key_a"], "key_b": b["key_b"],
+                      "hamming": pa.array(ham)})
+        return t.filter(pc.less_equal(t["hamming"], max_hamming))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -516,6 +516,20 @@ def media_feature_project(tbl: pa.Table) -> pa.Table:
                      "decoded": tbl["decoded"]})
 
 
+def _gen_media_phash(sf_dir: str) -> pa.Table:
+    """Serial dHash table (media_id, phash) over the dup-planted media
+    fixture. The ORACLE pair list is then computed INDEPENDENTLY in
+    DuckDB — a brute-force all-pairs xor/bit_count join over this
+    table — so the gate certifies band-blocking recall AND the hamming
+    verify, not just hash equality (the ngram_jaccard pattern)."""
+    from zhtml_ray.functions.multimodal import (PHashBatch, filter_kind,
+                                                gen_media_table)
+    from zhtml_ray.pipelines.ops_queries import _media_rows_for
+    t = gen_media_table(_media_rows_for(sf_dir), dup_every=10)
+    out = PHashBatch()(filter_kind(t, "image"))
+    return out.select(["media_id", "phash"])
+
+
 def _gen_media_features(sf_dir: str) -> pa.Table:
     from zhtml_ray.functions.multimodal import ImageFeatures, gen_media_table
     from zhtml_ray.pipelines.ops_queries import _media_rows_for
@@ -595,6 +609,7 @@ _GENERATORS = {
     "semantic_dedup": _gen_semantic_dedup,
     "pdf_extract": _gen_pdf_extract,
     "media_features": _gen_media_features,
+    "media_phash": _gen_media_phash,
     "audio_features": _gen_audio_features,
     "frame_sample": _gen_frame_sample,
     "approx_distinct_users": _gen_approx_distinct_users,

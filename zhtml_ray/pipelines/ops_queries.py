@@ -3585,6 +3585,43 @@ def q_frame_sample(sf_dir: str):
                           batch_size=32)
 
 
+def q_media_phash_dup(sf_dir: str):
+    """Perceptual-hash image near-duplicate pairs (X98 — the image
+    counterpart of MinHash text dedup): dHash64 per decoded image
+    (integer luma + exact block means, bit-deterministic), 4×16-bit
+    band LSH blocking (total recall to hamming 3 by pigeonhole), the
+    shared sort-based bucket pairing, XOR-popcount verify with hashes
+    attached by merge joins. The fixture plants a chain of exact image
+    duplicates (`gen_media_table(dup_every=10)`); the oracle computes
+    the pair list INDEPENDENTLY — DuckDB brute-force all-pairs over
+    the serial hash golden — certifying blocking recall AND verify
+    precision."""
+    import ray.data as rd
+
+    from zhtml_ray.functions.multimodal import (filter_kind,
+                                                gen_media_table,
+                                                phash_neardup)
+    from zhtml_ray.pipelines.golden import ensure_golden
+
+    ensure_golden("media_phash", sf_dir)
+    tbl = gen_media_table(_media_rows_for(sf_dir), dup_every=10)
+    ds = rd.from_arrow(tbl).map_batches(
+        lambda b: filter_kind(b, "image"), batch_format="pyarrow")
+    return phash_neardup(ds, max_hamming=3)
+
+
+def _sql_media_phash_dup() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    g = f"{_current_dir()}/media_phash.parquet"
+    return f"""
+WITH p AS (SELECT * FROM read_parquet('{g}'))
+SELECT a.media_id AS key_a, b.media_id AS key_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM p a JOIN p b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def q_group_quantiles_cont(sf_dir: str):
     """Interpolated PER-GROUP length quantiles (PERCENTILE_CONT — the
     continuous counterpart of `q_group_quantiles`): identical
@@ -4380,6 +4417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "pdf_extract": q_pdf_extract,
         "media_features": q_media_features,
+        "media_phash_dup": q_media_phash_dup,
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
     }
@@ -4399,6 +4437,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": golden_sql("semantic_dedup"),
         "pdf_extract": golden_sql("pdf_extract"),
         "media_features": golden_sql("media_features"),
+        "media_phash_dup": _sql_media_phash_dup(),
         "audio_features": golden_sql("audio_features"),
         "frame_sample": golden_sql("frame_sample"),
         "token_count": SQL_TOKEN_COUNT,
