@@ -126,3 +126,26 @@ def test_quality_classifier_matches_local_recompute(ray_session):
     assert got == want
     kept = sum(k for _, k in got.values())
     assert 0 < kept < len(got)
+
+
+def test_range_lookup_boundaries(ray_session, tmp_path):
+    """Interval semantics pinned on hand-picked boundary values: lo is
+    inclusive, hi exclusive, gap values and out-of-range values null."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.ops_queries import q_range_lookup
+
+    vals = [0, 119, 120, 219, 220, 259, 260, 339, 340, 459, 460,
+            499, 500, 999, 1000, -5]
+    t = pa.table({"doc_id": pa.array(range(len(vals)), pa.int64()),
+                  "text": pa.array(["x"] * len(vals)),
+                  "lang": pa.array(["en"] * len(vals)),
+                  "source": pa.array(["s"] * len(vals)),
+                  "n_chars": pa.array(vals, pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {r["n_chars"]: r["size_class"]
+           for r in q_range_lookup(str(tmp_path)).take_all()}
+    assert got == {0: "xs", 119: "xs", 120: "s", 219: "s", 220: None,
+                   259: None, 260: "m", 339: "m", 340: "l", 459: "l",
+                   460: None, 499: None, 500: "xl", 999: "xl",
+                   1000: None, -5: None}

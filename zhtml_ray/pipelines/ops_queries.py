@@ -4266,6 +4266,59 @@ FROM embeddings
 """
 
 
+# disjoint, gap-bearing [lo, hi) intervals — the IP-to-geo lookup shape
+_RANGE_TABLE = [(0, 120, "xs"), (120, 220, "s"), (260, 340, "m"),
+                (340, 460, "l"), (500, 1000, "xl")]
+
+
+def q_range_lookup(sf_dir: str):
+    """Static range-table broadcast lookup (X99 — the IP-geolocation /
+    rate-card shape: a SMALL sorted disjoint interval table labels a
+    huge fact stream). Unlike the as-of join (both sides shuffle),
+    the interval table broadcasts once and each batch resolves with
+    ONE `np.searchsorted` against the lo bounds + an hi containment
+    check — zero shuffles, gaps yield null labels. At 100 TB this is
+    the only sane plan for a lookup side that fits memory."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    lo = np.array([r[0] for r in _RANGE_TABLE], np.int64)
+    hi = np.array([r[1] for r in _RANGE_TABLE], np.int64)
+    lab = np.array([r[2] for r in _RANGE_TABLE])
+    ref = ray.put((lo, hi, lab))
+
+    class Lookup:
+        def __init__(self):
+            self.lo, self.hi, self.lab = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b["n_chars"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            idx = np.searchsorted(self.lo, v, side="right") - 1
+            ok = (idx >= 0) & (v < self.hi[np.clip(idx, 0, None)])
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "size_class": pa.array(
+                    self.lab[np.clip(idx, 0, None)], pa.string())
+                .take(pa.array(np.arange(len(v)), pa.int64(),
+                               mask=~ok))})
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        Lookup, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+
+
+def _sql_range_lookup() -> str:
+    vals = ", ".join(f"({lo}, {hi}, '{lab}')"
+                     for lo, hi, lab in _RANGE_TABLE)
+    return f"""
+WITH r(lo, hi, size_class) AS (VALUES {vals})
+SELECT d.doc_id, d.n_chars, r.size_class
+FROM documents d LEFT JOIN r ON d.n_chars >= r.lo AND d.n_chars < r.hi
+"""
+
+
 _INVIDX_PROBES = ["hash", "join", "vector", "sort", "zzz_absent_term"]
 
 
@@ -4373,6 +4426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": q_pmi_collocations,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
+        "range_lookup": q_range_lookup,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
@@ -4472,6 +4526,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _sql_pmi_collocations(),
         "inverted_index": _sql_inverted_index(),
         "quality_classifier": _sql_quality_classifier(),
+        "range_lookup": _sql_range_lookup(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
