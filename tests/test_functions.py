@@ -948,3 +948,35 @@ def test_phash_neardup_hamming_radius(ray_session):
                      max_hamming=3, decode=decode,
                      concurrency=2).take_all())
     assert got == want
+
+
+def test_pca_planted_axis_and_layout_invariance(ray_session):
+    """PCA must recover a planted dominant direction, order components
+    by variance, and return BYTE-identical components and projections
+    across hostile block layouts (the pinned-moments invariance)."""
+    import ray.data as rd
+    from zhtml_ray.functions.similarity import pca_fit, pca_transform
+
+    rng = np.random.RandomState(5)
+    d, n = 16, 1200
+    axis = rng.standard_normal(d)
+    axis /= np.linalg.norm(axis)
+    X = (np.outer(rng.standard_normal(n) * 8.0, axis)
+         + rng.standard_normal((n, d)) * 0.3).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in X],
+                                        pa.list_(pa.float32()))})
+    c1 = pca_fit(rd.from_arrow(t), k=3)
+    c2 = pca_fit(rd.from_arrow(t).repartition(13), k=3)
+    assert c1.tobytes() == c2.tobytes()  # layout-invariant fit
+    assert abs(float(c1[0] @ axis)) > 0.99  # planted axis recovered
+    # variance ordering: projected variance non-increasing
+    P = X.astype(np.float64) @ c1.T
+    v = P.var(axis=0)
+    assert v[0] > v[1] >= v[2] >= 0
+    # projections byte-identical across layouts too
+    s1 = pca_transform(rd.from_arrow(t), c1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    s2 = pca_transform(rd.from_arrow(t).repartition(13), c2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert s1.equals(s2)

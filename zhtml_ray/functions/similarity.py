@@ -576,3 +576,96 @@ def ivf_index_topk(out_dir: str, query_vectors: np.ndarray, k: int = 10,
                              "cosine": pd.array([], dtype="float64")})
     ds = rd.read_parquet(files, columns=[key, col])
     return brute_force_topk(ds, q, k=k, key=key, col=col)
+
+
+# ------------------------------------------------------------ distributed PCA
+
+def pca_fit(ds, k: int = 4, col: str = "embedding") -> np.ndarray:
+    """Distributed PCA via moment accumulation: each BLOCK emits one
+    flattened (n, Σx, ΣxxT) partial row — d²+d+1 float64s, so the
+    driver folds #blocks rows regardless of corpus size — partials are
+    summed in content order and the folded moments are 6-dp HOUSE-
+    PINNED before the eigendecomposition. The pin makes the covariance
+    matrix IDENTICAL across block layouts and schedules (accumulation-
+    order noise ≪ the pin unit at gate magnitudes), so `eigh` — run
+    once, on the driver — returns bit-identical components and the
+    whole fit is layout/schedule-invariant like `kmeans_fit`.
+
+    Returns (k, d) float64 components, eigenvalue-descending, each
+    sign-fixed so its largest-|coordinate| entry is positive (the
+    eigenvector sign is otherwise arbitrary)."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        M = _emb_matrix(b[col]).astype(np.float64)
+        n = len(M)
+        if n == 0:
+            return pa.table({"m": pa.array([], pa.list_(pa.float64()))})
+        s = M.sum(axis=0)
+        ss = M.T @ M
+        row = np.concatenate(([float(n)], s, ss.ravel()))
+        return pa.table({"m": pa.array([row.tolist()],
+                                       pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_size=None,
+                           batch_format="pyarrow").take_all()
+    rows = np.asarray([r["m"] for r in parts], np.float64)
+    tot = _content_sorted(rows).sum(axis=0)
+    return _pca_from_moments(tot, k)
+
+
+def _pca_from_moments(tot: np.ndarray, k: int) -> np.ndarray:
+    """Pin the folded (n, Σx, Σxxᵀ) moments to 3 dp, then eigh + the
+    deterministic sign fix. Shared by the distributed fit and the
+    serial golden generator — the SAME code path, so an edit here can
+    never diverge the two.
+
+    Pin-unit choice (the house decimal-pinned-moments rule): the d²+d+1
+    moments each carry ~1e-11 accumulation-order noise at gate
+    magnitudes, so a 1e-6 pin would put SOME moment within noise of a
+    rounding boundary with probability ~1e-1 per run — 1e-3 drops that
+    to ~1e-4 while perturbing covariance entries by <1e-6, far below
+    eigengap scale. Once the moments pin identically, eigh and the
+    projections are bit-identical everywhere downstream."""
+    tot = np.floor(tot * 1e3 + 0.5) / 1e3
+    n = tot[0]
+    # len(tot) = 1 + d + d²  →  d = (-1 + √(1+4(len-1))) / 2
+    d = int(round((-1 + (1 + 4 * (len(tot) - 1)) ** 0.5) / 2))
+    mu = tot[1:1 + d] / n
+    cov = tot[1 + d:].reshape(d, d) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, np.argsort(-w)[:k]].T
+    # deterministic sign: largest-|coord| entry positive (ties: the
+    # earliest such index decides)
+    amax = np.argmax(np.abs(comp), axis=1)
+    sign = np.sign(comp[np.arange(len(comp)), amax])
+    sign[sign == 0] = 1.0
+    return comp * sign[:, None]
+
+
+def pca_transform(ds, components: np.ndarray, key: str = "vec_id",
+                  col: str = "embedding"):
+    """Project every vector onto the fitted components: components
+    broadcast once, one matmul per batch, scores 6-dp pinned (row-
+    independent float ops — identical on any layout once the
+    components are identical). Output: key + pc0..pc{k-1}."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(np.asarray(components, np.float64))
+
+    class Project:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            M = _emb_matrix(b[col]).astype(np.float64)
+            S = np.floor(M @ self.C.T * 1e6 + 0.5) / 1e6
+            cols = {key: b[key]}
+            for i in range(self.C.shape[0]):
+                cols[f"pc{i}"] = pa.array(S[:, i], pa.float64())
+            return pa.table(cols)
+
+    from zhtml_ray.stages.util import autoscale_pool
+    return ds.map_batches(Project, batch_format="pyarrow",
+                          concurrency=autoscale_pool(0.5))

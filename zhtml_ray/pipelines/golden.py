@@ -516,6 +516,28 @@ def media_feature_project(tbl: pa.Table) -> pa.Table:
                      "decoded": tbl["decoded"]})
 
 
+def _gen_pca_project(sf_dir: str, k: int = 4) -> pa.Table:
+    """Serial PCA projection: one-process moments → the SHARED
+    ``_pca_from_moments`` (identical pin + eigh + sign fix) → 6-dp
+    projections. Equal output certifies the distributed moment fold is
+    layout/schedule-invariant."""
+    import numpy as np
+
+    from zhtml_ray.functions.similarity import (_emb_matrix,
+                                                _pca_from_moments)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    M = _emb_matrix(t["embedding"]).astype(np.float64)
+    tot = np.concatenate(([float(len(M))], M.sum(axis=0),
+                          (M.T @ M).ravel()))
+    C = _pca_from_moments(tot, k)
+    S = np.floor(M @ C.T * 1e6 + 0.5) / 1e6
+    cols = {"vec_id": t["vec_id"]}
+    for i in range(k):
+        cols[f"pc{i}"] = pa.array(S[:, i], pa.float64())
+    return pa.table(cols)
+
+
 def _gen_media_phash(sf_dir: str) -> pa.Table:
     """Serial dHash table (media_id, phash) over the dup-planted media
     fixture. The ORACLE pair list is then computed INDEPENDENTLY in
@@ -610,6 +632,7 @@ _GENERATORS = {
     "pdf_extract": _gen_pdf_extract,
     "media_features": _gen_media_features,
     "media_phash": _gen_media_phash,
+    "pca_project": _gen_pca_project,
     "audio_features": _gen_audio_features,
     "frame_sample": _gen_frame_sample,
     "approx_distinct_users": _gen_approx_distinct_users,

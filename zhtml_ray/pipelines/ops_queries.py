@@ -3585,6 +3585,24 @@ def q_frame_sample(sf_dir: str):
                           batch_size=32)
 
 
+def q_pca_project(sf_dir: str, k: int = 4):
+    """Distributed PCA projection (X100 — the dimensionality-reduction
+    / whitening pass an embedding pipeline runs before ANN or
+    SemDeDup): per-BLOCK (n, Σx, Σxxᵀ) moment partials (d²+d+1
+    float64s per block, driver folds #blocks rows), content-sorted
+    fold, 3-dp-pinned moments → one driver `eigh` (shared with the
+    serial golden via `_pca_from_moments`), components broadcast, one
+    matmul per batch. Scores 6-dp pinned; output (vec_id, pc0..pc3)
+    is layout/schedule/engine-invariant."""
+    from zhtml_ray.functions.similarity import pca_fit, pca_transform
+    from zhtml_ray.pipelines.golden import ensure_golden
+
+    ensure_golden("pca_project", sf_dir)
+    ds = _emb(sf_dir)
+    comp = pca_fit(ds, k=k)
+    return pca_transform(ds, comp)
+
+
 def q_media_phash_dup(sf_dir: str):
     """Perceptual-hash image near-duplicate pairs (X98 — the image
     counterpart of MinHash text dedup): dHash64 per decoded image
@@ -4472,6 +4490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": q_pdf_extract,
         "media_features": q_media_features,
         "media_phash_dup": q_media_phash_dup,
+        "pca_project": q_pca_project,
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
     }
@@ -4492,6 +4511,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": golden_sql("pdf_extract"),
         "media_features": golden_sql("media_features"),
         "media_phash_dup": _sql_media_phash_dup(),
+        "pca_project": golden_sql("pca_project"),
         "audio_features": golden_sql("audio_features"),
         "frame_sample": golden_sql("frame_sample"),
         "token_count": SQL_TOKEN_COUNT,
