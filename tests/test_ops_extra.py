@@ -149,3 +149,33 @@ def test_range_lookup_boundaries(ray_session, tmp_path):
                    259: None, 260: "m", 339: "m", 340: "l", 459: "l",
                    460: None, 499: None, 500: "xl", 999: "xl",
                    1000: None, -5: None}
+
+
+def test_url_blocklist_prefix_semantics(ray_session):
+    """Prefix-free normalization + predecessor-only matching: the
+    host-wide h3 prefix subsumes its longer /p/1 entry; h5 blocks only
+    the /p/1* subtree (p/1, p/10..p/19, ...); exact-boundary and
+    near-miss urls stay unblocked."""
+    from zhtml_ray.pipelines.ops_queries import (normalize_prefix_free,
+                                                 q_url_blocklist)
+
+    pf = normalize_prefix_free(
+        ["https://a/x", "https://a/", "https://b/q", "https://a/xyz"])
+    assert pf == ["https://a/", "https://b/q"]
+
+    rows = q_url_blocklist(SF).take_all()
+    assert len(rows) == 500
+    got = {r["canonical_url"]: r["blocked"] for r in rows}
+    # 3 docs share each canonical url (utm/fragment overlay) — blocked
+    # must agree within a url group for the dict collapse to be sound
+    for r in rows:
+        assert got[r["canonical_url"]] == r["blocked"]
+    h3 = {u: b for u, b in got.items() if "//www.h3." in u}
+    assert h3 and all(h3.values())  # whole h3 host blocked
+    h5_p1 = {u: b for u, b in got.items()
+             if u.startswith("https://www.h5.example.com/p/1")}
+    assert h5_p1 and all(h5_p1.values())
+    h5_rest = {u: b for u, b in got.items()
+               if "//www.h5." in u and u not in h5_p1}
+    assert h5_rest and not any(h5_rest.values())
+    assert not any(b for u, b in got.items() if "//www.h0." in u)

@@ -4284,6 +4284,85 @@ FROM embeddings
 """
 
 
+# URL-prefix blocklist (Dolma/CCNet shape); "https://www.h3." also
+# PROVES the prefix-free normalization: it subsumes the longer /p/1
+# entry, which must become redundant, not shadow it
+_URL_BLOCKLIST = ["https://www.h3.example.com/",
+                  "https://www.h3.example.com/p/1",
+                  "https://www.h5.example.com/p/1",
+                  "https://www.h6.example.com/p/33?id"]
+
+
+def normalize_prefix_free(prefixes: list[str]) -> list[str]:
+    """Sorted prefix-free form: drop any entry extending a kept one.
+    With a prefix-free sorted list, a string's ONLY possible matching
+    prefix is its lexicographic predecessor (any Q between prefix P
+    and a P-prefixed url would itself extend P), so one searchsorted
+    per row resolves membership."""
+    out: list[str] = []
+    for p in sorted(set(prefixes)):
+        if not out or not p.startswith(out[-1]):
+            out.append(p)
+    return out
+
+
+def q_url_blocklist(sf_dir: str):
+    """URL-prefix blocklist filter (X101 — the Dolma/CCNet URL-filter
+    shape: a small blocklist of site/path prefixes marks a huge crawl
+    stream). The blocklist is normalized prefix-free and broadcast
+    sorted; each batch canonicalizes its URLs (shared X30 kernel) and
+    resolves every row with ONE `np.searchsorted` + a per-PREFIX
+    vectorized `starts_with` over its candidate rows — zero shuffles,
+    loop bounded by blocklist size, never rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from zhtml_ray.functions.urltools import canonicalize_batch
+
+    pref = normalize_prefix_free(_URL_BLOCKLIST)
+    ref = ray.put(np.array(pref))
+
+    class Block:
+        def __init__(self):
+            self.pref = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cu = canonicalize_batch(
+                pa.table({"url": _overlay_urls(b)}))["canonical_url"]
+            urls = cu.combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.pref, urls, side="right") - 1
+            blocked = np.zeros(len(urls), bool)
+            for i in range(len(self.pref)):
+                cand = idx == i
+                if cand.any():
+                    m = pc.starts_with(pa.array(urls[cand]),
+                                       self.pref[i])
+                    blocked[cand] = m.to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": b["doc_id"],
+                             "canonical_url": cu,
+                             "blocked": pa.array(blocked)})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        Block, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+
+
+def _sql_url_blocklist() -> str:
+    from zhtml_ray.functions.urltools import sql_canonical_exprs
+    _, canon = sql_canonical_exprs("url")
+    vals = ", ".join(f"('{p}')" for p in _URL_BLOCKLIST)
+    return f"""
+WITH bl(prefix) AS (VALUES {vals}),
+c AS (SELECT doc_id, {canon} AS canonical_url
+      FROM (SELECT doc_id, {_SQL_URL_OVERLAY} AS url FROM documents))
+SELECT doc_id, canonical_url,
+       EXISTS (SELECT 1 FROM bl
+               WHERE starts_with(c.canonical_url, bl.prefix)) AS blocked
+FROM c
+"""
+
+
 # disjoint, gap-bearing [lo, hi) intervals — the IP-to-geo lookup shape
 _RANGE_TABLE = [(0, 120, "xs"), (120, 220, "s"), (260, 340, "m"),
                 (340, 460, "l"), (500, 1000, "xl")]
@@ -4445,6 +4524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
         "range_lookup": q_range_lookup,
+        "url_blocklist": q_url_blocklist,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
@@ -4547,6 +4627,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _sql_inverted_index(),
         "quality_classifier": _sql_quality_classifier(),
         "range_lookup": _sql_range_lookup(),
+        "url_blocklist": _sql_url_blocklist(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
