@@ -46,7 +46,9 @@ def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
     if dup_every:
         # plant exact image duplicates for the near-dup operators:
         # every dup_every-th image copies payload+dims from the image
-        # 10·dup_every rows back (same decode → same pixels → phash 0)
+        # dup_every IMAGES (~3·dup_every rows) back — same decode →
+        # same pixels → phash 0; the planted images chain into one
+        # identical clique
         img_idx = [i for i in range(n) if i % 3 == 0]
         for j, i in enumerate(img_idx):
             if j % dup_every == dup_every - 1 and j >= dup_every:
@@ -288,14 +290,21 @@ def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def phash_neardup(ds, max_hamming: int = 3, decode=None,
-                  concurrency=None):
+                  concurrency=None, clique_limit: int = 4096):
     """Perceptual-hash image near-duplicate pairs: dHash per image →
     4×16-bit band blocking (pigeonhole: ≤3 differing bits across 4
     bands leave ≥1 band EXACT, so band recall is total for the
-    default radius) → candidate pairs via the shared sort-based
-    bucket pairing → hamming verify on XOR popcount. The verify
-    attaches hashes with two merge joins — 8 bytes per image, never a
-    broadcast dict. Returns (key_a, key_b, hamming ≤ max_hamming)."""
+    default radius — PROVIDED no band bucket exceeds
+    ``clique_limit``: beyond it the shared pairing falls back to star
+    pairs with a warning, which preserves CLUSTER membership for
+    exact-duplicate groups but not the full pair list; raise the
+    limit when the pair list itself is the product) → candidate pairs
+    via the shared sort-based bucket pairing → hamming verify on XOR
+    popcount. Undecoded rows are dropped first (decode failures carry
+    phash 0 and would cross-pair as fake hamming-0 duplicates). The
+    verify attaches hashes with two merge joins — 8 bytes per image,
+    never a broadcast dict. Returns (key_a, key_b,
+    hamming ≤ max_hamming)."""
     import pyarrow.compute as pc
 
     from zhtml_ray.functions.dedup import (_bucket_pairs_np,
@@ -307,11 +316,22 @@ def phash_neardup(ds, max_hamming: int = 3, decode=None,
     assert max_hamming <= 3, \
         "4 bands of 16 bits guarantee recall only to hamming 3; " \
         "raise the band count for a wider radius"
-    ph = ds.map_batches(PHashBatch if decode is None else
-                        PHashBatch(decode),
+    ph = ds.map_batches(PHashBatch,
+                        fn_constructor_kwargs=dict(decode=decode),
                         batch_format="pyarrow", batch_size=32,
                         concurrency=concurrency
-                        or autoscale_pool(0.5)).materialize()
+                        or autoscale_pool(0.5))
+
+    def decoded_only(b: pa.Table) -> pa.Table:
+        # a real decoder FAILS on corrupt payloads; those rows carry
+        # phash 0 and would all pair as hamming-0 "duplicates" with
+        # each other (and with genuinely smooth zero-hash images) —
+        # near-dup semantics are defined over DECODED images only
+        import pyarrow.compute as pc
+        return b.filter(b["decoded"])
+
+    ph = ph.map_batches(decoded_only,
+                        batch_format="pyarrow").materialize()
 
     def explode(b: pa.Table) -> pa.Table:
         hv = b["phash"].combine_chunks().to_numpy(
@@ -335,14 +355,15 @@ def phash_neardup(ds, max_hamming: int = 3, decode=None,
     def interior_pairs(b, starts, ends, runs_mask):
         K = b["media_id"].combine_chunks()
         return _bucket_pairs_np(K, b.num_rows, starts, ends, runs_mask,
-                                clique_limit=4096)
+                                clique_limit=clique_limit)
 
     def edge_pairs(g: pa.Table) -> pa.Table:
         K = g["media_id"].combine_chunks()
         K = K.take(pc.sort_indices(K))
         return _bucket_pairs_np(K, len(K), np.asarray([0]),
                                 np.asarray([len(K)]),
-                                np.asarray([True]), clique_limit=4096)
+                                np.asarray([True]),
+                                clique_limit=clique_limit)
 
     pairs = dedup_candidate_pairs(sorted_bucket_apply(
         exploded, "bucket", ["bucket", "media_id"],
@@ -352,13 +373,16 @@ def phash_neardup(ds, max_hamming: int = 3, decode=None,
         return lambda b: pa.table({new_key: b["media_id"],
                                    payload: b["phash"]})
 
+    # compact between chained sortagg stages (CLAUDE.md landmine:
+    # ~2 tiny blocks per input block × range-sort partitions)
+    from zhtml_ray.stages.util import compact_blocks
     pairs = sorted_lookup_join(
-        pairs, ph.map_batches(rn("key_a", "ph_a"),
-                              batch_format="pyarrow"),
+        compact_blocks(pairs),
+        ph.map_batches(rn("key_a", "ph_a"), batch_format="pyarrow"),
         "key_a", ["ph_a"])
     pairs = sorted_lookup_join(
-        pairs, ph.map_batches(rn("key_b", "ph_b"),
-                              batch_format="pyarrow"),
+        compact_blocks(pairs),
+        ph.map_batches(rn("key_b", "ph_b"), batch_format="pyarrow"),
         "key_b", ["ph_b"])
 
     def verify(b: pa.Table) -> pa.Table:

@@ -584,8 +584,9 @@ def pca_fit(ds, k: int = 4, col: str = "embedding") -> np.ndarray:
     """Distributed PCA via moment accumulation: each BLOCK emits one
     flattened (n, Σx, ΣxxT) partial row — d²+d+1 float64s, so the
     driver folds #blocks rows regardless of corpus size — partials are
-    summed in content order and the folded moments are 6-dp HOUSE-
-    PINNED before the eigendecomposition. The pin makes the covariance
+    summed in content order and the folded moments are decimal-PINNED
+    (3 dp — pin-unit rationale in ``_pca_from_moments``) before the
+    eigendecomposition. The pin makes the covariance
     matrix IDENTICAL across block layouts and schedules (accumulation-
     order noise ≪ the pin unit at gate magnitudes), so `eigh` — run
     once, on the driver — returns bit-identical components and the

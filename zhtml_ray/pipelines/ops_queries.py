@@ -4141,6 +4141,8 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5):
             "w2": vocab.take(pa.array(c[starts], pa.int64())),
             "pair_cnt": pa.array(cnts, pa.int64())})
 
+    from zhtml_ray.stages.util import compact_blocks
+
     pairs = sorted_sum_per_group(
         ds.map_batches(pair_partial, batch_format="pyarrow"),
         ["w1", "w2"], ["pair_cnt"])
@@ -4148,7 +4150,9 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5):
     def keep_frequent(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater_equal(b["pair_cnt"], min_count))
 
-    pairs = pairs.map_batches(keep_frequent, batch_format="pyarrow")
+    # compact before the chained join sorts (CLAUDE.md sortagg rule)
+    pairs = compact_blocks(
+        pairs.map_batches(keep_frequent, batch_format="pyarrow"))
 
     def uni_partial(b: pa.Table) -> pa.Table:
         _row, codes, vocab, _lens = _split_encode(b["text"])
@@ -4158,9 +4162,9 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5):
         return pa.table({"word": vocab,
                          "cnt": pa.array(cnt, pa.int64())})
 
-    uni = sorted_sum_per_group(
+    uni = compact_blocks(sorted_sum_per_group(
         ds.map_batches(uni_partial, batch_format="pyarrow"),
-        ["word"], ["cnt"]).materialize()  # vocabulary-bounded
+        ["word"], ["cnt"]))  # vocabulary-bounded; compacted for reuse
     n_tokens = int(uni.sum("cnt") or 0)
 
     def _rename(new_key: str, payload: str):
@@ -4173,8 +4177,9 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5):
                                batch_format="pyarrow"),
         "w1", ["cnt1"])
     pairs = sorted_lookup_join(
-        pairs, uni.map_batches(_rename("w2", "cnt2"),
-                               batch_format="pyarrow"),
+        compact_blocks(pairs),
+        uni.map_batches(_rename("w2", "cnt2"),
+                        batch_format="pyarrow"),
         "w2", ["cnt2"])
 
     def score(b: pa.Table) -> pa.Table:
@@ -4437,6 +4442,19 @@ def q_inverted_index(sf_dir: str):
     from zhtml_ray.functions.retrieval import (build_inverted_index,
                                                inverted_index_lookup)
 
+    # sweep dead-pid index dirs (the golden-cache hygiene rule —
+    # these otherwise accumulate one full index copy per gate process)
+    import glob
+    import shutil
+    for d in glob.glob("/tmp/zhtml_ray_invidx_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
     out_dir = f"/tmp/zhtml_ray_invidx_{os.getpid()}"
     ds = _docs(sf_dir, ["doc_id", "text"])
     build_inverted_index(ds, out_dir)

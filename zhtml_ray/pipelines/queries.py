@@ -1352,10 +1352,11 @@ def q_cust_orders_full_outer(sf_dir: str, segment: str = "AUTOMOBILE",
             .group_by("c_custkey").aggregate([("c_custkey", "count")])
         return g.rename_columns(["c_custkey", "n_urgent"])
 
-    counts = sorted_sum_per_group(
+    from zhtml_ray.stages.util import compact_blocks
+    counts = compact_blocks(sorted_sum_per_group(
         drop_empty_blocks(
             orders.map_batches(cnt_partial, batch_format="pyarrow")),
-        ["c_custkey"], ["n_urgent"])
+        ["c_custkey"], ["n_urgent"]))
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_acctbal",
