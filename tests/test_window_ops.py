@@ -195,3 +195,24 @@ def test_events_retention_differential(ray_session, events_dir):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"))
+
+
+def test_event_trigrams_matches_pandas(ray_session, events_dir):
+    """Trigram mining vs an independent pandas implementation on the
+    hostile layout (25 users incl. a 20%-of-rows hot key, 40 tiny
+    blocks so most users straddle edges)."""
+    from collections import Counter
+
+    from zhtml_ray.pipelines.ops_queries import q_event_trigrams
+
+    d, t = events_dir
+    got = [(r["trigram"], r["cnt"])
+           for r in q_event_trigrams(d, k=15).take_all()]
+
+    df = _pdf(t).sort_values(["user_id", "ts", "event_id"])
+    c = Counter()
+    for _, g in df.groupby("user_id"):
+        ev = g["event_type"].tolist()
+        c.update(">".join(ev[i:i + 3]) for i in range(len(ev) - 2))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == want

@@ -4289,6 +4289,163 @@ FROM embeddings
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff (X102 — the data-ops audit between two
+    crawl versions: what was added / removed / changed / kept). Old
+    snapshot = doc_id%10<8, new = doc_id%10>=2 with every doc_id%7==0
+    text mutated — deterministic overlap on both null sides plus real
+    changes. Each side reduces to (doc_id, sha1) per batch — text
+    never shuffles — then ONE `sorted_lookup_join(how='full')` range
+    shuffle classifies every key: added (old null), removed (new
+    null), changed (hash differs), same."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import add_content_hash
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def side(which: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = _mod(b["doc_id"].combine_chunks(), 10)
+            t = b.filter(pc.less(m, 8) if which == "old"
+                         else pc.greater_equal(m, 2))
+            if which == "new":
+                mut = pc.equal(_mod(t["doc_id"].combine_chunks(), 7), 0)
+                t = t.set_column(
+                    t.schema.get_field_index("text"), "text",
+                    pc.if_else(mut, pc.binary_join_element_wise(
+                        t["text"], " v2", ""), t["text"]))
+            h = add_content_hash(t, "text",
+                                 out="h_" + which)
+            return h.select(["doc_id", "h_" + which])
+        return fn
+
+    new = drop_empty_blocks(ds.map_batches(side("new"),
+                                           batch_format="pyarrow"))
+    old = drop_empty_blocks(ds.map_batches(side("old"),
+                                           batch_format="pyarrow"))
+    j = sorted_lookup_join(compact_blocks(new), old, "doc_id",
+                           ["h_old"], how="full")
+
+    def classify(b: pa.Table) -> pa.Table:
+        hn, ho = b["h_new"], b["h_old"]
+        status = pc.if_else(
+            pc.is_null(ho), "added",
+            pc.if_else(pc.is_null(hn), "removed",
+                       pc.if_else(pc.equal(hn, ho), "same", "changed")))
+        return pa.table({"doc_id": b["doc_id"],
+                         "status": pc.cast(status, pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+# the oracle compares TEXTS where the engine compares sha1 digests —
+# equivalent semantics (equal digest ⇔ equal text), independent plan
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, text AS t FROM documents
+             WHERE doc_id % 10 < 8),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                    ELSE text END AS t
+        FROM documents WHERE doc_id % 10 >= 2)
+SELECT doc_id,
+       CASE WHEN old.t IS NULL THEN 'added'
+            WHEN new.t IS NULL THEN 'removed'
+            WHEN new.t = old.t THEN 'same'
+            ELSE 'changed' END AS status
+FROM new FULL OUTER JOIN old USING (doc_id)
+"""
+
+
+def q_event_trigrams(sf_dir: str, k: int = 20):
+    """Top-k per-user event-type trigrams (X103 — sequential-pattern
+    mining over clickstreams: the 'what 3-step paths happen most'
+    product question). ONE range-shuffle sort on (user, ts, event_id)
+    — the same single shuffle every window op here rides — then
+    block-local vectorized trigram extraction (adjacent triples within
+    a user, via run-id shift compares on dictionary codes), per-block
+    count pre-combine, a trigram-vocabulary-bounded run-sum, tiny
+    sort+limit. Users straddling a block edge resolve whole in the
+    bounded per-group pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    empty = pa.table({"trigram": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def _emit(types: pa.Array, run_id: np.ndarray) -> pa.Table:
+        n = len(run_id)
+        if n < 3:
+            return empty
+        ok = (run_id[:-2] == run_id[1:-1]) & (run_id[1:-1] == run_id[2:])
+        pos = np.flatnonzero(ok)
+        if pos.size == 0:
+            return empty
+        tri = pc.binary_join_element_wise(
+            types.take(pa.array(pos, pa.int64())),
+            types.take(pa.array(pos + 1, pa.int64())),
+            types.take(pa.array(pos + 2, pa.int64())), ">")
+        g = pa.table({"trigram": tri}).group_by("trigram") \
+            .aggregate([("trigram", "count")])
+        return g.rename_columns(["trigram", "cnt"])
+
+    def interior(b: pa.Table, starts, ends, mask) -> pa.Table:
+        lens = ends - starts
+        run_id = np.repeat(
+            np.where(mask, np.arange(len(starts)), -1), lens)
+        # edge runs get run_id -1; -1 == -1 would splice two edge runs
+        # only if adjacent, and both are excluded anyway via distinct
+        # negatives per run:
+        run_id[run_id < 0] = -(np.flatnonzero(run_id < 0) + 1)
+        return _emit(b["event_type"].combine_chunks(), run_id)
+
+    def edge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        return _emit(g["event_type"].combine_chunks(),
+                     np.zeros(g.num_rows, np.int64))
+
+    parts = sorted_bucket_apply(ds, "user_id",
+                                ["user_id", "ts", "event_id"],
+                                interior, edge, empty)
+    cnt = sorted_sum_per_group(compact_blocks(parts),
+                               ["trigram"], ["cnt"])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("neg", pc.negate_checked(b["cnt"]))
+
+    top = cnt.map_batches(neg, batch_format="pyarrow") \
+        .sort(["neg", "trigram"]).limit(k)
+    return top.map_batches(lambda b: b.drop_columns(["neg"]),
+                           batch_format="pyarrow")
+
+
+def _sql_event_trigrams(k: int = 20) -> str:
+    return f"""
+WITH w AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events)
+SELECT a || '>' || b || '>' || c AS trigram, count(*)::BIGINT AS cnt
+FROM w WHERE c IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT {k}
+"""
+
+
 # URL-prefix blocklist (Dolma/CCNet shape); "https://www.h3." also
 # PROVES the prefix-free normalization: it subsumes the longer /p/1
 # entry, which must become redundant, not shadow it
@@ -4543,6 +4700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "range_lookup": q_range_lookup,
         "url_blocklist": q_url_blocklist,
+        "snapshot_diff": q_snapshot_diff,
+        "event_trigrams": q_event_trigrams,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
@@ -4646,6 +4805,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _sql_quality_classifier(),
         "range_lookup": _sql_range_lookup(),
         "url_blocklist": _sql_url_blocklist(),
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "event_trigrams": _sql_event_trigrams(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
