@@ -308,3 +308,55 @@ def test_split_encode_matches_python_split_exactly():
     assert np.array_equal(lens0, lens1)
     assert vocab0.equals(vocab1) or vocab1.to_pylist() == \
         vocab0.to_pylist()
+
+
+def test_bigram_logprob_paths_and_reference(ray_session, tmp_path):
+    """Both budget paths (broadcast vs merge-join) emit identical rows,
+    and they match an independent dict-counting reference (conditional
+    P sums to 1 per head; docs with <2 tokens absent; doc-boundary
+    pairs never counted)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from zhtml_ray.functions.corpusstats import bigram_logprob
+
+    rng = np.random.default_rng(13)
+    words = ["a", "b", "c", "dd"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 12)).tolist())
+             for _ in range(80)] + ["", "solo", None, "a b"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet")) \
+        .repartition(7)
+
+    fast = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+            for r in bigram_logprob(ds).take_all()}
+    slow = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+            for r in bigram_logprob(ds, broadcast_budget=0).take_all()}
+    assert fast == slow
+
+    bf, hf = Counter(), Counter()
+    for s in texts:
+        toks = (s or "").split()
+        for p in zip(toks, toks[1:]):
+            bf[p] += 1
+            hf[p[0]] += 1
+    want = {}
+    for i, s in enumerate(texts):
+        toks = (s or "").split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            continue
+        tot = sum(math.log(bf[p] / hf[p[0]]) for p in pairs)
+        m = tot / len(pairs)
+        want[i] = (len(pairs),
+                   math.floor(m * 1e6 + 0.5) / 1e6)
+    assert set(fast) == set(want)
+    for k in want:
+        assert fast[k][0] == want[k][0]
+        assert abs(fast[k][1] - want[k][1]) < 2e-6  # pin-boundary slack

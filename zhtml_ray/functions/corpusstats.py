@@ -689,3 +689,176 @@ def unigram_logprob(ds, broadcast_budget: int = 256 << 20):
 
     return sorted_bucket_apply(joined, "doc_id", ["doc_id"],
                                doc_interior, doc_edge, out_empty)
+
+
+def _bigram_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: adjacent-bigram counts inside the batch.
+    Emits (key = w1␟w2, w1, cnt) — ␟ (U+001F) is Python whitespace, so
+    split words can never contain it and the composite key is
+    collision-free."""
+    row, codes, vocab, _lens = _split_encode(batch["text"])
+    empty = pa.table({"key": pa.array([], pa.string()),
+                      "w1": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if codes.size < 2:
+        return empty
+    adj = row[1:] == row[:-1]
+    a = codes[:-1][adj]
+    c = codes[1:][adj]
+    if a.size == 0:
+        return empty
+    order = np.lexsort((c, a))
+    a, c = a[order], c[order]
+    new = np.empty(a.size, bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new)
+    cnts = np.diff(np.append(starts, a.size))
+    import pyarrow.compute as pc
+    w1 = vocab.take(pa.array(a[starts], pa.int64()))
+    w2 = vocab.take(pa.array(c[starts], pa.int64()))
+    return pa.table({"key": pc.binary_join_element_wise(w1, w2, "\x1f"),
+                     "w1": w1, "cnt": pa.array(cnts, pa.int64())})
+
+
+def bigram_logprob(ds, broadcast_budget: int = 256 << 20):
+    """Per-document mean bigram conditional log-probability — the
+    next-order KenLM-style quality signal after ``unigram_logprob``:
+    score(d) = mean over d's adjacent pairs of ln(c(w1,w2) / c1(w1)),
+    with c1(w1) = Σ_w2 c(w1,w2) (head counts, so each conditional
+    distribution sums to 1). Output: (doc_id, n_bigrams,
+    mean_logprob 6-dp-pinned), one row per doc with ≥ 1 bigram.
+
+    Same budget-switch plan as the unigram scorer: bigram frequencies
+    from a per-batch combiner + one vocabulary-bounded run-sum, head
+    counts from a second run-sum OVER THE FREQUENCY TABLE (never the
+    corpus), conditional log-probs attached by one merge join; scoring
+    broadcasts the (key → lp) table under ``broadcast_budget`` and
+    otherwise joins it onto per-occurrence (doc, key) rows with the
+    memory-safe merge-join-as-sort path + per-doc run sums."""
+    import pyarrow.compute as pc
+    import ray
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    partial = drop_empty_blocks(
+        ds.map_batches(_bigram_partial_counts, batch_format="pyarrow"))
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "mean_logprob": pa.array([], pa.float64())})
+    import ray.data as rd
+    if partial.count() == 0:
+        return rd.from_arrow(out_empty)
+    freq = compact_blocks(sorted_sum_per_group(
+        partial, ["key", "w1"], ["cnt"]))
+    heads = compact_blocks(sorted_sum_per_group(
+        freq.select_columns(["w1", "cnt"]), ["w1"], ["cnt"])
+        .map_batches(lambda b: b.rename_columns(["w1", "c1"]),
+                     batch_format="pyarrow"))
+    withc1 = sorted_lookup_join(freq, heads, "w1", ["c1"])
+
+    def to_lp(b: pa.Table) -> pa.Table:
+        c2 = b["cnt"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c1 = b["c1"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({"key": b["key"],
+                         "lp": pa.array(np.log(c2 / c1), pa.float64())})
+
+    lp = compact_blocks(withc1.map_batches(to_lp,
+                                           batch_format="pyarrow"))
+
+    def _doc_pairs(batch: pa.Table):
+        """(pair row ids, composite keys) for one batch."""
+        row, codes, vocab, _lens = _split_encode(batch["text"])
+        if codes.size < 2:
+            return None
+        adj = row[1:] == row[:-1]
+        if not adj.any():
+            return None
+        prow = row[:-1][adj]
+        w1 = vocab.take(pa.array(codes[:-1][adj], pa.int64()))
+        w2 = vocab.take(pa.array(codes[1:][adj], pa.int64()))
+        keys = pc.binary_join_element_wise(w1, w2, "\x1f")
+        return prow, keys
+
+    if lp.size_bytes() <= broadcast_budget:
+        ltab = pa.concat_tables(
+            [pa.table(b) for b in lp.iter_batches(
+                batch_format="pyarrow", batch_size=None)])
+        karr = np.asarray(ltab["key"].to_pylist())
+        order = np.argsort(karr)
+        ref = ray.put((karr[order],
+                       ltab["lp"].to_numpy(zero_copy_only=False)
+                       [order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            pk = _doc_pairs(batch)
+            if pk is None:
+                return out_empty
+            prow, keys = pk
+            skeys, slp = ray.get(ref)
+            kq = keys.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(skeys, kq)
+            # every pair came from this same corpus: a miss means the
+            # frequency pass and the scorer disagree — fail loudly
+            assert (idx < len(skeys)).all() and \
+                (skeys[idx] == kq).all(), "bigram key missing from LM"
+            vals = slp[idx]
+            starts = np.flatnonzero(np.r_[True, prow[1:] != prow[:-1]])
+            sums = np.add.reduceat(vals, starts)
+            lens = np.diff(np.append(starts, len(prow)))
+            ids = batch["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids[prow[starts]], pa.int64()),
+                "n_bigrams": pa.array(lens, pa.int64()),
+                "mean_logprob": pa.array(
+                    _pin6(sums / lens.astype(np.float64)),
+                    pa.float64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # over budget: per-occurrence (doc_id, key) rows → merge join → sums
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        pk = _doc_pairs(batch)
+        if pk is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
+        prow, keys = pk
+        ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[prow], pa.int64()),
+                         "key": keys})
+
+    rows = ds.map_batches(emit_pairs, batch_format="pyarrow")
+    joined = compact_blocks(sorted_lookup_join(rows, lp, "key", ["lp"]))
+
+    def doc_interior(b, starts, ends, mask):
+        if not mask.any():
+            return out_empty
+        v = b["lp"].combine_chunks().to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(v, starts)
+        lens = ends - starts
+        heads = b["doc_id"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        return pa.table({
+            "doc_id": heads,
+            "n_bigrams": pa.array(lens[mask], pa.int64()),
+            "mean_logprob": pa.array(
+                _pin6(sums[mask] / lens[mask].astype(np.float64)),
+                pa.float64())})
+
+    def doc_edge(g):
+        import pyarrow.compute as pc2
+        s = float(pc2.sum(g["lp"]).as_py() or 0.0)
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "n_bigrams": pa.array([g.num_rows], pa.int64()),
+            "mean_logprob": pa.array(
+                _pin6(np.array([s / g.num_rows])), pa.float64())})
+
+    return sorted_bucket_apply(joined, "doc_id", ["doc_id"],
+                               doc_interior, doc_edge, out_empty)

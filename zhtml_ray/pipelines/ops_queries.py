@@ -2647,6 +2647,41 @@ FROM per
 """
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc mean bigram conditional log-probability (X104 — the
+    next LM order after `unigram_logprob`; `functions/corpusstats.py:
+    bigram_logprob` docstring has the plan). 6-dp house pin on the
+    mean, identical on both engines."""
+    from zhtml_ray.functions.corpusstats import bigram_logprob
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
+def _sql_bigram_logprob() -> str:
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH f AS (SELECT doc_id, regexp_split_to_array(text, '{ws}') AS a
+           FROM documents),
+t0 AS (SELECT doc_id, unnest(a) AS word,
+              unnest(range(1, len(a)+1)) AS pos FROM f),
+t AS (SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM t0 WHERE word <> ''),
+bi AS (SELECT t1.doc_id, t1.word AS w1, t2.word AS w2 FROM t t1
+       JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.rn = t1.rn + 1),
+bf AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM bi GROUP BY 1, 2),
+hf AS (SELECT w1, sum(c2) AS c1 FROM bf GROUP BY 1),
+per AS (SELECT bi.doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(ln(bf.c2 / hf.c1)) AS s
+        FROM bi JOIN bf USING (w1, w2) JOIN hf USING (w1)
+        GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       floor(s / n_bigrams * 1e6 + 0.5) / 1e6 AS mean_logprob
+FROM per
+"""
+
+
 def q_vocab_df(sf_dir: str):
     """Top-100 corpus words by document frequency: per-batch combiner
     (distinct docs per word inside the batch) -> one sorted run-sum
@@ -4729,6 +4764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "mask_dup_spans": q_mask_dup_spans,
@@ -4833,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": _sql_dup_ngrams(),
         "vocab_df": _sql_vocab_df(),
         "unigram_logprob": _sql_unigram_logprob(),
+        "bigram_logprob": _sql_bigram_logprob(),
         "bm25_topk": _sql_bm25_topk(),
         "stratified_sample": _sql_stratified_sample(),
         "mask_dup_spans": _sql_mask_dup_spans(),
