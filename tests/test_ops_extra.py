@@ -179,3 +179,20 @@ def test_url_blocklist_prefix_semantics(ray_session):
                if "//www.h5." in u and u not in h5_p1}
     assert h5_rest and not any(h5_rest.values())
     assert not any(b for u, b in got.items() if "//www.h0." in u)
+
+
+def test_label_outliers_flags_planted_noise(ray_session):
+    """Statistical sanity on the fixture: z-scores are standardized
+    per label (mean≈0, std≈1), outlier flags match z < -2 exactly, and
+    the outlier rate sits in the plausible one-sided-tail band."""
+    from zhtml_ray.pipelines.ops_queries import q_label_outliers
+    import pandas as pd
+
+    got = q_label_outliers(SF).to_pandas()
+    assert len(got) == 500
+    g = got.groupby("label")["z_r"]
+    assert (g.mean().abs() < 0.05).all()
+    assert ((g.std(ddof=0) - 1.0).abs() < 0.05).all()
+    assert (got["is_outlier"] == (got["z_r"] < -2.0)).all()
+    rate = got["is_outlier"].mean()
+    assert 0.0 < rate < 0.10

@@ -1665,6 +1665,116 @@ def _sql_label_centroids(dim: int = _EMB_DIM) -> str:
             "FROM embeddings GROUP BY label ORDER BY label")
 
 
+def q_label_outliers(sf_dir: str, z_cut: float = -2.0):
+    """Per-label embedding outlier detection (X105 — the label-noise /
+    mislabeled-example sweep run before training a classifier): each
+    vector's 6-dp-pinned cosine to its OWN label's pinned centroid
+    (X67), then a per-label z-score from decimal-pinned (n, Σcos,
+    Σcos²) moments — the X73 rule: pin the moments, then derive with
+    the IDENTICAL expression on both engines — and a flag at
+    z < ``z_cut``. Two pure-map passes + one ≤ #labels moment groupby;
+    centroids and (μ, σ) broadcast once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.similarity import _emb_matrix
+
+    cent = q_label_centroids(sf_dir)  # pandas, label-asc, pinned
+    labels = cent["label"].to_numpy(np.int32)
+    C = cent[[f"c{i}" for i in range(_EMB_DIM)]].to_numpy(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    cref = ray.put((lab_pos, Cn))
+
+    def cos_batch(b: pa.Table) -> pa.Table:
+        lp, cn = ray.get(cref)
+        M = _emb_matrix(b["embedding"]).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        rows = np.array([lp[int(x)] for x in lab], np.int64)
+        cos = np.floor((Mn * cn[rows]).sum(axis=1) * 1e6 + 0.5) / 1e6
+        return pa.table({"vec_id": b["vec_id"], "label": b["label"],
+                         "cos_r": pa.array(cos, pa.float64())})
+
+    scored = _emb(sf_dir).map_batches(
+        cos_batch, batch_format="pyarrow").materialize()
+
+    def mom_partial(b: pa.Table) -> pa.Table:
+        c = b["cos_r"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(lab, return_inverse=True)
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int32)),
+            "pn": pa.array(np.bincount(codes), pa.int64()),
+            "ps": pa.array(np.bincount(codes, weights=c), pa.float64()),
+            "pq": pa.array(np.bincount(codes, weights=c * c),
+                           pa.float64())})
+
+    mom = scored.map_batches(mom_partial, batch_format="pyarrow") \
+        .groupby("label").aggregate(Sum("pn", alias_name="n"),
+                                    Sum("ps", alias_name="s1"),
+                                    Sum("pq", alias_name="s2")) \
+        .to_pandas()
+    # pin the folded moments, then derive μ/σ with the IDENTICAL
+    # expression the SQL uses (s2/n - mu*mu, clamped at 0)
+    stats = {}
+    for _, r in mom.iterrows():
+        n = float(r["n"])
+        s1 = np.floor(r["s1"] * 1e6 + 0.5) / 1e6
+        s2 = np.floor(r["s2"] * 1e6 + 0.5) / 1e6
+        mu = s1 / n
+        sd = np.sqrt(max(s2 / n - mu * mu, 0.0))
+        stats[int(r["label"])] = (mu, sd)
+    sref = ray.put(stats)
+
+    def z_batch(b: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        cos = b["cos_r"].to_numpy(zero_copy_only=False)
+        mu = np.array([st[int(x)][0] for x in lab])
+        sd = np.array([st[int(x)][1] for x in lab])
+        z = np.where(sd > 0,
+                     np.floor((cos - mu) / np.where(sd > 0, sd, 1.0)
+                              * 1e6 + 0.5) / 1e6, 0.0)
+        return pa.table({
+            "vec_id": b["vec_id"], "label": b["label"],
+            "cos_r": b["cos_r"], "z_r": pa.array(z, pa.float64()),
+            "is_outlier": pa.array(z < z_cut)})
+
+    return scored.map_batches(z_batch, batch_format="pyarrow")
+
+
+def _sql_label_outliers(z_cut: float = -2.0,
+                        dim: int = _EMB_DIM) -> str:
+    lst = ", ".join(f"c.c{i}" for i in range(dim))
+    return f"""
+WITH c AS ({_sql_label_centroids()}),
+s AS (
+  SELECT e.vec_id, e.label,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      list_value({lst})) * 1e6 + 0.5)
+             / 1e6 AS cos_r
+  FROM embeddings e JOIN c ON e.label = c.label),
+m AS (SELECT label, count(*)::DOUBLE AS n,
+             floor(sum(cos_r) * 1e6 + 0.5) / 1e6 AS s1,
+             floor(sum(cos_r * cos_r) * 1e6 + 0.5) / 1e6 AS s2
+      FROM s GROUP BY label),
+d AS (SELECT label, s1 / n AS mu,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+      FROM m)
+SELECT s.vec_id, s.label, s.cos_r,
+       CASE WHEN d.sd > 0
+            THEN floor((s.cos_r - d.mu) / d.sd * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS z_r,
+       CASE WHEN d.sd > 0
+            THEN floor((s.cos_r - d.mu) / d.sd * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END < {z_cut!r} AS is_outlier
+FROM s JOIN d USING (label)
+"""
+
+
 def q_nearest_centroid(sf_dir: str):
     """Nearest-centroid label assignment (X86) — the classification /
     cluster-assignment join of an embedding pipeline: each vector gets
@@ -4745,6 +4855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ts_corr": q_value_ts_corr,
         "label_centroids": q_label_centroids,
         "nearest_centroid": q_nearest_centroid,
+        "label_outliers": q_label_outliers,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_budget": q_token_budget,
         "word_freq_cms": q_word_freq_cms,
@@ -4845,6 +4956,7 @@ def oracle_sql() -> dict[str, str]:
         "event_trigrams": _sql_event_trigrams(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
+        "label_outliers": _sql_label_outliers(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "token_budget": _sql_token_budget(),
         "user_median_value": SQL_USER_MEDIAN_VALUE,
