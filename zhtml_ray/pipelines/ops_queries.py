@@ -4071,6 +4071,117 @@ ORDER BY source, lang
 """
 
 
+def q_mixture_cube(sf_dir: str):
+    """CUBE completion of the ROLLUP sheet (X106): all four grouping
+    sets over (source, lang) — the per-LANG marginal is the one ROLLUP
+    lacks and the one a multilingual mixture is actually tuned on.
+    Same plan: ONE finest-grain distributed pass; all three coarser
+    grains re-aggregate from that ≤ #sources×#langs table on the
+    driver, never from row data."""
+    import pandas as pd
+
+    # reuse the rollup result: it already contains fine + per-source +
+    # total; add the per-lang marginal from its FINE rows
+    roll = q_mixture_rollup(sf_dir)
+    fine = roll[(roll["source"] != "ALL") & (roll["lang"] != "ALL")]
+    by_lang = fine.groupby("lang", as_index=False)[
+        ["n_docs", "n_chars"]].sum()
+    by_lang["source"] = "ALL"
+    out = pd.concat([roll, by_lang[["source", "lang", "n_docs",
+                                    "n_chars"]]], ignore_index=True)
+    out = out.astype({"n_docs": "int64", "n_chars": "int64"})
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+SQL_MIXTURE_CUBE = """
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+FROM documents GROUP BY CUBE (source, lang)
+ORDER BY source, lang
+"""
+
+
+def q_regex_search(sf_dir: str):
+    """Corpus regex probe (X107 — the grep-the-corpus diagnostic run
+    before writing any cleaning rule: how often does a pattern fire,
+    and where): per-pattern corpus match-doc count + total match
+    count + the lowest 3 matching doc_ids as a sample. RE2 kernels
+    compiled once per pattern, ONE pure-map pass emitting ≤ #patterns
+    partial rows per batch, a ≤ #patterns groupby, min-k sample via
+    tiny sorted heads. Patterns drive BOTH engines from one table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pats = _REGEX_PROBES
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = {"pattern": [], "pd": [], "pm": [], "ids": []}
+        ids = b["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        for p in pats:
+            cnt = pc.count_substring_regex(
+                pc.fill_null(b["text"], ""), pattern=p) \
+                .to_numpy(zero_copy_only=False)
+            hit = cnt > 0
+            rows["pattern"].append(p)
+            rows["pd"].append(int(hit.sum()))
+            rows["pm"].append(int(cnt.sum()))
+            rows["ids"].append(
+                np.sort(ids[hit])[:3].tolist())
+        return pa.table({
+            "pattern": pa.array(rows["pattern"], pa.string()),
+            "pd": pa.array(rows["pd"], pa.int64()),
+            "pm": pa.array(rows["pm"], pa.int64()),
+            "ids": pa.array(rows["ids"], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    agg = parts.select_columns(["pattern", "pd", "pm"]) \
+        .groupby("pattern").aggregate(Sum("pd", alias_name="n_docs"),
+                                      Sum("pm", alias_name="n_matches"))
+    pdf = agg.to_pandas()
+    # min-3 sample: fold the per-batch min-3 lists (tiny) on the driver
+    import collections
+    mins: dict = collections.defaultdict(list)
+    for r in parts.select_columns(["pattern", "ids"]).take_all():
+        mins[r["pattern"]].extend(r["ids"])
+    pdf["sample_ids"] = [
+        ",".join(str(x) for x in sorted(mins[p])[:3])
+        for p in pdf["pattern"]]
+    pdf = pdf[pdf["n_docs"] > 0]
+    return pdf.sort_values("pattern").reset_index(drop=True)
+
+
+_REGEX_PROBES = ["join (hash|merge)", "fast [a-z]+ scan",
+                 "(the|a) (big|small) table", "zz_never_matches"]
+
+
+def _sql_regex_search() -> str:
+    vals = ", ".join(f"('{p}')" for p in _REGEX_PROBES)
+    return f"""
+WITH p(pattern) AS (VALUES {vals}),
+hits AS (
+  SELECT p.pattern, d.doc_id,
+         len(regexp_extract_all(d.text, p.pattern)) AS m
+  FROM documents d CROSS JOIN p
+  WHERE regexp_matches(d.text, p.pattern)),
+agg AS (SELECT pattern, count(*)::BIGINT AS n_docs,
+               sum(m)::BIGINT AS n_matches FROM hits GROUP BY 1),
+samp AS (SELECT pattern,
+                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                    AS sample_ids
+         FROM (SELECT pattern, doc_id FROM hits
+               QUALIFY row_number() OVER (PARTITION BY pattern
+                                          ORDER BY doc_id) <= 3) t
+         GROUP BY 1)
+SELECT agg.pattern, agg.n_docs, agg.n_matches, samp.sample_ids
+FROM agg JOIN samp USING (pattern)
+"""
+
+
 def q_source_upsample(sf_dir: str):
     """Epoch-weighted source upsampling (mixture tuning: repeat every
     doc of a source w times, tagging each copy with its epoch index) —
@@ -4863,6 +4974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "source_except": q_source_except,
         "mixture_rollup": q_mixture_rollup,
+        "mixture_cube": q_mixture_cube,
+        "regex_search": q_regex_search,
         "source_upsample": q_source_upsample,
         "shuffle_order": q_shuffle_order,
         "incremental_dedup": q_incremental_dedup,
@@ -4968,6 +5081,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "source_except": SQL_SOURCE_EXCEPT,
         "mixture_rollup": SQL_MIXTURE_ROLLUP,
+        "mixture_cube": SQL_MIXTURE_CUBE,
+        "regex_search": _sql_regex_search(),
         "source_upsample": SQL_SOURCE_UPSAMPLE,
         "shuffle_order": SQL_SHUFFLE_ORDER,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
