@@ -238,3 +238,20 @@ def test_pure_map_ops_never_shuffle(ray_session):
     st = ds.stats()
     for marker in ("Sort", "Shuffle", "Aggregate("):
         assert marker not in st, f"unexpected {marker} in plan:\n{st}"
+
+
+def test_session10_pure_map_ops_never_shuffle(ray_session):
+    """Plan-shape guards for the session-10 broadcast/map operators:
+    quality_classifier, range_lookup, url_blocklist and the PCA
+    transform are pure map pipelines — an all-to-all creeping into
+    any of them is a scale regression."""
+    from zhtml_ray.pipelines.ops_queries import (q_quality_classifier,
+                                                 q_range_lookup,
+                                                 q_url_blocklist)
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_quality_classifier, q_range_lookup, q_url_blocklist):
+        st = q(sf).materialize().stats()
+        for marker in ("Sort", "Shuffle", "Aggregate("):
+            assert marker not in st, \
+                f"{q.__name__}: unexpected {marker} in plan:\n{st}"
