@@ -691,14 +691,14 @@ def unigram_logprob(ds, broadcast_budget: int = 256 << 20):
                                doc_interior, doc_edge, out_empty)
 
 
-def _bigram_partial_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: adjacent-bigram counts inside the batch.
-    Emits (key = w1␟w2, w1, cnt) — ␟ (U+001F) is Python whitespace, so
-    split words can never contain it and the composite key is
-    collision-free."""
+def pair_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: adjacent-bigram counts inside the batch
+    (bigrams never cross doc boundaries). Emits (w1, w2, cnt) — the
+    ONE adjacency/lexsort/run-count kernel shared by the PMI operator
+    and the bigram LM."""
     row, codes, vocab, _lens = _split_encode(batch["text"])
-    empty = pa.table({"key": pa.array([], pa.string()),
-                      "w1": pa.array([], pa.string()),
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
                       "cnt": pa.array([], pa.int64())})
     if codes.size < 2:
         return empty
@@ -714,11 +714,19 @@ def _bigram_partial_counts(batch: pa.Table) -> pa.Table:
     new[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
     starts = np.flatnonzero(new)
     cnts = np.diff(np.append(starts, a.size))
+    return pa.table({"w1": vocab.take(pa.array(a[starts], pa.int64())),
+                     "w2": vocab.take(pa.array(c[starts], pa.int64())),
+                     "cnt": pa.array(cnts, pa.int64())})
+
+
+def _bigram_partial_counts(batch: pa.Table) -> pa.Table:
+    """``pair_counts_batch`` + the composite join key (key = w1␟w2 —
+    ␟ U+001F is Python whitespace, so split words can never contain it
+    and the key is collision-free)."""
     import pyarrow.compute as pc
-    w1 = vocab.take(pa.array(a[starts], pa.int64()))
-    w2 = vocab.take(pa.array(c[starts], pa.int64()))
-    return pa.table({"key": pc.binary_join_element_wise(w1, w2, "\x1f"),
-                     "w1": w1, "cnt": pa.array(cnts, pa.int64())})
+    t = pair_counts_batch(batch)
+    key = pc.binary_join_element_wise(t["w1"], t["w2"], "\x1f")
+    return pa.table({"key": key, "w1": t["w1"], "cnt": t["cnt"]})
 
 
 def bigram_logprob(ds, broadcast_budget: int = 256 << 20):
@@ -743,8 +751,12 @@ def bigram_logprob(ds, broadcast_budget: int = 256 << 20):
                                           sorted_sum_per_group)
     from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
 
+    # materialized ONCE: .count() on an unmaterialized map re-executes
+    # the whole corpus pass when the sort consumes it again (verified
+    # on this Ray build); the partials are vocabulary×blocks bounded
     partial = drop_empty_blocks(
-        ds.map_batches(_bigram_partial_counts, batch_format="pyarrow"))
+        ds.map_batches(_bigram_partial_counts,
+                       batch_format="pyarrow")).materialize()
     out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "n_bigrams": pa.array([], pa.int64()),
                           "mean_logprob": pa.array([], pa.float64())})
@@ -788,11 +800,11 @@ def bigram_logprob(ds, broadcast_budget: int = 256 << 20):
         ltab = pa.concat_tables(
             [pa.table(b) for b in lp.iter_batches(
                 batch_format="pyarrow", batch_size=None)])
-        karr = np.asarray(ltab["key"].to_pylist())
-        order = np.argsort(karr)
-        ref = ray.put((karr[order],
-                       ltab["lp"].to_numpy(zero_copy_only=False)
-                       [order]))
+        # broadcast the ARROW key array (size ∝ bytes) — a numpy
+        # unicode array is fixed-width, so one long token would
+        # inflate every key slot to 4×max_len bytes (review find)
+        ref = ray.put((ltab["key"].combine_chunks(),
+                       ltab["lp"].to_numpy(zero_copy_only=False)))
 
         def score(batch: pa.Table) -> pa.Table:
             pk = _doc_pairs(batch)
@@ -800,13 +812,11 @@ def bigram_logprob(ds, broadcast_budget: int = 256 << 20):
                 return out_empty
             prow, keys = pk
             skeys, slp = ray.get(ref)
-            kq = keys.to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(skeys, kq)
+            idx = pc.index_in(keys, value_set=skeys)
             # every pair came from this same corpus: a miss means the
             # frequency pass and the scorer disagree — fail loudly
-            assert (idx < len(skeys)).all() and \
-                (skeys[idx] == kq).all(), "bigram key missing from LM"
-            vals = slp[idx]
+            assert idx.null_count == 0, "bigram key missing from LM"
+            vals = slp[idx.to_numpy(zero_copy_only=False)]
             starts = np.flatnonzero(np.r_[True, prow[1:] != prow[:-1]])
             sums = np.add.reduceat(vals, starts)
             lens = np.diff(np.append(starts, len(prow)))

@@ -1685,15 +1685,19 @@ def q_label_outliers(sf_dir: str, z_cut: float = -2.0):
     labels = cent["label"].to_numpy(np.int32)
     C = cent[[f"c{i}" for i in range(_EMB_DIM)]].to_numpy(np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    lab_pos = {int(l): i for i, l in enumerate(labels)}
-    cref = ray.put((lab_pos, Cn))
+    # dense label→row index table: labels are small ints, so the
+    # lookup is one C-speed fancy-index per batch, not a Python loop
+    pos = np.full(int(labels.max()) + 1, -1, np.int64)
+    pos[labels] = np.arange(len(labels))
+    cref = ray.put((pos, Cn))
 
     def cos_batch(b: pa.Table) -> pa.Table:
         lp, cn = ray.get(cref)
         M = _emb_matrix(b["embedding"]).astype(np.float64)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         lab = b["label"].to_numpy(zero_copy_only=False)
-        rows = np.array([lp[int(x)] for x in lab], np.int64)
+        rows = lp[lab]
+        assert (rows >= 0).all(), "label absent from centroid table"
         cos = np.floor((Mn * cn[rows]).sum(axis=1) * 1e6 + 0.5) / 1e6
         return pa.table({"vec_id": b["vec_id"], "label": b["label"],
                          "cos_r": pa.array(cos, pa.float64())})
@@ -1719,22 +1723,24 @@ def q_label_outliers(sf_dir: str, z_cut: float = -2.0):
         .to_pandas()
     # pin the folded moments, then derive μ/σ with the IDENTICAL
     # expression the SQL uses (s2/n - mu*mu, clamped at 0)
-    stats = {}
-    for _, r in mom.iterrows():
-        n = float(r["n"])
-        s1 = np.floor(r["s1"] * 1e6 + 0.5) / 1e6
-        s2 = np.floor(r["s2"] * 1e6 + 0.5) / 1e6
-        mu = s1 / n
-        sd = np.sqrt(max(s2 / n - mu * mu, 0.0))
-        stats[int(r["label"])] = (mu, sd)
-    sref = ray.put(stats)
+    mlab = mom["label"].to_numpy(np.int64)
+    n = mom["n"].to_numpy(np.float64)
+    s1 = np.floor(mom["s1"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+    s2 = np.floor(mom["s2"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+    mu_t = s1 / n
+    sd_t = np.sqrt(np.maximum(s2 / n - mu_t * mu_t, 0.0))
+    mu_by = np.zeros(int(mlab.max()) + 1)
+    sd_by = np.zeros(int(mlab.max()) + 1)
+    mu_by[mlab] = mu_t
+    sd_by[mlab] = sd_t
+    sref = ray.put((mu_by, sd_by))
 
     def z_batch(b: pa.Table) -> pa.Table:
-        st = ray.get(sref)
+        mu_a, sd_a = ray.get(sref)
         lab = b["label"].to_numpy(zero_copy_only=False)
         cos = b["cos_r"].to_numpy(zero_copy_only=False)
-        mu = np.array([st[int(x)][0] for x in lab])
-        sd = np.array([st[int(x)][1] for x in lab])
+        mu = mu_a[lab]
+        sd = sd_a[lab]
         z = np.where(sd > 0,
                      np.floor((cos - mu) / np.where(sd > 0, sd, 1.0)
                               * 1e6 + 0.5) / 1e6, 0.0)
@@ -4369,33 +4375,14 @@ def q_pmi_collocations(sf_dir: str, min_count: int = 5):
                                           sorted_sum_per_group)
 
     ds = _docs(sf_dir, ["text"])
-    empty_pairs = pa.table({"w1": pa.array([], pa.string()),
-                            "w2": pa.array([], pa.string()),
-                            "pair_cnt": pa.array([], pa.int64())})
     empty_uni = pa.table({"word": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64())})
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        row, codes, vocab, _lens = _split_encode(b["text"])
-        if codes.size < 2:
-            return empty_pairs
-        adj = row[1:] == row[:-1]
-        a = codes[:-1][adj]
-        c = codes[1:][adj]
-        if a.size == 0:
-            return empty_pairs
-        order = np.lexsort((c, a))
-        a = a[order]
-        c = c[order]
-        new = np.empty(a.size, bool)
-        new[0] = True
-        new[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
-        starts = np.flatnonzero(new)
-        cnts = np.diff(np.append(starts, a.size))
-        return pa.table({
-            "w1": vocab.take(pa.array(a[starts], pa.int64())),
-            "w2": vocab.take(pa.array(c[starts], pa.int64())),
-            "pair_cnt": pa.array(cnts, pa.int64())})
+        # shared adjacency/lexsort/run-count kernel (corpusstats)
+        from zhtml_ray.functions.corpusstats import pair_counts_batch
+        return pair_counts_batch(b).rename_columns(
+            ["w1", "w2", "pair_cnt"])
 
     from zhtml_ray.stages.util import compact_blocks
 
@@ -4570,10 +4557,12 @@ def q_snapshot_diff(sf_dir: str):
                          else pc.greater_equal(m, 2))
             if which == "new":
                 mut = pc.equal(_mod(t["doc_id"].combine_chunks(), 7), 0)
+                txt = pc.fill_null(t["text"], "")  # NULL ⇒ '' (SQL
+                # coalesce mirrors this; add_content_hash hashes '')
                 t = t.set_column(
                     t.schema.get_field_index("text"), "text",
                     pc.if_else(mut, pc.binary_join_element_wise(
-                        t["text"], " v2", ""), t["text"]))
+                        txt, " v2", ""), txt))
             h = add_content_hash(t, "text",
                                  out="h_" + which)
             return h.select(["doc_id", "h_" + which])
@@ -4599,13 +4588,15 @@ def q_snapshot_diff(sf_dir: str):
 
 
 # the oracle compares TEXTS where the engine compares sha1 digests —
-# equivalent semantics (equal digest ⇔ equal text), independent plan
+# equivalent semantics (equal digest ⇔ equal text), independent plan.
+# coalesce matches the engine's NULL⇒'' hashing (add_content_hash
+# hashes (s or '')): a NULL-text row must diff as '' on BOTH sides
 SQL_SNAPSHOT_DIFF = """
-WITH old AS (SELECT doc_id, text AS t FROM documents
+WITH old AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
              WHERE doc_id % 10 < 8),
 new AS (SELECT doc_id,
-               CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
-                    ELSE text END AS t
+               CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+                    ELSE coalesce(text, '') END AS t
         FROM documents WHERE doc_id % 10 >= 2)
 SELECT doc_id,
        CASE WHEN old.t IS NULL THEN 'added'
@@ -4675,8 +4666,8 @@ def q_event_trigrams(sf_dir: str, k: int = 20):
     parts = sorted_bucket_apply(ds, "user_id",
                                 ["user_id", "ts", "event_id"],
                                 interior, edge, empty)
-    cnt = sorted_sum_per_group(compact_blocks(parts),
-                               ["trigram"], ["cnt"])
+    cnt = compact_blocks(sorted_sum_per_group(compact_blocks(parts),
+                                              ["trigram"], ["cnt"]))
 
     def neg(b: pa.Table) -> pa.Table:
         return b.append_column("neg", pc.negate_checked(b["cnt"]))
