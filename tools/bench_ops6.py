@@ -95,6 +95,11 @@ def main() -> None:
     timed("event_trigrams",
           lambda: q_event_trigrams(events_dir).materialize())
 
+    from zhtml_ray.functions.corpusstats import bigram_logprob
+    timed("bigram_logprob", lambda: bigram_logprob(
+        rd.read_parquet(corpus_path, columns=["doc_id", "text"]))
+        .materialize())
+
     from zhtml_ray.functions.retrieval import (build_inverted_index,
                                                inverted_index_lookup)
     idx_dir = "/tmp/zhtml_ray_bench_invidx"
