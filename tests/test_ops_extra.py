@@ -196,3 +196,29 @@ def test_label_outliers_flags_planted_noise(ray_session):
     assert (got["is_outlier"] == (got["z_r"] < -2.0)).all()
     rate = got["is_outlier"].mean()
     assert 0.0 < rate < 0.10
+
+
+def test_dedup_representatives_pick_best_quality(ray_session):
+    """Every near-dup cluster keeps exactly one representative; within
+    a multi-member cluster it is the (max quality, min doc_id) member;
+    member counts sum back to the corpus."""
+    from zhtml_ray.pipelines.ops_queries import (q_dedup_representatives,
+                                                 q_minhash_dedup,
+                                                 q_quality)
+
+    reps = {r["cluster"]: r for r in
+            q_dedup_representatives(SF).take_all()}
+    clu = q_minhash_dedup(SF).to_pandas()
+    qual = q_quality(SF).to_pandas().set_index("doc_id")[
+        "quality_score"]
+    assert set(reps) == set(clu["cluster"].unique())
+    assert sum(r["n_members"] for r in reps.values()) == len(clu)
+    multi = clu.groupby("cluster").size()
+    multi = multi[multi > 1].index
+    assert len(multi) > 0  # the fixture really has near-dup clusters
+    for c in multi:
+        members = clu.loc[clu["cluster"] == c, "doc_id"]
+        q6 = {d: np.floor(qual[d] * 1e6 + 0.5) / 1e6 for d in members}
+        best = sorted(members, key=lambda d: (-q6[d], d))[0]
+        assert reps[c]["rep_id"] == best
+        assert reps[c]["n_members"] == len(members)

@@ -3092,6 +3092,87 @@ def q_minhash_dedup(sf_dir: str):
     return out.select_columns(["doc_id", "cluster", "is_dup"])
 
 
+def q_dedup_representatives(sf_dir: str):
+    """Canonical-document selection per near-dup cluster (X108 — the
+    step AFTER detection: real pipelines keep the best-quality copy,
+    not the lowest id). MinHash clusters (X2) joined with the X9
+    quality score (6-dp-pinned, bit-exact on both engines), winner =
+    grouped-first on (cluster, −quality, doc_id) — one range shuffle —
+    plus a cluster-bounded member-count run-sum merged on. Oracle:
+    the INDEPENDENT union-find golden clusters joined with the
+    replicated quality SQL and a QUALIFY window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import minhash_dedup
+    from zhtml_ray.functions.textstats import QualityScore
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks
+
+    ensure_golden("minhash_dedup", sf_dir)
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    clusters = minhash_dedup(ds, key="doc_id", col="text") \
+        .select_columns(["doc_id", "cluster"])
+
+    def q6(b: pa.Table) -> pa.Table:
+        t = QualityScore()(b)
+        qs = pc.floor(pc.add(pc.multiply(t["quality_score"], 1e6), 0.5))
+        return pa.table({"doc_id": t["doc_id"],
+                         "q6": pc.divide(qs, 1e6)})
+
+    quality = ds.map_batches(q6, batch_format="pyarrow")
+    j = compact_blocks(sorted_lookup_join(
+        compact_blocks(clusters), quality, "doc_id", ["q6"]))
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("neg_q", pc.negate(b["q6"]))
+
+    reps = sorted_first_per_group(
+        j.map_batches(neg, batch_format="pyarrow"),
+        ["cluster"], ["neg_q", "doc_id"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({"cluster": b["cluster"],
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    counts = sorted_sum_per_group(
+        j.map_batches(ones, batch_format="pyarrow"),
+        ["cluster"], ["one"]).map_batches(
+        lambda b: b.rename_columns(["cluster", "n_members"]),
+        batch_format="pyarrow")
+
+    out = sorted_lookup_join(
+        compact_blocks(reps.map_batches(
+            lambda b: pa.table({"cluster": b["cluster"],
+                                "rep_id": b["doc_id"],
+                                "rep_quality": b["q6"]}),
+            batch_format="pyarrow")),
+        counts, "cluster", ["n_members"])
+    return out
+
+
+def _sql_dedup_representatives() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    g = f"{_current_dir()}/minhash_dedup.parquet"
+    return f"""
+WITH q AS ({_sql_quality()}),
+g AS (SELECT doc_id, cluster FROM read_parquet('{g}')),
+j AS (SELECT g.cluster, g.doc_id,
+             floor(q.quality_score * 1e6 + 0.5) / 1e6 AS q6
+      FROM g JOIN q USING (doc_id)),
+r AS (SELECT cluster, doc_id AS rep_id, q6 AS rep_quality FROM j
+      QUALIFY row_number() OVER (PARTITION BY cluster
+                                 ORDER BY q6 DESC, doc_id) = 1),
+n AS (SELECT cluster, count(*)::BIGINT AS n_members FROM j GROUP BY 1)
+SELECT r.cluster, r.rep_id, r.rep_quality, n.n_members
+FROM r JOIN n USING (cluster)
+"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Standalone n-gram Jaccard near-dup pairs: LSH candidate blocking
     → EXACT word-3-gram Jaccard per pair (the brief's "n-gram Jaccard"
@@ -4986,6 +5067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_representatives": q_dedup_representatives,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -5012,6 +5094,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": golden_sql("approx_distinct_users"),
         "word_freq_cms": golden_sql("word_freq_cms"),
         "minhash_dedup": golden_sql("minhash_dedup"),
+        "dedup_representatives": _sql_dedup_representatives(),
         "ngram_jaccard": golden_sql("ngram_jaccard"),
         "embedding_neardup": golden_sql("embedding_neardup"),
         "ivf_topk": golden_sql("ivf_topk"),
