@@ -222,3 +222,36 @@ def test_dedup_representatives_pick_best_quality(ray_session):
         best = sorted(members, key=lambda d: (-q6[d], d))[0]
         assert reps[c]["rep_id"] == best
         assert reps[c]["n_members"] == len(members)
+
+
+def test_bucketed_join_matches_pandas_and_never_shuffles(ray_session,
+                                                         tmp_path):
+    """Co-located bucketed join vs a pandas merge on mismatched key
+    sets (inner semantics drops both unmatched sides), and the join
+    plan contains NO all-to-all operator — the whole point of the
+    at-rest bucketing."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from zhtml_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    rng = np.random.default_rng(3)
+    ka = rng.choice(3000, 900, replace=False)
+    kb = rng.choice(3000, 900, replace=False)
+    a = pa.table({"k": pa.array(ka, pa.int64()),
+                  "x": pa.array(rng.integers(0, 99, 900), pa.int64())})
+    b = pa.table({"k": pa.array(kb, pa.int64()),
+                  "y": pa.array([f"v{v}" for v in kb], pa.string())})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_arrow(a).repartition(5), da, "k", 8)
+    write_bucketed(rd.from_arrow(b).repartition(3), db, "k", 8)
+    out = bucketed_join(da, db, "k", 8).materialize()
+    st = out.stats()
+    for marker in ("Sort", "Shuffle", "Aggregate("):
+        assert marker not in st, f"unexpected {marker}:\n{st}"
+    got = out.to_pandas().sort_values(["k"]).reset_index(drop=True)
+    want = a.to_pandas().merge(b.to_pandas(), on="k", how="inner") \
+        .sort_values(["k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "x", "y"]],
+                                  want[["k", "x", "y"]])
+    assert len(want) > 0

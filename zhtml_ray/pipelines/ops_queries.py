@@ -2798,6 +2798,53 @@ FROM per
 """
 
 
+def q_bucketed_join(sf_dir: str, n_buckets: int = 16):
+    """Hash-bucketed co-located join (X109 — `stages/bucketed.py`
+    docstring has the scale story: both tables at rest under the SAME
+    knuth(key) mod B Hive layout, so the join fans out one task per
+    bucket with ZERO shuffle). Here: documents (doc_id, lang, n_chars)
+    ⋈ the token-count table, both written bucketed to a per-pid /tmp
+    dir, then joined bucket-locally."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from zhtml_ray.functions.textstats import token_count_batch
+    from zhtml_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    for d in glob.glob("/tmp/zhtml_ray_bucketed_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
+    root = f"/tmp/zhtml_ray_bucketed_{os.getpid()}"
+    da, db = f"{root}/docs", f"{root}/tokens"
+    write_bucketed(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                   da, "doc_id", n_buckets)
+    write_bucketed(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            token_count_batch, batch_format="pyarrow"),
+        db, "doc_id", n_buckets)
+    out = bucketed_join(da, db, "doc_id", n_buckets)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "n_chars", "n_tokens"]),
+        batch_format="pyarrow")
+
+
+def _sql_bucketed_join() -> str:
+    return f"""
+WITH tc AS ({SQL_TOKEN_COUNT})
+SELECT d.doc_id, d.lang, d.n_chars, tc.n_tokens
+FROM documents d JOIN tc USING (doc_id)
+"""
+
+
 def q_vocab_df(sf_dir: str):
     """Top-100 corpus words by document frequency: per-batch combiner
     (distinct docs per word inside the batch) -> one sorted run-sum
@@ -4994,6 +5041,7 @@ FROM agg a JOIN hs USING (term)
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
+        "bucketed_join": q_bucketed_join,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality,
         "lang_id": q_langid,
@@ -5106,6 +5154,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": golden_sql("audio_features"),
         "frame_sample": golden_sql("frame_sample"),
         "token_count": SQL_TOKEN_COUNT,
+        "bucketed_join": _sql_bucketed_join(),
         "bpe_token_count": _sql_bpe_token_count(),
         "quality_score": _sql_quality(),
         "lang_id": _sql_langid(),
