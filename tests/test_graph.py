@@ -269,3 +269,39 @@ def test_bfs_depth_chain_cutoff_and_extra_seed(ray_session):
     want = {f"c{i}": (i if i <= 4 else -1) for i in range(11)}
     want["island"] = 0
     assert got == want
+
+
+def test_cocitation_matches_dict_reference(ray_session):
+    """Co-citation top-k vs an independent dict counter on a skewed
+    synthetic edge list spread over many tiny blocks (hub srcs
+    straddle edges)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.functions.graph import cocitation_topk
+
+    rng = np.random.default_rng(9)
+    src = (rng.random(4000) ** 2 * 60).astype(int)
+    dst = rng.integers(0, 40, 4000)
+    pairs = sorted({(f"s{a}", f"d{b}") for a, b in zip(src, dst)
+                    if f"s{a}" != f"d{b}"})
+    t = pa.table({"src": pa.array([p[0] for p in pairs]),
+                  "dst": pa.array([p[1] for p in pairs])})
+    got = [(r["key_a"], r["key_b"], r["n_common"])
+           for r in cocitation_topk(
+               rd.from_arrow(t).repartition(17), k=25).take_all()]
+
+    by_src = {}
+    for a, b in pairs:
+        by_src.setdefault(a, []).append(b)
+    c = Counter()
+    for ds_ in by_src.values():
+        c.update(combinations(sorted(ds_), 2))
+    want = [(a, b, n) for (a, b), n in
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n >= 2][:25]
+    assert got == want and len(want) == 25

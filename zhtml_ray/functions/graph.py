@@ -861,3 +861,74 @@ d{k} AS (SELECT node, min(depth)::BIGINT AS depth FROM (
 SELECT n.node, coalesce(d.depth, -1)::BIGINT AS depth
 FROM nodes n LEFT JOIN d{max_depth} d USING (node)""")
     return "".join(parts)
+
+
+def cocitation_topk(edges, k: int = 20, min_common: int = 2,
+                    clique_limit: int = 4096):
+    """Top-k co-cited page pairs — pages frequently linked FROM the
+    same source (the classic related-pages / bibliographic-coupling
+    signal, Small 1973). Per-src dst-pair emission rides the shared
+    sorted bucket pairing (one range sort on (src, dst); a hub src
+    with out-degree > ``clique_limit`` degrades to star pairs with a
+    warning — the X98 recall caveat applies), then a pair-bounded
+    run-sum, a ``min_common`` filter, and a tiny sort+limit by
+    (-count, pair). Edges must be distinct (``link_edges`` output), so
+    within a src every dst pair is unique and counts equal the number
+    of common in-linking sources."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import _bucket_pairs_np
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks
+
+    empty = pa.table({"key_a": pa.array([], pa.string()),
+                      "key_b": pa.array([], pa.string())})
+
+    def interior(b, starts, ends, mask):
+        K = b["dst"].combine_chunks()
+        return _bucket_pairs_np(K, b.num_rows, starts, ends, mask,
+                                clique_limit)
+
+    def edge(g: pa.Table) -> pa.Table:
+        K = g["dst"].combine_chunks()
+        K = K.take(pc.sort_indices(K))
+        return _bucket_pairs_np(K, len(K), np.asarray([0]),
+                                np.asarray([len(K)]),
+                                np.asarray([True]), clique_limit)
+
+    pairs = sorted_bucket_apply(edges, "src", ["src", "dst"],
+                                interior, edge, empty)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_common", pa.array(np.ones(b.num_rows, np.int64)))
+
+    cnt = compact_blocks(sorted_sum_per_group(
+        compact_blocks(pairs.map_batches(ones, batch_format="pyarrow")),
+        ["key_a", "key_b"], ["n_common"]))
+
+    def keep_neg(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["n_common"], min_common))
+        return t.append_column("neg", pc.negate_checked(t["n_common"]))
+
+    top = cnt.map_batches(keep_neg, batch_format="pyarrow") \
+        .sort(["neg", "key_a", "key_b"]).limit(k)
+    return top.map_batches(lambda b: b.drop_columns(["neg"]),
+                           batch_format="pyarrow")
+
+
+def sql_cocitation_topk(links_sql: str, k: int = 20,
+                        min_common: int = 2) -> str:
+    """INDEPENDENT DuckDB plan: self-join the edge set on src."""
+    return f"""
+WITH edges AS ({sql_edges_select(links_sql)}),
+p AS (SELECT e1.dst AS key_a, e2.dst AS key_b,
+             count(*)::BIGINT AS n_common
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2 HAVING count(*) >= {min_common})
+SELECT key_a, key_b, n_common FROM p
+ORDER BY n_common DESC, key_a, key_b LIMIT {k}
+"""

@@ -1193,6 +1193,28 @@ def _sql_crawl_depth() -> str:
     return sql_bfs_depth(golden_sql("links"), max_depth=6)
 
 
+def q_link_cocitation(sf_dir: str):
+    """Top co-cited page pairs (X110 — pages frequently linked from
+    the same source; `functions/graph.py:cocitation_topk` docstring).
+    Oracle: an INDEPENDENT DuckDB self-join plan over the pinned links
+    golden."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import cocitation_topk, link_edges
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    return cocitation_topk(link_edges(links))
+
+
+def _sql_link_cocitation() -> str:
+    from zhtml_ray.functions.graph import sql_cocitation_topk
+    from zhtml_ray.pipelines.golden import golden_sql
+    return sql_cocitation_topk(golden_sql("links"))
+
+
 def q_link_degree_hist(sf_dir: str):
     """Link-graph degree-distribution histogram (X84): in/out degree →
     node count, zero-degree buckets included — the graph-shape
@@ -1412,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms": q_anchor_terms,
         "link_components": q_link_components,
         "link_degree_hist": q_link_degree_hist,
+        "link_cocitation": q_link_cocitation,
         "link_triangles": q_link_triangles,
         "crawl_depth": q_crawl_depth,
     }
@@ -1453,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_terms": _sql_anchor_terms(),
         "link_components": golden_sql("link_components"),
         "link_degree_hist": _sql_link_degree_hist(),
+        "link_cocitation": _sql_link_cocitation(),
         "link_triangles": _sql_link_triangles(),
         "crawl_depth": _sql_crawl_depth(),
     }
