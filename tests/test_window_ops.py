@@ -216,3 +216,34 @@ def test_event_trigrams_matches_pandas(ray_session, events_dir):
         c.update(">".join(ev[i:i + 3]) for i in range(len(ev) - 2))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert got == want
+
+
+def test_range_window_differential(ray_session, events_dir):
+    """RANGE-frame trailing 1-hour window vs an independent per-user
+    searchsorted implementation on the hostile layout (hot user, tiny
+    blocks). Bounds are value comparisons, so ts ties (peers) must all
+    be included — the rolling/ROWS machinery cannot reproduce this."""
+    from zhtml_ray.pipelines.ops_queries import q_events_range_window
+
+    d, t = events_dir
+    got = q_events_range_window(d).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    pdf = _pdf(t)
+    pdf["tsi"] = pdf["ts"].astype("int64")
+    W = 3600 * 1_000_000
+    rows = []
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["tsi", "event_id"])
+        ts = g["tsi"].to_numpy()
+        v = g["value"].to_numpy()
+        for i in range(len(g)):
+            lo = np.searchsorted(ts, ts[i] - W, side="left")
+            hi = np.searchsorted(ts, ts[i], side="right")
+            s = float(v[lo:hi].sum())
+            rows.append((int(g["event_id"].iloc[i]),
+                         np.floor(s * 1e2 + 0.5) / 1e2, int(hi - lo)))
+    want = pd.DataFrame(rows, columns=["event_id", "w_sum", "w_cnt"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (got["w_cnt"].to_numpy() == want["w_cnt"].to_numpy()).all()
+    assert np.allclose(got["w_sum"], want["w_sum"], rtol=0, atol=0)

@@ -1418,6 +1418,106 @@ FROM events
 """
 
 
+def events_range_window(ds, window_s: int = 3600):
+    """Time-based RANGE-frame trailing window (SUM + COUNT over the
+    same user's events in the last hour, peers-at-equal-ts included —
+    the rate-limiter / burst-detector frame that the ROWS-frame
+    moving average X55 cannot express): the `events_cumsum` shape —
+    ONE range-shuffle sort on (user, ts, event_id), then block-local
+    frame bounds for every row via a fully-vectorized PER-RUN
+    searchsorted (a lexsort merge of haystack timestamps and needle
+    thresholds keyed by (run, value, tie-flag) — global np.searchsorted
+    would cross user runs, and a composite user*SPAN+ts key overflows
+    int64 at block scale), window sums as cumsum differences, edge
+    users whole in the bounded per-group pass.
+
+    The frame is [ts−W, ts] INCLUSIVE both ends with peers (rows at
+    exactly ts_i sorted after i still belong — SQL RANGE ... CURRENT
+    ROW semantics), which is why bounds come from value comparisons,
+    never row positions. values are 2-dp currency-like so the exact
+    decimal window sum ×1e2 is an integer and the 2-dp house pin is
+    exact (the q1/events_cumsum convention); the count needs no pin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    W = np.int64(window_s) * np.int64(1_000_000)  # µs
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "w_sum": pa.array([], pa.float64()),
+                      "w_cnt": pa.array([], pa.int64())})
+
+    def _run_bounds(ts: np.ndarray, run_id: np.ndarray,
+                    needles: np.ndarray, needle_first: bool) -> np.ndarray:
+        """Per-run rank of each needle among ts (count of ts strictly
+        below when ``needle_first``, else count ≤): one lexsort over
+        the merged 2n rows; runs are contiguous so the global
+        haystack-cumsum IS the global index of the bound."""
+        n = len(ts)
+        vals = np.concatenate([ts, needles])
+        runs2 = np.concatenate([run_id, run_id])
+        flag = np.empty(2 * n, np.int8)  # tie order: lower flag first
+        flag[:n] = 1 if needle_first else 0
+        flag[n:] = 0 if needle_first else 1
+        order = np.lexsort((flag, vals, runs2))
+        cum_hay = np.cumsum(flag[order] == (1 if needle_first else 0))
+        pos = np.empty(2 * n, np.int64)
+        pos[order] = np.arange(2 * n)
+        return cum_hay[pos[n:]]
+
+    def win_of(b: pa.Table, starts: np.ndarray,
+               ends: np.ndarray) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           ends - starts)
+        lo = _run_bounds(ts, run_id, ts - W, needle_first=True)
+        hi = _run_bounds(ts, run_id, ts, needle_first=False)
+        c = np.cumsum(v)
+        w_sum = c[hi - 1] - np.where(lo > 0, c[lo - 1], 0.0)
+        w_sum = np.floor(w_sum * 1e2 + 0.5) / 1e2
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "w_sum": pa.array(w_sum, pa.float64()),
+                         "w_cnt": pa.array(hi - lo, pa.int64())})
+
+    def interior(b, starts, ends, mask):
+        rows = win_of(b, starts, ends)
+        return rows.filter(pa.array(np.repeat(mask, ends - starts)))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        return win_of(g.take(order), np.zeros(1, np.int64),
+                      np.asarray([g.num_rows], np.int64))
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+def q_events_range_window(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return events_range_window(ds)
+
+
+SQL_EVENTS_RANGE_WINDOW = """
+SELECT event_id, user_id,
+       floor(sum(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW) * 1e2 + 0.5) / 1e2 AS w_sum,
+       count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW) AS w_cnt
+FROM events
+"""
+
+
 _FUNNEL_STAGES = ("signup", "view", "purchase")
 
 
@@ -5064,6 +5164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": q_events_cumsum,
         "events_distinct_users": q_events_distinct_users,
         "events_moving_avg": q_events_moving_avg,
+        "events_range_window": q_events_range_window,
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
         "events_retention": q_events_retention,
@@ -5176,6 +5277,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cumsum": SQL_EVENTS_CUMSUM,
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+        "events_range_window": SQL_EVENTS_RANGE_WINDOW,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "events_retention": SQL_EVENTS_RETENTION,
