@@ -612,6 +612,103 @@ def _gen_word_freq_cms(sf_dir: str) -> pa.Table:
     return out.sort_by("word")
 
 
+def _naive_bpe_train(words, freqs, num_merges, min_count):
+    """INDEPENDENT reference BPE trainer (dict/Counter recompute per
+    round, per-word while-loop merge) — shares no code with the
+    vectorized flat-array trainer in ``functions/bpe.py``, so the gate
+    certifies the algorithm, not just distribution-invariance."""
+    from collections import Counter
+    seqs = {i: tuple(w) for i, w in enumerate(words)}
+    merges = []
+    for _ in range(num_merges):
+        pc_ = Counter()
+        for i, s in seqs.items():
+            f = freqs[i]
+            for a, b in zip(s, s[1:]):
+                pc_[(a, b)] += f
+        if not pc_:
+            break
+        best = max(pc_.values())
+        if best < min_count:
+            break
+        L, R = min(p for p, c in pc_.items() if c == best)
+        merges.append((L, R, int(best)))
+        new = L + R
+        for i, s in seqs.items():
+            out, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == L and s[j + 1] == R:
+                    out.append(new)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[i] = tuple(out)
+    return merges
+
+
+def _naive_bpe_encode(word, merges):
+    s = list(word)
+    for L, R, _cnt in merges:
+        out, j = [], 0
+        while j < len(s):
+            if j + 1 < len(s) and s[j] == L and s[j + 1] == R:
+                out.append(L + R)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        s = out
+    return len(s)
+
+
+def _serial_bpe_merges(sf_dir: str):
+    """Word-type counts + capped selection with EXACTLY the
+    distributed plan's (cnt DESC, word ASC) order, then the naive
+    trainer. Split must match ``_split_encode`` (pinned equal to
+    ``str.split()``)."""
+    from collections import Counter
+
+    from zhtml_ray.functions.bpe import (DEFAULT_MAX_TYPES,
+                                         DEFAULT_MIN_COUNT,
+                                         DEFAULT_NUM_MERGES)
+    key = ("bpe_merges", sf_dir)
+    if key not in _serial_cache:
+        t = _docs_table(sf_dir)
+        cnt = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update((s or "").split())
+        ordered = sorted(cnt.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:DEFAULT_MAX_TYPES]
+        words = [w for w, _ in ordered]
+        freqs = [c for _, c in ordered]
+        _serial_cache[key] = _naive_bpe_train(
+            words, freqs, DEFAULT_NUM_MERGES, DEFAULT_MIN_COUNT)
+    return _serial_cache[key]
+
+
+def _gen_bpe_merges(sf_dir: str) -> pa.Table:
+    from zhtml_ray.functions.bpe import merges_to_table
+    return merges_to_table(_serial_bpe_merges(sf_dir))
+
+
+def _gen_bpe_encode(sf_dir: str) -> pa.Table:
+    merges = _serial_bpe_merges(sf_dir)
+    t = _docs_table(sf_dir)
+    enc_cache: dict[str, int] = {}
+    out = []
+    for s in t["text"].to_pylist():
+        n = 0
+        for w in (s or "").split():
+            c = enc_cache.get(w)
+            if c is None:
+                c = enc_cache[w] = _naive_bpe_encode(w, merges)
+            n += c
+        out.append(n)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_bpe": pa.array(out, pa.int64())})
+
+
 _GENERATORS = {
     "extract": _gen_extract,
     "extract_error_histogram": _gen_extract_error_histogram,
@@ -637,6 +734,8 @@ _GENERATORS = {
     "frame_sample": _gen_frame_sample,
     "approx_distinct_users": _gen_approx_distinct_users,
     "word_freq_cms": _gen_word_freq_cms,
+    "bpe_merges": _gen_bpe_merges,
+    "bpe_encode": _gen_bpe_encode,
 }
 
 

@@ -1421,7 +1421,7 @@ FROM events
 def events_range_window(ds, window_s: int = 3600):
     """Time-based RANGE-frame trailing window (SUM + COUNT over the
     same user's events in the last hour, peers-at-equal-ts included —
-    the rate-limiter / burst-detector frame that the ROWS-frame
+    X111, the rate-limiter / burst-detector frame that the ROWS-frame
     moving average X55 cannot express): the `events_cumsum` shape —
     ONE range-shuffle sort on (user, ts, event_id), then block-local
     frame bounds for every row via a fully-vectorized PER-RUN
@@ -4258,6 +4258,34 @@ GROUP BY 1 ORDER BY cnt DESC, word LIMIT {k}
 """
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer-vocabulary training (Sennrich 2016;
+    X112): word-TYPE frequency table via the X81 pre-combine +
+    ``sorted_sum_per_group`` plan (shuffle moves (batch, word) rows,
+    never tokens) → deterministic top-``max_types`` cap → vectorized
+    flat-numpy merge rounds over the BOUNDED type table. Oracle: an
+    INDEPENDENT naive trainer (Counter recompute per round) in
+    ``pipelines/golden.py`` — certifies the algorithm, not just
+    distribution-invariance. All-integer: no pin."""
+    from zhtml_ray.functions.bpe import bpe_train
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("bpe_merges", sf_dir)
+    return bpe_train(_docs(sf_dir, ["text"]))
+
+
+def q_bpe_encode(sf_dir: str):
+    """Corpus encoding under the learned BPE merge table (X113): the
+    merges broadcast once via ``ray.put``; each batch encodes its
+    DISTINCT words once (dictionary encode) and scatters subword
+    counts back to rows — pure map, zero shuffles. Oracle: naive
+    per-word while-loop encoder over the naive trainer's merges."""
+    from zhtml_ray.functions.bpe import bpe_encode, bpe_train
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("bpe_encode", sf_dir)
+    merges = bpe_train(_docs(sf_dir, ["text"]))
+    return bpe_encode(_docs(sf_dir, ["doc_id", "text"]), merges)
+
+
 # ------------------------------------------------- mixture / ordering ops
 
 def q_mixture_rollup(sf_dir: str):
@@ -5172,6 +5200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": q_user_event_path,
         "source_intersect": q_source_intersect,
         "top_words": q_top_words,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "pmi_collocations": q_pmi_collocations,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -5285,6 +5315,8 @@ def oracle_sql() -> dict[str, str]:
         "user_event_path": SQL_USER_EVENT_PATH,
         "source_intersect": SQL_SOURCE_INTERSECT,
         "top_words": _sql_top_words(),
+        "bpe_merges": golden_sql("bpe_merges"),
+        "bpe_encode": golden_sql("bpe_encode"),
         "pmi_collocations": _sql_pmi_collocations(),
         "inverted_index": _sql_inverted_index(),
         "quality_classifier": _sql_quality_classifier(),
