@@ -670,3 +670,220 @@ def pca_transform(ds, components: np.ndarray, key: str = "vec_id",
     from zhtml_ray.stages.util import autoscale_pool
     return ds.map_batches(Project, batch_format="pyarrow",
                           concurrency=autoscale_pool(0.5))
+
+
+# ------------------------------------------------- product quantization ANN
+
+def _kmeans_l2(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain-L2 seeded Lloyd for PQ sub-codebooks (the cosine `_kmeans`
+    normalizes rows — subvectors must NOT be renormalized or the
+    reconstruction y=Σ_j c_j no longer approximates the vector).
+    Deterministic given x's row order (callers content-sort); empty
+    cells keep their previous centroid. Shared by the distributed
+    trainer and the serial pinned golden."""
+    x = np.asarray(x, np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        # argmin squared L2 via the expansion -2x·c + |c|² (|x|² is
+        # row-constant); ties -> lowest centroid id (argmin rule)
+        d = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)
+        a = d.argmin(axis=1)
+        for c in range(len(cent)):
+            sel = a == c
+            if sel.any():
+                cent[c] = x[sel].mean(axis=0)
+    return cent.astype(np.float32)
+
+
+def pq_fit(ds, m: int = 8, ks: int = 16, iters: int = 10,
+           col: str = "embedding", seed: int = 42,
+           driver_budget_rows: int = 65536) -> np.ndarray:
+    """Train PQ sub-codebooks (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the normalized
+    vector into ``m`` contiguous subspaces, k-means each with ``ks``
+    centroids. Training runs on a DETERMINISTIC sample — full table
+    content-sorted below ``driver_budget_rows`` (the gate mode, exactly
+    replicated by the serial golden), content-hash sampled above (the
+    scale mode: PQ codebooks are always sample-trained in practice;
+    one corpus pass, sample bounded). Returns (m, ks, dim/m) float32."""
+    n = ds.count()
+    if n <= driver_budget_rows:
+        arr = [_emb_matrix(b[col])
+               for b in ds.iter_batches(batch_size=4096,
+                                        batch_format="pyarrow")]
+        x = np.concatenate(arr) if arr else np.zeros((0, 1), np.float32)
+    else:
+        x = _content_hash_sample(ds, col, target=driver_budget_rows,
+                                 n=n, seed=seed)
+    x = _normalize(_content_sorted(x))
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ks, dsub), np.float32)
+    for j in range(m):
+        books[j] = _kmeans_l2(x[:, j * dsub:(j + 1) * dsub], ks,
+                              iters, seed + j)
+    return books
+
+
+def pq_encode_matrix(emb_n: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors → (n, m) uint8 codes: per subspace
+    argmin squared L2 to the sub-codebook (ties → lowest code).
+    Shared by the distributed encode map and the serial golden."""
+    n = len(emb_n)
+    m, ks, dsub = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = emb_n[:, j * dsub:(j + 1) * dsub].astype(np.float64)
+        c = books[j].astype(np.float64)
+        d2 = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, books: np.ndarray, key: str = "vec_id",
+              col: str = "embedding"):
+    """Corpus → compressed at-rest code table (key, pq_code list<m
+    uint8>): pure map, zero shuffles — the 8-byte-per-vector index
+    that makes billion-scale ANN memory-feasible."""
+    import ray
+
+    from zhtml_ray.stages.util import autoscale_pool
+
+    bref = ray.put(np.asarray(books, np.float32))
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(bref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            emb = _normalize(_emb_matrix(b[col]))
+            codes = pq_encode_matrix(emb, self.books)
+            return pa.table({
+                key: b[key],
+                "pq_code": pa.array(list(codes), pa.list_(pa.uint8()))})
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=autoscale_pool(0.5))
+
+
+def pq_adc_scores(codes: np.ndarray, books: np.ndarray,
+                  q: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance (ADC) approximate inner products: LUT[j,c] =
+    q_sub_j · c_{j,c}, score = Σ_j LUT[j, code_j]. Returns (len(q),
+    n) float64, 6-dp pinned (identical float ops on every engine, so
+    the pin is stable)."""
+    m, ks, dsub = books.shape
+    nq = len(q)
+    out = np.zeros((nq, len(codes)), np.float64)
+    for j in range(m):
+        lut = q[:, j * dsub:(j + 1) * dsub].astype(np.float64) \
+            @ books[j].astype(np.float64).T   # (nq, ks)
+        out += lut[:, codes[:, j]]
+    return np.floor(out * 1e6 + 0.5) / 1e6
+
+
+def pq_topk(codes_ds, query_vectors: np.ndarray, books: np.ndarray,
+            k: int = 10, key: str = "vec_id"):
+    """Approximate top-k over the compressed code table: queries +
+    codebooks broadcast once, per-batch LUT scoring + tie-inclusive
+    partial top-k (the BruteForceTopK convention: every row equal to
+    the k-th pinned score survives the batch cut), tiny driver merge
+    ordered by (score DESC, key ASC) on the 6-dp-pinned score."""
+    import ray
+
+    from zhtml_ray.stages.util import autoscale_pool
+
+    qref = ray.put(_normalize(np.asarray(query_vectors, np.float32))
+                   .astype(np.float64))
+    bref = ray.put(np.asarray(books, np.float32))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.books = ray.get(bref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cod = b["pq_code"].combine_chunks()
+            codes = np.asarray(cod.values.to_numpy(zero_copy_only=False)
+                               ).reshape(b.num_rows, self.books.shape[0])
+            keys = np.asarray(b[key].to_pylist())
+            sims = pq_adc_scores(codes, self.books, self.q)
+            kk = min(k, sims.shape[1])
+            qid_out, key_out, sim_out = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                kth = np.partition(-row, kk - 1)[kk - 1]
+                cand = np.nonzero(-row <= kth)[0]
+                order = np.lexsort((keys[cand], -row[cand]))
+                for i in cand[order[:kk]]:
+                    qid_out.append(qi)
+                    key_out.append(keys[i])
+                    sim_out.append(float(row[i]))
+            return pa.table({
+                "query_id": pa.array(qid_out, pa.int32()),
+                key: pa.array(key_out),
+                "score": pa.array(sim_out, pa.float64())})
+
+    partials = codes_ds.map_batches(Score, batch_format="pyarrow",
+                                    concurrency=autoscale_pool(0.5))
+    pdf = partials.to_pandas()
+    return (pdf.sort_values(["query_id", "score", key],
+                            ascending=[True, False, True])
+               .groupby("query_id", as_index=False).head(k)
+               .reset_index(drop=True))
+
+
+def pq_exact_scores(emb_n: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Exact cosine of normalized rows vs normalized float64 queries,
+    6-dp pinned — the re-rank scoring kernel shared by the distributed
+    path and the serial pinned golden."""
+    s = q @ emb_n.astype(np.float64).T
+    return np.floor(s * 1e6 + 0.5) / 1e6
+
+
+def pq_rerank(shortlist: pd.DataFrame, emb_ds, query_vectors: np.ndarray,
+              k: int = 10, key: str = "vec_id", col: str = "embedding"
+              ) -> pd.DataFrame:
+    """Exact re-rank of a PQ ADC shortlist (the standard two-stage ANN
+    design: cheap 8-byte-code scan selects R candidates per query, then
+    true cosine on just those R vectors). The candidate gather is a
+    distributed ``pc.is_in`` prune over the embedding table — only the
+    ≤ n_queries×R matching rows ever reach the driver, so the gather is
+    bounded regardless of corpus size. Scoring/sort order is the shared
+    pinned kernel (score DESC, key ASC)."""
+    import pyarrow.compute as pc
+
+    q = _normalize(np.asarray(query_vectors, np.float32)).astype(np.float64)
+    wanted = pa.array(sorted(set(shortlist[key].tolist())), pa.int64())
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.select([key, col]).filter(pc.is_in(b[key], wanted))
+
+    parts = [b for b in emb_ds.map_batches(keep, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    cand = (pa.concat_tables(parts) if parts
+            else pa.table({key: pa.array([], pa.int64()),
+                           col: pa.array([], pa.list_(pa.float32()))}))
+    # arrival order through the map is schedule-dependent — key-sort
+    cand = cand.sort_by(key)
+    keys = np.asarray(cand[key].to_pylist(), np.int64)
+    emb_n = _normalize(_emb_matrix(cand[col])) if cand.num_rows else \
+        np.zeros((0, q.shape[1]), np.float32)
+    sims = pq_exact_scores(emb_n, q)
+    by_q = shortlist.groupby("query_id")[key].agg(set)
+    qid_out, key_out, sim_out = [], [], []
+    for qi in sorted(by_q.index):
+        sel = np.fromiter((kk in by_q[qi] for kk in keys), bool,
+                          count=len(keys))
+        ks_, row = keys[sel], sims[qi][sel]
+        order = np.lexsort((ks_, -row))[:k]  # score DESC, key ASC
+        qid_out.extend([int(qi)] * len(order))
+        key_out.extend(ks_[order].tolist())
+        sim_out.extend(row[order].tolist())
+    return pd.DataFrame({"query_id": np.asarray(qid_out, np.int32),
+                         key: np.asarray(key_out, np.int64),
+                         "score": np.asarray(sim_out, np.float64)})

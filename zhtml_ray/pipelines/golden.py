@@ -498,6 +498,55 @@ def _gen_semantic_dedup(sf_dir: str) -> pa.Table:
                      "dup_of": pa.array(out_dup, pa.int64())})
 
 
+def _gen_pq_topk(sf_dir: str) -> pa.Table:
+    """Serial same-algorithm pinned run of the product-quantization ANN
+    path (Jégou et al. 2011). Valid at gate scales because ``pq_fit``
+    takes its exactly-layout-invariant driver mode there (full table ≤
+    driver_budget_rows, CONTENT-sorted before training — iter_batches
+    arrival order cancels out), encoding is a per-row argmin (layout
+    free), and ADC scores are 6-dp pinned identical float ops on both
+    sides. Recall vs exact brute force is pytest-gated separately
+    (tests/test_retrieval.py::test_pq_recall_vs_brute_force)."""
+    import numpy as np
+    from zhtml_ray.functions.similarity import (_content_sorted, _kmeans_l2,
+                                                _normalize, pq_adc_scores,
+                                                pq_encode_matrix,
+                                                pq_exact_scores)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), np.float32)
+    assert len(emb) <= 65536, \
+        "serial pq golden needs pq_fit's full-table driver mode"
+    m, ks, iters, seed = 8, 256, 10, 42  # q_pq_topk's params
+    r, k = 50, 10  # ADC shortlist R, final k
+    x = _normalize(_content_sorted(emb.copy()))
+    dsub = x.shape[1] // m
+    books = np.empty((m, ks, dsub), np.float32)
+    for j in range(m):
+        books[j] = _kmeans_l2(x[:, j * dsub:(j + 1) * dsub], ks,
+                              iters, seed + j)
+    emb_n = _normalize(emb.copy())
+    codes = pq_encode_matrix(emb_n, books)
+    # queries: first 5 vectors by vec_id, float64 round-trip — exactly
+    # ops_queries._query_vectors, then pq_topk's float32-normalize
+    qv = np.asarray(t.sort_by("vec_id")["embedding"].to_pylist()[:5],
+                    np.float64)
+    q = _normalize(np.asarray(qv, np.float32)).astype(np.float64)
+    adc = pq_adc_scores(codes, books, q)
+    exact = pq_exact_scores(emb_n, q)
+    qid_out, key_out, sim_out = [], [], []
+    for qi in range(len(q)):
+        short = np.lexsort((ids, -adc[qi]))[:r]  # ADC DESC, key ASC
+        ks_, row = ids[short], exact[qi][short]
+        order = np.lexsort((ks_, -row))[:k]  # exact DESC, key ASC
+        qid_out.extend([qi] * len(order))
+        key_out.extend(ks_[order].tolist())
+        sim_out.extend(row[order].tolist())
+    return pa.table({"query_id": pa.array(qid_out, pa.int32()),
+                     "vec_id": pa.array(key_out, pa.int64()),
+                     "score": pa.array(sim_out, pa.float64())})
+
+
 def _gen_pdf_extract(sf_dir: str) -> pa.Table:
     from zhtml_ray.functions.pdf import PdfExtractBatch, gen_pdf_table
     from zhtml_ray.pipelines.ops_queries import _media_rows_for
@@ -725,6 +774,7 @@ _GENERATORS = {
     "link_components": _gen_link_components,
     "embedding_neardup": _gen_embedding_neardup,
     "ivf_topk": _gen_ivf_topk,
+    "pq_topk": _gen_pq_topk,
     "semantic_dedup": _gen_semantic_dedup,
     "pdf_extract": _gen_pdf_extract,
     "media_features": _gen_media_features,

@@ -3451,6 +3451,27 @@ def q_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): sample-trained
+    sub-codebooks, zero-shuffle corpus encode to 8-byte codes, then
+    broadcast-LUT ADC top-k — the memory path for billion-scale ANN
+    (8 bytes/vector at rest vs 256 for float32×64). Oracled against a
+    serial same-algorithm pinned golden (pipelines/golden.py:
+    _gen_pq_topk — valid at gate scales: pq_fit's full-table driver
+    mode is content-sorted, encode is per-row, ADC 6-dp pinned); recall
+    vs exact brute force is pytest-gated separately."""
+    from zhtml_ray.functions.similarity import (pq_encode, pq_fit,
+                                                pq_rerank, pq_topk)
+    from zhtml_ray.pipelines.golden import ensure_golden
+    ensure_golden("pq_topk", sf_dir)
+    ds = _emb(sf_dir)
+    books = pq_fit(ds, m=8, ks=256, iters=10, seed=42)
+    codes = pq_encode(ds, books)
+    q = _query_vectors(sf_dir, 5)
+    short = pq_topk(codes, q, books, k=50)  # ADC shortlist, R=50
+    return pq_rerank(short, _emb(sf_dir), q, k=10)
+
+
 # ------------------------------------------------------------ event windows
 
 def q_events_window(sf_dir: str):
@@ -5252,6 +5273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "semantic_dedup": q_semantic_dedup,
         "events_window": q_events_window,
         "hopping_window": q_hopping_window,
@@ -5277,6 +5299,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": golden_sql("ngram_jaccard"),
         "embedding_neardup": golden_sql("embedding_neardup"),
         "ivf_topk": golden_sql("ivf_topk"),
+        "pq_topk": golden_sql("pq_topk"),
         "semantic_dedup": golden_sql("semantic_dedup"),
         "pdf_extract": golden_sql("pdf_extract"),
         "media_features": golden_sql("media_features"),
