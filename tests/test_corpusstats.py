@@ -360,3 +360,90 @@ def test_bigram_logprob_paths_and_reference(ray_session, tmp_path):
     for k in want:
         assert fast[k][0] == want[k][0]
         assert abs(fast[k][1] - want[k][1]) < 2e-6  # pin-boundary slack
+
+
+# ------------------------------------------------------ heavy_hitters
+
+def _hh_oracle(texts, c1):
+    bf = Counter()
+    for s in texts:
+        toks = (s or "").split()
+        for p in zip(toks, toks[1:]):
+            bf[p] += 1
+    n = sum(bf.values())
+    return {p: c for p, c in bf.items() if c * c1 > n}
+
+
+def _hh_got(tbl):
+    return {(w1, w2): c for w1, w2, c in
+            zip(tbl["w1"].to_pylist(), tbl["w2"].to_pylist(),
+                tbl["cnt"].to_pylist())}
+
+
+def test_heavy_hitters_matches_bruteforce_and_paths(ray_session,
+                                                    tmp_path):
+    """Exact output vs a Counter brute force on a skewed corpus, for
+    several capacities, across a multi-block layout; the over-budget
+    merge-join fallback emits identical rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from zhtml_ray.functions.corpusstats import heavy_hitters
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(40)]
+    texts = []
+    for _ in range(120):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 30))]
+        # plant a hot bigram in ~1/3 of docs
+        if rng.random() < 0.34:
+            toks += ["hot", "pair"] * rng.randint(1, 4)
+        texts.append(" ".join(toks))
+    texts += ["", None, "solo"]
+    t = _tbl(texts)
+    pq.write_table(t, tmp_path / "d.parquet")
+    ds = rd.read_parquet(str(tmp_path / "d.parquet")).repartition(9)
+
+    for cap in (9, 49, 399):
+        got = _hh_got(heavy_hitters(ds, capacity=cap))
+        assert got == _hh_oracle(texts, cap + 1)
+        slow = _hh_got(heavy_hitters(ds, capacity=cap,
+                                     broadcast_budget=0))
+        assert slow == got
+
+
+def test_heavy_hitters_recall_across_blocks(ray_session):
+    """Pigeonhole recall: a bigram NOT locally heavy in most blocks is
+    still found — it only has to clear the local bar in one batch."""
+    import ray.data as rd
+
+    from zhtml_ray.functions.corpusstats import heavy_hitters
+
+    # 8 blocks of noise with one "x y" each (locally light), one block
+    # stuffed with "x y" (locally heavy) — globally heavy overall
+    noise = [" ".join(f"n{i}_{j}" for j in range(60)) + " x y"
+             for i in range(8)]
+    stuffed = [" ".join(["x y"] * 60)]
+    texts = noise + stuffed
+    ds = rd.from_arrow(_tbl(texts)).repartition(9)
+    got = _hh_got(heavy_hitters(ds, capacity=9))
+    want = _hh_oracle(texts, 10)
+    assert ("x", "y") in want  # the scenario is real
+    assert got == want
+
+
+def test_heavy_hitters_empty_and_degenerate(ray_session):
+    import ray.data as rd
+
+    from zhtml_ray.functions.corpusstats import heavy_hitters
+
+    out = heavy_hitters(rd.from_arrow(_tbl(["", None, "one"])),
+                        capacity=9)
+    assert out.num_rows == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(rd.from_arrow(_tbl(["a b"])), capacity=0)
+    # single repeated bigram: always a heavy hitter, exact count
+    got = _hh_got(heavy_hitters(rd.from_arrow(_tbl(["a b a b a b"])),
+                                capacity=9))
+    # "a b a b a b" bigrams: (a,b)x3, (b,a)x2 -> n=5
+    assert got == {("a", "b"): 3, ("b", "a"): 2}

@@ -872,3 +872,147 @@ def bigram_logprob(ds, broadcast_budget: int = 256 << 20):
 
     return sorted_bucket_apply(joined, "doc_id", ["doc_id"],
                                doc_interior, doc_edge, out_empty)
+
+
+# ---------------------------------------------------- heavy_hitters
+
+_HH_SENTINEL = "\x1f"  # bigram keys are w1␟w2 with non-empty words —
+#                        a bare ␟ can never collide with a real key
+
+
+def heavy_hitters(ds, capacity: int = 699,
+                  broadcast_budget: int = 64 << 20):
+    """Exact frequent-bigram mining with a two-pass candidate/verify
+    plan (the distributed Misra-Gries guarantee): return EVERY
+    adjacent-word bigram whose global count satisfies
+    ``cnt * (capacity+1) > N`` (N = total bigram occurrences in the
+    corpus) together with its EXACT count — without ever shuffling or
+    materializing the full bigram vocabulary.
+
+    Pass 1 streams the corpus once: each batch computes exact local
+    pair counts (`pair_counts_batch`) and nominates the bigrams with
+    ``count_b*(capacity+1) > n_b``.  Pigeonhole recall proof: a bigram
+    at most n_b/(capacity+1) in EVERY batch sums to at most
+    N/(capacity+1) globally, so anything above the global threshold is
+    above the local threshold in >= 1 batch; and at most ``capacity``
+    bigrams can exceed n_b/(capacity+1) within one batch, so the
+    nominee union is bounded by capacity x #batches regardless of
+    vocabulary size (the reason this beats a full `vocab_df`-style
+    frequency shuffle at web scale).
+
+    Pass 2 streams the corpus again counting ONLY nominees: while the
+    distinct nominee table fits ``broadcast_budget`` it is broadcast
+    once via ``ray.put`` (Arrow key array, zero-copy to every worker)
+    and each batch emits its nominee hits plus one sentinel row
+    carrying n_b; over budget it falls back to the memory-safe
+    merge-join path (full per-batch partials inner-joined against the
+    nominee table — more shuffle, bounded memory).  One
+    nominee-bounded run-sum + the integer predicate on the
+    driver-folded (<= nominees+1 row) table finish it.  All-integer,
+    and exact counts kill pass-1 false positives, so the output is
+    layout/schedule INVARIANT even though the nominee set itself is
+    layout-dependent.  Returns a pyarrow Table (w1, w2, cnt) sorted by
+    (-cnt, w1, w2).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    c1 = capacity + 1
+    kempty = pa.table({"key": pa.array([], pa.string())})
+    out_empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+    pempty = pa.table({"key": pa.array([], pa.string()),
+                       "cnt": pa.array([], pa.int64())})
+
+    def _keyed_counts(batch: pa.Table) -> pa.Table:
+        t = pair_counts_batch(batch)
+        if t.num_rows == 0:
+            return pempty
+        key = pc.binary_join_element_wise(t["w1"], t["w2"],
+                                          _HH_SENTINEL)
+        return pa.table({"key": key, "cnt": t["cnt"]})
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        t = _keyed_counts(batch)
+        if t.num_rows == 0:
+            return kempty
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        keep = cnt * c1 > int(cnt.sum())
+        if not keep.any():
+            return kempty
+        return t.filter(pa.array(keep)).select(["key"])
+
+    noms = drop_empty_blocks(
+        ds.map_batches(nominate, batch_format="pyarrow")).materialize()
+    if noms.count() == 0:
+        return out_empty
+    ones = noms.map_batches(
+        lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    distinct = compact_blocks(
+        sorted_sum_per_group(ones, ["key"], ["one"])).materialize()
+
+    if distinct.size_bytes() <= broadcast_budget:
+        ktab = pa.concat_tables(
+            [pa.table(b) for b in distinct.iter_batches(
+                batch_format="pyarrow", batch_size=None)])
+        ref = ray.put(ktab["key"].combine_chunks())
+
+        def recount(batch: pa.Table) -> pa.Table:
+            t = _keyed_counts(batch)
+            if t.num_rows == 0:
+                return pempty
+            n_b = int(pc.sum(t["cnt"]).as_py())
+            sel = t.filter(pc.is_in(t["key"], value_set=ray.get(ref)))
+            sent = pa.table({"key": pa.array([_HH_SENTINEL]),
+                             "cnt": pa.array([n_b], pa.int64())})
+            return pa.concat_tables([sel, sent])
+
+        parts = drop_empty_blocks(
+            ds.map_batches(recount, batch_format="pyarrow"))
+        summed = compact_blocks(
+            sorted_sum_per_group(parts, ["key"], ["cnt"]))
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in summed.iter_batches(
+                batch_format="pyarrow", batch_size=None)]
+            or [pempty])
+        sent_mask = pc.equal(tbl["key"], _HH_SENTINEL)
+        total = int(pc.sum(pc.filter(tbl["cnt"], sent_mask)).as_py()
+                    or 0)
+        tbl = tbl.filter(pc.invert(sent_mask))
+    else:
+        partials = drop_empty_blocks(
+            ds.map_batches(_keyed_counts,
+                           batch_format="pyarrow")).materialize()
+        total = int(partials.sum("cnt") or 0)
+        marked = distinct.map_batches(
+            lambda b: b.select(["key"]).append_column(
+                "m", pa.array(np.ones(b.num_rows, np.int8))),
+            batch_format="pyarrow")
+        hits = sorted_lookup_join(partials, marked, "key", ["m"])
+        summed = compact_blocks(sorted_sum_per_group(
+            hits.select_columns(["key", "cnt"]), ["key"], ["cnt"]))
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in summed.iter_batches(
+                batch_format="pyarrow", batch_size=None)]
+            or [pempty])
+
+    if tbl.num_rows == 0 or total == 0:
+        return out_empty
+    cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+    tbl = tbl.filter(pa.array(cnt * c1 > total))
+    if tbl.num_rows == 0:
+        return out_empty
+    split = pc.split_pattern(tbl["key"], _HH_SENTINEL)
+    out = pa.table({"w1": pc.list_element(split, 0),
+                    "w2": pc.list_element(split, 1),
+                    "cnt": tbl["cnt"]})
+    return out.sort_by([("cnt", "descending"), ("w1", "ascending"),
+                        ("w2", "ascending")])

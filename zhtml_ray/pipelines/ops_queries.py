@@ -4752,6 +4752,39 @@ CROSS JOIN n
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """X115: exact frequent-bigram heavy hitters via the two-pass
+    candidate/verify plan (distributed Misra-Gries guarantee — recall
+    by pigeonhole, precision by exact re-count; the full bigram
+    vocabulary is never shuffled, only <= capacity nominees per batch;
+    functions/corpusstats.py:heavy_hitters has the proof). All-integer
+    => layout/schedule invariant, no pin."""
+    from zhtml_ray.functions.corpusstats import heavy_hitters
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return heavy_hitters(ds, capacity=699)
+
+
+def _sql_heavy_hitters(c1: int = 700) -> str:
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH f AS (SELECT doc_id, regexp_split_to_array(text, '{ws}') AS a
+           FROM documents),
+t0 AS (SELECT doc_id, unnest(a) AS word,
+              unnest(range(1, len(a)+1)) AS pos FROM f),
+t AS (SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM t0 WHERE word <> ''),
+bi AS (SELECT t1.word AS w1, t2.word AS w2 FROM t t1
+       JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.rn = t1.rn + 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM bi)
+SELECT w1, w2, count(*)::BIGINT AS cnt
+FROM bi CROSS JOIN tot
+GROUP BY w1, w2, n
+HAVING count(*) * {c1} > n
+"""
+
+
 def _clf_weights(dim: int = 64) -> tuple[list, float]:
     """Deterministic linear-classifier weights (both engines build the
     SAME double constants from these literals): w_i = ((i·37 mod 21)
@@ -5224,6 +5257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "pmi_collocations": q_pmi_collocations,
+        "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
         "range_lookup": q_range_lookup,
@@ -5341,6 +5375,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": golden_sql("bpe_merges"),
         "bpe_encode": golden_sql("bpe_encode"),
         "pmi_collocations": _sql_pmi_collocations(),
+        "heavy_hitters": _sql_heavy_hitters(),
         "inverted_index": _sql_inverted_index(),
         "quality_classifier": _sql_quality_classifier(),
         "range_lookup": _sql_range_lookup(),
