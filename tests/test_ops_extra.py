@@ -255,3 +255,82 @@ def test_bucketed_join_matches_pandas_and_never_shuffles(ray_session,
     pd.testing.assert_frame_equal(got[["k", "x", "y"]],
                                   want[["k", "x", "y"]])
     assert len(want) > 0
+
+
+def test_ppl_tercile_rank_rule_matches_duckdb():
+    """The engine's ceil(n*q) rank rule for q = 1/3, 2/3 (with the
+    same repr() literals the oracle SQL embeds) equals DuckDB
+    quantile_disc across an adversarial n grid — including multiples
+    of 3 where float n*q sits on an integer boundary."""
+    import math
+
+    import duckdb
+
+    from zhtml_ray.pipelines.ops_queries import _PPL_QS
+
+    con = duckdb.connect()
+    for n in list(range(1, 46)) + [99, 100, 300, 301, 500, 501,
+                                   999, 1000, 2997, 3000]:
+        con.execute("DROP TABLE IF EXISTS v")
+        con.execute(f"CREATE TABLE v AS SELECT unnest(range(1, {n + 1}))"
+                    " AS x")
+        for q in _PPL_QS:
+            got = con.execute(
+                f"SELECT quantile_disc(x, {q!r}) FROM v").fetchone()[0]
+            assert got == max(1, math.ceil(n * q)), (n, q)
+
+
+def test_ppl_buckets_differential(ray_session, tmp_path):
+    """Engine buckets equal a serial recompute (Counter LM + sorted
+    tercile thresholds) on a skewed multi-block corpus; thirds are
+    balanced up to tie groups; ties on the pinned score land in ONE
+    bucket on both sides."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zhtml_ray.pipelines.ops_queries import q_ppl_buckets
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(25)]
+    zipf = np.arange(1, 26, dtype=np.float64) ** -1.3
+    zipf /= zipf.sum()
+    texts = [" ".join(rng.choice(words, rng.integers(1, 40), p=zipf)
+                      .tolist()) for _ in range(180)]
+    texts += ["", None]  # token-less docs are absent from the output
+    # tie block: identical docs => identical pinned score
+    texts += ["w0 w1 w0"] * 12
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q_ppl_buckets(str(tmp_path))
+    got = {r["doc_id"]: (r["mean_logprob"], r["ppl_bucket"])
+           for r in out.take_all()}
+
+    freq, tot = Counter(), 0
+    for s in texts:
+        toks = (s or "").split()
+        freq.update(toks)
+        tot += len(toks)
+    score = {}
+    for i, s in enumerate(texts):
+        toks = (s or "").split()
+        if not toks:
+            continue
+        m = sum(math.log(freq[w] / tot) for w in toks) / len(toks)
+        score[i] = math.floor(m * 1e6 + 0.5) / 1e6
+    vals = sorted(score.values())
+    n = len(vals)
+    t1 = vals[max(1, math.ceil(n * (1 / 3))) - 1]
+    t2 = vals[max(1, math.ceil(n * (2 / 3))) - 1]
+    want = {i: (v, "tail" if v <= t1 else "middle" if v <= t2
+                else "head") for i, v in score.items()}
+    assert got == want
+    sizes = Counter(b for _, b in got.values())
+    assert set(sizes) == {"tail", "middle", "head"}
+    tie_buckets = {got[i][1] for i in range(len(texts) - 12,
+                                            len(texts))}
+    assert len(tie_buckets) == 1

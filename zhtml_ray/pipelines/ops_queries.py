@@ -2863,6 +2863,100 @@ FROM per
 """
 
 
+_PPL_QS = (1 / 3, 2 / 3)  # tercile cut points (CCNet head/middle/tail)
+
+
+def q_ppl_buckets(sf_dir: str):
+    """X116: CCNet-style perplexity bucketing (Wenzek et al. 2020) —
+    split the corpus into head/middle/tail thirds by the unigram-LM
+    quality score. Terciles are EXACT global ``quantile_disc``
+    thresholds (value at 1-based rank ceil(n·q) — the rank rule
+    verified against DuckDB across n/q grids) computed WITHOUT a
+    global sort: the 6-dp-pinned scores live on a 1e-6 grid, so a
+    per-batch value-counts partial is bounded by the pinned value
+    RANGE (score span × 1e6 rows, invariant in corpus size — the
+    `length_quantiles` trick) and the threshold falls out of one
+    driver cumsum. Bucket assignment is a pure map comparing integer
+    micro-units, which orders identically to the double compare DuckDB
+    runs (k ↦ k/1e6 is monotone and injective below 2^53)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from zhtml_ray.functions.corpusstats import unigram_logprob
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    # one row per doc with >= 1 token; materialized once — it feeds
+    # both the threshold pass and the assignment pass
+    scores = unigram_logprob(ds).materialize()
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "mean_logprob": pa.array([], pa.float64()),
+                          "ppl_bucket": pa.array([], pa.string())})
+    if scores.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_empty)
+
+    def _micro(col) -> np.ndarray:
+        # pinned floats are k/1e6 exactly; rint recovers the integer k
+        v = col.combine_chunks().to_numpy(zero_copy_only=False)
+        return np.rint(v * 1e6).astype(np.int64)
+
+    def vc(b: pa.Table) -> pa.Table:
+        u, c = np.unique(_micro(b["mean_logprob"]), return_counts=True)
+        return pa.table({"micro": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    parts = [pa.table(b) for b in scores
+             .map_batches(vc, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    tbl = (pa.concat_tables(parts, promote_options="default")
+           .group_by(["micro"]).aggregate([("cnt", "sum")])
+           .sort_by("micro"))
+    vals = tbl["micro"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(tbl["cnt_sum"].to_numpy(zero_copy_only=False))
+    n = int(cum[-1])
+    t1, t2 = (int(vals[int(np.searchsorted(
+        cum, max(1, math.ceil(n * q))))]) for q in _PPL_QS)
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = _micro(b["mean_logprob"])
+        bucket = np.where(m <= t1, "tail",
+                          np.where(m <= t2, "middle", "head"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "mean_logprob": b["mean_logprob"],
+                         "ppl_bucket": pa.array(bucket.tolist(),
+                                                pa.string())})
+
+    return scores.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_ppl_buckets() -> str:
+    q1, q2 = (repr(q) for q in _PPL_QS)
+    return f"""
+WITH w AS ({_sql_words()}),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+freq AS (SELECT word, count(*)::DOUBLE AS c FROM u GROUP BY word),
+tot AS (SELECT count(*)::DOUBLE AS t FROM u),
+per AS (
+  SELECT u.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(ln(freq.c / tot.t)) AS s
+  FROM u JOIN freq USING (word) CROSS JOIN tot
+  GROUP BY u.doc_id),
+sc AS (SELECT doc_id,
+              floor(s / n_tokens * 1e6 + 0.5) / 1e6 AS mean_logprob
+       FROM per),
+th AS (SELECT quantile_disc(mean_logprob, {q1}) AS t1,
+              quantile_disc(mean_logprob, {q2}) AS t2 FROM sc)
+SELECT doc_id, mean_logprob,
+       CASE WHEN mean_logprob <= t1 THEN 'tail'
+            WHEN mean_logprob <= t2 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM sc CROSS JOIN th
+"""
+
+
 def q_bigram_logprob(sf_dir: str):
     """Per-doc mean bigram conditional log-probability (X104 — the
     next LM order after `unigram_logprob`; `functions/corpusstats.py:
@@ -5294,6 +5388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "vocab_df": q_vocab_df,
         "unigram_logprob": q_unigram_logprob,
+        "ppl_buckets": q_ppl_buckets,
         "bigram_logprob": q_bigram_logprob,
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
@@ -5411,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": _sql_dup_ngrams(),
         "vocab_df": _sql_vocab_df(),
         "unigram_logprob": _sql_unigram_logprob(),
+        "ppl_buckets": _sql_ppl_buckets(),
         "bigram_logprob": _sql_bigram_logprob(),
         "bm25_topk": _sql_bm25_topk(),
         "stratified_sample": _sql_stratified_sample(),
