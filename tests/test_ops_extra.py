@@ -334,3 +334,38 @@ def test_ppl_buckets_differential(ray_session, tmp_path):
     tie_buckets = {got[i][1] for i in range(len(texts) - 12,
                                             len(texts))}
     assert len(tie_buckets) == 1
+
+
+def test_snapshot_upsert_differential(ray_session, tmp_path):
+    """Upsert output equals a serial recompute of the same MERGE
+    rules (delete/update/insert disjoint, null texts coalesced in
+    U/I arms, kept rows pass nulls through untouched)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zhtml_ray.pipelines.ops_queries import (_UPSERT_INS_OFFSET,
+                                                 q_snapshot_upsert)
+
+    n = 400
+    texts = [None if i % 17 == 0 else f"doc {i} body" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: r["text"]
+           for r in q_snapshot_upsert(str(tmp_path)).take_all()}
+
+    want = {}
+    for i, s in enumerate(texts):
+        if i % 11 == 5:
+            pass  # deleted
+        elif i % 7 == 3:
+            want[i] = (s or "") + " rev2"
+        else:
+            want[i] = s  # kept: nulls pass through
+        if i % 13 == 1:
+            want[i + _UPSERT_INS_OFFSET] = "ins " + (s or "")
+    assert got == want
+    # all three change kinds actually fired
+    assert any(k >= _UPSERT_INS_OFFSET for k in got)
+    assert len(got) < n + sum(1 for i in range(n) if i % 13 == 1)

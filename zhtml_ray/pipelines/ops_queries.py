@@ -5011,6 +5011,98 @@ FROM new FULL OUTER JOIN old USING (doc_id)
 """
 
 
+_UPSERT_INS_OFFSET = 10 ** 12  # inserted ids: above every real doc_id
+
+
+def q_snapshot_upsert(sf_dir: str):
+    """X117: MERGE INTO / upsert — apply a change feed (insert /
+    update / delete rows) to a base snapshot, the at-rest mutation
+    step between crawl versions that `snapshot_diff` (X102) audits.
+    The feed here is derived deterministically from the base by
+    disjoint rules (delete doc_id%11==5; update %7==3 of the rest,
+    text ⇒ text||' rev2'; insert a derived row id+1e12 for %13==1),
+    but ``apply`` is the generic operator: ONE
+    `sorted_lookup_join(how='full')` range shuffle co-locates base and
+    feed by key (a MERGE is inherently a join — each side shuffles
+    once, nothing broadcasts), then a pure map resolves each row:
+    feed-miss ⇒ keep, U/I ⇒ feed text, D ⇒ drop. Keys are unique per
+    side by construction, the join primitive's contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def changes(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks()
+        m11, m7, m13 = (_mod(ids, m) for m in (11, 7, 13))
+        outs = []
+        d = b.filter(pc.equal(m11, 5))
+        if d.num_rows:
+            outs.append(pa.table({
+                "doc_id": d["doc_id"],
+                "op": pa.array(["D"] * d.num_rows, pa.string()),
+                "new_text": pa.nulls(d.num_rows, pa.string())}))
+        u = b.filter(pc.and_(pc.not_equal(m11, 5), pc.equal(m7, 3)))
+        if u.num_rows:
+            outs.append(pa.table({
+                "doc_id": u["doc_id"],
+                "op": pa.array(["U"] * u.num_rows, pa.string()),
+                "new_text": pc.binary_join_element_wise(
+                    pc.fill_null(u["text"], ""), " rev2", "")}))
+        i = b.filter(pc.equal(m13, 1))
+        if i.num_rows:
+            outs.append(pa.table({
+                "doc_id": pc.add(i["doc_id"].combine_chunks(),
+                                 pa.scalar(_UPSERT_INS_OFFSET,
+                                           pa.int64())),
+                "op": pa.array(["I"] * i.num_rows, pa.string()),
+                "new_text": pc.binary_join_element_wise(
+                    pa.array(["ins"] * i.num_rows),
+                    pc.fill_null(i["text"], ""), " ")}))
+        if not outs:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "op": pa.array([], pa.string()),
+                             "new_text": pa.array([], pa.string())})
+        return pa.concat_tables(outs)
+
+    feed = drop_empty_blocks(ds.map_batches(changes,
+                                            batch_format="pyarrow"))
+    j = sorted_lookup_join(ds, compact_blocks(feed), "doc_id",
+                           ["op", "new_text"], how="full")
+
+    def resolve(b: pa.Table) -> pa.Table:
+        op = b["op"]
+        t = b.filter(pc.or_kleene(pc.is_null(op),
+                                  pc.not_equal(op, "D")))
+        text = pc.if_else(pc.is_null(t["op"]), t["text"],
+                          t["new_text"])
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.cast(text, pa.string())})
+
+    return j.map_batches(resolve, batch_format="pyarrow")
+
+
+def _sql_snapshot_upsert() -> str:
+    return f"""
+WITH ch AS (
+  SELECT doc_id, 'D' AS op, NULL::VARCHAR AS new_text
+  FROM documents WHERE doc_id % 11 = 5
+  UNION ALL
+  SELECT doc_id, 'U', coalesce(text, '') || ' rev2'
+  FROM documents WHERE doc_id % 11 <> 5 AND doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + {_UPSERT_INS_OFFSET}, 'I', 'ins ' || coalesce(text, '')
+  FROM documents WHERE doc_id % 13 = 1)
+SELECT doc_id,
+       CASE WHEN ch.op IS NULL THEN d.text ELSE ch.new_text END AS text
+FROM documents d FULL OUTER JOIN ch USING (doc_id)
+WHERE ch.op IS NULL OR ch.op <> 'D'
+"""
+
+
 def q_event_trigrams(sf_dir: str, k: int = 20):
     """Top-k per-user event-type trigrams (X103 — sequential-pattern
     mining over clickstreams: the 'what 3-step paths happen most'
@@ -5357,6 +5449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_lookup": q_range_lookup,
         "url_blocklist": q_url_blocklist,
         "snapshot_diff": q_snapshot_diff,
+        "snapshot_upsert": q_snapshot_upsert,
         "event_trigrams": q_event_trigrams,
         "approx_distinct_users": q_approx_distinct_users,
         "value_loghist": q_value_loghist,
@@ -5476,6 +5569,7 @@ def oracle_sql() -> dict[str, str]:
         "range_lookup": _sql_range_lookup(),
         "url_blocklist": _sql_url_blocklist(),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "snapshot_upsert": _sql_snapshot_upsert(),
         "event_trigrams": _sql_event_trigrams(),
         "label_centroids": _sql_label_centroids(),
         "nearest_centroid": _sql_nearest_centroid(),
