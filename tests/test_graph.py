@@ -305,3 +305,85 @@ def test_cocitation_matches_dict_reference(ray_session):
             sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
             if n >= 2][:25]
     assert got == want and len(want) == 25
+
+
+# ----------------------------------------------------------------- HITS
+
+def serial_hits(edges, iters=3, scale=10_000):
+    """Independent reference: plain dicts, same integer recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        ar = {n: 0 for n in nodes}
+        for s, d in edges:
+            ar[d] += h[s]
+        mx = max(max(ar.values()), 1)
+        a = {n: v * scale // mx for n, v in ar.items()}
+        hr = {n: 0 for n in nodes}
+        for s, d in edges:
+            hr[s] += a[d]
+        mx = max(max(hr.values()), 1)
+        h = {n: v * scale // mx for n, v in hr.items()}
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (1, 30, 120), (2, 8, 10), (3, 200, 900)])
+@pytest.mark.parametrize("dbud", [2_000_000, 0])
+def test_hits_differential(ray_session, seed, n_nodes, n_edges, dbud):
+    """Both tiers (in-process numpy / distributed merge-join rounds)
+    equal an independent serial dict implementation, byte-exact, on a
+    hostile 13-block layout."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import hits
+    rng = np.random.default_rng(seed)
+    edges = _rand_edges(rng, n_nodes, n_edges)
+    t = pa.table({"src": [s for s, _ in edges],
+                  "dst": [d for _, d in edges]})
+    ds = rd.from_arrow(t).repartition(13)
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits(ds, driver_budget=dbud).take_all()}
+    assert got == serial_hits(edges)
+
+
+def test_hits_star_semantics(ray_session):
+    """A star u→v1..v5 makes u the max hub with zero authority and
+    the leaves equal max authorities with zero hub; empty edges give
+    an empty result."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import hits
+    t = pa.table({"src": ["u"] * 5,
+                  "dst": [f"v{i}" for i in range(5)]})
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits(rd.from_arrow(t)).take_all()}
+    assert got["u"] == (10_000, 0)
+    for i in range(5):
+        assert got[f"v{i}"] == (0, 10_000)
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert hits(rd.from_arrow(empty)).count() == 0
+
+
+def test_hits_matches_generated_sql(ray_session, tmp_path):
+    """The unrolled-CTE DuckDB oracle and the engine agree on a random
+    graph routed through the href-resolution front end."""
+    import duckdb
+    import ray.data as rd
+    from zhtml_ray.functions.graph import hits, link_edges, sql_hits
+    rng = np.random.default_rng(9)
+    # links-table shape: (url, href) rows over absolute http urls
+    urls = [f"http://h{i}.test/p" for i in range(25)]
+    rows = [(urls[a], urls[b]) for a, b in
+            zip(rng.integers(0, 25, 200), rng.integers(0, 25, 200))
+            if a != b]
+    links = pa.table({"url": [u for u, _ in rows],
+                      "href": [h for _, h in rows]})
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits(link_edges(
+               rd.from_arrow(links).repartition(7))).take_all()}
+    con = duckdb.connect()
+    con.register("links_t", links.to_pandas())
+    want = {n: (h, a) for n, h, a in con.execute(
+        sql_hits("SELECT * FROM links_t")).fetchall()}
+    assert got == want and len(got) > 0

@@ -366,6 +366,178 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
     return rank.map_batches(finish, batch_format="pyarrow")
 
 
+HITS_SCALE = 10_000  # hub/auth live in [0, 1e4]; raw sums ≤ V·SCALE,
+# rescale multiplies by SCALE again: V·SCALE² ≤ 2^63 ⇒ V ≤ 9·10^10
+
+
+def hits(edges, iters: int = 3, scale: int = HITS_SCALE,
+         driver_budget: int = 2_000_000):
+    """Exact-integer HITS hubs & authorities (Kleinberg 1999).
+
+    ``edges`` is a distinct (src, dst) Dataset. Hubs start at
+    ``scale``; each iteration computes, all in int64::
+
+        a_raw(v) = Σ_{u→v} h(u);  a(v) = a_raw(v)·scale // max(a_raw)
+        h_raw(u) = Σ_{u→v} a(v);  h(u) = h_raw(u)·scale // max(h_raw)
+
+    The usual L2 normalization is replaced by max-rescaling with
+    truncating integer division — every operand is a non-negative
+    int64, so the result is layout-, schedule- and engine-invariant
+    with NO float pin (the :func:`pagerank` rule). Both ``max`` terms
+    are floored at 1 (identically in SQL via ``greatest(…, 1)``) so a
+    degenerate round cannot divide by zero. Returns (node,
+    hub_scaled, auth_scaled).
+
+    Two tiers, same integers (pytest-asserted byte-equal): an
+    in-process numpy run under ``driver_budget`` edges, else fully
+    distributed rounds — per round ONE merge join attaches the
+    current vector to the edge table keyed by the summing side
+    (src for authorities, dst for hubs), per-batch group_by partials
+    pre-combine before a vocabulary-bounded run-sum, and the only
+    driver state is the round's two max scalars."""
+    import numpy as np
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "hub_scaled": pa.array([], pa.int64()),
+                      "auth_scaled": pa.array([], pa.int64())})
+    edges = compact_blocks(edges)
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    if edges.count() <= driver_budget:
+        tb = pa.concat_tables(list(edges.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        s = np.asarray(tb["src"].to_pylist(), object)
+        d = np.asarray(tb["dst"].to_pylist(), object)
+        uniq, inv = np.unique(np.concatenate([s, d]),
+                              return_inverse=True)
+        scode, dcode = inv[:len(s)], inv[len(s):]
+        v = len(uniq)
+        h = np.full(v, scale, np.int64)
+        a = np.zeros(v, np.int64)
+        for _ in range(iters):
+            ar = np.zeros(v, np.int64)
+            np.add.at(ar, dcode, h[scode])
+            a = ar * scale // max(int(ar.max()), 1)
+            hr = np.zeros(v, np.int64)
+            np.add.at(hr, scode, a[dcode])
+            h = hr * scale // max(int(hr.max()), 1)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(uniq.tolist(), pa.string()),
+            "hub_scaled": pa.array(h, pa.int64()),
+            "auth_scaled": pa.array(a, pa.int64())}))
+
+    # ---- distributed tier ---------------------------------------------
+    def col_nodes(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b[col]}).group_by("node") \
+                .aggregate([])
+        return f
+
+    nodes = compact_blocks(sorted_first_per_group(
+        edges.map_batches(col_nodes("src"), batch_format="pyarrow")
+        .union(edges.map_batches(col_nodes("dst"),
+                                 batch_format="pyarrow")),
+        ["node"]))
+
+    def half_step(vec, key_col, other_col):
+        """One HITS half-round: attach ``vec`` (node → x) to edges on
+        ``key_col``, sum x into ``other_col`` groups, fill misses
+        with 0, max-rescale. Returns the new (node, x) Dataset."""
+        from ray.data.aggregate import Max
+
+        ek = edges.map_batches(
+            lambda b, k=key_col, o=other_col: pa.table(
+                {"node": b[k], "tgt": b[o]}),
+            batch_format="pyarrow")
+        j = sorted_lookup_join(compact_blocks(ek), vec, "node", ["x"])
+
+        def part(b: pa.Table) -> pa.Table:
+            g = pa.table({"node": b["tgt"], "x": b["x"]}) \
+                .group_by("node").aggregate([("x", "sum")])
+            return g.rename_columns(["node", "x"])
+
+        sums = sorted_sum_per_group(
+            j.map_batches(part, batch_format="pyarrow"),
+            ["node"], ["x"])
+        raw = compact_blocks(sorted_lookup_join(
+            nodes, sums, "node", ["x"], how="left").map_batches(
+                lambda b: pa.table({
+                    "node": b["node"],
+                    "x": pc.fill_null(pc.cast(b["x"], pa.int64()),
+                                      0)}),
+                batch_format="pyarrow")).materialize()
+        mx = max(int(raw.aggregate(Max("x", alias_name="m"))["m"]
+                     or 0), 1)
+        return compact_blocks(raw.map_batches(
+            lambda b, mx=mx: pa.table({
+                "node": b["node"],
+                "x": pc.divide(pc.multiply(
+                    b["x"], pa.scalar(scale, pa.int64())),
+                    pa.scalar(mx, pa.int64()))}),
+            batch_format="pyarrow"))
+
+    hvec = compact_blocks(nodes.map_batches(
+        lambda b: b.append_column(
+            "x", pa.array(np.full(b.num_rows, scale, np.int64))),
+        batch_format="pyarrow"))
+    avec = None
+    for _ in range(iters):
+        avec = half_step(hvec, "src", "dst")
+        hvec = half_step(avec, "dst", "src")
+
+    out = sorted_lookup_join(
+        hvec.map_batches(lambda b: b.rename_columns(["node", "h"]),
+                         batch_format="pyarrow"),
+        avec.map_batches(lambda b: b.rename_columns(["node", "a"]),
+                         batch_format="pyarrow"),
+        "node", ["a"])
+    return out.map_batches(
+        lambda b: pa.table({"node": b["node"], "hub_scaled": b["h"],
+                            "auth_scaled": pc.cast(b["a"],
+                                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_hits(links_sql: str, iters: int = 3,
+             scale: int = HITS_SCALE) -> str:
+    """Unrolled-iteration DuckDB oracle for :func:`hits` — same int64
+    arithmetic, independently executed (DuckDB hash joins vs the
+    engine's sort-based merge plan)."""
+    parts = [f"WITH edges AS ({sql_edges_select(links_sql)}),",
+             """nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),""",
+             f"h0 AS (SELECT node, {scale}::BIGINT AS h FROM nodes)"]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ar{k} AS (SELECT n.node, coalesce(i.s, 0)::BIGINT AS ar
+  FROM nodes n LEFT JOIN
+    (SELECT e.dst AS node, sum(ph.h)::BIGINT AS s
+     FROM edges e JOIN h{k - 1} ph ON e.src = ph.node
+     GROUP BY e.dst) i USING (node)),
+a{k} AS (SELECT node, ar * {scale}::BIGINT
+              // greatest((SELECT max(ar) FROM ar{k}), 1) AS a
+         FROM ar{k}),
+hr{k} AS (SELECT n.node, coalesce(i.s, 0)::BIGINT AS hr
+  FROM nodes n LEFT JOIN
+    (SELECT e.src AS node, sum(pa2.a)::BIGINT AS s
+     FROM edges e JOIN a{k} pa2 ON e.dst = pa2.node
+     GROUP BY e.src) i USING (node)),
+h{k} AS (SELECT node, hr * {scale}::BIGINT
+              // greatest((SELECT max(hr) FROM hr{k}), 1) AS h
+         FROM hr{k})""")
+    parts.append(f"""
+SELECT h{iters}.node, h{iters}.h AS hub_scaled, a{iters}.a AS auth_scaled
+FROM h{iters} JOIN a{iters} USING (node)""")
+    return "".join(parts)
+
+
 def degree_histogram(edges):
     """Degree-distribution histogram of a distinct (src, dst) edge
     Dataset: (direction 'out'|'in', degree, n_nodes), zero-degree

@@ -1062,6 +1062,32 @@ def _sql_link_pagerank() -> str:
     return sql_pagerank(golden_sql("links"))
 
 
+def q_link_hits(sf_dir: str):
+    """X118: HITS hubs & authorities over the extracted link graph
+    (Kleinberg 1999 — the directory-page vs destination-page split
+    PageRank cannot express). Exact-integer max-rescaled rounds
+    (functions/graph.py:hits), so the result is bit-identical across
+    layouts/schedules; the oracle is an INDEPENDENT unrolled-CTE
+    DuckDB implementation over the pinned links golden. driver_budget
+    below the sf0.01 edge count so the driver gate exercises the
+    distributed merge-join tier."""
+    import ray.data as rd
+    from zhtml_ray.functions.graph import hits, link_edges
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
+    links = ds.map_batches(LinksBatch(), batch_format="pyarrow")
+    return hits(link_edges(links), driver_budget=50_000)
+
+
+def _sql_link_hits() -> str:
+    from zhtml_ray.functions.graph import sql_hits
+    from zhtml_ray.pipelines.golden import golden_sql
+    return sql_hits(golden_sql("links"))
+
+
 def q_images(sf_dir: str):
     """Image (media-catalog) extraction from the parsed DOM — the
     reference Document's images collection as a derived table
@@ -1431,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": q4_priority_exists,
         "bloom_join_revenue": q_bloom_join_revenue,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "anchor_terms": q_anchor_terms,
         "link_components": q_link_components,
         "link_degree_hist": q_link_degree_hist,
@@ -1473,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
         "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
         "link_pagerank": _sql_link_pagerank(),
+        "link_hits": _sql_link_hits(),
         "anchor_terms": _sql_anchor_terms(),
         "link_components": golden_sql("link_components"),
         "link_degree_hist": _sql_link_degree_hist(),
