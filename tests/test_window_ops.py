@@ -247,3 +247,42 @@ def test_range_window_differential(ray_session, events_dir):
         .sort_values("event_id").reset_index(drop=True)
     assert (got["w_cnt"].to_numpy() == want["w_cnt"].to_numpy()).all()
     assert np.allclose(got["w_sum"], want["w_sum"], rtol=0, atol=0)
+
+
+def test_window_join_differential_hostile_layout(ray_session):
+    """Interval join equals a brute-force O(n²) reference — inclusive
+    bounds both ends, same-instant click included, pair fan-out — on
+    a hot-user corpus over a 40-block layout (edge users resolve
+    whole in the per-group pass)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.pipelines.ops_queries import events_window_join
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    user = rng.integers(0, 25, n)
+    user[:1200] = 7  # hot user straddles many blocks
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 3_000_000, n) * np.int64(1_000_000)
+    kinds = rng.choice(["purchase", "click", "view"], n,
+                       p=[0.3, 0.5, 0.2])
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(kinds.tolist(), pa.string())})
+    ds = rd.from_arrow(t).repartition(40)
+    W = 3600 * 1_000_000
+    got = {(r["purchase_id"], r["click_id"]): r["lag_s"]
+           for r in events_window_join(ds, window_s=3600).take_all()}
+    want = {}
+    for i in range(n):
+        if kinds[i] != "purchase":
+            continue
+        for j in range(n):
+            if kinds[j] == "click" and user[j] == user[i] \
+                    and ts[i] - W <= ts[j] <= ts[i]:
+                want[(i, j)] = float(ts[i] - ts[j]) / 1e6
+    assert got == want and len(want) > 100

@@ -1518,6 +1518,133 @@ FROM events
 """
 
 
+def _per_run_rank(hay_vals, hay_runs, ndl_vals, ndl_runs,
+                  needle_first: bool):
+    """Per-run rank of each needle among its run's haystack values
+    (count strictly below when ``needle_first``, else count <=) — the
+    X111 lexsort-merge trick generalized to haystack and needle sets
+    of DIFFERENT lengths. Runs must be contiguous ascending ids on
+    both sides; one lexsort over the merged rows, then the global
+    haystack cumsum read back at each needle's merged position IS the
+    needle's global bound index (haystack runs are contiguous in the
+    merged order, so the global count doubles as an index into the
+    run-concatenated haystack)."""
+    import numpy as np
+    nh, nn = len(hay_vals), len(ndl_vals)
+    vals = np.concatenate([hay_vals, ndl_vals])
+    runs = np.concatenate([hay_runs, ndl_runs])
+    flag = np.empty(nh + nn, np.int8)
+    flag[:nh] = 1 if needle_first else 0
+    flag[nh:] = 0 if needle_first else 1
+    order = np.lexsort((flag, vals, runs))
+    cum_hay = np.cumsum(flag[order] == (1 if needle_first else 0))
+    pos = np.empty(nh + nn, np.int64)
+    pos[order] = np.arange(nh + nn)
+    return cum_hay[pos[nh:]]
+
+
+def events_window_join(ds, window_s: int = 86_400,
+                       probe_type: str = "purchase",
+                       build_type: str = "click"):
+    """Bounded-interval stream-stream join (X119): every (purchase,
+    click) pair of the same user with the click in the 24 h window
+    [tp−W, tp] INCLUSIVE both ends — the 1-to-MANY attribution
+    complement of the as-of join X35 (which keeps only the latest
+    match). Same single-shuffle plan as every window op here: ONE
+    range sort on (user, ts, event_id) over the two filtered event
+    kinds, then per block a fully-vectorized pair emission — per-run
+    lo/hi click bounds for every purchase via `_per_run_rank`, pair
+    expansion with repeat + offset arithmetic (no Python loop). Pair
+    fan-out is bounded by the window width per probe, and a hot user
+    straddling blocks resolves whole in the bounded per-group edge
+    pass. Lag is exact microseconds / 1e6, bit-equal to DuckDB's
+    date_diff arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    W = np.int64(window_s) * np.int64(1_000_000)  # µs
+    empty = pa.table({"purchase_id": pa.array([], pa.int64()),
+                      "click_id": pa.array([], pa.int64()),
+                      "lag_s": pa.array([], pa.float64())})
+
+    both = ds.map_batches(
+        lambda b: b.filter(pc.is_in(
+            b["event_type"],
+            value_set=pa.array([probe_type, build_type]))),
+        batch_format="pyarrow")
+
+    def pairs_of(b: pa.Table, starts: np.ndarray,
+                 ends: np.ndarray) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = b["event_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        kind = b["event_type"].combine_chunks()
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           ends - starts)
+        pm = pc.equal(kind, probe_type).to_numpy(
+            zero_copy_only=False)
+        cm = pc.equal(kind, build_type).to_numpy(
+            zero_copy_only=False)
+        if not pm.any() or not cm.any():
+            return empty, np.zeros(0, np.int64)
+        pts, prun, pid = ts[pm], run_id[pm], eid[pm]
+        cts, crun, cid = ts[cm], run_id[cm], eid[cm]
+        lo = _per_run_rank(cts, crun, pts - W, prun,
+                           needle_first=True)
+        hi = _per_run_rank(cts, crun, pts, prun, needle_first=False)
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty, prun
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ci = np.repeat(lo, cnt) + (np.arange(total) - off)
+        pi = np.repeat(np.arange(len(pts)), cnt)
+        lag = (np.repeat(pts, cnt) - cts[ci]).astype(np.float64) / 1e6
+        return pa.table({"purchase_id": pa.array(pid[pi], pa.int64()),
+                         "click_id": pa.array(cid[ci], pa.int64()),
+                         "lag_s": pa.array(lag, pa.float64())}), \
+            prun[pi]
+
+    def interior(b, starts, ends, mask):
+        rows, prun = pairs_of(b, starts, ends)
+        if rows.num_rows == 0:
+            return rows if isinstance(rows, pa.Table) else empty
+        return rows.filter(pa.array(mask[prun]))
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        rows, _ = pairs_of(g.take(order), np.zeros(1, np.int64),
+                           np.asarray([g.num_rows], np.int64))
+        return rows
+
+    return sorted_bucket_apply(both, "user_id",
+                               ["user_id", "ts", "event_id"],
+                               interior, edge, empty)
+
+
+def q_window_join(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return events_window_join(ds)
+
+
+SQL_WINDOW_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       date_diff('microsecond', c.ts, p.ts) / 1e6 AS lag_s
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+"""
+
+
 _FUNNEL_STAGES = ("signup", "view", "purchase")
 
 
@@ -5433,6 +5560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "events_moving_avg": q_events_moving_avg,
         "events_range_window": q_events_range_window,
+        "window_join": q_window_join,
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
         "events_retention": q_events_retention,
@@ -5553,6 +5681,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "events_range_window": SQL_EVENTS_RANGE_WINDOW,
+        "window_join": SQL_WINDOW_JOIN,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "events_retention": SQL_EVENTS_RETENTION,
