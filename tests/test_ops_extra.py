@@ -369,3 +369,41 @@ def test_snapshot_upsert_differential(ray_session, tmp_path):
     # all three change kinds actually fired
     assert any(k >= _UPSERT_INS_OFFSET for k in got)
     assert len(got) < n + sum(1 for i in range(n) if i % 13 == 1)
+
+
+def test_pivot_melt_roundtrip(ray_session, tmp_path):
+    """pivot∘melt equals the plain long-form count (zero cells absent
+    from the melt; users missing a type get 0 in the wide form)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zhtml_ray.pipelines.ops_queries import (_EVENT_TYPES,
+                                                 q_event_melt,
+                                                 q_event_pivot)
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    user = rng.integers(0, 40, n)
+    et = rng.choice(_EVENT_TYPES, n, p=[0.5, 0.05, 0.05, 0.1, 0.3])
+    et[user == 3] = "click"  # user 3: single-type (zeros elsewhere)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.full(n, 1_700_000_000_000_000),
+                       pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(et.tolist(), pa.string()),
+        "value": pa.array(np.zeros(n), pa.float64()),
+        "props": pa.array([""] * n, pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    ref = Counter(zip(user.tolist(), et.tolist()))
+    wide = {r["user_id"]: [r[f"n_{k}"] for k in _EVENT_TYPES]
+            for r in q_event_pivot(str(tmp_path)).take_all()}
+    assert wide == {u: [ref.get((u, k), 0) for k in _EVENT_TYPES]
+                    for u in set(user.tolist())}
+    assert wide[3][1:] == [0, 0, 0, 0]
+    long = {(r["user_id"], r["event_type"]): r["n"]
+            for r in q_event_melt(str(tmp_path)).take_all()}
+    assert long == dict(ref)

@@ -2282,6 +2282,96 @@ FROM a
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_pivot(sf_dir: str):
+    """X120: PIVOT — the long→wide reshape of feature engineering
+    (one row per user, one count column per event type). Like SQL
+    PIVOT, the output schema is STATIC (`_EVENT_TYPES`); an unseen
+    type would need a discovery pass, deliberately out of scope.
+    Per-batch Arrow (user, type) count partials widen to one row per
+    (user, type) with the count scattered into its column, then ONE
+    `sorted_sum_per_group` on user sums the wide rows — the shuffle
+    moves ≤ types×users short integer rows, never raw events."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    ncols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        cnt = pc.cast(g["event_type_count"], pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        cols = {"user_id": g["user_id"]}
+        for t, nc in zip(_EVENT_TYPES, ncols):
+            cols[nc] = pc.if_else(pc.equal(g["event_type"], t),
+                                  cnt, zero)
+        return pa.table(cols)
+
+    return sorted_sum_per_group(
+        drop_empty_blocks(ds.map_batches(partial,
+                                         batch_format="pyarrow")),
+        ["user_id"], ncols)
+
+
+def _sql_event_pivot() -> str:
+    arms = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+        for t in _EVENT_TYPES)
+    return f"""
+SELECT user_id,
+       {arms}
+FROM events GROUP BY user_id
+"""
+
+
+def q_event_melt(sf_dir: str):
+    """X121: MELT/UNPIVOT — the wide→long inverse of X120: the pivot
+    table melts back to (user_id, event_type, n) rows, zero-count
+    cells dropped. The melt itself is a zero-shuffle pure map (each
+    wide row explodes into ≤ types rows); the oracle is the plain
+    long-form GROUP BY — an independent plan that never materializes
+    the wide table, so the gate certifies pivot∘melt ≡ groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    wide = q_event_pivot(sf_dir)
+    ncols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def melt(b: pa.Table) -> pa.Table:
+        k = len(_EVENT_TYPES)
+        ids = b["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mat = np.stack([b[c].combine_chunks().to_numpy(
+            zero_copy_only=False) for c in ncols], axis=1)
+        flat = mat.reshape(-1)
+        keep = flat > 0
+        uid = np.repeat(ids, k)[keep]
+        et = np.tile(np.asarray(_EVENT_TYPES, object),
+                     len(ids))[keep]
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "n": pa.array(flat[keep], pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_EVENT_MELT = """
+SELECT user_id, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_user_mode(sf_dir: str):
     """Per-user MODE (most frequent event type, ties → lexically
     smallest): per-batch (user, type) Arrow count partials → one
@@ -5583,6 +5673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_loghist": q_value_loghist,
         "user_median_value": q_user_median_value,
         "user_mode": q_user_mode,
+        "event_pivot": q_event_pivot,
+        "event_melt": q_event_melt,
         "user_first_last": q_user_first_last,
         "value_ts_corr": q_value_ts_corr,
         "label_centroids": q_label_centroids,
@@ -5708,6 +5800,8 @@ def oracle_sql() -> dict[str, str]:
         "user_median_value": SQL_USER_MEDIAN_VALUE,
         "value_loghist": _sql_value_loghist(),
         "user_mode": SQL_USER_MODE,
+        "event_pivot": _sql_event_pivot(),
+        "event_melt": SQL_EVENT_MELT,
         "user_first_last": SQL_USER_FIRST_LAST,
         "value_ts_corr": SQL_VALUE_TS_CORR,
         "group_quantiles_cont": _sql_group_quantiles_cont(),
