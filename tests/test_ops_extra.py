@@ -407,3 +407,72 @@ def test_pivot_melt_roundtrip(ray_session, tmp_path):
     long = {(r["user_id"], r["event_type"]): r["n"]
             for r in q_event_melt(str(tmp_path)).take_all()}
     assert long == dict(ref)
+
+
+def test_fuzzy_dirty_rebuild_matches_python(ray_session):
+    """The engine's vectorized dirty-twin rebuild (split_encode + list
+    binary_join) is string-identical to the serial fuzzy_dirty_text
+    over hostile whitespace/None/short-doc inputs."""
+    import pyarrow as pa
+
+    from zhtml_ray.pipelines.golden import FUZZY_OFF, fuzzy_dirty_text
+    from zhtml_ray.pipelines.ops_queries import _fuzzy_union_batch
+
+    rng = np.random.default_rng(3)
+    words = ["a", "bb", "ccc", "x"]
+    texts = []
+    for _ in range(60):
+        k = int(rng.integers(0, 60))
+        texts.append("  ".join(
+            rng.choice(words, k).tolist()))  # thin-space separators
+    texts += ["", None, " \t ", "w " * 30]
+    ids = list(range(0, 2 * len(texts), 2))  # all even => all twinned
+    b = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _fuzzy_union_batch(b)
+    twins = {r["doc_id"] - FUZZY_OFF: r["text"]
+             for r in out.to_pylist() if r["doc_id"] >= FUZZY_OFF}
+    assert twins == {i: fuzzy_dirty_text(s)
+                     for i, s in zip(ids, texts)}
+
+
+def test_fuzzy_join_matches_bruteforce(ray_session, tmp_path):
+    """End-to-end fuzzy join equals a brute-force cross-pair argmax on
+    a corpus with twins, decoy near-misses and unmatched lefts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zhtml_ray.functions.dedup import _shingles
+    from zhtml_ray.pipelines.golden import (FUZZY_OFF,
+                                            fuzzy_dirty_text)
+    from zhtml_ray.pipelines.ops_queries import q_fuzzy_join
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(120)]
+    texts = [" ".join(rng.choice(vocab, 60).tolist())
+             for _ in range(120)]
+    texts += [texts[0], texts[0] + " tail tail"]  # decoy dupes
+    t = pa.table({"doc_id": pa.array(range(0, 2 * len(texts), 2),
+                                     pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = {r["doc_id"]: (r["match_id"], r["jaccard"])
+           for r in q_fuzzy_join(str(tmp_path)).take_all()}
+
+    ids = t["doc_id"].to_pylist()
+    lsets = [set(_shingles(s).tolist()) for s in texts]
+    rids = [i + FUZZY_OFF for i in ids]
+    rsets = [set(_shingles(fuzzy_dirty_text(s)).tolist())
+             for s in texts]
+    want = {}
+    for i, si in zip(ids, lsets):
+        best = None
+        for rj, sj in zip(rids, rsets):
+            jac = len(si & sj) / len(si | sj) if (si or sj) else 1.0
+            if jac >= 0.8 and (best is None or jac > best[1]
+                               or (jac == best[1] and rj < best[0])):
+                best = (rj, jac)
+        if best:
+            want[i] = best
+    assert got == want and len(want) > 100

@@ -283,6 +283,58 @@ def _gen_ngram_jaccard(sf_dir: str) -> pa.Table:
                      "jaccard": pa.array(js, pa.float64())})
 
 
+FUZZY_OFF = 1_000_000_000  # dirty-twin ids: above every real doc_id
+
+
+def fuzzy_dirty_text(s: str) -> str:
+    """Shared dirty-twin derivation (X122): drop every 25th word.
+    The serial oracle uses THIS Python form; the engine derives the
+    same strings with the vectorized `_split_encode` path (pinned
+    token-identical to ``str.split``), so equality certifies the
+    Arrow rebuild too."""
+    w = (s or "").split()
+    return " ".join(x for i, x in enumerate(w) if i % 25 != 24)
+
+
+def _gen_fuzzy_join(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """INDEPENDENT oracle for the record-linkage fuzzy join:
+    brute-force ALL left × dirty word-3-gram Jaccards (no LSH
+    blocking), keep per left doc the best match ≥ threshold (ties →
+    min match id). Matching it certifies recall AND precision of the
+    engine's blocked path on this corpus."""
+    from zhtml_ray.functions.dedup import _shingles
+    t = _docs_table(sf_dir)
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    lsets = [set(_shingles(s or "").tolist()) for s in texts]
+    rids, rsets = [], []
+    for i, s in zip(ids, texts):
+        if i % 2 == 0:
+            rids.append(i + FUZZY_OFF)
+            rsets.append(set(_shingles(fuzzy_dirty_text(s)).tolist()))
+    out_id, out_m, out_j = [], [], []
+    for i, si in zip(ids, lsets):
+        best = None
+        for rj, sj in zip(rids, rsets):
+            if not si and not sj:
+                jac = 1.0
+            elif not si or not sj:
+                jac = 0.0
+            else:
+                jac = len(si & sj) / len(si | sj)
+            if jac >= threshold and (
+                    best is None or jac > best[1]
+                    or (jac == best[1] and rj < best[0])):
+                best = (rj, jac)
+        if best is not None:
+            out_id.append(i)
+            out_m.append(best[0])
+            out_j.append(best[1])
+    return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                     "match_id": pa.array(out_m, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
 def _gen_minhash_dedup(sf_dir: str) -> pa.Table:
     """Serial oracle with an INDEPENDENT clustering algorithm: same
     MinHash/LSH bucketing kernels run in one process, candidate star
@@ -770,6 +822,7 @@ _GENERATORS = {
     "fingerprint": _gen_fingerprint,
     "simhash": _gen_simhash,
     "ngram_jaccard": _gen_ngram_jaccard,
+    "fuzzy_join": _gen_fuzzy_join,
     "minhash_dedup": _gen_minhash_dedup,
     "link_components": _gen_link_components,
     "embedding_neardup": _gen_embedding_neardup,

@@ -3652,6 +3652,87 @@ def q_ngram_jaccard(sf_dir: str):
     return schema_safe_result(out)
 
 
+def _fuzzy_union_batch(b: pa.Table) -> pa.Table:
+    """Originals ∪ dirty twins (doc_id%2==0 → id+FUZZY_OFF, every
+    25th word dropped) — the twin rebuild is fully vectorized: one
+    `_split_encode` (pinned token-identical to ``str.split``), a
+    positional modulo mask, and one Arrow list `binary_join`."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.corpusstats import _split_encode
+    from zhtml_ray.pipelines.golden import FUZZY_OFF
+
+    ids = b["doc_id"].combine_chunks()
+    sel = b.filter(pc.equal(_mod(ids, 2), 0))
+    left = pa.table({"doc_id": b["doc_id"], "text": b["text"]})
+    if sel.num_rows == 0:
+        return left
+    row, codes, vocab, lens = _split_encode(sel["text"])
+    if len(codes):
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(len(codes)) - np.repeat(starts, lens)
+        keep = pos % 25 != 24
+        new_lens = np.bincount(row[keep], minlength=sel.num_rows)
+        words = vocab.take(pa.array(codes[keep], pa.int64()))
+    else:
+        new_lens = np.zeros(sel.num_rows, np.int64)
+        words = pa.array([], pa.string())
+    offsets = np.concatenate([[0], np.cumsum(new_lens)])
+    la = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), words)
+    dirty = pa.table({
+        "doc_id": pc.add(sel["doc_id"].combine_chunks(),
+                         pa.scalar(FUZZY_OFF, pa.int64())),
+        "text": pc.binary_join(la, " ")})
+    return pa.concat_tables([left, dirty])
+
+
+def q_fuzzy_join(sf_dir: str):
+    """X122: record-linkage fuzzy JOIN across two tables (documents ×
+    a derived dirty snapshot): MinHash/LSH candidate blocking over the
+    tagged union, exact word-3-gram Jaccard verify ≥ 0.8, then the
+    best match per left row (max Jaccard, ties → min match id) via one
+    grouped-first pass. Jaccard is a ratio of small ints, so both
+    engines compute identical doubles and the argmax order matches
+    bit-for-bit. Rows-only SQL is impossible (LSH blocking); oracled
+    against the INDEPENDENT brute-force all-cross-pairs golden —
+    matching certifies recall AND precision of the blocked path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import (minhash_candidate_pairs,
+                                           verify_jaccard_pairs)
+    from zhtml_ray.pipelines.golden import FUZZY_OFF, ensure_golden
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.util import schema_safe_result
+
+    ensure_golden("fuzzy_join", sf_dir)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    union = ds.map_batches(_fuzzy_union_batch, batch_format="pyarrow")
+    cand = minhash_candidate_pairs(union, key="doc_id", col="text",
+                                   clique_limit=64)
+    ver = verify_jaccard_pairs(cand, union, key="doc_id", col="text",
+                               threshold=0.8)
+
+    def cross(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.less(b["key_a"], FUZZY_OFF),
+                    pc.greater_equal(b["key_b"], FUZZY_OFF))
+        t = b.filter(m)
+        return t.append_column("nj", pc.negate(t["jaccard"]))
+
+    crossed = ver.map_batches(cross, batch_format="pyarrow")
+    best = sorted_first_per_group(crossed, ["key_a"],
+                                  tie_cols=["nj", "key_b"])
+    out = best.map_batches(
+        lambda b: pa.table({"doc_id": b["key_a"],
+                            "match_id": b["key_b"],
+                            "jaccard": b["jaccard"]}),
+        batch_format="pyarrow")
+    return schema_safe_result(out)
+
+
 def q_simhash(sf_dir: str):
     from zhtml_ray.functions.dedup import SimHashBatch
     from zhtml_ray.pipelines.golden import ensure_golden
@@ -5711,6 +5792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_representatives": q_dedup_representatives,
         "ngram_jaccard": q_ngram_jaccard,
+        "fuzzy_join": q_fuzzy_join,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -5739,6 +5821,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": golden_sql("minhash_dedup"),
         "dedup_representatives": _sql_dedup_representatives(),
         "ngram_jaccard": golden_sql("ngram_jaccard"),
+        "fuzzy_join": golden_sql("fuzzy_join"),
         "embedding_neardup": golden_sql("embedding_neardup"),
         "ivf_topk": golden_sql("ivf_topk"),
         "pq_topk": golden_sql("pq_topk"),
