@@ -286,3 +286,48 @@ def test_window_join_differential_hostile_layout(ray_session):
                     and ts[i] - W <= ts[j] <= ts[i]:
                 want[(i, j)] = float(ts[i] - ts[j]) / 1e6
     assert got == want and len(want) > 100
+
+
+def test_event_dedup_window_differential(ray_session):
+    """LAG-suppression dedup equals a serial per-(user,type) reference
+    on a hot-user multi-block layout — boundary inclusivity (prev
+    exactly W older is still suppressed... kept? prev < ts - W keeps),
+    same-instant duplicates, and straddling runs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.pipelines.ops_queries import events_dedup_window
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    user = rng.integers(0, 20, n)
+    user[:1500] = 4
+    kinds = rng.choice(["a", "b", "c"], n)
+    base = 1_700_000_000_000_000
+    W = 3600
+    ts = base + rng.integers(0, 40 * W, n) * np.int64(1_000_000)
+    # planted exact-boundary pair: prev == ts - W must be SUPPRESSED
+    user[0] = user[1] = 19
+    kinds[0] = kinds[1] = "a"
+    ts[0] = base
+    ts[1] = base + np.int64(W) * 1_000_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(kinds.tolist(), pa.string())})
+    ds = rd.from_arrow(t).repartition(37)
+    got = sorted(r["event_id"] for r in
+                 events_dedup_window(ds, window_s=W).take_all())
+
+    rows = sorted(zip(user.tolist(), kinds.tolist(), ts.tolist(),
+                      range(n)))
+    keep, prev = [], {}
+    for u, k, tv, i in rows:
+        p = prev.get((u, k))
+        if p is None or p < tv - W * 1_000_000:
+            keep.append(i)
+        prev[(u, k)] = tv
+    assert got == sorted(keep)
+    assert 1 not in got and 0 in got  # boundary pair: second suppressed

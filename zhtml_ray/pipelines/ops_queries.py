@@ -1627,6 +1627,89 @@ def events_window_join(ds, window_s: int = 86_400,
                                interior, edge, empty)
 
 
+def events_dedup_window(ds, window_s: int = 172_800):
+    """Windowed stream dedup (X123 — re-fetch/re-emit suppression):
+    keep an event only if the same user's PREVIOUS event of the same
+    type is more than W older (or absent). Because rows arrive sorted
+    by (user, type, ts, id), the closest earlier same-key row IS the
+    previous row, so the whole operator is one shift compare per block
+    — the same single (user, type, ts, id) range sort as every window
+    op, zero extra passes; (user, type) runs straddling a block edge
+    resolve whole in the bounded per-group pass. Suppression is
+    against the previous RAW row (`LAG` semantics, SQL-expressible),
+    not the previous kept row (the chained variant is inherently
+    sequential; this is the form crawl schedulers actually use for
+    politeness windows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.stages.sortagg import sorted_bucket_apply
+
+    W = np.int64(window_s) * np.int64(1_000_000)  # µs
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string())})
+
+    def kept_of(b: pa.Table, run_id: np.ndarray) -> np.ndarray:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tcode = b["event_type"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        first = np.empty(b.num_rows, bool)
+        first[0] = True
+        first[1:] = (run_id[1:] != run_id[:-1]) | \
+            (tcode[1:] != tcode[:-1])
+        keep = first.copy()
+        keep[1:] |= ts[:-1] < ts[1:] - W
+        return keep
+
+    def interior(b, starts, ends, mask):
+        if b.num_rows == 0:
+            return empty
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           ends - starts)
+        keep = kept_of(b, run_id) & np.repeat(mask, ends - starts)
+        t = b.filter(pa.array(keep))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"]})
+
+    def edge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("event_type", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        t = g.take(order)
+        keep = kept_of(t, np.zeros(t.num_rows, np.int64))
+        t = t.filter(pa.array(keep))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"]})
+
+    return sorted_bucket_apply(ds, "user_id",
+                               ["user_id", "event_type", "ts",
+                                "event_id"],
+                               interior, edge, empty)
+
+
+def q_event_dedup_window(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return events_dedup_window(ds)
+
+
+SQL_EVENT_DEDUP_WINDOW = """
+WITH l AS (SELECT event_id, user_id, event_type, ts,
+                  lag(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS pts
+           FROM events)
+SELECT event_id, user_id, event_type
+FROM l WHERE pts IS NULL OR pts < ts - INTERVAL 48 HOUR
+"""
+
+
 def q_window_join(sf_dir: str):
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -5732,6 +5815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q_events_moving_avg,
         "events_range_window": q_events_range_window,
         "window_join": q_window_join,
+        "event_dedup_window": q_event_dedup_window,
         "events_funnel": q_events_funnel,
         "events_value_rank": q_events_value_rank,
         "events_retention": q_events_retention,
@@ -5857,6 +5941,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": SQL_EVENTS_MOVING_AVG,
         "events_range_window": SQL_EVENTS_RANGE_WINDOW,
         "window_join": SQL_WINDOW_JOIN,
+        "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_rank": SQL_EVENTS_VALUE_RANK,
         "events_retention": SQL_EVENTS_RETENTION,
