@@ -447,3 +447,56 @@ def test_heavy_hitters_empty_and_degenerate(ray_session):
                                 capacity=9))
     # "a b a b a b" bigrams: (a,b)x3, (b,a)x2 -> n=5
     assert got == {("a", "b"): 3, ("b", "a"): 2}
+
+
+# ---------------------------------------------------- trigram_logprob
+
+def test_trigram_logprob_paths_and_reference(ray_session, tmp_path):
+    """Both budget paths emit identical rows and match an independent
+    dict-counting reference (conditional P sums to 1 per (w1,w2)
+    context; docs with <3 tokens absent; doc-boundary triples never
+    counted)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from zhtml_ray.functions.corpusstats import trigram_logprob
+
+    rng = np.random.default_rng(29)
+    words = ["a", "b", "c", "dd"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 12)).tolist())
+             for _ in range(80)] + ["", "solo", None, "a b", "a b c"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet")) \
+        .repartition(7)
+
+    fast = {r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+            for r in trigram_logprob(ds).take_all()}
+    slow = {r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+            for r in trigram_logprob(ds, broadcast_budget=0)
+            .take_all()}
+    assert fast == slow
+
+    tf, cf = Counter(), Counter()
+    for s in texts:
+        toks = (s or "").split()
+        for tr in zip(toks, toks[1:], toks[2:]):
+            tf[tr] += 1
+            cf[tr[:2]] += 1
+    want = {}
+    for i, s in enumerate(texts):
+        toks = (s or "").split()
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        if not tris:
+            continue
+        m = sum(math.log(tf[tr] / cf[tr[:2]]) for tr in tris) \
+            / len(tris)
+        want[i] = (len(tris), math.floor(m * 1e6 + 0.5) / 1e6)
+    assert fast == want
+    # conditional distributions sum to 1 per context
+    for ctx in set(cf):
+        assert sum(tf[tr] for tr in tf if tr[:2] == ctx) == cf[ctx]

@@ -1016,3 +1016,172 @@ def heavy_hitters(ds, capacity: int = 699,
                     "cnt": tbl["cnt"]})
     return out.sort_by([("cnt", "descending"), ("w1", "ascending"),
                         ("w2", "ascending")])
+
+
+# --------------------------------------------------- trigram_logprob
+
+def triple_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct adjacent word TRIPLES with counts
+    (the order-3 analogue of `pair_counts_batch`), via one lexsort
+    run decomposition over dictionary codes."""
+    row, codes, vocab, _lens = _split_encode(batch["text"])
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "w3": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if codes.size < 3:
+        return empty
+    adj = (row[2:] == row[:-2])  # same doc across all three slots
+    a, b, c = codes[:-2][adj], codes[1:-1][adj], codes[2:][adj]
+    if a.size == 0:
+        return empty
+    order = np.lexsort((c, b, a))
+    a, b, c = a[order], b[order], c[order]
+    new = np.empty(a.size, bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new)
+    cnts = np.diff(np.append(starts, a.size))
+    take = lambda arr: vocab.take(pa.array(arr[starts], pa.int64()))  # noqa: E731
+    return pa.table({"w1": take(a), "w2": take(b), "w3": take(c),
+                     "cnt": pa.array(cnts, pa.int64())})
+
+
+def _trigram_partial_counts(batch: pa.Table) -> pa.Table:
+    """`triple_counts_batch` + composite keys (␟-joined; ␟ is Python
+    whitespace ⇒ collision-free with split words)."""
+    import pyarrow.compute as pc
+    t = triple_counts_batch(batch)
+    key = pc.binary_join_element_wise(t["w1"], t["w2"], t["w3"], "\x1f")
+    pkey = pc.binary_join_element_wise(t["w1"], t["w2"], "\x1f")
+    return pa.table({"key": key, "pkey": pkey, "cnt": t["cnt"]})
+
+
+def trigram_logprob(ds, broadcast_budget: int = 256 << 20):
+    """Per-document mean trigram conditional log-probability — the
+    next LM order after :func:`bigram_logprob`: score(d) = mean over
+    d's adjacent triples of ln(c(w1,w2,w3) / c12(w1,w2)), with
+    c12 = Σ_w3 c(w1,w2,w3) (context counts from a run-sum over the
+    TRIGRAM FREQUENCY table, never the corpus — each conditional
+    distribution sums to 1). Output: (doc_id, n_trigrams,
+    mean_logprob 6-dp-pinned), one row per doc with ≥ 1 trigram.
+    Identical budget-switch plan to the bigram scorer."""
+    import pyarrow.compute as pc
+    import ray
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    partial = drop_empty_blocks(
+        ds.map_batches(_trigram_partial_counts,
+                       batch_format="pyarrow")).materialize()
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_trigrams": pa.array([], pa.int64()),
+                          "mean_logprob": pa.array([], pa.float64())})
+    import ray.data as rd
+    if partial.count() == 0:
+        return rd.from_arrow(out_empty)
+    freq = compact_blocks(sorted_sum_per_group(
+        partial, ["key", "pkey"], ["cnt"]))
+    heads = compact_blocks(sorted_sum_per_group(
+        freq.select_columns(["pkey", "cnt"]), ["pkey"], ["cnt"])
+        .map_batches(lambda b: b.rename_columns(["pkey", "c12"]),
+                     batch_format="pyarrow"))
+    withc = sorted_lookup_join(freq, heads, "pkey", ["c12"])
+
+    def to_lp(b: pa.Table) -> pa.Table:
+        c3 = b["cnt"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c12 = b["c12"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({"key": b["key"],
+                         "lp": pa.array(np.log(c3 / c12), pa.float64())})
+
+    lp = compact_blocks(withc.map_batches(to_lp,
+                                          batch_format="pyarrow"))
+
+    def _doc_triples(batch: pa.Table):
+        row, codes, vocab, _lens = _split_encode(batch["text"])
+        if codes.size < 3:
+            return None
+        adj = row[2:] == row[:-2]
+        if not adj.any():
+            return None
+        trow = row[:-2][adj]
+        w1 = vocab.take(pa.array(codes[:-2][adj], pa.int64()))
+        w2 = vocab.take(pa.array(codes[1:-1][adj], pa.int64()))
+        w3 = vocab.take(pa.array(codes[2:][adj], pa.int64()))
+        keys = pc.binary_join_element_wise(w1, w2, w3, "\x1f")
+        return trow, keys
+
+    if lp.size_bytes() <= broadcast_budget:
+        ltab = pa.concat_tables(
+            [pa.table(b) for b in lp.iter_batches(
+                batch_format="pyarrow", batch_size=None)])
+        ref = ray.put((ltab["key"].combine_chunks(),
+                       ltab["lp"].to_numpy(zero_copy_only=False)))
+
+        def score(batch: pa.Table) -> pa.Table:
+            tk = _doc_triples(batch)
+            if tk is None:
+                return out_empty
+            trow, keys = tk
+            skeys, slp = ray.get(ref)
+            idx = pc.index_in(keys, value_set=skeys)
+            assert idx.null_count == 0, "trigram key missing from LM"
+            vals = slp[idx.to_numpy(zero_copy_only=False)]
+            starts = np.flatnonzero(np.r_[True, trow[1:] != trow[:-1]])
+            sums = np.add.reduceat(vals, starts)
+            lens = np.diff(np.append(starts, len(trow)))
+            ids = batch["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ids[trow[starts]], pa.int64()),
+                "n_trigrams": pa.array(lens, pa.int64()),
+                "mean_logprob": pa.array(
+                    _pin6(sums / lens.astype(np.float64)),
+                    pa.float64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    def emit_triples(batch: pa.Table) -> pa.Table:
+        tk = _doc_triples(batch)
+        if tk is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
+        trow, keys = tk
+        ids = batch["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[trow], pa.int64()),
+                         "key": keys})
+
+    rows = ds.map_batches(emit_triples, batch_format="pyarrow")
+    joined = compact_blocks(sorted_lookup_join(rows, lp, "key", ["lp"]))
+
+    def doc_interior(b, starts, ends, mask):
+        if not mask.any():
+            return out_empty
+        v = b["lp"].combine_chunks().to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(v, starts)
+        lens = ends - starts
+        heads = b["doc_id"].combine_chunks().take(
+            pa.array(starts[mask], pa.int64()))
+        return pa.table({
+            "doc_id": heads,
+            "n_trigrams": pa.array(lens[mask], pa.int64()),
+            "mean_logprob": pa.array(
+                _pin6(sums[mask] / lens[mask].astype(np.float64)),
+                pa.float64())})
+
+    def doc_edge(g):
+        import pyarrow.compute as pc2
+        s = float(pc2.sum(g["lp"]).as_py() or 0.0)
+        return pa.table({
+            "doc_id": g["doc_id"].slice(0, 1),
+            "n_trigrams": pa.array([g.num_rows], pa.int64()),
+            "mean_logprob": pa.array(
+                _pin6(np.array([s / g.num_rows])), pa.float64())})
+
+    return sorted_bucket_apply(joined, "doc_id", ["doc_id"],
+                               doc_interior, doc_edge, out_empty)

@@ -3292,6 +3292,46 @@ FROM per
 """
 
 
+def q_trigram_logprob(sf_dir: str):
+    """X124: per-doc mean trigram conditional log-probability (the
+    order-3 KenLM-style signal completing the X83/X104 LM family;
+    `functions/corpusstats.py:trigram_logprob` has the plan — context
+    counts from a run-sum over the trigram FREQUENCY table, budgeted
+    broadcast scoring with the merge-join fallback). 6-dp house pin,
+    identical on both engines."""
+    from zhtml_ray.functions.corpusstats import trigram_logprob
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return trigram_logprob(ds)
+
+
+def _sql_trigram_logprob() -> str:
+    from zhtml_ray.functions.textstats import PY_WS_RE2_IN
+    ws = "[" + PY_WS_RE2_IN + "]+"
+    return f"""
+WITH f AS (SELECT doc_id, regexp_split_to_array(text, '{ws}') AS a
+           FROM documents),
+t0 AS (SELECT doc_id, unnest(a) AS word,
+              unnest(range(1, len(a)+1)) AS pos FROM f),
+t AS (SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM t0 WHERE word <> ''),
+tri AS (SELECT t1.doc_id, t1.word AS w1, t2.word AS w2, t3.word AS w3
+        FROM t t1
+        JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.rn = t1.rn + 1
+        JOIN t t3 ON t1.doc_id = t3.doc_id AND t3.rn = t1.rn + 2),
+tf AS (SELECT w1, w2, w3, count(*)::DOUBLE AS c3 FROM tri
+       GROUP BY 1, 2, 3),
+hf AS (SELECT w1, w2, sum(c3) AS c12 FROM tf GROUP BY 1, 2),
+per AS (SELECT tri.doc_id, count(*)::BIGINT AS n_trigrams,
+               sum(ln(tf.c3 / hf.c12)) AS s
+        FROM tri JOIN tf USING (w1, w2, w3) JOIN hf USING (w1, w2)
+        GROUP BY 1)
+SELECT doc_id, n_trigrams,
+       floor(s / n_trigrams * 1e6 + 0.5) / 1e6 AS mean_logprob
+FROM per
+"""
+
+
 def q_bucketed_join(sf_dir: str, n_buckets: int = 16):
     """Hash-bucketed co-located join (X109 — `stages/bucketed.py`
     docstring has the scale story: both tables at rest under the SAME
@@ -3785,14 +3825,27 @@ def q_fuzzy_join(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from zhtml_ray.functions.dedup import (minhash_candidate_pairs,
-                                           verify_jaccard_pairs)
-    from zhtml_ray.pipelines.golden import FUZZY_OFF, ensure_golden
-    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.pipelines.golden import ensure_golden
     from zhtml_ray.stages.util import schema_safe_result
 
     ensure_golden("fuzzy_join", sf_dir)
     ds = _docs(sf_dir, ["doc_id", "text"])
+    return schema_safe_result(fuzzy_best_match(ds))
+
+
+def fuzzy_best_match(ds):
+    """The X122 engine pipeline over a (doc_id, text) Dataset —
+    blocking + exact verify + grouped-first argmax (see
+    :func:`q_fuzzy_join`); factored out so scale benches can run it
+    without the brute-force serial golden."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import (minhash_candidate_pairs,
+                                           verify_jaccard_pairs)
+    from zhtml_ray.pipelines.golden import FUZZY_OFF
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+
     union = ds.map_batches(_fuzzy_union_batch, batch_format="pyarrow")
     cand = minhash_candidate_pairs(union, key="doc_id", col="text",
                                    clique_limit=64)
@@ -3813,7 +3866,7 @@ def q_fuzzy_join(sf_dir: str):
                             "match_id": b["key_b"],
                             "jaccard": b["jaccard"]}),
         batch_format="pyarrow")
-    return schema_safe_result(out)
+    return out
 
 
 def q_simhash(sf_dir: str):
@@ -5868,6 +5921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q_unigram_logprob,
         "ppl_buckets": q_ppl_buckets,
         "bigram_logprob": q_bigram_logprob,
+        "trigram_logprob": q_trigram_logprob,
         "bm25_topk": q_bm25_topk,
         "stratified_sample": q_stratified_sample,
         "mask_dup_spans": q_mask_dup_spans,
@@ -5993,6 +6047,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _sql_unigram_logprob(),
         "ppl_buckets": _sql_ppl_buckets(),
         "bigram_logprob": _sql_bigram_logprob(),
+        "trigram_logprob": _sql_trigram_logprob(),
         "bm25_topk": _sql_bm25_topk(),
         "stratified_sample": _sql_stratified_sample(),
         "mask_dup_spans": _sql_mask_dup_spans(),
