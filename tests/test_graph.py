@@ -330,11 +330,12 @@ def serial_hits(edges, iters=3, scale=10_000):
 
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [
     (1, 30, 120), (2, 8, 10), (3, 200, 900)])
-@pytest.mark.parametrize("dbud", [2_000_000, 0])
-def test_hits_differential(ray_session, seed, n_nodes, n_edges, dbud):
-    """Both tiers (in-process numpy / distributed merge-join rounds)
-    equal an independent serial dict implementation, byte-exact, on a
-    hostile 13-block layout."""
+@pytest.mark.parametrize("dbud,bbud", _TIERS)
+def test_hits_differential(ray_session, seed, n_nodes, n_edges,
+                           dbud, bbud):
+    """All three tiers (in-process numpy / broadcast-coded loop /
+    distributed merge-join rounds) equal an independent serial dict
+    implementation, byte-exact, on a hostile 13-block layout."""
     import ray.data as rd
     from zhtml_ray.functions.graph import hits
     rng = np.random.default_rng(seed)
@@ -343,7 +344,8 @@ def test_hits_differential(ray_session, seed, n_nodes, n_edges, dbud):
                   "dst": [d for _, d in edges]})
     ds = rd.from_arrow(t).repartition(13)
     got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
-           for r in hits(ds, driver_budget=dbud).take_all()}
+           for r in hits(ds, driver_budget=dbud,
+                         broadcast_budget=bbud).take_all()}
     assert got == serial_hits(edges)
 
 
