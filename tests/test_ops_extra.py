@@ -476,3 +476,61 @@ def test_fuzzy_join_matches_bruteforce(ray_session, tmp_path):
         if best:
             want[i] = best
     assert got == want and len(want) > 100
+
+
+def test_json_props_matches_duckdb_on_hostile_rows(ray_session,
+                                                   tmp_path):
+    """The RE2 k-extraction agrees with DuckDB's JSON ->> on nulls,
+    malformed JSON, negatives, whitespace variants and missing keys."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zhtml_ray.pipelines.ops_queries import (SQL_JSON_PROPS,
+                                                 q_json_props)
+
+    props = ['{"k": 3}', '{ "k" :-7}', '{"k":0}', "{}", None,
+             "not json", '{"j": 5}', '{"k": 12}'] * 9
+    n = len(props)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array((["a", "b", "c"] * n)[:n], pa.string()),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(props, pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = sorted(
+        (r["event_type"], r["k_sum"], r["n"])
+        for r in q_json_props(str(tmp_path)).take_all())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = sorted(map(tuple, con.execute(SQL_JSON_PROPS).fetchall()))
+    assert got == want and len(got) == 3
+
+
+def test_harmonize_union_drift_semantics(ray_session):
+    """harmonize_union null-fills missing columns, widens narrow ints,
+    reorders columns, and raises loudly on a non-castable drift."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.stages.util import harmonize_union
+
+    target = pa.schema([("k", pa.int64()), ("s", pa.string()),
+                        ("v", pa.float64())])
+    a = rd.from_arrow(pa.table({"s": ["x", "y"],
+                                "k": pa.array([1, 2], pa.int32())}))
+    b = rd.from_arrow(pa.table({"v": pa.array([0.5], pa.float32()),
+                                "k": pa.array([9], pa.int64()),
+                                "extra": ["dropped"]}))
+    out = harmonize_union([a, b], target).take_all()
+    assert sorted((r["k"], r["s"], r["v"]) for r in out) == \
+        [(1, "x", None), (2, "y", None), (9, None, 0.5)]
+    import pytest
+    bad = rd.from_arrow(pa.table({"k": ["not-an-int"]}))
+    with pytest.raises(Exception):
+        harmonize_union([bad], target).take_all()

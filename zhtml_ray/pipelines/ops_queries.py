@@ -2365,6 +2365,52 @@ FROM a
 """
 
 
+def q_json_props(sf_dir: str):
+    """X125: semi-structured projection — extract the integer `k`
+    field from the JSON `props` column into a typed column, plus a
+    per-type aggregate of it. The parse is ONE vectorized RE2
+    `extract_regex` per batch (exact for this corpus's flat
+    unescaped-integer objects — a full JSON parser is overkill for a
+    typed-projection hot path and DuckDB's `->>` agrees on every row,
+    which the gate certifies); missing/malformed ⇒ null. Zero
+    shuffles for the projection; the aggregate is the usual per-batch
+    combine + ≤ types-row groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(b["props"], ""),
+                             r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        t = t.filter(pc.is_valid(t["k"]))
+        g = t.group_by("event_type").aggregate([("k", "sum"),
+                                                ("k", "count")])
+        return g.rename_columns(["event_type", "k_sum", "n"])
+
+    return sorted_sum_per_group(
+        drop_empty_blocks(ds.map_batches(partial,
+                                         batch_format="pyarrow")),
+        ["event_type"], ["k_sum", "n"])
+
+
+SQL_JSON_PROPS = """
+WITH x AS (SELECT event_type,
+                  CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN CAST(props->>'$.k' AS BIGINT) END AS k
+           FROM events)
+SELECT event_type, sum(k)::BIGINT AS k_sum, count(k)::BIGINT AS n
+FROM x GROUP BY event_type
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2452,6 +2498,68 @@ def q_event_melt(sf_dir: str):
 SQL_EVENT_MELT = """
 SELECT user_id, event_type, count(*)::BIGINT AS n
 FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_schema_drift_union(sf_dir: str):
+    """X126: schema-evolution union — combine two AT-REST snapshots
+    whose schemas drifted (v2: ids offset by 1e9, `n_chars` narrowed
+    to int32, `lang` column DROPPED, new `crawl_ts` column added) into
+    one stream under a declared target schema: missing columns
+    null-fill, narrow ints widen, column order aligns
+    (`stages/util.py:harmonize_union` — pure maps + zero-copy union,
+    no shuffle). v2 is derived deterministically and written to a
+    per-pid /tmp dir first so the drift is exercised at the PARQUET
+    boundary, not in memory."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.util import harmonize_union
+
+    for d in glob.glob("/tmp/zhtml_ray_drift_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
+    root = f"/tmp/zhtml_ray_drift_{os.getpid()}"
+    v2dir = f"{root}/v2"
+    if not os.path.exists(v2dir):
+        os.makedirs(v2dir, exist_ok=True)
+
+        def to_v2(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].combine_chunks()
+            return pa.table({
+                "doc_id": pc.add(ids, pa.scalar(10 ** 9, pa.int64())),
+                "n_chars": pc.cast(b["n_chars"], pa.int32()),
+                "crawl_ts": pc.multiply(ids,
+                                        pa.scalar(1000, pa.int64()))})
+
+        _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+            to_v2, batch_format="pyarrow").write_parquet(v2dir)
+
+    target = pa.schema([("doc_id", pa.int64()),
+                        ("lang", pa.string()),
+                        ("n_chars", pa.int64()),
+                        ("crawl_ts", pa.int64())])
+    v1 = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    v2 = rd.read_parquet(v2dir)
+    return harmonize_union([v1, v2], target)
+
+
+SQL_SCHEMA_DRIFT_UNION = """
+SELECT doc_id, lang, n_chars, NULL::BIGINT AS crawl_ts FROM documents
+UNION ALL
+SELECT doc_id + 1000000000, NULL::VARCHAR, n_chars::INT::BIGINT,
+       doc_id * 1000 FROM documents
 """
 
 
@@ -5892,6 +6000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_value": q_user_median_value,
         "user_mode": q_user_mode,
         "event_pivot": q_event_pivot,
+        "json_props": q_json_props,
+        "schema_drift_union": q_schema_drift_union,
         "event_melt": q_event_melt,
         "user_first_last": q_user_first_last,
         "value_ts_corr": q_value_ts_corr,
@@ -6023,6 +6133,8 @@ def oracle_sql() -> dict[str, str]:
         "value_loghist": _sql_value_loghist(),
         "user_mode": SQL_USER_MODE,
         "event_pivot": _sql_event_pivot(),
+        "json_props": SQL_JSON_PROPS,
+        "schema_drift_union": SQL_SCHEMA_DRIFT_UNION,
         "event_melt": SQL_EVENT_MELT,
         "user_first_last": SQL_USER_FIRST_LAST,
         "value_ts_corr": SQL_VALUE_TS_CORR,

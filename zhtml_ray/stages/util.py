@@ -97,3 +97,36 @@ def sized_partitions(n_rows: int, rows_per_part: int = 100_000) -> int:
     import math
     return max(2, min(shuffle_partitions(),
                       math.ceil(max(1, n_rows) / rows_per_part)))
+
+
+def harmonize_union(datasets, target_schema):
+    """Schema-evolution union (X126): combine Datasets whose at-rest
+    schemas have DRIFTED — missing columns (null-filled), narrower
+    numeric types (widened by cast), different column orders — into
+    one stream with ``target_schema``. Pure per-batch map on each
+    input (zero shuffle) + the zero-copy ``union``; unknown extra
+    columns are dropped loudly only if absent from the target (the
+    caller's target IS the contract). A column present with an
+    incompatible (non-castable) type raises inside the task — schema
+    drift must fail loudly, not null out silently."""
+    import pyarrow as pa
+
+    target = target_schema
+
+    def conform(b: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in b.column_names:
+                cols.append(b[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(b.num_rows, f.type))
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+             else c for c in cols], schema=target)
+
+    outs = [d.map_batches(conform, batch_format="pyarrow")
+            for d in datasets]
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    return u
