@@ -1,0 +1,205 @@
+"""Differential tests (randomized inputs vs pandas recomputation) for
+the session-12 TPC-H shapes: Q7 / Q10 / Q18 / Q19 / Q22."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / f"{name}.parquet"))
+
+
+def _mini_world(tmp_path, rng, n_cust=300, n_supp=60, n_ord=1200,
+                n_line=4000, n_part=80):
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(10, dtype=np.int32),
+        "n_name": [f"NATION_{i}" for i in range(10)],
+        "n_regionkey": np.zeros(10, dtype=np.int32)})
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": [f"Cust#{i}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 10, n_cust).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+        "c_mktsegment": rng.choice(
+            ["AUTOMOBILE", "HOUSEHOLD", "BUILDING"], n_cust)})
+    supp = pd.DataFrame({
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": [f"Supp#{i}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 10, n_supp).astype(np.int32),
+        "s_acctbal": np.round(rng.uniform(0, 9000, n_supp), 2)})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        "o_orderstatus": rng.choice(["O", "F"], n_ord),
+        "o_totalprice": np.round(rng.uniform(100, 400000, n_ord), 2),
+        "o_orderdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.integers(0, 2400, n_ord), unit="D"),
+        "o_orderpriority": rng.choice(["1-URGENT", "3-MEDIUM"], n_ord)})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [f"part {i}" for i in range(n_part)],
+        "p_brand": [f"Brand#{i % 6 + 1}" for i in range(n_part)],
+        "p_type": rng.choice(["PROMO", "STD"], n_part),
+        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2)})
+    line = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_ord, n_line).astype(np.int64),
+        "l_partkey": rng.integers(0, n_part, n_line).astype(np.int64),
+        "l_suppkey": rng.integers(0, n_supp, n_line).astype(np.int64),
+        "l_linenumber": np.arange(n_line, dtype=np.int32) % 7,
+        "l_quantity": rng.integers(1, 51, n_line).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 100000, n_line), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_line), 2),
+        "l_tax": np.zeros(n_line),
+        "l_returnflag": rng.choice(["R", "N", "A"], n_line),
+        "l_linestatus": rng.choice(["O", "F"], n_line),
+        "l_shipdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.integers(0, 2400, n_line), unit="D")})
+    for name, df in [("nation", nation), ("customer", cust),
+                     ("supplier", supp), ("orders", orders),
+                     ("part", part), ("lineitem", line)]:
+        _write(tmp_path, name, df)
+    return nation, cust, supp, orders, part, line
+
+
+def test_q7_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q7_nation_volume
+    rng = np.random.default_rng(11)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    bloc_a, bloc_b = ("NATION_0", "NATION_1"), ("NATION_2", "NATION_3")
+    got = q7_nation_volume(str(tmp_path), bloc_a=bloc_a, bloc_b=bloc_b,
+                           lo="1996-01-01", hi="1998-01-01")
+
+    j = (line.merge(orders[["o_orderkey", "o_custkey"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust[["c_custkey", "c_nationkey"]],
+                left_on="o_custkey", right_on="c_custkey")
+         .merge(supp[["s_suppkey", "s_nationkey"]],
+                left_on="l_suppkey", right_on="s_suppkey"))
+    name_of = dict(zip(nation.n_nationkey, nation.n_name))
+    j["supp_nation"] = j.s_nationkey.map(name_of)
+    j["cust_nation"] = j.c_nationkey.map(name_of)
+    j = j[(j.l_shipdate >= "1996-01-01") & (j.l_shipdate < "1998-01-01")]
+    fwd = j.supp_nation.isin(bloc_a) & j.cust_nation.isin(bloc_b)
+    rev = j.supp_nation.isin(bloc_b) & j.cust_nation.isin(bloc_a)
+    j = j[fwd | rev].copy()
+    assert len(j) > 0
+    j["l_year"] = j.l_shipdate.dt.year.astype("int64")
+    j["vol"] = j.l_extendedprice * (1 - j.l_discount)
+    want = j.groupby(["supp_nation", "cust_nation", "l_year"],
+                     as_index=False)["vol"].sum()
+    want["revenue"] = np.floor(want.vol * 1e2 + 0.5) / 1e2
+    want = want[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q10_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q10_returned_items
+    rng = np.random.default_rng(12)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q10_returned_items(str(tmp_path), lo="1996-01-01",
+                             hi="1996-07-01", k=15)
+
+    o = orders[(orders.o_orderdate >= "1996-01-01")
+               & (orders.o_orderdate < "1996-07-01")]
+    j = line[line.l_returnflag == "R"].merge(
+        o[["o_orderkey", "o_custkey"]],
+        left_on="l_orderkey", right_on="o_orderkey")
+    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    per = j.groupby("o_custkey", as_index=False)["rev"].sum() \
+        .rename(columns={"o_custkey": "c_custkey"})
+    per["revenue"] = np.floor(per.rev * 1e2 + 0.5) / 1e2
+    name_of = dict(zip(nation.n_nationkey, nation.n_name))
+    per = per.merge(cust[["c_custkey", "c_name", "c_acctbal",
+                          "c_nationkey"]], on="c_custkey")
+    per["n_name"] = per.c_nationkey.map(name_of)
+    want = per.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).head(15) \
+        [["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]] \
+        .reset_index(drop=True)
+    assert len(want) == 15
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q18_matches_pandas_with_straddling_order(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q18_large_orders
+    rng = np.random.default_rng(13)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    # one mega order whose lineitems will straddle sorted blocks
+    mega = line.sample(60, random_state=3).copy()
+    mega["l_orderkey"] = np.int64(7)
+    mega["l_quantity"] = 50.0
+    line2 = pd.concat([line, mega], ignore_index=True)
+    _write(tmp_path, "lineitem", line2)
+
+    got = q18_large_orders(str(tmp_path), qty=180.0, k=25)
+
+    per = line2.groupby("l_orderkey", as_index=False)["l_quantity"] \
+        .sum().rename(columns={"l_orderkey": "o_orderkey",
+                               "l_quantity": "total_qty"})
+    big = per[per.total_qty > 180.0].merge(
+        orders[["o_orderkey", "o_custkey", "o_orderdate",
+                "o_totalprice"]], on="o_orderkey") \
+        .merge(cust[["c_custkey", "c_name"]],
+               left_on="o_custkey", right_on="c_custkey")
+    want = big.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True]).head(25) \
+        [["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice", "total_qty"]].reset_index(drop=True)
+    assert 7 in set(want.o_orderkey) or per.loc[
+        per.o_orderkey == 7, "total_qty"].iloc[0] > 180.0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q19_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q19_disjunctive_revenue
+    rng = np.random.default_rng(14)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    terms = (("Brand#1", 1, 15, 1.0, 20.0),
+             ("Brand#2", 10, 30, 10.0, 30.0),
+             ("Brand#3", 20, 50, 20.0, 40.0))
+    got = q19_disjunctive_revenue(str(tmp_path), terms=terms)
+
+    j = line.merge(part[["p_partkey", "p_brand", "p_size"]],
+                   left_on="l_partkey", right_on="p_partkey")
+    keep = np.zeros(len(j), bool)
+    for b, s_lo, s_hi, q_lo, q_hi in terms:
+        keep |= ((j.p_brand == b) & (j.p_size >= s_lo)
+                 & (j.p_size <= s_hi) & (j.l_quantity >= q_lo)
+                 & (j.l_quantity <= q_hi)).to_numpy()
+    want = float(np.floor(
+        (j[keep].l_extendedprice * (1 - j[keep].l_discount)).sum()
+        + 0.5))
+    assert want > 0
+    assert got["revenue"].iloc[0] == want
+
+
+def test_q22_paths_agree_and_match_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q22_idle_balance
+    rng = np.random.default_rng(15)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    segs = ("AUTOMOBILE", "HOUSEHOLD")
+    a = q22_idle_balance(str(tmp_path), segments=segs,
+                         before="1996-01-01")
+    b = q22_idle_balance(str(tmp_path), segments=segs,
+                         before="1996-01-01", broadcast_budget=0)
+    pd.testing.assert_frame_equal(a, b)
+
+    seg = cust[cust.c_mktsegment.isin(segs)]
+    pos = seg[seg.c_acctbal > 0]
+    thr = (np.floor(pos.c_acctbal.sum() * 1e2 + 0.5) / 1e2) / len(pos)
+    early = set(orders[orders.o_orderdate < "1996-01-01"].o_custkey)
+    idle = seg[(seg.c_acctbal > thr) & ~seg.c_custkey.isin(early)]
+    want = idle.groupby("c_mktsegment").agg(
+        numcust=("c_custkey", "size"),
+        s=("c_acctbal", "sum")).reset_index()
+    want["totacctbal"] = np.floor(want.s * 1e2 + 0.5) / 1e2
+    want = want[["c_mktsegment", "numcust", "totacctbal"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(a, want, check_dtype=False)

@@ -1429,6 +1429,567 @@ FROM cust FULL OUTER JOIN cnt USING (c_custkey)
 """
 
 
+def q7_nation_volume(sf_dir: str,
+                     bloc_a=("NATION_1", "NATION_2", "NATION_3"),
+                     bloc_b=("NATION_4", "NATION_5", "NATION_6"),
+                     lo: str = "1996-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q7 shape (bilateral shipping volume: revenue between two
+    trade blocs by supplier-nation / customer-nation / ship year; a
+    bloc rather than a single nation so the fixture has qualifying
+    rows at every scale). Same scale-first spine as
+    ``q5_region_supplier_volume`` — three range shuffles, zero hash
+    joins, broadcasts limited to the ≤25-row nation dim:
+
+      1. orders ⋈ customer on custkey → (o_orderkey, c_nationkey);
+      2. date-filtered lineitem (rev + ship year precomputed map-side)
+         ⋈ that lookup on orderkey;
+      3. ⋈ supplier on suppkey → + s_nationkey, then the nation-PAIR
+         filter runs map-side against the two broadcast keys, pruning
+         ~99.7% of rows before any aggregation.
+
+    Per-(supp_nation, cust_nation, year) partials combine map-side;
+    ≤ 2×2×years rows reach the driver. Revenue pinned to 2 dp on both
+    sides (per-group sums are small: pair filter keeps ~0.3% of rows,
+    so accumulation noise ≪ the pin unit)."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+    key_of = {v: k for k, v in name_of.items()}
+    ka = pa.array(sorted(key_of[n] for n in bloc_a), pa.int32())
+    kb = pa.array(sorted(key_of[n] for n in bloc_b), pa.int32())
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "c_custkey"])
+
+    # shuffle 1: each order learns its customer's nation
+    o_nat = compact_blocks(sorted_lookup_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        cust, "c_custkey", ["c_nationkey"], how="inner")) \
+        .drop_columns(["c_custkey"])
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount",
+                                    "l_shipdate"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["l_shipdate"],
+                                        pa.scalar(lo_ts)),
+                       pc.less(b["l_shipdate"], pa.scalar(hi_ts)))
+        t = b.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "s_suppkey": t["l_suppkey"], "rev": rev,
+                         "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                           pa.int64())})
+
+    line_p = drop_empty_blocks(
+        line.map_batches(l_prep, batch_format="pyarrow"))
+    # shuffle 2: lineitem rows get the order's customer nation
+    li_nat = compact_blocks(sorted_lookup_join(
+        line_p, o_nat, "o_orderkey", ["c_nationkey"], how="inner"))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    # shuffle 3: attach the supplier's nation
+    with_s = sorted_lookup_join(li_nat, supp, "s_suppkey",
+                                ["s_nationkey"], how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cn = pc.cast(b["c_nationkey"], pa.int32())
+        sn = pc.cast(b["s_nationkey"], pa.int32())
+        fwd = pc.and_(pc.is_in(sn, value_set=ka),
+                      pc.is_in(cn, value_set=kb))
+        rev_ = pc.and_(pc.is_in(sn, value_set=kb),
+                       pc.is_in(cn, value_set=ka))
+        t = b.filter(pc.fill_null(pc.or_(fwd, rev_), False))
+        g = pa.table({
+            "s_nat": pc.cast(t["s_nationkey"], pa.int32()),
+            "c_nat": pc.cast(t["c_nationkey"], pa.int32()),
+            "l_year": t["l_year"], "rev": t["rev"]}) \
+            .group_by(["s_nat", "c_nat", "l_year"]) \
+            .aggregate([("rev", "sum")])
+        return g.rename_columns(["s_nat", "c_nat", "l_year", "part_rev"])
+
+    agg = drop_empty_blocks(
+        with_s.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["s_nat", "c_nat", "l_year"]) \
+        .aggregate(Sum("part_rev", alias_name="revenue"))
+    pdf = agg.to_pandas()
+    if pdf.empty:  # no qualifying rows at this scale: typed empty
+        import pandas as pd
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "revenue": pd.Series([], dtype="float64")})
+    pdf["supp_nation"] = pdf["s_nat"].map(name_of)
+    pdf["cust_nation"] = pdf["c_nat"].map(name_of)
+    pdf["revenue"] = np.floor(pdf["revenue"] * 1e2 + 0.5) / 1e2
+    return pdf[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+SQL_Q7_NATION_VOLUME = """
+SELECT supp_nation, cust_nation, l_year,
+       floor(sum(volume) * 1e2 + 0.5) / 1e2 AS revenue
+FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE ((ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+              AND nc.n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+          OR (ns.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+              AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01') t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(sf_dir: str, lo: str = "1996-01-01",
+                       hi: str = "1996-04-01", k: int = 20):
+    """TPC-H Q10 shape (top customers by revenue lost to returns in a
+    quarter). Scale-first: returned lineitem pre-aggregates revenue
+    per orderkey MAP-SIDE, joins the date-filtered orders via one
+    range shuffle, re-aggregates per custkey with
+    ``sorted_sum_per_group`` (no hash groupby on the high-cardinality
+    key), then ONE more range shuffle attaches customer attributes.
+    Only the pinned top-k sort output lands on the driver. Nation
+    names resolve from the broadcast ≤25-row dim."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                        pa.scalar(lo_ts)),
+                       pc.less(b["o_orderdate"], pa.scalar(hi_ts)))
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    o_f = drop_empty_blocks(
+        orders.map_batches(o_filter, batch_format="pyarrow"))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag",
+                                    "l_extendedprice", "l_discount"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}) \
+            .group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "rev"])
+
+    rev_per_order = drop_empty_blocks(
+        line.map_batches(l_partial, batch_format="pyarrow"))
+    # shuffle 1: returned revenue joins its (date-qualified) order
+    joined = compact_blocks(sorted_lookup_join(
+        rev_per_order, o_f, "o_orderkey", ["o_custkey"], how="inner"))
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"], "rev": b["rev"]})
+
+    # shuffle 2: revenue per customer (range sort + C-speed run sums)
+    per_cust = compact_blocks(sorted_sum_per_group(
+        joined.map_batches(c_prep, batch_format="pyarrow"),
+        ["c_custkey"], ["rev"]))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_acctbal",
+                                    "c_nationkey"])
+    # shuffle 3: attach customer attributes to the per-customer sums
+    with_c = sorted_lookup_join(per_cust, cust, "c_custkey",
+                                ["c_name", "c_acctbal", "c_nationkey"],
+                                how="inner")
+
+    def pin(b: pa.Table) -> pa.Table:
+        r = pc.divide(pc.floor(pc.add(pc.multiply(b["rev"],
+                                                  pa.scalar(1e2)),
+                                      pa.scalar(0.5))), pa.scalar(1e2))
+        return b.set_column(b.schema.get_field_index("rev"), "rev", r)
+
+    top = with_c.map_batches(pin, batch_format="pyarrow") \
+        .sort(["rev", "c_custkey"], descending=[True, False]).limit(k)
+    pdf = top.to_pandas()
+    pdf["revenue"] = pdf["rev"]
+    pdf["n_name"] = pdf["c_nationkey"].map(name_of)
+    return pdf[["c_custkey", "c_name", "revenue", "c_acctbal",
+                "n_name"]] \
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+SQL_Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+           AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_orders(sf_dir: str, qty: float = 300.0, k: int = 100):
+    """TPC-H Q18 shape (large-volume orders: customers whose order
+    totals more than ``qty`` units). The HAVING-on-a-big-groupby runs
+    as ``sorted_sum_per_group`` over lineitem (range sort, C-speed run
+    sums — never a hash groupby on the 10^11-row key), the survivors
+    (a tiny fraction) join orders then customer via range shuffles
+    whose left side is already pruned. total_qty sums integers stored
+    as doubles — exact, layout-invariant, no pin needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+
+    def l_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        return g.rename_columns(["o_orderkey", "total_qty"])
+
+    per_order = compact_blocks(sorted_sum_per_group(
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        ["o_orderkey"], ["total_qty"]))
+
+    def big_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["total_qty"], pa.scalar(qty)))
+
+    big = drop_empty_blocks(
+        per_order.map_batches(big_only, batch_format="pyarrow"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    with_o = compact_blocks(sorted_lookup_join(
+        big, orders, "o_orderkey",
+        ["o_custkey", "o_orderdate", "o_totalprice"], how="inner"))
+
+    def c_key(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["o_orderkey", "total_qty", "c_custkey", "o_orderdate",
+             "o_totalprice"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    with_c = sorted_lookup_join(
+        with_o.map_batches(c_key, batch_format="pyarrow"),
+        cust, "c_custkey", ["c_name"], how="inner")
+
+    top = with_c.sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+                      descending=[True, False, False]).limit(k)
+    pdf = top.to_pandas()
+    return pdf[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty"]] \
+        .sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                     ascending=[False, True, True]) \
+        .reset_index(drop=True)
+
+
+SQL_Q18_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300.0
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str, terms=None):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicate
+    revenue). ZERO shuffles: the part dim broadcasts once as sorted
+    partkey-aligned (brand-code, size) arrays via ``ray.put``; one
+    pure-map pass over lineitem evaluates the OR-of-ANDs vectorized in
+    numpy and emits a single partial row per batch; the global reduce
+    is ``Dataset.aggregate`` over ≤ #blocks rows. Revenue pinned to
+    WHOLE units (0 dp): one global float sum's accumulation-order
+    noise must sit ≪ the pin unit (CLAUDE.md sum-pin rule), and the
+    qualifying subset is large enough that a 2-dp pin would flirt
+    with boundary flips."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.util import autoscale_pool
+
+    if terms is None:
+        terms = (("Brand#1", 1, 15, 1.0, 20.0),
+                 ("Brand#2", 10, 30, 10.0, 30.0),
+                 ("Brand#3", 20, 50, 20.0, 40.0))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(keys)
+    brands = sorted({t[0] for t in terms})
+    code_of = {b: i for i, b in enumerate(brands)}
+    codes = np.array([code_of.get(b, -1)
+                      for b in part["p_brand"].to_pylist()],
+                     np.int32)[order]
+    sizes = np.asarray(part["p_size"].to_pylist(), np.int32)[order]
+    lookup_ref = ray.put((keys[order], codes, sizes))
+    term_rows = tuple((code_of[b], s_lo, s_hi, q_lo, q_hi)
+                      for b, s_lo, s_hi, q_lo, q_hi in terms)
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    class Partial:
+        def __init__(self):
+            self.keys, self.codes, self.sizes = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, pk)
+            code, size = self.codes[idx], self.sizes[idx]
+            keep = np.zeros(len(pk), bool)
+            for bc, s_lo, s_hi, q_lo, q_hi in term_rows:
+                keep |= ((code == bc) & (size >= s_lo) & (size <= s_hi)
+                         & (qty >= q_lo) & (qty <= q_hi))
+            t = b.filter(pa.array(keep))
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          t["l_discount"]))
+            return pa.table({"rev": pa.array(
+                [float(pc.sum(rev).as_py() or 0.0)])})
+
+    parts = ds.map_batches(Partial, batch_format="pyarrow",
+                           concurrency=autoscale_pool(0.5))
+    got = parts.aggregate(Sum("rev", alias_name="rev"))
+    revenue = math.floor((got["rev"] or 0.0) + 0.5)
+    import pandas as pd
+    return pd.DataFrame({"revenue": [float(revenue)]})
+
+
+SQL_Q19_DISJUNCTIVE_REVENUE = """
+SELECT floor(sum(l_extendedprice * (1 - l_discount)) + 0.5) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20.0 AND 40.0)
+"""
+
+
+def q22_idle_balance(sf_dir: str,
+                     segments=("AUTOMOBILE", "HOUSEHOLD"),
+                     before: str = "1996-01-01",
+                     broadcast_budget: int = 1_000_000):
+    """TPC-H Q22 shape (idle high-balance accounts: customers in given
+    segments with above-average positive balance and NO order before
+    a cutoff; the phone-prefix of real Q22 maps to ``c_mktsegment``
+    and the NOT EXISTS is date-windowed because every fixture customer
+    eventually orders). Three scale-safe pieces:
+
+      * the scalar threshold reduces map-side to (sum, count) partials
+        — the SUM is 2-dp-pinned on BOTH sides before the division so
+        the derived average is the identical double (CLAUDE.md
+        pinned-moment rule);
+      * "has any order" is a distributed distinct
+        (``sorted_first_per_group``) that broadcasts under a byte
+        budget for an inverted ``pc.is_in`` anti-join, falling back to
+        a marker ``sorted_lookup_join`` above it — the
+        ``q_cust_no_urgent_orders`` pattern;
+      * the final per-segment count/sum is a ≤ |segments|-row reduce.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    seg_arr = pa.array(list(segments))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal",
+                                    "c_mktsegment"])
+
+    def thresh_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(b["c_mktsegment"], value_set=seg_arr),
+                       pc.greater(b["c_acctbal"], pa.scalar(0.0)))
+        t = b.filter(keep)
+        return pa.table({
+            "s": pa.array([float(pc.sum(t["c_acctbal"]).as_py() or 0.0)]),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    mom = cust.map_batches(thresh_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    import math
+    n_pos = int(mom["n"] or 0)
+    pinned_sum = math.floor((mom["s"] or 0.0) * 1e2 + 0.5) / 1e2
+    threshold = (pinned_sum / n_pos) if n_pos else 0.0
+
+    import datetime as _dt
+    cut_ts = _dt.datetime.fromisoformat(before)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def o_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["o_orderdate"], pa.scalar(cut_ts)))
+        return pa.table({"c_custkey": pc.unique(t["o_custkey"])})
+
+    has_order = sorted_first_per_group(
+        orders.map_batches(o_keys, batch_format="pyarrow"),
+        ["c_custkey"]).materialize()
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(b["c_mktsegment"], value_set=seg_arr),
+                       pc.greater(b["c_acctbal"],
+                                  pa.scalar(threshold)))
+        return b.filter(keep)
+
+    qualified = drop_empty_blocks(
+        cust.map_batches(qualify, batch_format="pyarrow"))
+
+    n_keys = has_order.count()
+    if n_keys and n_keys <= broadcast_budget:
+        keys = pa.array(sorted(has_order.to_pandas()["c_custkey"]))
+        ref = ray.put(keys)
+
+        def anti(b: pa.Table) -> pa.Table:
+            hit = pc.is_in(b["c_custkey"], value_set=ray.get(ref))
+            return b.filter(pc.invert(pc.fill_null(hit, False)))
+
+        idle = qualified.map_batches(anti, batch_format="pyarrow")
+    elif n_keys:
+        def mark(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_hit", pa.array([1] * b.num_rows, pa.int8()))
+
+        marked = has_order.map_batches(mark, batch_format="pyarrow")
+        joined = sorted_lookup_join(qualified, marked, "c_custkey",
+                                    ["_hit"], how="left")
+
+        def keep_missing(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_null(b["_hit"])) \
+                .select(["c_custkey", "c_acctbal", "c_mktsegment"])
+
+        idle = joined.map_batches(keep_missing, batch_format="pyarrow")
+    else:
+        idle = qualified
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"c_mktsegment": b["c_mktsegment"],
+                      "bal": b["c_acctbal"]}) \
+            .group_by("c_mktsegment") \
+            .aggregate([("bal", "sum"), ("bal", "count")])
+        return g.rename_columns(["c_mktsegment", "part_s", "part_n"])
+
+    agg = drop_empty_blocks(
+        idle.map_batches(seg_partial, batch_format="pyarrow")) \
+        .groupby("c_mktsegment") \
+        .aggregate(Sum("part_s", alias_name="s"),
+                   Sum("part_n", alias_name="numcust"))
+    pdf = agg.to_pandas()
+    if pdf.empty:  # nothing idle at this scale: typed empty
+        import pandas as pd
+        return pd.DataFrame({
+            "c_mktsegment": pd.Series([], dtype=object),
+            "numcust": pd.Series([], dtype="int64"),
+            "totacctbal": pd.Series([], dtype="float64")})
+    pdf["totacctbal"] = np.floor(pdf["s"] * 1e2 + 0.5) / 1e2
+    return pdf[["c_mktsegment", "numcust", "totacctbal"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_Q22_IDLE_BALANCE = """
+SELECT c_mktsegment, count(*) AS numcust,
+       floor(sum(c_acctbal) * 1e2 + 0.5) / 1e2 AS totacctbal
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+  AND c_acctbal > (SELECT (floor(sum(c_acctbal) * 1e2 + 0.5) / 1e2)
+                          / count(*)
+                   FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD'))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from zhtml_ray.pipelines import ops_queries
     out = {
@@ -1455,6 +2016,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_supplier_volume": q5_region_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
         "q4_priority_exists": q4_priority_exists,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_balance": q22_idle_balance,
         "bloom_join_revenue": q_bloom_join_revenue,
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
@@ -1498,6 +2064,11 @@ def oracle_sql() -> dict[str, str]:
         "q5_region_supplier_volume": SQL_Q5_REGION_SUPPLIER_VOLUME,
         "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
+        "q7_nation_volume": SQL_Q7_NATION_VOLUME,
+        "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+        "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
+        "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
         "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
         "link_pagerank": _sql_link_pagerank(),
         "link_hits": _sql_link_hits(),
