@@ -201,3 +201,69 @@ class Fingerprint:
             fps[i] = np.min(h)
         return batch.append_column("fingerprint", pa.array(fps)) \
                     .append_column("content_hash", pa.array(full))
+
+
+# Gopher-style document quality/repetition rules (Rae et al. 2021,
+# "Scaling Language Models" §A1.1) adapted to the fixture corpus and
+# kept INTEGER-EXACT so the distributed run and a SQL oracle agree bit
+# for bit: every signal is a count, every threshold an integer
+# cross-multiplication — no float ratios anywhere.
+_GOPHER_STOPS = ("join", "hash", "row", "batch", "scan")
+
+
+class GopherStats:
+    """Per-doc integer signals + keep flag.
+
+    Columns out: n_words, n_chars (word chars only), stop_hits,
+    n_bigrams, dup_bigrams (occurrences beyond each bigram's first),
+    top_word_mass (max over words of count*len — the char mass of the
+    most repeated word), keep. keep =
+        word count in [min_words, max_words]
+      AND 3*n_words <= n_chars <= 10*n_words   (mean word length 3..10)
+      AND stop_hits >= min_stops               ("stopword" presence)
+      AND dup_bigrams * 25 <= n_bigrams        (<= 4% duplicate bigrams)
+      AND top_word_mass * 6 <= n_chars         (<= 1/6 char mass in one word)
+    """
+
+    def __init__(self, col: str = "text", min_words: int = 30,
+                 max_words: int = 70, min_stops: int = 3):
+        self.col = col
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_stops = min_stops
+        self.stops = frozenset(_GOPHER_STOPS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        texts = batch[self.col].to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        stop_hits = np.zeros(n, np.int64)
+        n_bi = np.zeros(n, np.int64)
+        dup_bi = np.zeros(n, np.int64)
+        top_mass = np.zeros(n, np.int64)
+        for i, s in enumerate(texts):
+            ws = (s or "").split()
+            n_words[i] = len(ws)
+            if not ws:
+                continue
+            cnt = Counter(ws)
+            n_chars[i] = sum(len(w) for w in ws)
+            stop_hits[i] = sum(c for w, c in cnt.items()
+                               if w in self.stops)
+            top_mass[i] = max(c * len(w) for w, c in cnt.items())
+            if len(ws) > 1:
+                n_bi[i] = len(ws) - 1
+                dup_bi[i] = n_bi[i] - len(set(zip(ws, ws[1:])))
+        keep = ((n_words >= self.min_words) & (n_words <= self.max_words)
+                & (3 * n_words <= n_chars) & (n_chars <= 10 * n_words)
+                & (stop_hits >= self.min_stops)
+                & (dup_bi * 25 <= n_bi) & (top_mass * 6 <= n_chars))
+        return batch.append_column("n_words", pa.array(n_words)) \
+            .append_column("n_chars", pa.array(n_chars)) \
+            .append_column("stop_hits", pa.array(stop_hits)) \
+            .append_column("n_bigrams", pa.array(n_bi)) \
+            .append_column("dup_bigrams", pa.array(dup_bi)) \
+            .append_column("top_word_mass", pa.array(top_mass)) \
+            .append_column("keep", pa.array(keep))

@@ -132,6 +132,148 @@ def q_quality(sf_dir: str):
                                "stopword_ratio", "punct_ratio"])
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality/repetition filter (Rae et al. 2021 §A1.1)
+    over the documents table: per-doc word/char counts, "stopword"
+    hits, duplicate-bigram and top-word-mass repetition signals, and
+    the combined keep flag. Every signal is INTEGER-exact and every
+    threshold an integer cross-multiply, so the oracle comparison is
+    bit-exact — no float pins needed. Pure map, zero shuffles."""
+    from zhtml_ray.functions.textstats import GopherStats
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(GopherStats, batch_format="pyarrow",
+                         concurrency=autoscale_pool(0.5))
+    return out.select_columns(["doc_id", "n_words", "n_chars",
+                               "stop_hits", "n_bigrams", "dup_bigrams",
+                               "top_word_mass", "keep"])
+
+
+_C4_WORD_RE = None
+
+
+def _c4_batch(batch, min_words: int = 5, min_kept: int = 3):
+    """C4-style line filter (Raffel et al. 2020 §2.2) over extracted
+    page text: keep lines with >= ``min_words`` words that end in
+    terminal punctuation; a page survives if >= ``min_kept`` lines
+    survive and the raw text has no '{' and no 'lorem ipsum'.
+    Word = ASCII-whitespace-delimited run on BOTH sides (Python here,
+    RE2 in the oracle — \\S differs between the engines on U+00A0,
+    which the entity-decoding extractor CAN emit, so the shared class
+    is explicit)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    global _C4_WORD_RE
+    if _C4_WORD_RE is None:
+        _C4_WORD_RE = re.compile(r"[^ \t\r\n]+")
+    texts = batch["extracted_text"].to_pylist()
+    n = len(texts)
+    n_lines = np.zeros(n, np.int64)
+    n_kept = np.zeros(n, np.int64)
+    clean = []
+    keep = np.zeros(n, bool)
+    term = ('.', '!', '?', '"')
+    for i, s in enumerate(texts):
+        s = s or ""
+        lines = [ln.strip(" \t\r") for ln in s.split("\n")]
+        lines = [ln for ln in lines if ln]
+        kept = [ln for ln in lines
+                if ln[-1] in term
+                and len(_C4_WORD_RE.findall(ln)) >= min_words]
+        n_lines[i] = len(lines)
+        n_kept[i] = len(kept)
+        clean.append("\n".join(kept))
+        keep[i] = (len(kept) >= min_kept and "{" not in s
+                   and "lorem ipsum" not in s.lower())
+    return pa.table({
+        "url": batch["url"],
+        "n_lines": pa.array(n_lines),
+        "n_kept": pa.array(n_kept),
+        "clean_text": pa.array(clean, pa.string()),
+        "keep": pa.array(keep)})
+
+
+def q_c4_clean(sf_dir: str):
+    """C4 cleaning pipeline: pages → parse+extract → per-line filter,
+    fused as two map stages (zero shuffles; the extract stage is the
+    flagship skew-routed operator). Oracled ALGORITHM-INDEPENDENTLY:
+    the SQL side re-implements the line rules in DuckDB list lambdas
+    over the pinned extract golden, so only the extractor itself rests
+    on the pinned-serial invariant — the C4 stage is cross-checked by
+    a second engine."""
+    from zhtml_ray.pipelines.extract import run_extract
+    from zhtml_ray.pipelines.golden import ensure_golden
+
+    ds = run_extract(sf_dir, include_spans=False)
+    out = ds.map_batches(_c4_batch, batch_format="pyarrow")
+    ensure_golden("extract", sf_dir)
+    return out
+
+
+def _sql_c4_clean() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    return f"""
+WITH L AS (
+  SELECT url, extracted_text,
+         list_filter(list_transform(string_split(extracted_text, chr(10)),
+                                    x -> trim(x, ' ' || chr(9) || chr(13))),
+                     x -> x <> '') AS lines
+  FROM read_parquet('{_current_dir()}/extract.parquet')
+), K AS (
+  SELECT url, extracted_text, lines,
+         list_filter(lines,
+                     x -> list_contains(['.', '!', '?', '"'],
+                                        substr(x, length(x), 1))
+                          AND len(regexp_extract_all(x, '[^ \\t\\r\\n]+')) >= 5)
+             AS kept
+  FROM L
+)
+SELECT url, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text,
+       (len(kept) >= 3 AND NOT contains(extracted_text, '{{')
+        AND NOT contains(lower(extracted_text), 'lorem ipsum')) AS keep
+FROM K
+"""
+
+
+def _sql_gopher_rules() -> str:
+    from zhtml_ray.functions.textstats import _GOPHER_STOPS
+    stops = "[" + ",".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, len(ws)::BIGINT AS n_words,
+         COALESCE(CAST(list_sum(list_transform(ws, x -> len(x)))
+                       AS BIGINT), 0) AS n_chars,
+         len(list_filter(ws, x -> list_contains({stops}, x)))::BIGINT
+             AS stop_hits,
+         CASE WHEN len(ws) > 1
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END AS bs
+  FROM w
+), t AS (
+  SELECT doc_id, max(cnt * length(word)) AS top_word_mass
+  FROM (SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        GROUP BY doc_id, word)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.n_chars, s.stop_hits,
+       len(bs)::BIGINT AS n_bigrams,
+       (len(bs) - len(list_distinct(bs)))::BIGINT AS dup_bigrams,
+       COALESCE(t.top_word_mass, 0)::BIGINT AS top_word_mass,
+       (s.n_words BETWEEN 30 AND 70
+        AND 3 * s.n_words <= s.n_chars AND s.n_chars <= 10 * s.n_words
+        AND s.stop_hits >= 3
+        AND (len(bs) - len(list_distinct(bs))) * 25 <= len(bs)
+        AND COALESCE(t.top_word_mass, 0) * 6 <= s.n_chars) AS keep
+FROM s LEFT JOIN t USING (doc_id)
+"""
+
+
 def _sql_langid() -> str:
     """DuckDB replication of LangId (verified exact: same argmax +
     alphabetical tie-break, raw IEEE divisions for lang_conf)."""
@@ -5954,6 +6096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6084,6 +6228,8 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": _sql_bucketed_join(),
         "bpe_token_count": _sql_bpe_token_count(),
         "quality_score": _sql_quality(),
+        "gopher_rules": _sql_gopher_rules(),
+        "c4_clean": _sql_c4_clean(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
