@@ -94,3 +94,53 @@ def test_c4_nbsp_is_not_a_word_separator():
     doc = "alpha beta gamma delta epsilon."
     out = _c4([doc])
     assert out["n_kept"] == [0]
+
+
+def test_dsir_select_differential(ray_session, tmp_path):
+    """Disjoint-vocabulary corpora: target-language docs must all be
+    picked, off-target docs all rejected; masses match an exact
+    integer recomputation with the same md5 bucketing."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from zhtml_ray.pipelines.ops_queries import q_dsir_select
+
+    rng = np.random.default_rng(21)
+    en_vocab = [f"house{i}" for i in range(12)]
+    xx_vocab = [f"zug{i}" for i in range(12)]
+    rows = []
+    for i in range(120):
+        lang = "en" if i % 2 == 0 else "xx"
+        vocab = en_vocab if lang == "en" else xx_vocab
+        words = rng.choice(vocab, 25)
+        rows.append((i, " ".join(words), lang, "s", 0))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                     "source", "n_chars"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = q_dsir_select(str(tmp_path), target_lang="en",
+                        buckets=512).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    m = got.merge(df[["doc_id", "lang"]], on="doc_id")
+    assert (m.loc[m.lang == "en", "pick"]).all()
+    assert (~m.loc[m.lang == "xx", "pick"]).all()
+
+    # exact mass recomputation for a few docs
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 512
+
+    from collections import Counter
+    ct, cr = Counter(), Counter()
+    for _, r in df.iterrows():
+        for w in r.text.split():
+            b = bucket(w)
+            cr[b] += 1
+            if r.lang == "en":
+                ct[b] += 1
+    for _, r in df.head(5).iterrows():
+        t = sum(ct[bucket(w)] for w in r.text.split())
+        s = sum(cr[bucket(w)] for w in r.text.split())
+        row = got[got.doc_id == r.doc_id].iloc[0]
+        assert (row.t_mass, row.r_mass) == (t, s)

@@ -148,6 +148,119 @@ def q_gopher_rules(sf_dir: str):
                                "top_word_mass", "keep"])
 
 
+def q_dsir_select(sf_dir: str, target_lang: str = "en",
+                  buckets: int = 4096):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") with integer-exact
+    scoring: hashed word-unigram counts form a target model (docs with
+    ``lang == target_lang``) and a raw model (all docs); a doc is
+    picked when its mean target-bucket mass beats its mean raw-bucket
+    mass by cross-multiplication —
+        t_mass * N_raw > r_mass * N_target
+    — so engine and oracle agree bit-for-bit with no log-ratio floats.
+    The hash is md5-hex-prefix mod ``buckets`` (byte-identical in
+    Python and DuckDB, verified).
+
+    Shape: pass 1 bincounts buckets per block (dense partials, sparse
+    rows out) → one bounded groupby on ≤ ``buckets`` keys → the two
+    count vectors broadcast once via ``ray.put``; pass 2 is a pure map
+    scoring each doc against the broadcast arrays. At 10^14-gram scale
+    the int64 cross-multiply would overflow — rescale the models
+    (divide both vectors by a common factor) or widen to object-store
+    HUGEINT partials; the fixture magnitudes stay ≪ 2^63."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    _cache: dict[str, int] = {}
+
+    def bucket_of(w: str) -> int:
+        b = _cache.get(w)
+        if b is None:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % buckets
+            _cache[w] = b
+        return b
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t_cnt = np.zeros(buckets, np.int64)
+        r_cnt = np.zeros(buckets, np.int64)
+        langs = batch["lang"].to_pylist()
+        for s, lg in zip(batch["text"].to_pylist(), langs):
+            is_t = lg == target_lang
+            for w in (s or "").split():
+                b = bucket_of(w)
+                r_cnt[b] += 1
+                if is_t:
+                    t_cnt[b] += 1
+        nz = np.flatnonzero(r_cnt)
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "t": pa.array(t_cnt[nz]),
+                         "r": pa.array(r_cnt[nz])})
+
+    model = drop_empty_blocks(
+        ds.map_batches(count_partial, batch_format="pyarrow")) \
+        .groupby("b").aggregate(Sum("t", alias_name="t"),
+                                Sum("r", alias_name="r")) \
+        .to_pandas()
+    ct = np.zeros(buckets, np.int64)
+    cr = np.zeros(buckets, np.int64)
+    if len(model):
+        ct[model["b"].to_numpy()] = model["t"].to_numpy()
+        cr[model["b"].to_numpy()] = model["r"].to_numpy()
+    nt, nr = int(ct.sum()), int(cr.sum())
+    model_ref = ray.put((ct, cr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ct_, cr_ = ray.get(model_ref)
+        n = batch.num_rows
+        t_mass = np.zeros(n, np.int64)
+        r_mass = np.zeros(n, np.int64)
+        for i, s in enumerate(batch["text"].to_pylist()):
+            bs = np.fromiter((bucket_of(w) for w in (s or "").split()),
+                             np.int64)
+            if len(bs):
+                t_mass[i] = ct_[bs].sum()
+                r_mass[i] = cr_[bs].sum()
+        pick = t_mass * nr > r_mass * nt
+        return pa.table({"doc_id": batch["doc_id"],
+                         "t_mass": pa.array(t_mass),
+                         "r_mass": pa.array(r_mass),
+                         "pick": pa.array(pick)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_dsir_select(target_lang: str = "en", buckets: int = 4096) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT)
+              % {buckets} AS BIGINT) AS b
+  FROM (SELECT doc_id, lang, unnest(regexp_extract_all(text, '\\S+')) AS g
+        FROM documents)
+), m AS (
+  SELECT b, count(*) FILTER (lang = '{target_lang}')::BIGINT AS ct,
+         count(*)::BIGINT AS cr
+  FROM h GROUP BY b
+), tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM m),
+doc AS (
+  SELECT doc_id, sum(m.ct)::BIGINT AS t_mass, sum(m.cr)::BIGINT AS r_mass
+  FROM h JOIN m USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(doc.t_mass, 0) AS t_mass,
+       COALESCE(doc.r_mass, 0) AS r_mass,
+       (COALESCE(doc.t_mass, 0) * (SELECT nr FROM tot)
+        > COALESCE(doc.r_mass, 0) * (SELECT nt FROM tot)) AS pick
+FROM documents d LEFT JOIN doc USING (doc_id)
+"""
+
+
 _C4_WORD_RE = None
 
 
@@ -6098,6 +6211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "gopher_rules": q_gopher_rules,
         "c4_clean": q_c4_clean,
+        "dsir_select": q_dsir_select,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6230,6 +6344,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality(),
         "gopher_rules": _sql_gopher_rules(),
         "c4_clean": _sql_c4_clean(),
+        "dsir_select": _sql_dsir_select(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
