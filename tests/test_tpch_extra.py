@@ -203,3 +203,22 @@ def test_q22_paths_agree_and_match_pandas(ray_session, tmp_path):
         .sort_values("c_mktsegment").reset_index(drop=True)
     assert len(want) > 0
     pd.testing.assert_frame_equal(a, want, check_dtype=False)
+
+
+def test_q16_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q16_supplier_counts
+    rng = np.random.default_rng(16)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q16_supplier_counts(str(tmp_path), bal_cut=3000.0)
+
+    bad = set(supp[supp.s_acctbal < 3000.0].s_suppkey)
+    j = line[~line.l_suppkey.isin(bad)].merge(
+        part[["p_partkey", "p_brand", "p_type", "p_size"]],
+        left_on="l_partkey", right_on="p_partkey")
+    want = j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"] \
+        .nunique().reset_index(name="supplier_cnt") \
+        .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                     ascending=[False, True, True, True]) \
+        .reset_index(drop=True)
+    assert len(want) > 10 and len(bad) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

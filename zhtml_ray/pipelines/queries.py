@@ -1848,6 +1848,87 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q16_supplier_counts(sf_dir: str, bal_cut: float = 500.0):
+    """TPC-H Q16 shape (COUNT DISTINCT suppliers per part
+    brand/type/size, excluding a supplier blocklist; lineitem plays
+    partsupp — the fixture has no partsupp table, and the blocklist
+    predicate is ``s_acctbal < bal_cut`` in place of the comment
+    LIKE). Scale-first COUNT DISTINCT: map-side per-batch pair dedup
+    → ONE range shuffle attaches part attrs → a second range shuffle
+    dedups (brand, type, size, suppkey) via ``sorted_first_per_group``
+    → per-batch count partials into a ≤ |brand×type×size| hash
+    groupby. The blocklist broadcasts once (it is a filtered dim —
+    tiny by construction); no distinct ever materializes driver-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp["s_acctbal"], bal_cut))["s_suppkey"] \
+        .combine_chunks()
+    bad_ref = ray.put(bad)
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        hit = pc.is_in(b["l_suppkey"], value_set=ray.get(bad_ref))
+        t = b.filter(pc.invert(pc.fill_null(hit, False)))
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.rename_columns(["p_partkey", "l_suppkey"])
+
+    pairs = drop_empty_blocks(
+        line.map_batches(pair_partial, batch_format="pyarrow"))
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_type",
+                                    "p_size"])
+    # shuffle 1: attach part attributes to the (part, supplier) pairs
+    with_p = compact_blocks(sorted_lookup_join(
+        pairs, part, "p_partkey", ["p_brand", "p_type", "p_size"],
+        how="inner"))
+
+    # shuffle 2: global dedup of (brand, type, size, suppkey)
+    distinct = sorted_first_per_group(
+        with_p.drop_columns(["p_partkey"]),
+        ["p_brand", "p_type", "p_size", "l_suppkey"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["p_brand", "p_type", "p_size"]) \
+            .aggregate([("l_suppkey", "count")])
+        return g.rename_columns(["p_brand", "p_type", "p_size",
+                                 "part_c"])
+
+    agg = drop_empty_blocks(
+        distinct.map_batches(cnt_partial, batch_format="pyarrow")) \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("part_c", alias_name="supplier_cnt"))
+    pdf = agg.to_pandas()
+    return pdf[["p_brand", "p_type", "p_size", "supplier_cnt"]] \
+        .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                     ascending=[False, True, True, True]) \
+        .reset_index(drop=True)
+
+
+SQL_Q16_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 500.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 def q22_idle_balance(sf_dir: str,
                      segments=("AUTOMOBILE", "HOUSEHOLD"),
                      before: str = "1996-01-01",
@@ -2018,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": q4_priority_exists,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
+        "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_balance": q22_idle_balance,
@@ -2066,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
         "q7_nation_volume": SQL_Q7_NATION_VOLUME,
         "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+        "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
         "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
