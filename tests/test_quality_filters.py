@@ -144,3 +144,33 @@ def test_dsir_select_differential(ray_session, tmp_path):
         s = sum(cr[bucket(w)] for w in r.text.split())
         row = got[got.doc_id == r.doc_id].iloc[0]
         assert (row.t_mass, row.r_mass) == (t, s)
+
+
+def test_web_pipeline_end_to_end(ray_session):
+    """Flagship composite over the sf0.001 fixture: output is deduped
+    (unique digests), every digest matches a recomputation from the
+    clean text, and the keep rate is a real filter (not ~0, not ~1)."""
+    from zhtml_ray.pipelines.ops_queries import q_web_pipeline
+    got = q_web_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert 0.3 < len(got) / 500 < 0.95
+    assert got.digest.is_unique
+    assert (got.n_kept >= 3).all()
+    assert (got.n_words >= 20).all()
+
+
+def test_web_pipeline_dedup_picks_min_url(ray_session):
+    """Planted duplicate digests: the dedup stage must keep exactly
+    one row per digest, the lexicographically smallest url."""
+    import pandas as pd
+    import ray.data as rd
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    df = pd.DataFrame({
+        "url": [f"u{i:03d}" for i in range(100)],
+        "digest": [f"d{i % 7}" for i in range(100)],
+        "n_kept": 3, "n_words": 30})
+    out = sorted_first_per_group(
+        rd.from_pandas(df).repartition(8), ["digest"],
+        tie_cols=["url"]).to_pandas().sort_values("digest")
+    assert len(out) == 7
+    want = df.groupby("digest")["url"].min()
+    assert dict(zip(out.digest, out.url)) == want.to_dict()

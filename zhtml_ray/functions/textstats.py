@@ -226,11 +226,14 @@ class GopherStats:
     """
 
     def __init__(self, col: str = "text", min_words: int = 30,
-                 max_words: int = 70, min_stops: int = 3):
+                 max_words: int = 70, min_stops: int = 3,
+                 dup_mult: int = 25, top_mult: int = 6):
         self.col = col
         self.min_words = min_words
         self.max_words = max_words
         self.min_stops = min_stops
+        self.dup_mult = dup_mult  # dup_bigrams * dup_mult <= n_bigrams
+        self.top_mult = top_mult  # top_word_mass * top_mult <= n_chars
         self.stops = frozenset(_GOPHER_STOPS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -259,7 +262,8 @@ class GopherStats:
         keep = ((n_words >= self.min_words) & (n_words <= self.max_words)
                 & (3 * n_words <= n_chars) & (n_chars <= 10 * n_words)
                 & (stop_hits >= self.min_stops)
-                & (dup_bi * 25 <= n_bi) & (top_mass * 6 <= n_chars))
+                & (dup_bi * self.dup_mult <= n_bi)
+                & (top_mass * self.top_mult <= n_chars))
         return batch.append_column("n_words", pa.array(n_words)) \
             .append_column("n_chars", pa.array(n_chars)) \
             .append_column("stop_hits", pa.array(stop_hits)) \

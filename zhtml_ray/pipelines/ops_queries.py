@@ -350,6 +350,111 @@ FROM K
 """
 
 
+def q_web_pipeline(sf_dir: str):
+    """Flagship composite: the full training-data chain over web pages
+    — parse+extract → C4 line filter → Gopher-lite repetition/length
+    rules on the cleaned text → exact content dedup (min-url winner
+    per md5 digest). All filter stages fuse into the extract map (zero
+    added shuffles); the dedup is ONE ``sorted_first_per_group`` range
+    shuffle on the digest. Oracled ALGORITHM-INDEPENDENTLY end to end:
+    DuckDB re-implements every stage (list lambdas + window dedup)
+    over the pinned extract golden, so only the extractor itself rests
+    on the pinned-serial invariant."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.textstats import GopherStats
+    from zhtml_ray.pipelines.extract import run_extract
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = run_extract(sf_dir, include_spans=False)
+    # dup_mult=5 (<= 20% duplicate bigrams): web prose repeats short
+    # collocations far more than the documents fixture's word soup —
+    # the 4% default would reject ~95% of real pages here (measured)
+    gopher = GopherStats(col="clean_text", min_words=20,
+                         max_words=10**9, min_stops=0, dup_mult=5)
+
+    def clean_stage(batch: pa.Table) -> pa.Table:
+        c4 = _c4_batch(batch)
+        c4 = c4.filter(c4["keep"]).drop_columns(["keep", "n_lines"])
+        g = gopher(c4)
+        g = g.filter(g["keep"])
+        digests = [hashlib.md5(s.encode()).hexdigest()
+                   for s in g["clean_text"].to_pylist()]
+        return pa.table({"url": g["url"],
+                         "digest": pa.array(digests, pa.string()),
+                         "n_kept": g["n_kept"],
+                         "n_words": g["n_words"]})
+
+    cleaned = drop_empty_blocks(
+        ds.map_batches(clean_stage, batch_format="pyarrow"))
+    out = sorted_first_per_group(cleaned, ["digest"], tie_cols=["url"])
+    ensure_golden("extract", sf_dir)
+    return out.select_columns(["url", "digest", "n_kept", "n_words"])
+
+
+def _sql_web_pipeline() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    return f"""
+WITH L AS (
+  SELECT url, extracted_text,
+         list_filter(list_transform(string_split(extracted_text, chr(10)),
+                                    x -> trim(x, ' ' || chr(9) || chr(13))),
+                     x -> x <> '') AS lines
+  FROM read_parquet('{_current_dir()}/extract.parquet')
+), K AS (
+  SELECT url, extracted_text,
+         list_filter(lines,
+                     x -> list_contains(['.', '!', '?', '"'],
+                                        substr(x, length(x), 1))
+                          AND len(regexp_extract_all(x, '[^ \\t\\r\\n]+')) >= 5)
+             AS kept
+  FROM L
+), C AS (
+  SELECT url, array_to_string(kept, chr(10)) AS clean_text,
+         len(kept)::BIGINT AS n_kept
+  FROM K
+  WHERE len(kept) >= 3 AND NOT contains(extracted_text, '{{')
+    AND NOT contains(lower(extracted_text), 'lorem ipsum')
+), W AS (
+  SELECT url, clean_text, n_kept,
+         regexp_extract_all(clean_text, '\\S+') AS ws
+  FROM C
+), S AS (
+  SELECT url, clean_text, n_kept, ws, len(ws)::BIGINT AS n_words,
+         COALESCE(CAST(list_sum(list_transform(ws, x -> len(x)))
+                       AS BIGINT), 0) AS n_chars,
+         CASE WHEN len(ws) > 1
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END AS bs
+  FROM W
+), T AS (
+  SELECT url, max(cnt * length(word)) AS top_word_mass
+  FROM (SELECT url, word, count(*) AS cnt
+        FROM (SELECT url, unnest(ws) AS word FROM W)
+        GROUP BY url, word)
+  GROUP BY url
+), G AS (
+  SELECT s.url, s.clean_text, s.n_kept, s.n_words
+  FROM S JOIN T USING (url)
+  WHERE s.n_words >= 20
+    AND 3 * s.n_words <= s.n_chars AND s.n_chars <= 10 * s.n_words
+    AND (len(bs) - len(list_distinct(bs))) * 5 <= len(bs)
+    AND T.top_word_mass * 6 <= s.n_chars
+)
+SELECT url, digest, n_kept, n_words FROM (
+  SELECT url, md5(clean_text) AS digest, n_kept, n_words,
+         row_number() OVER (PARTITION BY md5(clean_text)
+                            ORDER BY url) AS rn
+  FROM G) WHERE rn = 1
+"""
+
+
 def _sql_gopher_rules() -> str:
     from zhtml_ray.functions.textstats import _GOPHER_STOPS
     stops = "[" + ",".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
@@ -6212,6 +6317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "c4_clean": q_c4_clean,
         "dsir_select": q_dsir_select,
+        "web_pipeline": q_web_pipeline,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6345,6 +6451,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _sql_gopher_rules(),
         "c4_clean": _sql_c4_clean(),
         "dsir_select": _sql_dsir_select(),
+        "web_pipeline": _sql_web_pipeline(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
