@@ -222,3 +222,28 @@ def test_q16_matches_pandas(ray_session, tmp_path):
         .reset_index(drop=True)
     assert len(want) > 10 and len(bad) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q11_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q11_important_parts
+    rng = np.random.default_rng(17)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q11_important_parts(str(tmp_path), frac_inv=60.0)
+
+    j = line.merge(supp[["s_suppkey", "s_nationkey"]],
+                   left_on="l_suppkey", right_on="s_suppkey")
+    name_of = dict(zip(nation.n_nationkey, nation.n_name))
+    j["n_name"] = j.s_nationkey.map(name_of)
+    v = j.groupby(["n_name", "l_partkey"], as_index=False) \
+        ["l_extendedprice"].sum()
+    v["value"] = np.floor(v.l_extendedprice * 1e2 + 0.5) / 1e2
+    t = v.groupby("n_name")["value"].sum().reset_index(name="raw_tot")
+    t["tot"] = np.floor(t.raw_tot * 1e2 + 0.5) / 1e2
+    m = v.merge(t[["n_name", "tot"]], on="n_name")
+    want = m[m.value * 60.0 > m.tot] \
+        [["n_name", "l_partkey", "value"]] \
+        .sort_values(["n_name", "value", "l_partkey"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -350,6 +350,52 @@ FROM K
 """
 
 
+def q_train_val_split(sf_dir: str, train_pct: int = 80,
+                      val_pct: int = 10):
+    """Deterministic train/val/test assignment by content-independent
+    hash rank: bucket = md5(doc_id) mod 100, split by cumulative
+    percentage thresholds. The standard leakage-safe split for a
+    training corpus — stable across runs, machines and partitionings
+    (no RNG, no row order), and any new doc joins the same split
+    forever. Pure map, zero shuffles; md5-hex parity with DuckDB is
+    byte-verified (the dsir_select hash)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), np.int64, len(ids))
+        split = np.where(buckets < train_pct, "train",
+                         np.where(buckets < train_pct + val_pct,
+                                  "val", "test"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang": batch["lang"],
+                         "bucket": pa.array(buckets),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_train_val_split(train_pct: int = 80, val_pct: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS UBIGINT) % 100 AS BIGINT) AS bucket,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS UBIGINT) % 100 < {train_pct} THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS UBIGINT) % 100 < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_web_pipeline(sf_dir: str):
     """Flagship composite: the full training-data chain over web pages
     — parse+extract → C4 line filter → Gopher-lite repetition/length
@@ -6318,6 +6364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "dsir_select": q_dsir_select,
         "web_pipeline": q_web_pipeline,
+        "train_val_split": q_train_val_split,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6452,6 +6499,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _sql_c4_clean(),
         "dsir_select": _sql_dsir_select(),
         "web_pipeline": _sql_web_pipeline(),
+        "train_val_split": _sql_train_val_split(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),

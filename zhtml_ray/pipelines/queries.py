@@ -1848,6 +1848,128 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q11_important_parts(sf_dir: str, frac_inv: float = 500.0):
+    """TPC-H Q11 shape (parts whose value within a nation exceeds
+    1/``frac_inv`` of that nation's total — the HAVING-against-a-
+    correlated-total form; lineitem×supplier stands in for partsupp).
+    Scale-first: ONE range shuffle attaches the supplier nation, ONE
+    ``sorted_sum_per_group`` aggregates (nation, part) values, the
+    ≤ |nations| totals reduce from per-batch partials and broadcast
+    as a dict; the share filter is then a pure map. Both the
+    per-part value and the nation total are 2-dp-pinned BEFORE the
+    comparison so the >-boundary is the identical double on both
+    sides (CLAUDE.md pinned-moment rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_extendedprice"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": b["l_suppkey"],
+                         "l_partkey": b["l_partkey"],
+                         "val": b["l_extendedprice"]})
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    # shuffle 1: attach the supplier's nation to every lineitem row
+    with_n = compact_blocks(sorted_lookup_join(
+        line.map_batches(l_prep, batch_format="pyarrow"),
+        supp, "s_suppkey", ["s_nationkey"], how="inner"))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"n": pc.cast(b["s_nationkey"], pa.int32()),
+                      "p": b["l_partkey"], "val": b["val"]}) \
+            .group_by(["n", "p"]).aggregate([("val", "sum")])
+        return g.rename_columns(["n", "p", "val"])
+
+    # shuffle 2: exact (nation, part) sums, then 2-dp pin map-side
+    per_part = compact_blocks(sorted_sum_per_group(
+        drop_empty_blocks(
+            with_n.map_batches(pair_partial, batch_format="pyarrow")),
+        ["n", "p"], ["val"]))
+
+    def pin(b: pa.Table) -> pa.Table:
+        v = pc.divide(pc.floor(pc.add(pc.multiply(b["val"],
+                                                  pa.scalar(1e2)),
+                                      pa.scalar(0.5))), pa.scalar(1e2))
+        return b.set_column(b.schema.get_field_index("val"), "val", v)
+
+    pinned = per_part.map_batches(pin, batch_format="pyarrow") \
+        .materialize()
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"n": b["n"], "t": b["val"]}) \
+            .group_by("n").aggregate([("t", "sum")])
+        return g.rename_columns(["n", "part_t"])
+
+    tots = drop_empty_blocks(
+        pinned.map_batches(tot_partial, batch_format="pyarrow")) \
+        .groupby("n").aggregate(Sum("part_t", alias_name="t")) \
+        .to_pandas()
+    import math
+    tot_of = {int(r.n): math.floor(r.t * 1e2 + 0.5) / 1e2
+              for r in tots.itertuples()}
+    tot_ref = ray.put(tot_of)
+
+    def share_filter(b: pa.Table) -> pa.Table:
+        tmap = ray.get(tot_ref)
+        tot = np.array([tmap[int(x)] for x in
+                        b["n"].to_numpy(zero_copy_only=False)])
+        keep = b["val"].to_numpy(zero_copy_only=False) * frac_inv > tot
+        return b.filter(pa.array(keep))
+
+    kept = drop_empty_blocks(
+        pinned.map_batches(share_filter, batch_format="pyarrow"))
+    pdf = kept.to_pandas()
+    if pdf.empty:
+        import pandas as pd
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "l_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    pdf["n_name"] = pdf["n"].map(name_of)
+    pdf["l_partkey"] = pdf["p"]
+    pdf["value"] = pdf["val"]
+    return pdf[["n_name", "l_partkey", "value"]] \
+        .sort_values(["n_name", "value", "l_partkey"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+SQL_Q11_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT n_name, l_partkey,
+         floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_partkey
+), t AS (
+  SELECT n_name, floor(sum(value) * 1e2 + 0.5) / 1e2 AS tot
+  FROM v GROUP BY n_name
+)
+SELECT v.n_name, v.l_partkey, v.value
+FROM v JOIN t USING (n_name)
+WHERE v.value * 500.0 > t.tot
+ORDER BY v.n_name, v.value DESC, v.l_partkey
+"""
+
+
 def q16_supplier_counts(sf_dir: str, bal_cut: float = 500.0):
     """TPC-H Q16 shape (COUNT DISTINCT suppliers per part
     brand/type/size, excluding a supplier blocklist; lineitem plays
@@ -2099,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": q4_priority_exists,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -2148,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_priority_exists": SQL_Q4_PRIORITY_EXISTS,
         "q7_nation_volume": SQL_Q7_NATION_VOLUME,
         "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+        "q11_important_parts": SQL_Q11_IMPORTANT_PARTS,
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
