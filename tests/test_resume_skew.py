@@ -235,3 +235,40 @@ def test_partition_run_mixed_schema_group(ray_session, tmp_path):
     got = pads.dataset(str(tmp_path / "out" / "part-000000")).to_table()
     langs = dict(zip(got["url"].to_pylist(), got["lang"].to_pylist()))
     assert langs == {"http://x/1": None, "http://x/2": "en"}
+
+
+def test_clean_stage_job(shards, tmp_path):
+    """--clean appends (clean_text, n_kept, clean_keep) per row without
+    dropping rows, the config pin refuses a mismatched resume, and a
+    matching resume completes the run."""
+    import pyarrow.dataset as pads
+    import pytest
+    from zhtml_ray.stages.manifest import run_partitioned
+    out_dir = str(tmp_path / "clean_out")
+
+    r1 = run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                         fail_after=1,
+                         extract_kwargs={"include_spans": False,
+                                         "clean": True})
+    assert not r1["complete"]
+
+    # resume with the clean flag dropped must refuse, not mix configs
+    with pytest.raises(ValueError, match="different extraction config"):
+        run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": False})
+
+    r2 = run_partitioned(shards, out_dir, group_size=2, overlap=2,
+                         extract_kwargs={"include_spans": False,
+                                         "clean": True})
+    assert r2["complete"]
+    assert r2["rows"] == 300  # no row drops: lineage invariant holds
+
+    dset = pads.dataset([p for p in glob.glob(out_dir + "/part-*/*.parquet")])
+    names = dset.schema.names
+    assert {"clean_text", "n_kept", "clean_keep"} <= set(names)
+    t = dset.to_table(columns=["clean_keep", "n_kept", "clean_text"])
+    kept = t.filter(t["clean_keep"])
+    assert 0 < kept.num_rows < t.num_rows  # a real filter, not a constant
+    # every kept row has >= 3 surviving lines by construction
+    import pyarrow.compute as pc
+    assert pc.min(kept["n_kept"]).as_py() >= 3

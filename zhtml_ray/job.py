@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None,
                    help="rows per parse batch; default block-as-batch")
     p.add_argument("--no-spans", action="store_true")
+    p.add_argument("--clean", action="store_true",
+                   help="append C4+Gopher clean_text/clean_keep columns "
+                        "to every extracted row (config-pinned: a "
+                        "--resume must match the original run)")
     args = p.parse_args(argv)
 
     import os
@@ -64,7 +68,8 @@ def main(argv=None):
             files, args.output, group_size=args.group_size,
             overlap=args.overlap,
             extract_kwargs={"batch_size": args.batch_size,
-                            "include_spans": not args.no_spans})
+                            "include_spans": not args.no_spans,
+                            "clean": args.clean})
         print(json.dumps(summary))
         return 0 if summary["complete"] else 1
     finally:

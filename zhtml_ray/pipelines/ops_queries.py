@@ -396,6 +396,32 @@ FROM documents
 """
 
 
+# shared thresholds for the page-text Gopher-lite pass (q_web_pipeline
+# and the job CLI --clean stage must agree — one source of truth)
+_WEB_GOPHER_KW = dict(col="clean_text", min_words=20, max_words=10**9,
+                      min_stops=0, dup_mult=5)
+
+
+def append_clean_columns(batch):
+    """Job-CLI --clean post-stage: append (clean_text, n_kept,
+    clean_keep) to every extracted row WITHOUT dropping rows — the
+    partition manifests keep their rows==inputs lineage invariant and
+    the filter decision is recorded per row for downstream dedup/pack
+    stages. Same C4 + Gopher-lite semantics as ``q_web_pipeline``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.textstats import GopherStats
+
+    c4 = _c4_batch(batch)
+    g = GopherStats(**_WEB_GOPHER_KW)(
+        pa.table({"clean_text": c4["clean_text"]}))
+    keep = pc.and_(c4["keep"], g["keep"])
+    return batch.append_column("clean_text", c4["clean_text"]) \
+        .append_column("n_kept", c4["n_kept"]) \
+        .append_column("clean_keep", keep)
+
+
 def q_web_pipeline(sf_dir: str):
     """Flagship composite: the full training-data chain over web pages
     — parse+extract → C4 line filter → Gopher-lite repetition/length
@@ -421,8 +447,7 @@ def q_web_pipeline(sf_dir: str):
     # dup_mult=5 (<= 20% duplicate bigrams): web prose repeats short
     # collocations far more than the documents fixture's word soup —
     # the 4% default would reject ~95% of real pages here (measured)
-    gopher = GopherStats(col="clean_text", min_words=20,
-                         max_words=10**9, min_stops=0, dup_mult=5)
+    gopher = GopherStats(**_WEB_GOPHER_KW)
 
     def clean_stage(batch: pa.Table) -> pa.Table:
         c4 = _c4_batch(batch)

@@ -119,7 +119,13 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
     ds = parts_ds[0]
     if len(parts_ds) > 1:
         ds = ds.union(*parts_ds[1:])
+    extract_kwargs = dict(extract_kwargs)
+    clean = extract_kwargs.pop("clean", False)
     out = extract_pages(ds, **extract_kwargs)
+    if clean:  # job-CLI --clean: C4+Gopher columns appended per row
+        from zhtml_ray.pipelines.ops_queries import append_clean_columns
+        out = out.map_batches(append_clean_columns,
+                              batch_format="pyarrow")
     out.write_parquet(tmp_dir)
     # a ZERO-ROW partition (legal: an empty input shard) writes no files
     # and may not even create tmp_dir — it must still complete with an
@@ -192,6 +198,7 @@ def run_partitioned(input_files: list[str], out_dir: str,
     cfg_tag = json.dumps({
         "include_spans": extract_kwargs.get("include_spans", True),
         "thresholds": repr(extract_kwargs.get("thresholds", None)),
+        "clean": bool(extract_kwargs.get("clean", False)),
     }, sort_keys=True)
     # the plan is pinned on first run: a resume with a different
     # group_size must not re-number partitions, and a resume with a
