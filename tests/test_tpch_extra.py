@@ -247,3 +247,49 @@ def test_q11_matches_pandas(ray_session, tmp_path):
         .reset_index(drop=True)
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q12_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q12_late_shipments
+    rng = np.random.default_rng(18)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q12_late_shipments(str(tmp_path), days=400)
+
+    j = line.merge(orders[["o_orderkey", "o_orderdate",
+                           "o_orderpriority"]],
+                   left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = j.l_shipdate > j.o_orderdate + pd.Timedelta(days=400)
+    j["high"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    want = j.groupby("late").agg(
+        high_count=("high", "sum"),
+        low_count=("high", lambda s: int((~s).sum()))).reset_index() \
+        .sort_values("late").reset_index(drop=True)
+    assert set(want.late) == {False, True}
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_churn_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.ops_queries import q_user_churn
+    rng = np.random.default_rng(19)
+    n = 3000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+        "user_id": rng.integers(0, 400, n).astype(np.int64),
+        "event_type": rng.choice(["purchase", "view"], n),
+        "value": rng.uniform(0, 10, n),
+        "props": "{}"})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = q_user_churn(str(tmp_path), w1_end="2024-01-08",
+                       w2_end="2024-01-15").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    p = ev[ev.event_type == "purchase"]
+    w1 = p[p.ts < "2024-01-08"].groupby("user_id").size()
+    w2set = set(p[(p.ts >= "2024-01-08") & (p.ts < "2024-01-15")].user_id)
+    want = w1[~w1.index.isin(w2set)].reset_index(name="w1_purchases") \
+        .sort_values("user_id").reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

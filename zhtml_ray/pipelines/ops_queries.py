@@ -350,6 +350,68 @@ FROM K
 """
 
 
+def q_user_churn(sf_dir: str, etype: str = "purchase",
+                 w1_end: str = "2024-01-05", w2_end: str = "2024-01-12"):
+    """Period-over-period churn: users with a ``etype`` event before
+    ``w1_end`` but none in [w1_end, w2_end). ONE range-sort shuffle:
+    per-batch (user, w1_flagsum, w2_flagsum) partials →
+    ``sorted_sum_per_group`` → the churn predicate (w1 > 0 AND w2 = 0)
+    is a pure map over the summed flags — the set difference never
+    builds a set, never anti-joins, never lands on the driver."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    t1 = _dt.datetime.fromisoformat(w1_end)
+    t2 = _dt.datetime.fromisoformat(w2_end)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.equal(b["event_type"], etype),
+                             pc.less(b["ts"], pa.scalar(t2))))
+        in_w1 = pc.cast(pc.less(t["ts"], pa.scalar(t1)), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "w1": in_w1,
+                      "w2": pc.subtract(pa.scalar(1, pa.int64()),
+                                        in_w1)}) \
+            .group_by("user_id").aggregate([("w1", "sum"),
+                                            ("w2", "sum")])
+        return g.rename_columns(["user_id", "w1", "w2"])
+
+    summed = sorted_sum_per_group(
+        drop_empty_blocks(ds.map_batches(flags, batch_format="pyarrow")),
+        ["user_id"], ["w1", "w2"])
+
+    def churned(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b["w1"], 0), pc.equal(b["w2"], 0))
+        t = b.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "w1_purchases": t["w1"]})
+
+    return drop_empty_blocks(
+        summed.map_batches(churned, batch_format="pyarrow"))
+
+
+def _sql_user_churn(etype: str = "purchase",
+                    w1_end: str = "2024-01-05",
+                    w2_end: str = "2024-01-12") -> str:
+    return f"""
+SELECT user_id,
+       sum(CASE WHEN ts < TIMESTAMP '{w1_end}' THEN 1 ELSE 0 END)::BIGINT
+           AS w1_purchases
+FROM events
+WHERE event_type = '{etype}' AND ts < TIMESTAMP '{w2_end}'
+GROUP BY user_id
+HAVING sum(CASE WHEN ts < TIMESTAMP '{w1_end}' THEN 1 ELSE 0 END) > 0
+   AND sum(CASE WHEN ts >= TIMESTAMP '{w1_end}' THEN 1 ELSE 0 END) = 0
+"""
+
+
 def q_train_val_split(sf_dir: str, train_pct: int = 80,
                       val_pct: int = 10):
     """Deterministic train/val/test assignment by content-independent
@@ -6390,6 +6452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "web_pipeline": q_web_pipeline,
         "train_val_split": q_train_val_split,
+        "user_churn": q_user_churn,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6525,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _sql_dsir_select(),
         "web_pipeline": _sql_web_pipeline(),
         "train_val_split": _sql_train_val_split(),
+        "user_churn": _sql_user_churn(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),

@@ -1970,6 +1970,70 @@ ORDER BY v.n_name, v.value DESC, v.l_partkey
 """
 
 
+def q12_late_shipments(sf_dir: str, days: int = 90):
+    """TPC-H Q12 shape (shipping-mode priority pivot; the fixture has
+    no l_shipmode/commitdate, so the bucket is "shipped more than
+    ``days`` after order" — same join + CASE-pivot aggregate). ONE
+    range shuffle attaches (o_orderdate, o_orderpriority) to lineitem;
+    the 2×2 pivot counts combine map-side and only ≤2 rows reach the
+    driver. The lateness compare is exact integer microseconds."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "l_shipdate"])
+
+    joined = compact_blocks(sorted_lookup_join(
+        line.map_batches(l_prep, batch_format="pyarrow"), orders,
+        "o_orderkey", ["o_orderdate", "o_orderpriority"], how="inner"))
+
+    cut = _dt.timedelta(days=days)
+
+    def pivot_partial(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(b["l_shipdate"], b["o_orderdate"])
+        late = pc.greater(gap, pa.scalar(cut))
+        high = pc.is_in(b["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        g = pa.table({"late": late,
+                      "h": pc.cast(high, pa.int64()),
+                      "l": pc.cast(pc.invert(high), pa.int64())}) \
+            .group_by("late").aggregate([("h", "sum"), ("l", "sum")])
+        return g.rename_columns(["late", "ph", "pl"])
+
+    agg = drop_empty_blocks(
+        joined.map_batches(pivot_partial, batch_format="pyarrow")) \
+        .groupby("late") \
+        .aggregate(Sum("ph", alias_name="high_count"),
+                   Sum("pl", alias_name="low_count"))
+    pdf = agg.to_pandas()
+    return pdf[["late", "high_count", "low_count"]] \
+        .sort_values("late").reset_index(drop=True)
+
+
+SQL_Q12_LATE_SHIPMENTS = """
+SELECT (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY late ORDER BY late
+"""
+
+
 def q16_supplier_counts(sf_dir: str, bal_cut: float = 500.0):
     """TPC-H Q16 shape (COUNT DISTINCT suppliers per part
     brand/type/size, excluding a supplier blocklist; lineitem plays
@@ -2222,6 +2286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "q11_important_parts": q11_important_parts,
+        "q12_late_shipments": q12_late_shipments,
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -2272,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": SQL_Q7_NATION_VOLUME,
         "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
         "q11_important_parts": SQL_Q11_IMPORTANT_PARTS,
+        "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
