@@ -174,3 +174,18 @@ def test_web_pipeline_dedup_picks_min_url(ray_session):
     assert len(out) == 7
     want = df.groupby("digest")["url"].min()
     assert dict(zip(out.digest, out.url)) == want.to_dict()
+
+
+def test_new_pure_map_ops_plan_shape(ray_session):
+    """gopher_rules / c4_clean / train_val_split / dsir scoring are
+    pure maps: no Sort / Shuffle / Aggregate may appear in their
+    executed plans (the dsir MODEL pass aggregates by design; the
+    scoring Dataset it returns must not)."""
+    from zhtml_ray.pipelines.ops_queries import (q_c4_clean,
+                                                 q_gopher_rules,
+                                                 q_train_val_split)
+    sf = "/root/testdata/sf0.001"
+    for fn in (q_gopher_rules, q_train_val_split, q_c4_clean):
+        st = fn(sf).materialize().stats()
+        for marker in ("Sort", "Shuffle", "Aggregate("):
+            assert marker not in st, f"{fn.__name__}: {marker}:\n{st}"

@@ -293,3 +293,64 @@ def test_user_churn_matches_pandas(ray_session, tmp_path):
         .sort_values("user_id").reset_index(drop=True)
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q20_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q20_promo_suppliers
+    rng = np.random.default_rng(20)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q20_promo_suppliers(str(tmp_path), ptype="PROMO", qty=120.0)
+
+    j = line.merge(part[["p_partkey", "p_type"]],
+                   left_on="l_partkey", right_on="p_partkey")
+    j = j[j.p_type == "PROMO"]
+    per = j.groupby(["l_suppkey", "l_partkey"])["l_quantity"].sum()
+    keys = sorted(set(per[per > 120.0].index.get_level_values(0)))
+    want = supp[supp.s_suppkey.isin(keys)][["s_suppkey", "s_name"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q21_matches_pandas_with_hot_order(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q21_single_blame
+    rng = np.random.default_rng(22)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    # a mega order spanning many suppliers (block-edge exercise):
+    # supplier 0 late on it, everyone else on time
+    base = orders[orders.o_orderkey == 11].o_orderdate.iloc[0]
+    extra = pd.DataFrame({
+        "l_orderkey": np.int64(11),
+        "l_partkey": np.int64(0), "l_suppkey": np.arange(40, dtype=np.int64),
+        "l_linenumber": np.int32(0),
+        "l_quantity": 1.0, "l_extendedprice": 10.0, "l_discount": 0.0,
+        "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": [base + pd.Timedelta(days=200 if i == 0 else 5)
+                       for i in range(40)]})
+    line2 = pd.concat([line[line.l_orderkey != 11], extra],
+                      ignore_index=True)
+    _write(tmp_path, "lineitem", line2)
+
+    got = q21_single_blame(str(tmp_path), days=60, k=15)
+
+    j = line2.merge(orders[["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = (j.l_shipdate > j.o_orderdate
+                 + pd.Timedelta(days=60)).astype(int)
+    f = j.groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"] \
+        .max()
+    o = f.groupby("l_orderkey").agg(ns=("l_suppkey", "size"),
+                                    nl=("late", "sum")).reset_index()
+    m = f.merge(o, on="l_orderkey")
+    blamed = m[(m.ns >= 2) & (m.nl == 1) & (m.late == 1)]
+    cnt = blamed.groupby("l_suppkey").size() \
+        .reset_index(name="numwait") \
+        .rename(columns={"l_suppkey": "s_suppkey"}) \
+        .merge(supp[["s_suppkey", "s_name"]], on="s_suppkey")
+    want = cnt.sort_values(["numwait", "s_suppkey"],
+                           ascending=[False, True]).head(15) \
+        [["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+    # supplier 0 must be blamed for the planted mega order
+    assert 11 in set(blamed.l_orderkey)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

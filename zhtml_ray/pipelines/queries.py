@@ -2115,6 +2115,236 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q20_promo_suppliers(sf_dir: str, ptype: str = "PROMO",
+                        qty: float = 100.0):
+    """TPC-H Q20 shape (suppliers with excess stock of promo parts:
+    nested IN over a grouped HAVING; lineitem plays partsupp). The
+    promo-part set broadcasts as a sorted-key bitmap (q14 pattern);
+    per-(supplier, part) quantity sums run as ONE
+    ``sorted_sum_per_group`` range shuffle; qualifying suppliers dedup
+    map-side + one tiny grouped-first; names attach via a final range
+    shuffle against the supplier table (too big to broadcast at
+    100 TB). qty sums integers stored as doubles — exact HAVING
+    boundary, no pin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    promo = np.asarray(pc.equal(part["p_type"], ptype).to_pylist(), bool)
+    order = np.argsort(keys)
+    lookup_ref = ray.put((keys[order], promo[order]))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_quantity"])
+
+    def promo_partial(b: pa.Table) -> pa.Table:
+        k, isp = ray.get(lookup_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = isp[np.searchsorted(k, pk)]
+        t = b.filter(pa.array(keep))
+        g = pa.table({"l_suppkey": t["l_suppkey"],
+                      "l_partkey": t["l_partkey"],
+                      "qty": t["l_quantity"]}) \
+            .group_by(["l_suppkey", "l_partkey"]) \
+            .aggregate([("qty", "sum")])
+        return g.rename_columns(["l_suppkey", "l_partkey", "qty"])
+
+    sums = sorted_sum_per_group(
+        drop_empty_blocks(
+            line.map_batches(promo_partial, batch_format="pyarrow")),
+        ["l_suppkey", "l_partkey"], ["qty"])
+
+    def qualify(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["qty"], pa.scalar(qty)))
+        return pa.table({"s_suppkey": pc.unique(t["l_suppkey"])})
+
+    distinct = sorted_first_per_group(
+        compact_blocks(drop_empty_blocks(
+            sums.map_batches(qualify, batch_format="pyarrow"))),
+        ["s_suppkey"])
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    named = sorted_lookup_join(distinct, supp, "s_suppkey",
+                               ["s_name"], how="inner")
+    pdf = named.to_pandas()
+    return pdf[["s_suppkey", "s_name"]].sort_values("s_suppkey") \
+        .reset_index(drop=True)
+
+
+SQL_Q20_PROMO_SUPPLIERS = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 100.0)
+ORDER BY s_suppkey
+"""
+
+
+def q21_single_blame(sf_dir: str, days: int = 60, k: int = 20):
+    """TPC-H Q21 shape (suppliers who kept orders waiting: multi-
+    supplier orders where EXACTLY ONE supplier shipped late — the
+    EXISTS + NOT EXISTS pair — counted per blamed supplier; lateness
+    is ship > order date + ``days`` since the fixture has no
+    commit/receipt dates). Execution:
+
+      1. ONE range shuffle attaches o_orderdate to lineitem;
+      2. per-batch (order, supplier) late-flag partials;
+      3. ``sorted_bucket_apply`` on o_orderkey: the per-order
+         blamed-supplier rule runs VECTORIZED inside each block
+         (np.reduceat over (order, supplier) sub-runs), block-edge
+         orders resolve in the bounded per-group pass;
+      4. blamed counts per supplier via ``sorted_sum_per_group`` +
+         a final name-attach shuffle; only the top-k reaches the
+         driver."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_bucket_apply,
+                                          sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "l_suppkey",
+                                 "l_shipdate"])
+
+    joined = compact_blocks(sorted_lookup_join(
+        line.map_batches(l_prep, batch_format="pyarrow"), orders,
+        "o_orderkey", ["o_orderdate"], how="inner"))
+
+    cut = _dt.timedelta(days=days)
+
+    def flag_partial(b: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(pc.subtract(b["l_shipdate"],
+                                              b["o_orderdate"]),
+                                  pa.scalar(cut)), pa.int8())
+        g = pa.table({"o_orderkey": b["o_orderkey"],
+                      "l_suppkey": b["l_suppkey"], "late": late}) \
+            .group_by(["o_orderkey", "l_suppkey"]) \
+            .aggregate([("late", "max")])
+        return g.rename_columns(["o_orderkey", "l_suppkey", "late"])
+
+    flags = drop_empty_blocks(
+        joined.map_batches(flag_partial, batch_format="pyarrow"))
+
+    empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
+
+    def _blame(o, s, late):
+        """Vector core: (order, supp, late) rows SORTED by (o, s) →
+        blamed supplier per qualifying order, plus the order-run start
+        offsets so the caller can mask interior runs."""
+        n = len(o)
+        pair_new = np.r_[True, (o[1:] != o[:-1]) | (s[1:] != s[:-1])]
+        p_starts = np.flatnonzero(pair_new)
+        late_any = np.maximum.reduceat(late, p_starts) if n else \
+            np.zeros(0, np.int8)
+        po = o[p_starts]
+        o_starts = np.flatnonzero(np.r_[True, po[1:] != po[:-1]]) \
+            if len(po) else np.zeros(0, np.int64)
+        ns = np.diff(np.r_[o_starts, len(p_starts)])
+        nl = np.add.reduceat(late_any, o_starts) if len(po) else ns
+        q = (ns >= 2) & (nl == 1)
+        q_per_pair = np.repeat(q, ns)
+        blamed = p_starts[q_per_pair & (late_any == 1)]
+        return blamed, p_starts, o_starts, q
+
+    def interior_fn(b, starts, ends, mask) -> pa.Table:
+        o = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = b["late"].to_numpy(zero_copy_only=False)
+        blamed, _, _, _ = _blame(o, s, late)
+        if not len(blamed):
+            return empty
+        # keep only blamed rows whose ORDER run is interior (mask)
+        run_of = np.searchsorted(starts, blamed, side="right") - 1
+        keep = blamed[mask[run_of]]
+        return pa.table({"l_suppkey": pa.array(s[keep], pa.int64())})
+
+    def edge_fn(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("o_orderkey", "ascending"),
+                                            ("l_suppkey", "ascending")])
+        g = g.take(idx)
+        o = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        s = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = g["late"].to_numpy(zero_copy_only=False)
+        blamed, _, _, _ = _blame(o, s, late)
+        if not len(blamed):
+            return empty
+        return pa.table({"l_suppkey": pa.array(s[blamed], pa.int64())})
+
+    blamed_ds = sorted_bucket_apply(
+        flags, "o_orderkey", ["o_orderkey", "l_suppkey"],
+        interior_fn, edge_fn, empty)
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"s_suppkey": b["l_suppkey"]}) \
+            .group_by("s_suppkey").aggregate([("s_suppkey", "count")])
+        return g.rename_columns(["s_suppkey", "numwait"])
+
+    counts = sorted_sum_per_group(
+        compact_blocks(drop_empty_blocks(
+            blamed_ds.map_batches(cnt_partial, batch_format="pyarrow"))),
+        ["s_suppkey"], ["numwait"])
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    named = sorted_lookup_join(counts, supp, "s_suppkey", ["s_name"],
+                               how="inner")
+    top = named.sort(["numwait", "s_suppkey"],
+                     descending=[True, False]).limit(k)
+    pdf = top.to_pandas()
+    return pdf[["s_suppkey", "s_name", "numwait"]] \
+        .sort_values(["numwait", "s_suppkey"],
+                     ascending=[False, True]).reset_index(drop=True)
+
+
+SQL_Q21_SINGLE_BLAME = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), o AS (
+  SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
+  FROM f GROUP BY l_orderkey
+), blamed AS (
+  SELECT f.l_suppkey FROM f JOIN o USING (l_orderkey)
+  WHERE o.ns >= 2 AND o.nl = 1 AND f.late = 1
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
 def q22_idle_balance(sf_dir: str,
                      segments=("AUTOMOBILE", "HOUSEHOLD"),
                      before: str = "1996-01-01",
@@ -2289,6 +2519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": q12_late_shipments,
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
+        "q20_promo_suppliers": q20_promo_suppliers,
+        "q21_single_blame": q21_single_blame,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_idle_balance": q22_idle_balance,
         "bloom_join_revenue": q_bloom_join_revenue,
@@ -2340,6 +2572,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "q20_promo_suppliers": SQL_Q20_PROMO_SUPPLIERS,
+        "q21_single_blame": SQL_Q21_SINGLE_BLAME,
         "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
         "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
         "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
