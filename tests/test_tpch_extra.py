@@ -354,3 +354,52 @@ def test_q21_matches_pandas_with_hot_order(ray_session, tmp_path):
     assert 11 in set(blamed.l_orderkey)
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q15_ties_kept(ray_session, tmp_path):
+    """Two suppliers engineered to the same pinned max revenue: both
+    must survive the equal-to-max filter."""
+    from zhtml_ray.pipelines.queries import q15_top_supplier
+    rng = np.random.default_rng(23)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    # plant two dominant equal-revenue suppliers inside the window
+    plant = pd.DataFrame({
+        "l_orderkey": np.int64(1), "l_partkey": np.int64(0),
+        "l_suppkey": np.array([7, 9], dtype=np.int64),
+        "l_linenumber": np.int32(0), "l_quantity": 1.0,
+        "l_extendedprice": 9_000_000.0, "l_discount": 0.0,
+        "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime("1996-02-01")})
+    # drop the planted suppliers' baseline rows so their window
+    # revenues are EXACTLY the planted values (a true tie)
+    line2 = pd.concat([line[~line.l_suppkey.isin([7, 9])], plant],
+                      ignore_index=True)
+    _write(tmp_path, "lineitem", line2)
+
+    got = q15_top_supplier(str(tmp_path), lo="1996-01-01",
+                           hi="1996-04-01")
+    w = line2[(line2.l_shipdate >= "1996-01-01")
+              & (line2.l_shipdate < "1996-04-01")].copy()
+    w["rev"] = w.l_extendedprice * (1 - w.l_discount)
+    per = w.groupby("l_suppkey")["rev"].sum()
+    per = np.floor(per * 1e2 + 0.5) / 1e2
+    best = set(per[per == per.max()].index)
+    assert {7, 9} <= best
+    assert set(got.s_suppkey) == best
+
+
+def test_q17_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q17_small_quantity_revenue
+    rng = np.random.default_rng(24)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q17_small_quantity_revenue(str(tmp_path), frac=0.5)
+
+    g = line.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+    cut = (np.floor(g["sum"] * 1e2 + 0.5) / 1e2 / g["count"]) * 0.5
+    j = line.merge(cut.rename("cut"), left_on="l_partkey",
+                   right_index=True)
+    small = j[j.l_quantity < j.cut]
+    assert len(small) > 0
+    assert got.n_small.iloc[0] == len(small)
+    want_k = np.floor(small.l_extendedprice.sum() / 1e3 * 1e2 + 0.5) / 1e2
+    assert got.revenue_k.iloc[0] == want_k

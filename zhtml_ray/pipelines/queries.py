@@ -2115,6 +2115,168 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
+                     hi: str = "1996-04-01"):
+    """TPC-H Q15 shape (the top-revenue supplier(s) of a quarter —
+    aggregate, then filter equal to the aggregate's MAX, ties kept).
+    Per-supplier revenue: map-side partials → ONE
+    ``sorted_sum_per_group`` shuffle → 2-dp pin map-side. The global
+    max reduces via ``Dataset.aggregate(Max)`` (never a driver scan);
+    the equality filter is a pure map over the pinned values, so ties
+    survive exactly as in SQL. Name attach = one final range shuffle."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_suppkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["l_shipdate"],
+                                        pa.scalar(lo_ts)),
+                       pc.less(b["l_shipdate"], pa.scalar(hi_ts)))
+        t = b.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"s_suppkey": t["l_suppkey"], "rev": rev}) \
+            .group_by("s_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["s_suppkey", "rev"])
+
+    per_supp = sorted_sum_per_group(
+        drop_empty_blocks(
+            line.map_batches(partial, batch_format="pyarrow")),
+        ["s_suppkey"], ["rev"])
+
+    def pin(b: pa.Table) -> pa.Table:
+        r = pc.divide(pc.floor(pc.add(pc.multiply(b["rev"],
+                                                  pa.scalar(1e2)),
+                                      pa.scalar(0.5))), pa.scalar(1e2))
+        return pa.table({"s_suppkey": b["s_suppkey"], "total_rev": r})
+
+    pinned = compact_blocks(
+        per_supp.map_batches(pin, batch_format="pyarrow")).materialize()
+    best = pinned.aggregate(Max("total_rev", alias_name="m"))["m"]
+
+    def is_best(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["total_rev"], pa.scalar(best)))
+
+    top = drop_empty_blocks(
+        pinned.map_batches(is_best, batch_format="pyarrow"))
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    named = sorted_lookup_join(top, supp, "s_suppkey", ["s_name"],
+                               how="inner")
+    pdf = named.to_pandas()
+    return pdf[["s_suppkey", "s_name", "total_rev"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
+             / 1e2 AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM r JOIN supplier USING (s_suppkey)
+WHERE total_rev = (SELECT max(total_rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str, frac: float = 0.5):
+    """TPC-H Q17 shape (revenue from orders far below a part's
+    typical quantity — the correlated per-group average). Two passes
+    over lineitem: (1) per-part (sum_qty, count) via ONE
+    ``sorted_sum_per_group``, average derived from the 2-dp-PINNED
+    sum so both engines compare against the identical double;
+    (2) the filter pass re-joins the per-part threshold by one range
+    shuffle and emits one partial revenue row per batch. Output is
+    the global sum in THOUSANDS, 2-dp-pinned — the raw unit sum's
+    accumulation noise (~1e-3 at 10^9 magnitude) would sit too close
+    to a whole-unit pin boundary (CLAUDE.md sum-pin rule)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice"])
+
+    def mom_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": b["l_partkey"],
+                      "q": b["l_quantity"],
+                      "n": pa.array([1] * b.num_rows, pa.int64())}) \
+            .group_by("l_partkey").aggregate([("q", "sum"),
+                                              ("n", "sum")])
+        return g.rename_columns(["l_partkey", "q", "n"])
+
+    moments = sorted_sum_per_group(
+        drop_empty_blocks(
+            line.map_batches(mom_partial, batch_format="pyarrow")),
+        ["l_partkey"], ["q", "n"])
+
+    def thresh(b: pa.Table) -> pa.Table:
+        qp = pc.divide(pc.floor(pc.add(pc.multiply(b["q"],
+                                                   pa.scalar(1e2)),
+                                       pa.scalar(0.5))), pa.scalar(1e2))
+        avg = pc.divide(qp, pc.cast(b["n"], pa.float64()))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "cut": pc.multiply(avg, pa.scalar(frac))})
+
+    cuts = compact_blocks(
+        moments.map_batches(thresh, batch_format="pyarrow"))
+
+    joined = sorted_lookup_join(line, cuts, "l_partkey", ["cut"],
+                                how="inner")
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["l_quantity"], b["cut"]))
+        s = pc.sum(t["l_extendedprice"]).as_py() or 0.0
+        return pa.table({"r": pa.array([float(s)]),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    got = joined.map_batches(rev_partial, batch_format="pyarrow") \
+        .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
+    rev_k = math.floor((got["r"] or 0.0) / 1e3 * 1e2 + 0.5) / 1e2
+    import pandas as pd
+    return pd.DataFrame({"n_small": [int(got["n"] or 0)],
+                         "revenue_k": [rev_k]})
+
+
+SQL_Q17_SMALL_QUANTITY_REVENUE = """
+WITH a AS (
+  SELECT l_partkey,
+         ((floor(sum(l_quantity) * 1e2 + 0.5) / 1e2) / count(*)) * 0.5
+             AS cut
+  FROM lineitem GROUP BY l_partkey)
+SELECT count(*)::BIGINT AS n_small,
+       floor(sum(l_extendedprice) / 1e3 * 1e2 + 0.5) / 1e2 AS revenue_k
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < cut
+"""
+
+
 def q20_promo_suppliers(sf_dir: str, ptype: str = "PROMO",
                         qty: float = 100.0):
     """TPC-H Q20 shape (suppliers with excess stock of promo parts:
@@ -2519,6 +2681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": q12_late_shipments,
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q20_promo_suppliers": q20_promo_suppliers,
         "q21_single_blame": q21_single_blame,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -2572,6 +2736,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+        "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
         "q20_promo_suppliers": SQL_Q20_PROMO_SUPPLIERS,
         "q21_single_blame": SQL_Q21_SINGLE_BLAME,
         "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
