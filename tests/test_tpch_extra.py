@@ -403,3 +403,67 @@ def test_q17_matches_pandas(ray_session, tmp_path):
     assert got.n_small.iloc[0] == len(small)
     want_k = np.floor(small.l_extendedprice.sum() / 1e3 * 1e2 + 0.5) / 1e2
     assert got.revenue_k.iloc[0] == want_k
+
+
+def test_q9_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q9_nation_margin
+    rng = np.random.default_rng(25)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    got = q9_nation_margin(str(tmp_path))
+
+    j = line.merge(part[["p_partkey", "p_retailprice"]],
+                   left_on="l_partkey", right_on="p_partkey") \
+        .merge(supp[["s_suppkey", "s_nationkey"]],
+               left_on="l_suppkey", right_on="s_suppkey")
+    name_of = dict(zip(nation.n_nationkey, nation.n_name))
+    j["n_name"] = j.s_nationkey.map(name_of)
+    j["o_year"] = j.l_shipdate.dt.year.astype("int64")
+    j["amount"] = (j.l_extendedprice * (1 - j.l_discount)
+                   - j.p_retailprice * j.l_quantity)
+    want = j.groupby(["n_name", "o_year"], as_index=False)["amount"] \
+        .sum()
+    want["margin"] = np.floor(want.amount * 1e2 + 0.5) / 1e2
+    want = want[["n_name", "o_year", "margin"]] \
+        .sort_values(["n_name", "o_year"], ascending=[True, False]) \
+        .reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q8_matches_pandas(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q8_market_share
+    rng = np.random.default_rng(26)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    # mini_world nation has n_regionkey 0 for all; region table needed
+    region = pd.DataFrame({"r_regionkey": np.array([0], dtype=np.int32),
+                           "r_name": ["ASIA"]})
+    _write(tmp_path, "region", region)
+    bloc = ("NATION_3", "NATION_4")
+    got = q8_market_share(str(tmp_path), region="ASIA", bloc=bloc,
+                          ptype="PROMO", lo="1996-01-01",
+                          hi="1998-01-01")
+
+    j = (line.merge(part[["p_partkey", "p_type"]],
+                    left_on="l_partkey", right_on="p_partkey")
+         .merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]],
+                left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust[["c_custkey", "c_nationkey"]],
+                left_on="o_custkey", right_on="c_custkey")
+         .merge(supp[["s_suppkey", "s_nationkey"]],
+                left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[(j.p_type == "PROMO")
+          & (j.o_orderdate >= "1996-01-01")
+          & (j.o_orderdate < "1998-01-01")].copy()
+    name_of = dict(zip(nation.n_nationkey, nation.n_name))
+    j["o_year"] = j.o_orderdate.dt.year.astype("int64")
+    j["volume"] = j.l_extendedprice * (1 - j.l_discount)
+    j["bloc"] = j.s_nationkey.map(name_of).isin(bloc)
+    g = j.groupby("o_year").apply(
+        lambda s: (np.floor(s.loc[s.bloc, "volume"].sum() * 1e2 + 0.5)
+                   / 1e2)
+        / (np.floor(s.volume.sum() * 1e2 + 0.5) / 1e2),
+        include_groups=False).reset_index(name="mkt_share")
+    want = g.sort_values("o_year").reset_index(drop=True)
+    want["o_year"] = want.o_year.astype("int64")
+    assert len(want) == 2
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

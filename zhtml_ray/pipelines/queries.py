@@ -2115,6 +2115,244 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q9_nation_margin(sf_dir: str):
+    """TPC-H Q9 shape (profit by supplier nation and year; the fixture
+    has no partsupp, so cost = p_retailprice × quantity). The part
+    cost table broadcasts once as sorted partkey-aligned prices (q14
+    pattern); margin and year compute map-side; ONE range shuffle
+    attaches the supplier nation; per-(nation, year) partials combine
+    into a ≤ nations×years final groupby. Margin pinned 2 dp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(keys)
+    prices = np.asarray(part["p_retailprice"].to_pylist(),
+                        np.float64)[order]
+    lookup_ref = ray.put((keys[order], prices))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_quantity", "l_extendedprice",
+                                    "l_discount", "l_shipdate"])
+
+    def margin_prep(b: pa.Table) -> pa.Table:
+        k, pr = ray.get(lookup_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        cost = pr[np.searchsorted(k, pk)] * \
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "margin": pc.subtract(rev, pa.array(cost)),
+            "o_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64())})
+
+    prepped = line.map_batches(margin_prep, batch_format="pyarrow")
+    with_n = compact_blocks(sorted_lookup_join(
+        prepped, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", ["s_nationkey"], how="inner"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"n": pc.cast(b["s_nationkey"], pa.int32()),
+                      "o_year": b["o_year"], "m": b["margin"]}) \
+            .group_by(["n", "o_year"]).aggregate([("m", "sum")])
+        return g.rename_columns(["n", "o_year", "pm"])
+
+    agg = drop_empty_blocks(
+        with_n.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["n", "o_year"]) \
+        .aggregate(Sum("pm", alias_name="margin"))
+    pdf = agg.to_pandas()
+    pdf["n_name"] = pdf["n"].map(name_of)
+    pdf["margin"] = np.floor(pdf["margin"] * 1e2 + 0.5) / 1e2
+    return pdf[["n_name", "o_year", "margin"]] \
+        .sort_values(["n_name", "o_year"],
+                     ascending=[True, False]).reset_index(drop=True)
+
+
+SQL_Q9_NATION_MARGIN = """
+SELECT n_name, o_year,
+       floor(sum(amount) * 1e2 + 0.5) / 1e2 AS margin
+FROM (SELECT n_name, EXTRACT(year FROM l_shipdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey) t
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    bloc=("NATION_1", "NATION_2"),
+                    ptype: str = "PROMO",
+                    lo: str = "1996-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q8 shape (a supplier bloc's market share by year among
+    one region's customers for one part type — a ratio of two
+    aggregates per group). The q5/q7 spine: promo-part bitmap and
+    nation/region dims broadcast; orders⋈customer (shuffle 1) carries
+    the region filter; lineitem⋈that (shuffle 2) then ⋈supplier
+    (shuffle 3). Numerator (bloc suppliers) and denominator sums are
+    BOTH 2-dp-pinned per year before the division, so the share is
+    the identical IEEE double on both sides."""
+    import datetime as _dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(reg, keys="n_regionkey", right_keys="r_regionkey")
+    in_region = dim.filter(pc.equal(dim["r_name"], region))
+    region_keys = pa.array(sorted(
+        pc.cast(in_region["n_nationkey"], pa.int32()).to_pylist()),
+        pa.int32())
+    key_of = dict(zip(nation["n_name"].to_pylist(),
+                      nation["n_nationkey"].to_pylist()))
+    bloc_keys = pa.array(sorted(key_of[n] for n in bloc), pa.int32())
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(keys)
+    promo = np.asarray(pc.equal(part["p_type"], ptype).to_pylist(),
+                       bool)[order]
+    part_ref = ray.put((keys[order], promo))
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                        pa.scalar(lo_ts)),
+                       pc.less(b["o_orderdate"], pa.scalar(hi_ts)))
+        t = b.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    o_nat = compact_blocks(sorted_lookup_join(
+        drop_empty_blocks(orders.map_batches(o_prep,
+                                             batch_format="pyarrow")),
+        cust, "c_custkey", ["c_nationkey"], how="inner"))
+
+    def region_prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(b["c_nationkey"], pa.int32()),
+                        value_set=region_keys)
+        return b.filter(pc.fill_null(keep, False)) \
+            .select(["o_orderkey", "o_year"])
+
+    o_f = compact_blocks(drop_empty_blocks(
+        o_nat.map_batches(region_prune, batch_format="pyarrow")))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey",
+                                    "l_suppkey", "l_extendedprice",
+                                    "l_discount"])
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        k, isp = ray.get(part_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(isp[np.searchsorted(k, pk)]))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "s_suppkey": t["l_suppkey"], "rev": rev})
+
+    li = compact_blocks(sorted_lookup_join(
+        drop_empty_blocks(line.map_batches(l_prep,
+                                           batch_format="pyarrow")),
+        o_f, "o_orderkey", ["o_year"], how="inner"))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    with_s = sorted_lookup_join(li, supp, "s_suppkey",
+                                ["s_nationkey"], how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        in_bloc = pc.is_in(pc.cast(b["s_nationkey"], pa.int32()),
+                           value_set=bloc_keys)
+        bloc_rev = pc.if_else(pc.fill_null(in_bloc, False), b["rev"],
+                              pa.scalar(0.0))
+        g = pa.table({"o_year": b["o_year"], "num": bloc_rev,
+                      "den": b["rev"]}) \
+            .group_by("o_year").aggregate([("num", "sum"),
+                                           ("den", "sum")])
+        return g.rename_columns(["o_year", "pn", "pd"])
+
+    agg = drop_empty_blocks(
+        with_s.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("o_year").aggregate(Sum("pn", alias_name="num"),
+                                     Sum("pd", alias_name="den"))
+    pdf = agg.to_pandas()
+    if pdf.empty:
+        import pandas as pd
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    num = np.floor(pdf["num"] * 1e2 + 0.5) / 1e2
+    den = np.floor(pdf["den"] * 1e2 + 0.5) / 1e2
+    pdf["mkt_share"] = num / den
+    return pdf[["o_year", "mkt_share"]].sort_values("o_year") \
+        .reset_index(drop=True)
+
+
+SQL_Q8_MARKET_SHARE = """
+SELECT o_year,
+       (floor(sum(CASE WHEN bloc THEN volume ELSE 0.0 END) * 1e2 + 0.5)
+            / 1e2)
+       / (floor(sum(volume) * 1e2 + 0.5) / 1e2) AS mkt_share
+FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             ns.n_name IN ('NATION_1', 'NATION_2') AS bloc
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01') t
+GROUP BY o_year ORDER BY o_year
+"""
+
+
 def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
                      hi: str = "1996-04-01"):
     """TPC-H Q15 shape (the top-revenue supplier(s) of a quarter —
@@ -2681,6 +2919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": q12_late_shipments,
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
+        "q8_market_share": q8_market_share,
+        "q9_nation_margin": q9_nation_margin,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q20_promo_suppliers": q20_promo_suppliers,
@@ -2736,6 +2976,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "q8_market_share": SQL_Q8_MARKET_SHARE,
+        "q9_nation_margin": SQL_Q9_NATION_MARGIN,
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
         "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
         "q20_promo_suppliers": SQL_Q20_PROMO_SUPPLIERS,
