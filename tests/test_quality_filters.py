@@ -2,6 +2,7 @@
 rules (integer-exact signals) and the C4 line filter."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -189,3 +190,18 @@ def test_new_pure_map_ops_plan_shape(ray_session):
         st = fn(sf).materialize().stats()
         for marker in ("Sort", "Shuffle", "Aggregate("):
             assert marker not in st, f"{fn.__name__}: {marker}:\n{st}"
+
+
+def test_word_dropout_deterministic_and_rate(ray_session):
+    """Same input twice → byte-identical augmentation; drop rate near
+    1/rate_inv; dropped positions independent of batch layout."""
+    from zhtml_ray.pipelines.ops_queries import q_word_dropout
+    sf = "/root/testdata/sf0.001"
+    a = q_word_dropout(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = q_word_dropout(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    rate = a.n_dropped.sum() / a.n_words.sum()
+    assert 0.06 < rate < 0.14
+    assert (a.n_dropped < a.n_words).all()  # never drops everything

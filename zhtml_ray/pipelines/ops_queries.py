@@ -350,6 +350,61 @@ FROM K
 """
 
 
+def q_word_dropout(sf_dir: str, rate_inv: int = 10):
+    """Deterministic word-dropout augmentation: word at (1-based)
+    position i of doc d drops iff md5(f"{d}:{i}") mod ``rate_inv``
+    == 0 — reproducible across runs, machines and partitionings (the
+    augmentation an LLM training pipeline can re-derive instead of
+    storing), and exactly replicable in SQL via DuckDB's positional
+    list lambdas + the same md5-hex-prefix hash. Pure map."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_words = np.zeros(len(ids), np.int64)
+        n_dropped = np.zeros(len(ids), np.int64)
+        out = []
+        for j, (d, s) in enumerate(zip(ids, texts)):
+            ws = (s or "").split()
+            kept = [w for i, w in enumerate(ws, start=1)
+                    if int(hashlib.md5(f"{d}:{i}".encode())
+                           .hexdigest()[:8], 16) % rate_inv != 0]
+            n_words[j] = len(ws)
+            n_dropped[j] = len(ws) - len(kept)
+            out.append(" ".join(kept))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_words": pa.array(n_words),
+                         "n_dropped": pa.array(n_dropped),
+                         "aug_text": pa.array(out, pa.string())})
+
+    return ds.map_batches(augment, batch_format="pyarrow")
+
+
+def _sql_word_dropout(rate_inv: int = 10) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+), d AS (
+  SELECT doc_id, ws,
+         list_filter(ws, (x, i) ->
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                     || CAST(i AS VARCHAR)), 1, 8)
+                  AS UBIGINT) % {rate_inv} <> 0) AS kept
+  FROM w
+)
+SELECT doc_id, len(ws)::BIGINT AS n_words,
+       (len(ws) - len(kept))::BIGINT AS n_dropped,
+       array_to_string(kept, ' ') AS aug_text
+FROM d
+"""
+
+
 def q_user_churn(sf_dir: str, etype: str = "purchase",
                  w1_end: str = "2024-01-05", w2_end: str = "2024-01-12"):
     """Period-over-period churn: users with a ``etype`` event before
@@ -6453,6 +6508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pipeline": q_web_pipeline,
         "train_val_split": q_train_val_split,
         "user_churn": q_user_churn,
+        "word_dropout": q_word_dropout,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6589,6 +6645,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pipeline": _sql_web_pipeline(),
         "train_val_split": _sql_train_val_split(),
         "user_churn": _sql_user_churn(),
+        "word_dropout": _sql_word_dropout(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),

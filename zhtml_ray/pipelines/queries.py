@@ -2403,7 +2403,13 @@ def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
 
     pinned = compact_blocks(
         per_supp.map_batches(pin, batch_format="pyarrow")).materialize()
-    best = pinned.aggregate(Max("total_rev", alias_name="m"))["m"]
+    best = (pinned.aggregate(Max("total_rev", alias_name="m"))["m"]
+            if pinned.count() else None)
+    if best is None:  # empty window: typed empty result
+        import pandas as pd
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_rev": pd.Series([], dtype="float64")})
 
     def is_best(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["total_rev"], pa.scalar(best)))
