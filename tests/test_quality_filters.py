@@ -205,3 +205,29 @@ def test_word_dropout_deterministic_and_rate(ray_session):
     rate = a.n_dropped.sum() / a.n_words.sum()
     assert 0.06 < rate < 0.14
     assert (a.n_dropped < a.n_words).all()  # never drops everything
+
+
+def test_page_structure_hand_case(ray_session, tmp_path, monkeypatch):
+    """Hand-built page: counts must match the known DOM exactly."""
+    import pyarrow.parquet as pq_
+    from zhtml_ray.pipelines import extract as ext
+    html = (b"<!DOCTYPE html><html><head><title>T</title></head><body>"
+            b"<h1>Head</h1><p>one</p><p>two</p>"
+            b"<a href=x>link</a><a href=y>link2</a><div><span>deep"
+            b"</span></div></body></html>")
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq_.write_table(pa.table({"url": ["u1"], "html": [html]}),
+                    str(pdir / "p.parquet"))
+    monkeypatch.setattr(ext, "pages_dir_for", lambda sf, **k: str(pdir))
+    import zhtml_ray.pipelines.golden as gol
+    monkeypatch.setattr(gol, "ensure_golden", lambda *a, **k: None)
+    from zhtml_ray.pipelines.queries import q_page_structure
+    got = q_page_structure("ignored").to_pandas().iloc[0]
+    assert got.n_headings == 1
+    assert got.n_paras == 2
+    assert got.n_links == 2
+    # title text + "Head" + "one"+"two" + "link"+"link2" + "deep"
+    assert got.n_text_chars == len("T") + len("Head") + 6 + 9 + 4
+    assert got.max_depth >= 4
+    assert got.n_elements >= 10

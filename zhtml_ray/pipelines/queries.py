@@ -1362,6 +1362,102 @@ def q_node_table(sf_dir: str):
     return out.map_batches(node_table_project, batch_format="pyarrow")
 
 
+def q_page_structure(sf_dir: str):
+    """Per-page DOM structure statistics (element/heading/paragraph/
+    link/text-char counts, max depth) — the structural features a
+    layout-aware quality model consumes. Pure map over the parsed
+    tree. Oracled ALGORITHM-INDEPENDENTLY: the SQL side recomputes
+    every count in DuckDB's JSON engine from the pinned node_table
+    golden (unnest over the canonical nodes_json), so the stats
+    themselves are cross-engine-checked, not pinned."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.html.dom import ELEMENT, TEXT
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import flatten, parse
+
+    heads = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        n = len(htmls)
+        out = {k: np.zeros(n, np.int64) for k in
+               ("n_nodes", "n_elements", "n_text_chars", "n_headings",
+                "n_paras", "n_links", "max_depth")}
+        for i, h in enumerate(htmls):
+            try:
+                flat = flatten(parse(h or b"").document, with_attrs=True)
+            except Exception:  # noqa: BLE001 per-row isolation
+                continue
+            kind = np.asarray(flat["kind"], np.int8)
+            depth = np.asarray(flat["depth"], np.int64)
+            tags = flat["tag"]
+            texts = flat["text"]
+            out["n_nodes"][i] = len(kind)
+            is_el = kind == ELEMENT
+            out["n_elements"][i] = int(is_el.sum())
+            out["n_text_chars"][i] = sum(
+                len(t) for k, t in zip(flat["kind"], texts) if k == TEXT)
+            out["n_headings"][i] = sum(
+                1 for e, t in zip(is_el, tags) if e and t in heads)
+            out["n_paras"][i] = sum(
+                1 for e, t in zip(is_el, tags) if e and t == "p")
+            out["n_links"][i] = sum(
+                1 for e, t in zip(is_el, tags) if e and t == "a")
+            out["max_depth"][i] = int(depth.max()) if len(depth) else 0
+        return pa.table({"url": batch["url"],
+                         **{k: pa.array(v) for k, v in out.items()}})
+
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("node_table", sf_dir)
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _sql_page_structure() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    return f"""
+WITH n AS (
+  SELECT url, unnest(from_json(nodes_json, '["JSON"]')) AS j
+  FROM read_parquet('{_current_dir()}/node_table.parquet')
+), s AS (
+  -- json_extract function form: the -> operator misparses inside
+  -- AND-ed FILTER predicates on this DuckDB (precedence), probed
+  SELECT url,
+         count(*)::BIGINT AS n_nodes,
+         count(*) FILTER (CAST(json_extract(j, '$[1]') AS INT) = 2)
+             ::BIGINT AS n_elements,
+         COALESCE(sum(len(json_extract_string(j, '$[7]')))
+                  FILTER (CAST(json_extract(j, '$[1]') AS INT) = 3),
+                  0)::BIGINT AS n_text_chars,
+         count(*) FILTER (CAST(json_extract(j, '$[1]') AS INT) = 2
+             AND json_extract_string(j, '$[2]') IN
+                 ('h1','h2','h3','h4','h5','h6'))::BIGINT AS n_headings,
+         count(*) FILTER (CAST(json_extract(j, '$[1]') AS INT) = 2
+             AND json_extract_string(j, '$[2]') = 'p')::BIGINT
+             AS n_paras,
+         count(*) FILTER (CAST(json_extract(j, '$[1]') AS INT) = 2
+             AND json_extract_string(j, '$[2]') = 'a')::BIGINT
+             AS n_links,
+         COALESCE(max(CAST(json_extract(j, '$[4]') AS BIGINT)), 0)
+             AS max_depth
+  FROM n GROUP BY url
+)
+SELECT g.url,
+       COALESCE(s.n_nodes, 0) AS n_nodes,
+       COALESCE(s.n_elements, 0) AS n_elements,
+       COALESCE(s.n_text_chars, 0) AS n_text_chars,
+       COALESCE(s.n_headings, 0) AS n_headings,
+       COALESCE(s.n_paras, 0) AS n_paras,
+       COALESCE(s.n_links, 0) AS n_links,
+       COALESCE(s.max_depth, 0) AS max_depth
+FROM read_parquet('{_current_dir()}/node_table.parquet') g
+LEFT JOIN s USING (url)
+"""
+
+
 def q_token_stats(sf_dir: str):
     """Per-document tokenizer statistics (token counts by kind, error
     count) — the tokenizer-level debug output of SURVEY.md §1.3."""
@@ -2925,6 +3021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": q12_late_shipments,
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
+        "page_structure": q_page_structure,
         "q8_market_share": q8_market_share,
         "q9_nation_margin": q9_nation_margin,
         "q15_top_supplier": q15_top_supplier,
@@ -2982,6 +3079,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "page_structure": _sql_page_structure(),
         "q8_market_share": SQL_Q8_MARKET_SHARE,
         "q9_nation_margin": SQL_Q9_NATION_MARGIN,
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
