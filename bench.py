@@ -157,6 +157,16 @@ def bench_q1(sf_dir: str) -> float:
     return time.time() - t0
 
 
+def bench_web_pipeline(sf_dir: str) -> float:
+    """The full training-data composite (extract → C4 line filter →
+    Gopher-lite → exact content dedup) — extraction plus one digest
+    range shuffle."""
+    from zhtml_ray.pipelines.ops_queries import web_pipeline_ds
+    t0 = time.time()
+    web_pipeline_ds(sf_dir).count()
+    return time.time() - t0
+
+
 def main():
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -181,6 +191,7 @@ def main():
     if not os.environ.get("ZHTML_RAY_BENCH_ONLY_EXTRACT"):
         queries["error_histogram"] = bench_error_histogram(pages_dir)
         queries["q1_pricing_summary"] = bench_q1(SF_DIR)
+        queries["web_pipeline"] = bench_web_pipeline(SF_DIR)
 
     value = queries["extract"]
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")

@@ -549,6 +549,15 @@ def q_web_pipeline(sf_dir: str):
     DuckDB re-implements every stage (list lambdas + window dedup)
     over the pinned extract golden, so only the extractor itself rests
     on the pinned-serial invariant."""
+    from zhtml_ray.pipelines.golden import ensure_golden
+    out = web_pipeline_ds(sf_dir)
+    ensure_golden("extract", sf_dir)
+    return out
+
+
+def web_pipeline_ds(sf_dir: str):
+    """The web_pipeline computation alone (no oracle-golden side
+    effect) — bench.py times this form."""
     import hashlib
 
     import pyarrow as pa
@@ -556,7 +565,6 @@ def q_web_pipeline(sf_dir: str):
 
     from zhtml_ray.functions.textstats import GopherStats
     from zhtml_ray.pipelines.extract import run_extract
-    from zhtml_ray.pipelines.golden import ensure_golden
     from zhtml_ray.stages.sortagg import sorted_first_per_group
     from zhtml_ray.stages.util import drop_empty_blocks
 
@@ -581,7 +589,6 @@ def q_web_pipeline(sf_dir: str):
     cleaned = drop_empty_blocks(
         ds.map_batches(clean_stage, batch_format="pyarrow"))
     out = sorted_first_per_group(cleaned, ["digest"], tie_cols=["url"])
-    ensure_golden("extract", sf_dir)
     return out.select_columns(["url", "digest", "n_kept", "n_words"])
 
 
