@@ -231,3 +231,17 @@ def test_page_structure_hand_case(ray_session, tmp_path, monkeypatch):
     assert got.n_text_chars == len("T") + len("Head") + 6 + 9 + 4
     assert got.max_depth >= 4
     assert got.n_elements >= 10
+
+
+def test_web_pipeline_mega_doc_skew(ray_session):
+    """The composite inherits the flagship's skew routing: a pages set
+    with mega docs must complete and dedup correctly (the mega doc's
+    digest appears at most once)."""
+    from zhtml_ray.pipelines.extract import pages_cache_dir
+    from zhtml_ray.pipelines.ops_queries import web_pipeline_ds
+    from zhtml_ray.sources.pages import write_pages_dataset
+    d = pages_cache_dir(200, seed=42, mega_docs=2)
+    write_pages_dataset(d, 200, seed=42, rows_per_file=50, mega_docs=2)
+    got = web_pipeline_ds("ignored", pages_dir=d).to_pandas()
+    assert got.digest.is_unique
+    assert len(got) > 50

@@ -555,20 +555,27 @@ def q_web_pipeline(sf_dir: str):
     return out
 
 
-def web_pipeline_ds(sf_dir: str):
+def web_pipeline_ds(sf_dir: str, pages_dir: str | None = None):
     """The web_pipeline computation alone (no oracle-golden side
-    effect) — bench.py times this form."""
+    effect) — bench.py times this form. Extraction goes through the
+    flagship's SKEW-ROUTED read (giant docs isolated by block layout),
+    so the composite inherits the mega-doc robustness of the extract
+    pipeline; pass ``pages_dir`` to run over an explicit shard set
+    (e.g. one containing mega docs)."""
     import hashlib
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from zhtml_ray.functions.textstats import GopherStats
-    from zhtml_ray.pipelines.extract import run_extract
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.stages.skew import extract_with_skew_routing
     from zhtml_ray.stages.sortagg import sorted_first_per_group
     from zhtml_ray.stages.util import drop_empty_blocks
 
-    ds = run_extract(sf_dir, include_spans=False)
+    ds = extract_with_skew_routing(
+        pages_dir if pages_dir is not None else pages_dir_for(sf_dir),
+        include_spans=False)
     # dup_mult=5 (<= 20% duplicate bigrams): web prose repeats short
     # collocations far more than the documents fixture's word soup —
     # the 4% default would reject ~95% of real pages here (measured)
