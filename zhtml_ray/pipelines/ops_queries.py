@@ -350,6 +350,65 @@ FROM K
 """
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup audit report: histogram of MinHash cluster sizes
+    (cluster_size → number of clusters) — the first number anyone asks
+    of a dedup run ("how much is duplicated, in what clump sizes?").
+    Derived distributively from the full minhash_dedup output: ONE
+    ``sorted_sum_per_group`` over cluster ids, then a per-batch
+    value-counts partial into a ≤ |distinct sizes| final groupby.
+    Oracled over the INDEPENDENT serial union-find golden — the
+    distributed histogram must match the histogram of a clustering
+    computed by a different algorithm."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.dedup import minhash_dedup
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.sortagg import sorted_sum_per_group
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ensure_golden("minhash_dedup", sf_dir)
+    out = minhash_dedup(ds, key="doc_id", col="text")
+
+    def one_per_member(b: pa.Table) -> pa.Table:
+        g = pa.table({"cluster": b["cluster"]}) \
+            .group_by("cluster").aggregate([("cluster", "count")])
+        return g.rename_columns(["cluster", "n"])
+
+    per_cluster = compact_blocks(sorted_sum_per_group(
+        drop_empty_blocks(out.map_batches(one_per_member,
+                                          batch_format="pyarrow")),
+        ["cluster"], ["n"]))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"cluster_size": b["n"]}) \
+            .group_by("cluster_size") \
+            .aggregate([("cluster_size", "count")])
+        return g.rename_columns(["cluster_size", "pc"])
+
+    hist = drop_empty_blocks(
+        per_cluster.map_batches(hist_partial, batch_format="pyarrow")) \
+        .groupby("cluster_size") \
+        .aggregate(Sum("pc", alias_name="n_clusters"))
+    pdf = hist.to_pandas()
+    return pdf[["cluster_size", "n_clusters"]] \
+        .sort_values("cluster_size").reset_index(drop=True)
+
+
+def _sql_dedup_cluster_sizes() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    return f"""
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM (SELECT cluster, count(*)::BIGINT AS cluster_size
+      FROM read_parquet('{_current_dir()}/minhash_dedup.parquet')
+      GROUP BY cluster)
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def q_word_dropout(sf_dir: str, rate_inv: int = 10):
     """Deterministic word-dropout augmentation: word at (1-based)
     position i of doc d drops iff md5(f"{d}:{i}") mod ``rate_inv``
@@ -6523,6 +6582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": q_train_val_split,
         "user_churn": q_user_churn,
         "word_dropout": q_word_dropout,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6660,6 +6720,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": _sql_train_val_split(),
         "user_churn": _sql_user_churn(),
         "word_dropout": _sql_word_dropout(),
+        "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
