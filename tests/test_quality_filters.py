@@ -245,3 +245,25 @@ def test_web_pipeline_mega_doc_skew(ray_session):
     got = web_pipeline_ds("ignored", pages_dir=d).to_pandas()
     assert got.digest.is_unique
     assert len(got) > 50
+
+
+def test_link_spam_signals_hand_case(ray_session, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq_
+    from zhtml_ray.pipelines import extract as ext
+    html = (b'<body><a href="/x" rel=nofollow>one link</a>'
+            b'<a href="/x">two</a><a href="/y">  </a></body>')
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq_.write_table(pa.table({"url": ["u1"], "html": [html]}),
+                    str(pdir / "p.parquet"))
+    monkeypatch.setattr(ext, "pages_dir_for", lambda sf, **k: str(pdir))
+    import zhtml_ray.pipelines.golden as gol
+    monkeypatch.setattr(gol, "ensure_golden", lambda *a, **k: None)
+    from zhtml_ray.pipelines.queries import q_link_spam_signals
+    got = q_link_spam_signals("ignored").to_pandas().iloc[0]
+    assert got.n_links == 3
+    assert got.n_distinct_hrefs == 2
+    assert got.n_nofollow == 1
+    assert got.n_empty_anchor == 1
+    # LinksBatch whitespace-normalizes anchors: "  " -> ""
+    assert got.anchor_chars == len("one link") + len("two")

@@ -1362,6 +1362,60 @@ def q_node_table(sf_dir: str):
     return out.map_batches(node_table_project, batch_format="pyarrow")
 
 
+def q_link_spam_signals(sf_dir: str):
+    """Per-page link-audit features (link counts, distinct targets,
+    nofollow count, anchor char mass, empty anchors) — the SEO-spam /
+    boilerplate signals a crawl-quality model consumes. ZERO shuffles:
+    a page's links are emitted contiguously by the extraction batch,
+    so a per-batch groupby is already the exact per-url aggregate.
+    Cross-engine oracle: DuckDB recomputes every count from the pinned
+    links golden."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from zhtml_ray.pipelines.extract import pages_dir_for
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.node_table import LinksBatch
+
+    links_fn = LinksBatch()
+
+    def signals(batch: pa.Table) -> pa.Table:
+        t = links_fn(batch)
+        nofollow = pc.cast(pc.match_substring(t["rel"], "nofollow"),
+                           pa.int64())
+        empty = pc.cast(pc.equal(pc.utf8_trim(t["anchor_text"], " "),
+                                 ""), pa.int64())
+        alen = pc.cast(pc.utf8_length(t["anchor_text"]), pa.int64())
+        g = pa.table({"url": t["url"], "href": t["href"],
+                      "nf": nofollow, "ea": empty, "al": alen}) \
+            .group_by("url") \
+            .aggregate([("href", "count"), ("href", "count_distinct"),
+                        ("nf", "sum"), ("al", "sum"), ("ea", "sum")])
+        return g.rename_columns(["url", "n_links", "n_distinct_hrefs",
+                                 "n_nofollow", "anchor_chars",
+                                 "n_empty_anchor"])
+
+    ds = rd.read_parquet(pages_dir_for(sf_dir), columns=["url", "html"])
+    ensure_golden("links", sf_dir)
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
+def _sql_link_spam_signals() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    return f"""
+SELECT url, count(*)::BIGINT AS n_links,
+       count(DISTINCT href)::BIGINT AS n_distinct_hrefs,
+       count(*) FILTER (contains(rel, 'nofollow'))::BIGINT
+           AS n_nofollow,
+       COALESCE(sum(len(anchor_text)), 0)::BIGINT AS anchor_chars,
+       count(*) FILTER (trim(anchor_text, ' ') = '')::BIGINT
+           AS n_empty_anchor
+FROM read_parquet('{_current_dir()}/links.parquet')
+GROUP BY url
+"""
+
+
 def q_page_structure(sf_dir: str):
     """Per-page DOM structure statistics (element/heading/paragraph/
     link/text-char counts, max depth) — the structural features a
@@ -3022,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_counts": q16_supplier_counts,
         "q18_large_orders": q18_large_orders,
         "page_structure": q_page_structure,
+        "link_spam_signals": q_link_spam_signals,
         "q8_market_share": q8_market_share,
         "q9_nation_margin": q9_nation_margin,
         "q15_top_supplier": q15_top_supplier,
@@ -3080,6 +3135,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_counts": SQL_Q16_SUPPLIER_COUNTS,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "page_structure": _sql_page_structure(),
+        "link_spam_signals": _sql_link_spam_signals(),
         "q8_market_share": SQL_Q8_MARKET_SHARE,
         "q9_nation_margin": SQL_Q9_NATION_MARGIN,
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
