@@ -267,3 +267,11 @@ def test_link_spam_signals_hand_case(ray_session, tmp_path, monkeypatch):
     assert got.n_empty_anchor == 1
     # LinksBatch whitespace-normalizes anchors: "  " -> ""
     assert got.anchor_chars == len("one link") + len("two")
+
+
+def test_gopher_word_class_is_re2_compatible():
+    """U+00A0 must NOT split words (RE2 \\S semantics shared with the
+    SQL oracles), while ASCII space/tab/newline do."""
+    out = _gopher(["a b c\td\ne"])
+    assert out["n_words"] == [4]  # "a\xa0b", "c", "d", "e"
+    assert out["n_chars"] == [6]

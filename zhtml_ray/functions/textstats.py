@@ -209,6 +209,11 @@ class Fingerprint:
 # for bit: every signal is a count, every threshold an integer
 # cross-multiplication — no float ratios anywhere.
 _GOPHER_STOPS = ("join", "hash", "row", "batch", "scan")
+# RE2's \s is exactly [\t\n\f\r ] (ASCII) while Python str.split()
+# breaks on ALL Unicode whitespace (U+00A0, U+2009, …) — entity-decoded
+# page text CAN contain those, so the word class is pinned to the RE2
+# set on BOTH sides or the SQL oracle diverges on the first &nbsp;
+_GOPHER_WORD_RE = re.compile(r"[^ \t\n\f\r]+")
 
 
 class GopherStats:
@@ -247,7 +252,7 @@ class GopherStats:
         dup_bi = np.zeros(n, np.int64)
         top_mass = np.zeros(n, np.int64)
         for i, s in enumerate(texts):
-            ws = (s or "").split()
+            ws = _GOPHER_WORD_RE.findall(s or "")
             n_words[i] = len(ws)
             if not ws:
                 continue

@@ -187,13 +187,15 @@ def q_dsir_select(sf_dir: str, target_lang: str = "en",
             _cache[w] = b
         return b
 
+    from zhtml_ray.functions.textstats import _GOPHER_WORD_RE
+
     def count_partial(batch: pa.Table) -> pa.Table:
         t_cnt = np.zeros(buckets, np.int64)
         r_cnt = np.zeros(buckets, np.int64)
         langs = batch["lang"].to_pylist()
         for s, lg in zip(batch["text"].to_pylist(), langs):
             is_t = lg == target_lang
-            for w in (s or "").split():
+            for w in _GOPHER_WORD_RE.findall(s or ""):
                 b = bucket_of(w)
                 r_cnt[b] += 1
                 if is_t:
@@ -222,8 +224,9 @@ def q_dsir_select(sf_dir: str, target_lang: str = "en",
         t_mass = np.zeros(n, np.int64)
         r_mass = np.zeros(n, np.int64)
         for i, s in enumerate(batch["text"].to_pylist()):
-            bs = np.fromiter((bucket_of(w) for w in (s or "").split()),
-                             np.int64)
+            bs = np.fromiter(
+                (bucket_of(w)
+                 for w in _GOPHER_WORD_RE.findall(s or "")), np.int64)
             if len(bs):
                 t_mass[i] = ct_[bs].sum()
                 r_mass[i] = cr_[bs].sum()
@@ -429,8 +432,9 @@ def q_word_dropout(sf_dir: str, rate_inv: int = 10):
         n_words = np.zeros(len(ids), np.int64)
         n_dropped = np.zeros(len(ids), np.int64)
         out = []
+        from zhtml_ray.functions.textstats import _GOPHER_WORD_RE
         for j, (d, s) in enumerate(zip(ids, texts)):
-            ws = (s or "").split()
+            ws = _GOPHER_WORD_RE.findall(s or "")
             kept = [w for i, w in enumerate(ws, start=1)
                     if int(hashlib.md5(f"{d}:{i}".encode())
                            .hexdigest()[:8], 16) % rate_inv != 0]
