@@ -275,3 +275,30 @@ def test_gopher_word_class_is_re2_compatible():
     out = _gopher(["a b c\td\ne"])
     assert out["n_words"] == [4]  # "a\xa0b", "c", "d", "e"
     assert out["n_chars"] == [6]
+
+
+def test_events_anomaly_planted_spike(ray_session, tmp_path):
+    """A planted 100x value spike must be the top-z anomaly; a
+    constant-value user (sd == 0) must produce z == 0, not NaN."""
+    import pyarrow.parquet as pq_
+    from zhtml_ray.pipelines.ops_queries import q_events_anomaly
+    rng = np.random.default_rng(33)
+    n = 2000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01"),
+        "user_id": rng.integers(0, 50, n).astype(np.int64),
+        "event_type": "view",
+        "value": rng.uniform(10, 20, n),
+        "props": "{}"})
+    ev.loc[7, "value"] = 1500.0          # the spike
+    ev.loc[ev.user_id == 3, "value"] = 5.0   # constant-value user
+    ev.loc[7, "user_id"] = 11
+    pq_.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                    str(tmp_path / "events.parquet"))
+    got = q_events_anomaly(str(tmp_path)).to_pandas()
+    assert len(got) == n
+    top = got.sort_values("z_r", ascending=False).iloc[0]
+    assert top.event_id == 7 and top.is_anomaly
+    u3 = got[got.user_id == 3]
+    assert (u3.z_r == 0.0).all() and (~u3.is_anomaly).all()

@@ -468,6 +468,97 @@ FROM d
 """
 
 
+def q_events_anomaly(sf_dir: str, z_cut: float = 2.5):
+    """Per-user value-anomaly detection (the monitoring/abuse sweep):
+    each event's z-score against ITS user's value distribution, flagged
+    at z > ``z_cut``. The X73/X105 pinned-moment rule: per-user (n,
+    Σv, Σv²) fold via ONE ``sorted_sum_per_group``, moments pinned at
+    1e-3 (the PCA lesson — a 1e-6 pin across thousands of moments has
+    real boundary-flip odds), μ/σ derived with the IDENTICAL
+    expression on both engines, z pinned at 1e-6 (derived from
+    identical doubles — cannot flip). Stats re-attach by ONE more
+    range shuffle (``sorted_lookup_join``) — never a driver dict, so
+    10^9 users cost two shuffles, not memory."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_lookup_join,
+                                          sorted_sum_per_group)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def mom_partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(u, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uniq),
+            "n": pa.array(np.bincount(codes).astype(np.float64)),
+            "s1": pa.array(np.bincount(codes, weights=v)),
+            "s2": pa.array(np.bincount(codes, weights=v * v))})
+
+    mom = compact_blocks(sorted_sum_per_group(
+        drop_empty_blocks(ds.map_batches(mom_partial,
+                                         batch_format="pyarrow")),
+        ["user_id"], ["n", "s1", "s2"]))
+
+    def derive(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        s1 = np.floor(b["s1"].to_numpy(zero_copy_only=False)
+                      * 1e3 + 0.5) / 1e3
+        s2 = np.floor(b["s2"].to_numpy(zero_copy_only=False)
+                      * 1e3 + 0.5) / 1e3
+        mu = s1 / n
+        sd = np.sqrt(np.maximum(s2 / n - mu * mu, 0.0))
+        return pa.table({"user_id": b["user_id"],
+                         "mu": pa.array(mu), "sd": pa.array(sd)})
+
+    stats = compact_blocks(
+        mom.map_batches(derive, batch_format="pyarrow"))
+    joined = sorted_lookup_join(ds, stats, "user_id", ["mu", "sd"],
+                                how="inner")
+
+    def z_batch(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        mu = b["mu"].to_numpy(zero_copy_only=False)
+        sd = b["sd"].to_numpy(zero_copy_only=False)
+        z = np.where(sd > 0,
+                     np.floor((v - mu) / np.where(sd > 0, sd, 1.0)
+                              * 1e6 + 0.5) / 1e6, 0.0)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "z_r": pa.array(z),
+                         "is_anomaly": pa.array(z > z_cut)})
+
+    return joined.map_batches(z_batch, batch_format="pyarrow")
+
+
+def _sql_events_anomaly(z_cut: float = 2.5) -> str:
+    return f"""
+WITH m AS (
+  SELECT user_id, count(*)::DOUBLE AS n,
+         floor(sum(value) * 1e3 + 0.5) / 1e3 AS s1,
+         floor(sum(value * value) * 1e3 + 0.5) / 1e3 AS s2
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT user_id, s1 / n AS mu,
+         sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+  FROM m
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN d.sd > 0
+            THEN floor((e.value - d.mu) / d.sd * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS z_r,
+       (CASE WHEN d.sd > 0
+             THEN floor((e.value - d.mu) / d.sd * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END) > {z_cut} AS is_anomaly
+FROM events e JOIN d USING (user_id)
+"""
+
+
 def q_user_churn(sf_dir: str, etype: str = "purchase",
                  w1_end: str = "2024-01-05", w2_end: str = "2024-01-12"):
     """Period-over-period churn: users with a ``etype`` event before
@@ -6585,6 +6676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pipeline": q_web_pipeline,
         "train_val_split": q_train_val_split,
         "user_churn": q_user_churn,
+        "events_anomaly": q_events_anomaly,
         "word_dropout": q_word_dropout,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "lang_id": q_langid,
@@ -6723,6 +6815,7 @@ def oracle_sql() -> dict[str, str]:
         "web_pipeline": _sql_web_pipeline(),
         "train_val_split": _sql_train_val_split(),
         "user_churn": _sql_user_churn(),
+        "events_anomaly": _sql_events_anomaly(),
         "word_dropout": _sql_word_dropout(),
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "lang_id": _sql_langid(),

@@ -2265,6 +2265,59 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q6_forecast_revenue(sf_dir: str, lo: str = "1996-01-01",
+                        hi: str = "1997-01-01"):
+    """TPC-H Q6 shape (forecast-revenue-change scalar: one filtered
+    sum, the canonical zero-shuffle aggregate). One pure-map pass
+    emits a single partial per batch; ``Dataset.aggregate`` folds
+    ≤ #blocks rows. WHOLE-unit pin (Q19 rule: one global float sum —
+    the pin unit must dwarf accumulation-order noise)."""
+    import datetime as _dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo_ts = _dt.datetime.fromisoformat(lo)
+    hi_ts = _dt.datetime.fromisoformat(hi)
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo_ts)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi_ts))),
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_discount"],
+                                         pa.scalar(0.05)),
+                        pc.less_equal(b["l_discount"],
+                                      pa.scalar(0.07))),
+                pc.less(b["l_quantity"], pa.scalar(24.0))))
+        t = b.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"r": pa.array(
+            [float(pc.sum(rev).as_py() or 0.0)])})
+
+    got = ds.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("r", alias_name="r"))
+    import pandas as pd
+    return pd.DataFrame({"revenue": [
+        float(math.floor((got["r"] or 0.0) + 0.5))]})
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT floor(sum(l_extendedprice * l_discount) + 0.5) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
 def q9_nation_margin(sf_dir: str):
     """TPC-H Q9 shape (profit by supplier nation and year; the fixture
     has no partsupp, so cost = p_retailprice × quantity). The part
@@ -3077,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": q18_large_orders,
         "page_structure": q_page_structure,
         "link_spam_signals": q_link_spam_signals,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_nation_margin": q9_nation_margin,
         "q15_top_supplier": q15_top_supplier,
@@ -3136,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "page_structure": _sql_page_structure(),
         "link_spam_signals": _sql_link_spam_signals(),
+        "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
         "q8_market_share": SQL_Q8_MARKET_SHARE,
         "q9_nation_margin": SQL_Q9_NATION_MARGIN,
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
