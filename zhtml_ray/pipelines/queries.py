@@ -1809,7 +1809,10 @@ def q10_returned_items(sf_dir: str, lo: str = "1996-01-01",
                                       pa.scalar(0.5))), pa.scalar(1e2))
         return b.set_column(b.schema.get_field_index("rev"), "rev", r)
 
-    top = with_c.map_batches(pin, batch_format="pyarrow") \
+    # compact before the top-k sort: sortagg output is ~2 tiny blocks
+    # per input block and Ray's range sort pays O(blocks x partitions)
+    # block parts (CLAUDE.md sort-chain rule)
+    top = compact_blocks(with_c.map_batches(pin, batch_format="pyarrow")) \
         .sort(["rev", "c_custkey"], descending=[True, False]).limit(k)
     pdf = top.to_pandas()
     pdf["revenue"] = pdf["rev"]
@@ -1889,8 +1892,9 @@ def q18_large_orders(sf_dir: str, qty: float = 300.0, k: int = 100):
         with_o.map_batches(c_key, batch_format="pyarrow"),
         cust, "c_custkey", ["c_name"], how="inner")
 
-    top = with_c.sort(["o_totalprice", "o_orderdate", "o_orderkey"],
-                      descending=[True, False, False]).limit(k)
+    top = compact_blocks(with_c) \
+        .sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+              descending=[True, False, False]).limit(k)
     pdf = top.to_pandas()
     return pdf[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty"]] \
@@ -2924,8 +2928,8 @@ def q21_single_blame(sf_dir: str, days: int = 60, k: int = 20):
                            columns=["s_suppkey", "s_name"])
     named = sorted_lookup_join(counts, supp, "s_suppkey", ["s_name"],
                                how="inner")
-    top = named.sort(["numwait", "s_suppkey"],
-                     descending=[True, False]).limit(k)
+    top = compact_blocks(named).sort(["numwait", "s_suppkey"],
+                                     descending=[True, False]).limit(k)
     pdf = top.to_pandas()
     return pdf[["s_suppkey", "s_name", "numwait"]] \
         .sort_values(["numwait", "s_suppkey"],
