@@ -509,3 +509,36 @@ def test_layout_invariance_boundary_ops(ray_session, tmp_path):
         a = fn(str(one), **kw)
         b = fn(str(many), **kw)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_q2_matches_pandas_with_cost_tie(ray_session, tmp_path):
+    from zhtml_ray.pipelines.queries import q2_min_cost_supplier
+    rng = np.random.default_rng(27)
+    nation, cust, supp, orders, part, line = _mini_world(tmp_path, rng)
+    region = pd.DataFrame({"r_regionkey": np.array([0], dtype=np.int32),
+                           "r_name": ["ASIA"]})
+    _write(tmp_path, "region", region)
+    # plant an exact acctbal tie between two suppliers of one part
+    supp2 = supp.copy()
+    supp2.loc[supp2.s_suppkey.isin([4, 9]), "s_acctbal"] = 123.45
+    _write(tmp_path, "supplier", supp2)
+
+    got = q2_min_cost_supplier(str(tmp_path), region="ASIA",
+                               ptype="PROMO", max_size=30, k=40)
+
+    j = line.merge(part[["p_partkey", "p_type", "p_size"]],
+                   left_on="l_partkey", right_on="p_partkey") \
+        .merge(supp2, left_on="l_suppkey", right_on="s_suppkey")
+    j = j[(j.p_type == "PROMO") & (j.p_size <= 30)]
+    name_of = dict(zip(nation.n_nationkey, nation.n_name))
+    j["n_name"] = j.s_nationkey.map(name_of)
+    cand = j[["p_partkey", "s_suppkey", "s_acctbal", "s_name",
+              "n_name"]].drop_duplicates()
+    best = cand.sort_values(["p_partkey", "s_acctbal", "s_suppkey"]) \
+        .groupby("p_partkey", as_index=False).first()
+    want = best.sort_values(["s_acctbal", "p_partkey"],
+                            ascending=[False, True]).head(40) \
+        [["s_acctbal", "s_name", "n_name", "p_partkey"]] \
+        .reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -2269,6 +2269,113 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+def q2_min_cost_supplier(sf_dir: str, region: str = "ASIA",
+                         ptype: str = "PROMO", max_size: int = 10,
+                         k: int = 100):
+    """TPC-H Q2 shape (min-cost supplier per part — the correlated-MIN
+    subquery; lineitem plays partsupp and s_acctbal plays supply
+    cost). The part predicate broadcasts as a sorted-key bitmap, the
+    ≤25-row nation⋈region dim broadcasts for the region filter;
+    per-batch (supplier, part) dedup → ONE range shuffle attaches
+    supplier attrs → the correlated min is ONE
+    ``sorted_first_per_group`` on partkey with (acctbal, suppkey)
+    ties — the SQL mirrors that exact winner rule with a QUALIFY
+    row_number, so equal-cost ties resolve identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import (sorted_first_per_group,
+                                          sorted_lookup_join)
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(reg, keys="n_regionkey", right_keys="r_regionkey")
+    dim = dim.filter(pc.equal(dim["r_name"], region))
+    region_keys = pa.array(sorted(
+        pc.cast(dim["n_nationkey"], pa.int32()).to_pylist()), pa.int32())
+    name_of = dict(zip(dim["n_nationkey"].to_pylist(),
+                       dim["n_name"].to_pylist()))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type", "p_size"])
+    keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(keys)
+    ok_part = (np.asarray(pc.equal(part["p_type"], ptype).to_pylist(),
+                          bool)
+               & (np.asarray(part["p_size"].to_pylist(), np.int32)
+                  <= max_size))[order]
+    part_ref = ray.put((keys[order], ok_part))
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        kk, okp = ray.get(part_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(okp[np.searchsorted(kk, pk)]))
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.rename_columns(["p_partkey", "s_suppkey"])
+
+    pairs = drop_empty_blocks(
+        line.map_batches(pair_partial, batch_format="pyarrow"))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name", "s_acctbal",
+                                    "s_nationkey"])
+    with_s = compact_blocks(sorted_lookup_join(
+        pairs, supp, "s_suppkey",
+        ["s_name", "s_acctbal", "s_nationkey"], how="inner"))
+
+    def region_prune(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(b["s_nationkey"], pa.int32()),
+                        value_set=region_keys)
+        return b.filter(pc.fill_null(keep, False))
+
+    pruned = compact_blocks(drop_empty_blocks(
+        with_s.map_batches(region_prune, batch_format="pyarrow")))
+
+    best = sorted_first_per_group(pruned, ["p_partkey"],
+                                  tie_cols=["s_acctbal", "s_suppkey"])
+    top = compact_blocks(best).sort(["s_acctbal", "p_partkey"],
+                                    descending=[True, False]).limit(k)
+    pdf = top.to_pandas()
+    if pdf.empty:
+        import pandas as pd
+        return pd.DataFrame({"s_acctbal": pd.Series([], dtype="float64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "n_name": pd.Series([], dtype=object),
+                             "p_partkey": pd.Series([], dtype="int64")})
+    pdf["n_name"] = pdf["s_nationkey"].map(name_of)
+    return pdf[["s_acctbal", "s_name", "n_name", "p_partkey"]] \
+        .sort_values(["s_acctbal", "p_partkey"],
+                     ascending=[False, True]).reset_index(drop=True)
+
+
+SQL_Q2_MIN_COST_SUPPLIER = """
+WITH cand AS (
+  SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_acctbal, s.s_name,
+                  n.n_name
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size <= 10 AND p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY p_partkey
+                           ORDER BY s_acctbal, s_suppkey) = 1
+ORDER BY s_acctbal DESC, p_partkey
+LIMIT 100
+"""
+
+
 def q6_forecast_revenue(sf_dir: str, lo: str = "1996-01-01",
                         hi: str = "1997-01-01"):
     """TPC-H Q6 shape (forecast-revenue-change scalar: one filtered
@@ -3134,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": q18_large_orders,
         "page_structure": q_page_structure,
         "link_spam_signals": q_link_spam_signals,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_nation_margin": q9_nation_margin,
@@ -3194,6 +3302,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "page_structure": _sql_page_structure(),
         "link_spam_signals": _sql_link_spam_signals(),
+        "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
         "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
         "q8_market_share": SQL_Q8_MARKET_SHARE,
         "q9_nation_margin": SQL_Q9_NATION_MARGIN,
