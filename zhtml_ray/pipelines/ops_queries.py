@@ -364,7 +364,6 @@ def q_dedup_cluster_sizes(sf_dir: str):
     distributed histogram must match the histogram of a clustering
     computed by a different algorithm."""
     import pyarrow as pa
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     from zhtml_ray.functions.dedup import minhash_dedup
@@ -719,7 +718,6 @@ def web_pipeline_ds(sf_dir: str, pages_dir: str | None = None):
     import hashlib
 
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from zhtml_ray.functions.textstats import GopherStats
     from zhtml_ray.pipelines.extract import pages_dir_for

@@ -1738,7 +1738,6 @@ def q10_returned_items(sf_dir: str, lo: str = "1996-01-01",
     names resolve from the broadcast ≤25-row dim."""
     import datetime as _dt
 
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
