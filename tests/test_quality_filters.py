@@ -302,3 +302,27 @@ def test_events_anomaly_planted_spike(ray_session, tmp_path):
     assert top.event_id == 7 and top.is_anomaly
     u3 = got[got.user_id == 3]
     assert (u3.z_r == 0.0).all() and (~u3.is_anomaly).all()
+
+
+def test_ann_topk_filtered_respects_label(ray_session):
+    """Every returned neighbor must share its query's label, and the
+    result must equal a numpy brute-force recomputation."""
+    import pyarrow.parquet as pq_
+    from zhtml_ray.pipelines.ops_queries import q_ann_topk_filtered
+    sf = "/root/testdata/sf0.001"
+    got = q_ann_topk_filtered(sf)
+    t = pq_.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    qlabels = t["label"].to_pylist()[:5]
+    for _, r in got.iterrows():
+        assert labels[r.vec_id] == qlabels[r.query_id]
+    # numpy recomputation for query 0
+    import numpy as np
+    V = np.asarray(t["embedding"].to_pylist(), np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist())
+    q = V[0] / np.linalg.norm(V[0])
+    mask = np.asarray([labels[i] == qlabels[0] for i in ids])
+    cos = (V[mask] / np.linalg.norm(V[mask], axis=1, keepdims=True)) @ q
+    order = np.lexsort((ids[mask], -cos))[:10]
+    want = sorted(ids[mask][order])
+    assert sorted(got[got.query_id == 0].vec_id) == want

@@ -4775,6 +4775,62 @@ def q_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_ann_topk_filtered(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Metadata-FILTERED vector search (the hard-positive-mining /
+    tenant-scoped retrieval form): each query's top-k among vectors of
+    the query's OWN label only. The filter composes as a map-side
+    ``pc.equal`` pushdown in front of the same broadcast brute-force
+    kernel as ``ann_topk`` — one pass per distinct query label (≤
+    n_queries passes), each a pure map + tiny driver merge. At scale a
+    label-bucketed at-rest layout (stages/bucketed.py) would prune the
+    read instead; the operator shape is identical."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from zhtml_ray.functions.similarity import brute_force_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    vecs = np.asarray(t["embedding"].to_pylist()[:n_queries],
+                      np.float64)
+    qlabels = t["label"].to_pylist()[:n_queries]
+
+    frames = []
+    for lab in sorted(set(qlabels)):
+        qidx = [i for i, l in enumerate(qlabels) if l == lab]
+
+        def only_lab(b, _lab=lab):
+            return b.filter(pc.equal(b["label"], _lab))
+
+        ds = _emb(sf_dir).map_batches(only_lab, batch_format="pyarrow")
+        out = brute_force_topk(ds, vecs[qidx], k=k)
+        out = out[["query_id", "vec_id"]].copy()
+        out["query_id"] = out["query_id"].map(
+            {j: qidx[j] for j in range(len(qidx))})
+        frames.append(out)
+    res = pd.concat(frames, ignore_index=True)
+    res["query_id"] = res["query_id"].astype("int32")
+    return res.sort_values(["query_id", "vec_id"]) \
+        .reset_index(drop=True)
+
+
+def _sql_ann_topk_filtered(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+         embedding AS qv, label AS ql
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+)
+SELECT query_id::INTEGER AS query_id, vec_id
+FROM q JOIN embeddings e ON e.label = q.ql
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_cosine_similarity(qv, e.embedding) DESC, vec_id) <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
 SQL_ANN_TOPK = """
 WITH q AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qv
@@ -6767,6 +6823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "ann_topk_filtered": q_ann_topk_filtered,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "semantic_dedup": q_semantic_dedup,
@@ -6897,6 +6954,7 @@ def oracle_sql() -> dict[str, str]:
         "mask_dup_spans": _sql_mask_dup_spans(),
         "chunk_docs": _sql_chunk_docs(),
         "ann_topk": SQL_ANN_TOPK,
+        "ann_topk_filtered": _sql_ann_topk_filtered(),
         "events_window": SQL_EVENTS_WINDOW,
         "hopping_window": SQL_HOPPING_WINDOW,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
