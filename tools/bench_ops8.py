@@ -45,11 +45,15 @@ def main():
         ("q20_promo_suppliers", lambda: q.q20_promo_suppliers(sf)),
         ("q21_single_blame", lambda: q.q21_single_blame(sf)),
         ("q22_idle_balance", lambda: q.q22_idle_balance(sf)),
+        ("q2_min_cost_supplier", lambda: q.q2_min_cost_supplier(sf)),
+        ("q6_forecast_revenue", lambda: q.q6_forecast_revenue(sf)),
         ("gopher_rules", lambda: oq.q_gopher_rules(sf).count()),
         ("dsir_select", lambda: oq.q_dsir_select(sf).count()),
         ("train_val_split", lambda: oq.q_train_val_split(sf).count()),
         ("word_dropout", lambda: oq.q_word_dropout(sf).count()),
         ("user_churn", lambda: oq.q_user_churn(sf).count()),
+        ("events_anomaly", lambda: oq.q_events_anomaly(sf).count()),
+        ("ann_topk_filtered", lambda: oq.q_ann_topk_filtered(sf)),
         ("web_pipeline", lambda: oq.web_pipeline_ds(sf).count()),
     ]
     results = {}
