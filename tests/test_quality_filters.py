@@ -326,3 +326,70 @@ def test_ann_topk_filtered_respects_label(ray_session):
     order = np.lexsort((ids[mask], -cos))[:10]
     want = sorted(ids[mask][order])
     assert sorted(got[got.query_id == 0].vec_id) == want
+
+
+def test_gopher_hypothesis_differential():
+    """Property fuzz: GopherStats signals vs an independent naive
+    reimplementation over strings mixing ASCII/RE2 whitespace, NBSP
+    and punctuation."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "ab xy.! \t\n\f\r  cd"
+
+    def naive(s):
+        import re
+        ws = [w for w in re.split(r"[ \t\n\f\r]+", s) if w]
+        n_words = len(ws)
+        n_chars = sum(len(w) for w in ws)
+        stops = {"join", "hash", "row", "batch", "scan"}
+        stop_hits = sum(1 for w in ws if w in stops)
+        bis = list(zip(ws, ws[1:]))
+        n_bi = len(bis)
+        dup_bi = n_bi - len(set(bis))
+        top = 0
+        for w in set(ws):
+            top = max(top, ws.count(w) * len(w))
+        return n_words, n_chars, stop_hits, n_bi, dup_bi, top
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=120))
+    def check(s):
+        out = _gopher([s])
+        want = naive(s)
+        got = (out["n_words"][0], out["n_chars"][0],
+               out["stop_hits"][0], out["n_bigrams"][0],
+               out["dup_bigrams"][0], out["top_word_mass"][0])
+        assert got == want, (s, got, want)
+
+    check()
+
+
+def test_c4_hypothesis_differential():
+    """Property fuzz: the C4 batch kernel vs a direct line-by-line
+    naive reimplementation."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = 'ab c.!?"{\n\t  L'
+
+    def naive(s):
+        lines = [ln.strip(" \t\r") for ln in s.split("\n")]
+        lines = [ln for ln in lines if ln]
+        kept = [ln for ln in lines
+                if ln[-1] in '.!?"'
+                and len(re.findall(r"[^ \t\r\n]+", ln)) >= 5]
+        keep = (len(kept) >= 3 and "{" not in s
+                and "lorem ipsum" not in s.lower())
+        return len(lines), len(kept), "\n".join(kept), keep
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=160))
+    def check(s):
+        out = _c4([s])
+        want = naive(s)
+        got = (out["n_lines"][0], out["n_kept"][0],
+               out["clean_text"][0], out["keep"][0])
+        assert got == want, (s, got, want)
+
+    check()
