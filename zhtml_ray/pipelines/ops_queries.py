@@ -411,6 +411,60 @@ GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
+def q_dedup_rate_by_source(sf_dir: str):
+    """Curation breakdown: per-source near-duplicate rate (how much of
+    each source's contribution is redundant — the number that decides
+    which feeds get throttled). The full MinHash clustering joins the
+    doc→source map by ONE range shuffle (``sorted_lookup_join`` on
+    doc_id); per-source (n_docs, n_dups) fold map-side into a
+    ≤ |sources| groupby. Integer counts — exact oracle over the
+    INDEPENDENT serial union-find golden joined to the documents
+    view."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.dedup import minhash_dedup
+    from zhtml_ray.pipelines.golden import ensure_golden
+    from zhtml_ray.stages.sortagg import sorted_lookup_join
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ensure_golden("minhash_dedup", sf_dir)
+    out = minhash_dedup(ds, key="doc_id", col="text") \
+        .select_columns(["doc_id", "is_dup"])
+
+    src = _docs(sf_dir, ["doc_id", "source"])
+    joined = compact_blocks(sorted_lookup_join(
+        out, src, "doc_id", ["source"], how="inner"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"source": b["source"],
+                      "d": pc.cast(b["is_dup"], pa.int64()),
+                      "n": pa.array([1] * b.num_rows, pa.int64())}) \
+            .group_by("source").aggregate([("d", "sum"), ("n", "sum")])
+        return g.rename_columns(["source", "pd", "pn"])
+
+    agg = drop_empty_blocks(
+        joined.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("source").aggregate(Sum("pn", alias_name="n_docs"),
+                                     Sum("pd", alias_name="n_dups"))
+    pdf = agg.to_pandas()
+    return pdf[["source", "n_docs", "n_dups"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+def _sql_dedup_rate_by_source() -> str:
+    from zhtml_ray.pipelines.golden import _current_dir
+    return f"""
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN g.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dups
+FROM read_parquet('{_current_dir()}/minhash_dedup.parquet') g
+JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def q_word_dropout(sf_dir: str, rate_inv: int = 10):
     """Deterministic word-dropout augmentation: word at (1-based)
     position i of doc d drops iff md5(f"{d}:{i}") mod ``rate_inv``
@@ -6733,6 +6787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": q_events_anomaly,
         "word_dropout": q_word_dropout,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         "lang_id": q_langid,
         "fingerprint": q_fingerprint,
         "qa_sample": q_qa_sample,
@@ -6873,6 +6928,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _sql_events_anomaly(),
         "word_dropout": _sql_word_dropout(),
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
+        "dedup_rate_by_source": _sql_dedup_rate_by_source(),
         "lang_id": _sql_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_prep": _sql_corpus_prep(),
