@@ -393,3 +393,22 @@ def test_c4_hypothesis_differential():
         assert got == want, (s, got, want)
 
     check()
+
+
+def test_events_heatmap_and_tokens_by_split(ray_session):
+    """heatmap cells cover a week of hours and sum to the event count;
+    split budgets sum to the corpus totals."""
+    from zhtml_ray.pipelines.ops_queries import (q_events_heatmap,
+                                                 q_tokens_by_split)
+    import pyarrow.parquet as pq_
+    sf = "/root/testdata/sf0.001"
+    hm = q_events_heatmap(sf)
+    n_events = pq_.read_metadata(f"{sf}/events.parquet").num_rows
+    assert hm.n.sum() == n_events
+    assert hm.dow.between(1, 7).all() and hm.hour.between(0, 23).all()
+    assert not hm.duplicated(["dow", "hour"]).any()
+
+    tb = q_tokens_by_split(sf)
+    assert set(tb.split) <= {"train", "val", "test"}
+    assert tb.n_docs.sum() == 500
+    assert (tb.n_tokens > tb.n_docs).all()  # docs have > 1 token each

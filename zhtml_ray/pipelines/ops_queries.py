@@ -612,6 +612,98 @@ FROM events e JOIN d USING (user_id)
 """
 
 
+def q_tokens_by_split(sf_dir: str, train_pct: int = 80,
+                      val_pct: int = 10):
+    """Token-budget accounting per train/val/test split — the number a
+    training run is provisioned from ("how many tokens do I actually
+    have in train?"). Composes the deterministic md5 split
+    (X132) with the whitespace token count (shared Unicode class with
+    the SQL): one pure-map pass emits per-batch (split, docs, tokens)
+    partials into a 3-row groupby. Integer-exact."""
+    import hashlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.functions.textstats import token_count_batch
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counted = token_count_batch(batch)
+        ids = batch["doc_id"].to_pylist()
+        splits = []
+        for i in ids:
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                    16) % 100
+            splits.append("train" if b < train_pct
+                          else "val" if b < train_pct + val_pct
+                          else "test")
+        g = pa.table({"split": pa.array(splits, pa.string()),
+                      "d": pa.array([1] * len(ids), pa.int64()),
+                      "t": counted["n_tokens"]}) \
+            .group_by("split").aggregate([("d", "sum"), ("t", "sum")])
+        return g.rename_columns(["split", "pd", "pt"])
+
+    agg = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby("split").aggregate(Sum("pd", alias_name="n_docs"),
+                                    Sum("pt", alias_name="n_tokens"))
+    pdf = agg.to_pandas()
+    return pdf[["split", "n_docs", "n_tokens"]] \
+        .sort_values("split").reset_index(drop=True)
+
+
+def _sql_tokens_by_split(train_pct: int = 80, val_pct: int = 10) -> str:
+    return f"""
+WITH tc AS ({SQL_TOKEN_COUNT}),
+s AS ({_sql_train_val_split(train_pct, val_pct)})
+SELECT s.split, count(*)::BIGINT AS n_docs,
+       sum(tc.n_tokens)::BIGINT AS n_tokens
+FROM s JOIN tc USING (doc_id)
+GROUP BY s.split ORDER BY s.split
+"""
+
+
+def q_events_heatmap(sf_dir: str):
+    """Ops-analytics heatmap: event counts per (ISO day-of-week,
+    hour-of-day) — the load-profile view behind capacity planning and
+    crawl politeness budgets. Pure map partials (Arrow temporal
+    kernels; Arrow's Monday-0 day_of_week maps to ISO Monday-1 by +1)
+    into a ≤ 168-key groupby. Integer-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from zhtml_ray.stages.util import drop_empty_blocks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64())
+        hour = pc.cast(pc.hour(b["ts"]), pa.int64())
+        g = pa.table({"dow": dow, "hour": hour,
+                      "n": pa.array([1] * b.num_rows, pa.int64())}) \
+            .group_by(["dow", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["dow", "hour", "pn"])
+
+    agg = drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["dow", "hour"]).aggregate(Sum("pn", alias_name="n"))
+    pdf = agg.to_pandas()
+    return pdf[["dow", "hour", "n"]] \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+SQL_EVENTS_HEATMAP = """
+SELECT isodow(ts)::BIGINT AS dow, EXTRACT(hour FROM ts)::BIGINT AS hour,
+       count(*)::BIGINT AS n
+FROM events GROUP BY dow, hour ORDER BY dow, hour
+"""
+
+
 def q_user_churn(sf_dir: str, etype: str = "purchase",
                  w1_end: str = "2024-01-05", w2_end: str = "2024-01-12"):
     """Period-over-period churn: users with a ``etype`` event before
@@ -6785,6 +6877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": q_train_val_split,
         "user_churn": q_user_churn,
         "events_anomaly": q_events_anomaly,
+        "events_heatmap": q_events_heatmap,
+        "tokens_by_split": q_tokens_by_split,
         "word_dropout": q_word_dropout,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "dedup_rate_by_source": q_dedup_rate_by_source,
@@ -6926,6 +7020,8 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": _sql_train_val_split(),
         "user_churn": _sql_user_churn(),
         "events_anomaly": _sql_events_anomaly(),
+        "events_heatmap": SQL_EVENTS_HEATMAP,
+        "tokens_by_split": _sql_tokens_by_split(),
         "word_dropout": _sql_word_dropout(),
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "dedup_rate_by_source": _sql_dedup_rate_by_source(),
