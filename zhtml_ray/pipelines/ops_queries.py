@@ -612,6 +612,57 @@ FROM events e JOIN d USING (user_id)
 """
 
 
+def q_corpus_overview(sf_dir: str):
+    """One-row corpus card: docs, distinct langs/sources, total chars
+    and tokens — the sanity sheet printed before any run. Per-batch
+    partials carry (counts, char/token sums, per-batch DISTINCT
+    lang/source lists) and fold driver-side over ≤ #blocks rows; the
+    distinct sets are bounded dimension values (langs, feeds), never
+    row-scale. Integer-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.textstats import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counted = token_count_batch(batch)
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "chars": pa.array([int(pc.sum(
+                pc.utf8_length(batch["text"])).as_py() or 0)],
+                pa.int64()),
+            "tokens": pa.array([int(pc.sum(
+                counted["n_tokens"]).as_py() or 0)], pa.int64()),
+            "langs": pa.array([pc.unique(batch["lang"]).to_pylist()]),
+            "sources": pa.array(
+                [pc.unique(batch["source"]).to_pylist()])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    langs = set().union(*parts["langs"])
+    sources = set().union(*parts["sources"])
+    import pandas as pd
+    return pd.DataFrame({
+        "n_docs": [int(parts["n_docs"].sum())],
+        "n_langs": [len(langs)],
+        "n_sources": [len(sources)],
+        "total_chars": [int(parts["chars"].sum())],
+        "total_tokens": [int(parts["tokens"].sum())]})
+
+
+def _sql_corpus_overview() -> str:
+    return f"""
+WITH tc AS ({SQL_TOKEN_COUNT})
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+       (SELECT count(DISTINCT source) FROM documents)::BIGINT
+           AS n_sources,
+       (SELECT sum(len(text)) FROM documents)::BIGINT AS total_chars,
+       (SELECT sum(n_tokens) FROM tc)::BIGINT AS total_tokens
+"""
+
+
 def q_tokens_by_split(sf_dir: str, train_pct: int = 80,
                       val_pct: int = 10):
     """Token-budget accounting per train/val/test split — the number a
@@ -6879,6 +6930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": q_events_anomaly,
         "events_heatmap": q_events_heatmap,
         "tokens_by_split": q_tokens_by_split,
+        "corpus_overview": q_corpus_overview,
         "word_dropout": q_word_dropout,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "dedup_rate_by_source": q_dedup_rate_by_source,
@@ -7022,6 +7074,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _sql_events_anomaly(),
         "events_heatmap": SQL_EVENTS_HEATMAP,
         "tokens_by_split": _sql_tokens_by_split(),
+        "corpus_overview": _sql_corpus_overview(),
         "word_dropout": _sql_word_dropout(),
         "dedup_cluster_sizes": _sql_dedup_cluster_sizes(),
         "dedup_rate_by_source": _sql_dedup_rate_by_source(),
