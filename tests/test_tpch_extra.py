@@ -7,6 +7,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _units(price, discount):
+    """Exact 1e-4-dollar int64 revenue units, mirroring the engine's
+    _rev_units (queries.py): cents × (100 − discount_cents)."""
+    return (np.rint(price * 100).astype(np.int64)
+            * (100 - np.rint(discount * 100).astype(np.int64)))
+
+
 def _write(tmp_path, name, df):
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                    str(tmp_path / f"{name}.parquet"))
@@ -88,10 +95,10 @@ def test_q7_matches_pandas(ray_session, tmp_path):
     j = j[fwd | rev].copy()
     assert len(j) > 0
     j["l_year"] = j.l_shipdate.dt.year.astype("int64")
-    j["vol"] = j.l_extendedprice * (1 - j.l_discount)
+    j["vol"] = _units(j.l_extendedprice, j.l_discount)
     want = j.groupby(["supp_nation", "cust_nation", "l_year"],
                      as_index=False)["vol"].sum()
-    want["revenue"] = np.floor(want.vol * 1e2 + 0.5) / 1e2
+    want["revenue"] = want.vol / 1e4
     want = want[["supp_nation", "cust_nation", "l_year", "revenue"]] \
         .sort_values(["supp_nation", "cust_nation", "l_year"]) \
         .reset_index(drop=True)
@@ -110,10 +117,10 @@ def test_q10_matches_pandas(ray_session, tmp_path):
     j = line[line.l_returnflag == "R"].merge(
         o[["o_orderkey", "o_custkey"]],
         left_on="l_orderkey", right_on="o_orderkey")
-    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    j["rev"] = _units(j.l_extendedprice, j.l_discount)
     per = j.groupby("o_custkey", as_index=False)["rev"].sum() \
         .rename(columns={"o_custkey": "c_custkey"})
-    per["revenue"] = np.floor(per.rev * 1e2 + 0.5) / 1e2
+    per["revenue"] = per.rev / 1e4
     name_of = dict(zip(nation.n_nationkey, nation.n_name))
     per = per.merge(cust[["c_custkey", "c_name", "c_acctbal",
                           "c_nationkey"]], on="c_custkey")
@@ -172,9 +179,8 @@ def test_q19_matches_pandas(ray_session, tmp_path):
         keep |= ((j.p_brand == b) & (j.p_size >= s_lo)
                  & (j.p_size <= s_hi) & (j.l_quantity >= q_lo)
                  & (j.l_quantity <= q_hi)).to_numpy()
-    want = float(np.floor(
-        (j[keep].l_extendedprice * (1 - j[keep].l_discount)).sum()
-        + 0.5))
+    want = float(_units(j[keep].l_extendedprice,
+                        j[keep].l_discount).sum() / 1e4)
     assert want > 0
     assert got["revenue"].iloc[0] == want
 
@@ -401,7 +407,8 @@ def test_q17_matches_pandas(ray_session, tmp_path):
     small = j[j.l_quantity < j.cut]
     assert len(small) > 0
     assert got.n_small.iloc[0] == len(small)
-    want_k = np.floor(small.l_extendedprice.sum() / 1e3 * 1e2 + 0.5) / 1e2
+    want_k = np.rint(small.l_extendedprice * 100).astype(np.int64) \
+        .sum() / 1e5
     assert got.revenue_k.iloc[0] == want_k
 
 
@@ -418,11 +425,12 @@ def test_q9_matches_pandas(ray_session, tmp_path):
     name_of = dict(zip(nation.n_nationkey, nation.n_name))
     j["n_name"] = j.s_nationkey.map(name_of)
     j["o_year"] = j.l_shipdate.dt.year.astype("int64")
-    j["amount"] = (j.l_extendedprice * (1 - j.l_discount)
-                   - j.p_retailprice * j.l_quantity)
+    j["amount"] = (_units(j.l_extendedprice, j.l_discount)
+                   - np.rint(j.p_retailprice * 100).astype(np.int64)
+                   * j.l_quantity.astype(np.int64) * 100)
     want = j.groupby(["n_name", "o_year"], as_index=False)["amount"] \
         .sum()
-    want["margin"] = np.floor(want.amount * 1e2 + 0.5) / 1e2
+    want["margin"] = want.amount / 1e4
     want = want[["n_name", "o_year", "margin"]] \
         .sort_values(["n_name", "o_year"], ascending=[True, False]) \
         .reset_index(drop=True)

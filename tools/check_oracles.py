@@ -10,12 +10,21 @@ rtol=1e-5). Floats are rounded to 6 decimals BEFORE the row sort so a
 sub-tolerance float difference in a sort key cannot reorder the two
 sides differently and misalign rows.
 
-Usage: python tools/check_oracles.py [sf_dir] [name ...]
+`--exact` (r4, driver parity): float64 columns are compared as raw
+IEEE-754 bit patterns — no 6-dp rounding, no rtol. This is the bug
+class the default mode cannot see: a decimal-pinned aggregate whose
+pin boundary sits within accumulation-order noise flips its last
+pinned digit (relative error ~1e-9, passes rtol=1e-5) yet fails the
+driver's exact value hash (q9_nation_margin, r3). Under --exact every
+pinned float must be the identical double on both sides.
+
+Usage: python tools/check_oracles.py [--exact] [sf_dir] [name ...]
 """
 
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -32,31 +41,44 @@ def to_pandas(res):
     return res
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # round floats BEFORE sorting: rounding after the sort let two
-    # within-tolerance float sort keys order rows differently on the
-    # two sides, misaligning the row-wise compare (r3 review)
     df = df.copy()
-    for c in df.columns:
-        if df[c].dtype == "float64":
-            df[c] = df[c].round(6)
+    if not exact:
+        # round floats BEFORE sorting: rounding after the sort let two
+        # within-tolerance float sort keys order rows differently on
+        # the two sides, misaligning the row-wise compare (r3 review)
+        for c in df.columns:
+            if df[c].dtype == "float64":
+                df[c] = df[c].round(6)
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     return df
 
 
-def frames_match(got: pd.DataFrame, want: pd.DataFrame) -> None:
-    """Exact compare for non-float columns; floats keep the historical
-    rtol=1e-5 on the 6dp-rounded values (a stricter atol would
-    false-fail engine-vs-DuckDB last-ulp differences that flip a
-    round-boundary digit; truly pinned aggregates are rounded
-    in-query on both sides already)."""
+def frames_match(got: pd.DataFrame, want: pd.DataFrame,
+                 exact: bool = False) -> None:
+    """Exact compare for non-float columns. Floats: with exact=False
+    the historical rtol=1e-5 on 6dp-rounded values; with exact=True a
+    bit-pattern compare (uint64 view — NaN equals same-bits NaN,
+    -0.0 differs from 0.0, any last-ulp drift fails), mirroring the
+    driver's exact value hash."""
     for c in got.columns:
         if got[c].dtype == "float64" or want[c].dtype == "float64":
-            pd.testing.assert_series_equal(
-                got[c].astype("float64"), want[c].astype("float64"),
-                check_exact=False, rtol=1e-5, atol=1e-9,
-                check_names=False)
+            if exact:
+                a = got[c].astype("float64").to_numpy()
+                b = want[c].astype("float64").to_numpy()
+                bad = a.view(np.uint64) != b.view(np.uint64)
+                if bad.any():
+                    i = int(np.flatnonzero(bad)[0])
+                    raise AssertionError(
+                        f"column {c!r}: {int(bad.sum())} bit-level float "
+                        f"mismatches; first at row {i}: "
+                        f"{a[i]!r} ({a[i].hex()}) != {b[i]!r} ({b[i].hex()})")
+            else:
+                pd.testing.assert_series_equal(
+                    got[c].astype("float64"), want[c].astype("float64"),
+                    check_exact=False, rtol=1e-5, atol=1e-9,
+                    check_names=False)
         else:
             pd.testing.assert_series_equal(
                 got[c], want[c], check_dtype=False, check_exact=True,
@@ -64,8 +86,10 @@ def frames_match(got: pd.DataFrame, want: pd.DataFrame) -> None:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
@@ -103,7 +127,7 @@ def main():
             try:
                 got = to_pandas(fn(sf_dir))
                 if name in oracles:
-                    got = normalize(got)
+                    got = normalize(got, exact)
             except Exception as e:
                 print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
                 failures += 1
@@ -113,7 +137,7 @@ def main():
                       "(rows-only check, no oracle)")
                 continue
             try:
-                want = normalize(con.execute(oracles[name]).df())
+                want = normalize(con.execute(oracles[name]).df(), exact)
             except Exception as e:
                 # one broken golden/SQL must not abort the whole gate
                 print(f"FAIL {name}: oracle raised "
@@ -130,8 +154,9 @@ def main():
                 failures += 1
                 continue
             try:
-                frames_match(got, want)
-                print(f"ok   {name}: rows={len(got)} MATCH")
+                frames_match(got, want, exact)
+                tag = "MATCH(exact)" if exact else "MATCH"
+                print(f"ok   {name}: rows={len(got)} {tag}")
             except AssertionError as e:
                 print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
                 failures += 1

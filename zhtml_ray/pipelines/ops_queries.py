@@ -560,10 +560,18 @@ def q_events_anomaly(sf_dir: str, z_cut: float = 2.5):
 
     def derive(b: pa.Table) -> pa.Table:
         n = b["n"].to_numpy(zero_copy_only=False)
+        # Moment pins matched to the DATA grid (r4 exact-hash gate
+        # lesson): event values are 2-dp, so s1 sums live on a 0.01
+        # grid and s2 (sum of squares) on a 1e-4 grid. Pinning at
+        # exactly the grid's decimals puts every floor boundary
+        # (k+0.5)·10^-d half a grid step from any achievable sum —
+        # the max possible margin. A coarser 0-dp pin put boundaries
+        # ON the grid (s1=3421.5 flipped); the old 1e-3 s2 pin
+        # collided with the 1e-4 grid the same way.
         s1 = np.floor(b["s1"].to_numpy(zero_copy_only=False)
-                      * 1e3 + 0.5) / 1e3
+                      * 1e2 + 0.5) / 1e2
         s2 = np.floor(b["s2"].to_numpy(zero_copy_only=False)
-                      * 1e3 + 0.5) / 1e3
+                      * 1e4 + 0.5) / 1e4
         mu = s1 / n
         sd = np.sqrt(np.maximum(s2 / n - mu * mu, 0.0))
         return pa.table({"user_id": b["user_id"],
@@ -593,8 +601,8 @@ def _sql_events_anomaly(z_cut: float = 2.5) -> str:
     return f"""
 WITH m AS (
   SELECT user_id, count(*)::DOUBLE AS n,
-         floor(sum(value) * 1e3 + 0.5) / 1e3 AS s1,
-         floor(sum(value * value) * 1e3 + 0.5) / 1e3 AS s2
+         floor(sum(value) * 1e2 + 0.5) / 1e2 AS s1,
+         floor(sum(value * value) * 1e4 + 0.5) / 1e4 AS s2
   FROM events GROUP BY user_id
 ), d AS (
   SELECT user_id, s1 / n AS mu,

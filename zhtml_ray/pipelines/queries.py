@@ -15,6 +15,38 @@ def _lineitem(sf_dir, columns=None):
     return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
 
 
+def _money_cents(col):
+    """Exact int64 cents from a 2-dp-decimal money double column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def _rev_units(price, discount):
+    """price × (1 − discount) in EXACT 1e-4-dollar int64 units:
+    cents × (100 − discount_cents).
+
+    The fixture's money/discount columns are 2-dp decimals (TESTDATA,
+    verified), so integer-unit group sums are bit-identical between
+    engine and oracle with NO float pin. Any decimal pin on a float
+    sum leaves a flip boundary either ON the data's decimal grid
+    (grid collision → ~50/50 flip whenever a true sum lands on it —
+    the r3 q9 driver failure: 2-dp pin on a 1e-4-grid sum) or within
+    accumulation-order noise (coarse pins on huge-n sums). Integer
+    units remove the boundary entirely. Per-block int64 sums wrap
+    only past ~2e14 rows/block at max prices — unreachable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    return pc.multiply(_money_cents(price),
+                       pc.subtract(pa.scalar(100, pa.int64()),
+                                   _money_cents(discount)))
+
+
+# DuckDB-side mirror of _rev_units (HUGEINT-exact under sum())
+_REV_U_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+              "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
 # --------------------------------------------------------------- extraction
 
 def q_extract(sf_dir: str):
@@ -69,12 +101,25 @@ def q1_pricing_summary(sf_dir: str):
         batch = batch.filter(
             pc.less_equal(batch["l_shipdate"],
                           pa.scalar(__import__("datetime").datetime(1998, 9, 2))))
-        disc_price = pc.multiply(batch["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        batch = batch.append_column("disc_price", disc_price)
+        # integer-unit money (r4): the fixture's prices/discounts are
+        # 2-dp decimals, so cents and cents×(100-disc_cents) are exact
+        # int64 — group sums are bit-identical to the oracle with no
+        # float pin at all (a decimal pin on a float sum always leaves
+        # SOME boundary within reach of grid collision or noise)
+        ext_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        dis_c = pc.cast(pc.round(pc.multiply(batch["l_discount"],
+                                             pa.scalar(100.0))), pa.int64())
+        disc_u = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                                dis_c))
+        batch = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "l_quantity": batch["l_quantity"],
+            "ext_c": ext_c, "disc_u": disc_u, "dis_c": dis_c})
         tbl = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("l_discount", "sum"),
+            ("l_quantity", "sum"), ("ext_c", "sum"),
+            ("disc_u", "sum"), ("dis_c", "sum"),
             ("l_quantity", "count"),
         ])
         return tbl.rename_columns([
@@ -91,33 +136,35 @@ def q1_pricing_summary(sf_dir: str):
     )
     import pandas as pd
     pdf = agg.to_pandas()
+    # exact-integer sums divide to the identical IEEE double on both
+    # sides (one division each); avgs then derive from identical
+    # doubles, so the 4-dp avg pins are pure defense in depth
+    pdf["sum_base_price"] = pdf["sum_base_price"] / 1e2
+    pdf["sum_disc_price"] = pdf["sum_disc_price"] / 1e4
     pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
     pdf["avg_price"] = pdf["sum_base_price"] / pdf["count_order"]
-    pdf["avg_disc"] = pdf["sum_disc"] / pdf["count_order"]
+    pdf["avg_disc"] = (pdf["sum_disc"] / 1e2) / pdf["count_order"]
     pdf = pdf.drop(columns=["sum_disc"])
-    # float SUMS are associativity-sensitive (tree-parallel here vs
-    # sequential in the oracle): pin decimals with the IDENTICAL IEEE
-    # formula floor(x*10^d + 0.5)/10^d on BOTH sides — engine round()
-    # implementations differ on exact halves (pandas half-even vs
-    # DuckDB half-away). Values are all positive here.
     import numpy as np
-    for c in ("sum_base_price", "sum_disc_price"):
-        pdf[c] = np.floor(pdf[c] * 1e2 + 0.5) / 1e2
     for c in ("avg_qty", "avg_price", "avg_disc"):
-        pdf[c] = np.floor(pdf[c] * 1e6 + 0.5) / 1e6
+        pdf[c] = np.floor(pdf[c] * 1e4 + 0.5) / 1e4
     return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)  AS sum_qty,
-       floor(sum(l_extendedprice) * 1e2 + 0.5) / 1e2 AS sum_base_price,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 1e2
+           AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4
            AS sum_disc_price,
        count(*) AS count_order,
-       floor(sum(l_quantity) / count(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
-       floor(sum(l_extendedprice) / count(*) * 1e6 + 0.5) / 1e6 AS avg_price,
-       floor(sum(l_discount) / count(*) * 1e6 + 0.5) / 1e6 AS avg_disc
+       floor(sum(l_quantity) / count(*) * 1e4 + 0.5) / 1e4 AS avg_qty,
+       floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 1e2
+             / count(*) * 1e4 + 0.5) / 1e4 AS avg_price,
+       floor(sum(CAST(round(l_discount * 100) AS BIGINT)) / 1e2
+             / count(*) * 1e4 + 0.5) / 1e4 AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -247,11 +294,9 @@ def q_brand_revenue(sf_dir: str):
             pk = np.asarray(batch["l_partkey"].to_pylist(), np.int64)
             idx = np.searchsorted(self.keys, pk)
             brand = self.brands[idx]  # fixture FKs always resolve
-            rev = pc.multiply(batch["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0),
-                                          batch["l_discount"])).to_numpy()
+            rev = _rev_units(batch["l_extendedprice"], batch["l_discount"])
             t = pa.table({"p_brand": pa.array(brand.tolist(), pa.string()),
-                          "rev": pa.array(rev)})
+                          "rev": rev})
             return t.group_by("p_brand").aggregate([("rev", "sum")]) \
                     .rename_columns(["p_brand", "p_rev"])
 
@@ -261,16 +306,13 @@ def q_brand_revenue(sf_dir: str):
     agg = partials.groupby("p_brand").aggregate(
         Sum("p_rev", alias_name="revenue"))
     pdf = agg.to_pandas()
-    # decimal-pin the float sum identically to the oracle (see q1)
-    import numpy as _np
-    pdf["revenue"] = _np.floor(pdf["revenue"] * 1e2 + 0.5) / 1e2
+    # exact int units → one division: identical double on both sides
+    pdf["revenue"] = pdf["revenue"] / 1e4
     return pdf.sort_values("p_brand").reset_index(drop=True)
 
 
-SQL_BRAND_REVENUE = """
-SELECT p_brand,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
-           AS revenue
+SQL_BRAND_REVENUE = f"""
+SELECT p_brand, sum({_REV_U_SQL}) / 1e4 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
 """
@@ -395,8 +437,7 @@ def q3_shipping(sf_dir: str, seg: str = "BUILDING",
 
     def rev_partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         g = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}) \
             .group_by("o_orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["o_orderkey", "rev"])
@@ -410,12 +451,10 @@ def q3_shipping(sf_dir: str, seg: str = "BUILDING",
                                 how="inner")
 
     def pin(b: pa.Table) -> pa.Table:
-        # decimal-pin BEFORE the top-10 sort: the oracle orders by the
-        # ROUNDED alias, so a raw-float sort could pick a different
-        # boundary row on pinned-revenue ties (review find)
-        r = pc.divide(pc.floor(pc.add(pc.multiply(b["rev"],
-                                                  pa.scalar(1e2)),
-                                      pa.scalar(0.5))), pa.scalar(1e2))
+        # exact int-unit sum → dollars BEFORE the top-10 sort: both
+        # sides order by the identical double, so a boundary tie
+        # resolves identically (revenue is exact, no pin needed)
+        r = pc.divide(pc.cast(b["rev"], pa.float64()), pa.scalar(1e4))
         return b.set_column(b.schema.get_field_index("rev"), "rev", r)
 
     top = joined.map_batches(pin, batch_format="pyarrow") \
@@ -427,10 +466,9 @@ def q3_shipping(sf_dir: str, seg: str = "BUILDING",
                            ascending=[False, True]).reset_index(drop=True)
 
 
-SQL_Q3_SHIPPING = """
+SQL_Q3_SHIPPING = f"""
 SELECT o_orderkey,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
-           AS revenue,
+       sum({_REV_U_SQL}) / 1e4 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -678,8 +716,7 @@ def q5_region_supplier_volume(sf_dir: str, region: str = "ASIA",
                                     "l_extendedprice", "l_discount"])
 
     def prep_line(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        rev = _rev_units(b["l_extendedprice"], b["l_discount"])
         return pa.table({"o_orderkey": b["l_orderkey"],
                          "l_suppkey": b["l_suppkey"], "rev": rev})
 
@@ -720,17 +757,15 @@ def q5_region_supplier_volume(sf_dir: str, region: str = "ASIA",
     keys, names = nat_keys.to_pylist(), nat_names.to_pylist()
     name_of = dict(zip(keys, names))
     pdf["n_name"] = pdf["n_nationkey"].map(name_of)
-    import numpy as _np
-    pdf["revenue"] = _np.floor(pdf["revenue"] * 1e2 + 0.5) / 1e2
+    pdf["revenue"] = pdf["revenue"] / 1e4
     return pdf[["n_name", "revenue"]] \
         .sort_values(["revenue", "n_name"], ascending=[False, True]) \
         .reset_index(drop=True)
 
 
-SQL_Q5_REGION_SUPPLIER_VOLUME = """
+SQL_Q5_REGION_SUPPLIER_VOLUME = f"""
 SELECT n_name,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
-           AS revenue
+       sum({_REV_U_SQL}) / 1e4 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -753,8 +788,8 @@ def q14_promo_revenue(sf_dir: str, lo: str = "1996-01-01",
     single pure-map pass over date-filtered lineitem emitting one
     2-float partial row per batch; the global reduce is
     ``Dataset.aggregate`` over ≤ #blocks tiny rows. Zero shuffles.
-    Both revenue sums are 2-dp-pinned BEFORE the ratio on both sides
-    so the percentage derives from identical doubles."""
+    Both revenue sums are EXACT int64 1e-4-dollar units (r4, see
+    _rev_units), so the percentage derives from identical doubles."""
     import datetime as _dt
 
     import numpy as np
@@ -791,37 +826,35 @@ def q14_promo_revenue(sf_dir: str, lo: str = "1996-01-01",
                                             pa.scalar(lo_ts)),
                            pc.less(b["l_shipdate"], pa.scalar(hi_ts)))
             t = b.filter(keep)
-            rev = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0),
-                                          t["l_discount"])).to_numpy()
+            rev = _rev_units(t["l_extendedprice"],
+                             t["l_discount"]).to_numpy()
             pk = t["l_partkey"].to_numpy(zero_copy_only=False)
             idx = np.searchsorted(self.keys, pk)
             is_promo = self.promo[idx]  # fixture FKs always resolve
             return pa.table({
-                "p": pa.array([float(rev[is_promo].sum())]),
-                "t": pa.array([float(rev.sum())])})
+                "p": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "t": pa.array([int(rev.sum())], pa.int64())})
 
     parts = ds.map_batches(Partial, batch_format="pyarrow",
                            concurrency=autoscale_pool(0.5))
     got = parts.aggregate(Sum("p", alias_name="p"),
                           Sum("t", alias_name="t"))
     import math
-    pr = math.floor((got["p"] or 0.0) * 1e2 + 0.5) / 1e2
-    tr = math.floor((got["t"] or 0.0) * 1e2 + 0.5) / 1e2
+    pr = int(got["p"] or 0) / 1e4
+    tr = int(got["t"] or 0) / 1e4
     pct = math.floor(100.0 * pr / tr * 1e6 + 0.5) / 1e6 if tr else 0.0
     import pandas as pd
     return pd.DataFrame({"promo_revenue": [pr], "total_revenue": [tr],
                          "promo_pct": [pct]})
 
 
-SQL_Q14_PROMO_REVENUE = """
+SQL_Q14_PROMO_REVENUE = f"""
 WITH s AS (
   SELECT
-    floor(sum(CASE WHEN p_type = 'PROMO'
-                   THEN l_extendedprice * (1 - l_discount)
-                   ELSE 0 END) * 1e2 + 0.5) / 1e2 AS promo_revenue,
-    floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
-        AS total_revenue
+    sum(CASE WHEN p_type = 'PROMO'
+             THEN {_REV_U_SQL}
+             ELSE 0 END) / 1e4 AS promo_revenue,
+    sum({_REV_U_SQL}) / 1e4 AS total_revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-07-01')
@@ -961,8 +994,7 @@ def q_bloom_join_revenue(sf_dir: str, priority: str = "1-URGENT",
         keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
         keep = bloom_probe(ray.get(bref), keys, log2_bits, k)
         t = b.filter(pa.array(keep))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
 
     survivors = line.map_batches(prefilter, batch_format="pyarrow")
@@ -971,22 +1003,20 @@ def q_bloom_join_revenue(sf_dir: str, priority: str = "1-URGENT",
 
     def partial(b: pa.Table) -> pa.Table:
         return pa.table({
-            "r": pa.array([float(pc.sum(b["rev"]).as_py() or 0.0)]),
+            "r": pa.array([int(pc.sum(b["rev"]).as_py() or 0)], pa.int64()),
             "n": pa.array([b.num_rows], pa.int64())})
 
     got = drop_empty_blocks(
         joined.map_batches(partial, batch_format="pyarrow")) \
         .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
-    import math
     import pandas as pd
-    rev = math.floor((got["r"] or 0.0) * 1e2 + 0.5) / 1e2
+    rev = int(got["r"] or 0) / 1e4
     return pd.DataFrame({"revenue": [rev],
                          "n_items": [int(got["n"] or 0)]})
 
 
-SQL_BLOOM_JOIN_REVENUE = """
-SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
-           AS revenue,
+SQL_BLOOM_JOIN_REVENUE = f"""
+SELECT sum({_REV_U_SQL}) / 1e4 AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
@@ -1598,9 +1628,8 @@ def q7_nation_volume(sf_dir: str,
          ~99.7% of rows before any aggregation.
 
     Per-(supp_nation, cust_nation, year) partials combine map-side;
-    ≤ 2×2×years rows reach the driver. Revenue pinned to 2 dp on both
-    sides (per-group sums are small: pair filter keeps ~0.3% of rows,
-    so accumulation noise ≪ the pin unit)."""
+    ≤ 2×2×years rows reach the driver. Revenue sums are EXACT int64
+    1e-4-dollar units on both sides (r4, see _rev_units) — no pin."""
     import datetime as _dt
 
     import numpy as np
@@ -1649,8 +1678,7 @@ def q7_nation_volume(sf_dir: str,
                                         pa.scalar(lo_ts)),
                        pc.less(b["l_shipdate"], pa.scalar(hi_ts)))
         t = b.filter(keep)
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         return pa.table({"o_orderkey": t["l_orderkey"],
                          "s_suppkey": t["l_suppkey"], "rev": rev,
                          "l_year": pc.cast(pc.year(t["l_shipdate"]),
@@ -1697,18 +1725,18 @@ def q7_nation_volume(sf_dir: str,
                              "revenue": pd.Series([], dtype="float64")})
     pdf["supp_nation"] = pdf["s_nat"].map(name_of)
     pdf["cust_nation"] = pdf["c_nat"].map(name_of)
-    pdf["revenue"] = np.floor(pdf["revenue"] * 1e2 + 0.5) / 1e2
+    pdf["revenue"] = pdf["revenue"] / 1e4
     return pdf[["supp_nation", "cust_nation", "l_year", "revenue"]] \
         .sort_values(["supp_nation", "cust_nation", "l_year"]) \
         .reset_index(drop=True)
 
 
-SQL_Q7_NATION_VOLUME = """
+SQL_Q7_NATION_VOLUME = f"""
 SELECT supp_nation, cust_nation, l_year,
-       floor(sum(volume) * 1e2 + 0.5) / 1e2 AS revenue
+       sum(volume) / 1e4 AS revenue
 FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {_REV_U_SQL} AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -1774,8 +1802,7 @@ def q10_returned_items(sf_dir: str, lo: str = "1996-01-01",
 
     def l_partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["l_returnflag"], "R"))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         g = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}) \
             .group_by("o_orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["o_orderkey", "rev"])
@@ -1803,9 +1830,8 @@ def q10_returned_items(sf_dir: str, lo: str = "1996-01-01",
                                 how="inner")
 
     def pin(b: pa.Table) -> pa.Table:
-        r = pc.divide(pc.floor(pc.add(pc.multiply(b["rev"],
-                                                  pa.scalar(1e2)),
-                                      pa.scalar(0.5))), pa.scalar(1e2))
+        # exact int-unit sum → dollars (identical double both sides)
+        r = pc.divide(pc.cast(b["rev"], pa.float64()), pa.scalar(1e4))
         return b.set_column(b.schema.get_field_index("rev"), "rev", r)
 
     # compact before the top-k sort: sortagg output is ~2 tiny blocks
@@ -1822,10 +1848,9 @@ def q10_returned_items(sf_dir: str, lo: str = "1996-01-01",
         .reset_index(drop=True)
 
 
-SQL_Q10_RETURNED_ITEMS = """
+SQL_Q10_RETURNED_ITEMS = f"""
 SELECT c_custkey, c_name,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2
-           AS revenue,
+       sum({_REV_U_SQL}) / 1e4 AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -1921,11 +1946,9 @@ def q19_disjunctive_revenue(sf_dir: str, terms=None):
     partkey-aligned (brand-code, size) arrays via ``ray.put``; one
     pure-map pass over lineitem evaluates the OR-of-ANDs vectorized in
     numpy and emits a single partial row per batch; the global reduce
-    is ``Dataset.aggregate`` over ≤ #blocks rows. Revenue pinned to
-    WHOLE units (0 dp): one global float sum's accumulation-order
-    noise must sit ≪ the pin unit (CLAUDE.md sum-pin rule), and the
-    qualifying subset is large enough that a 2-dp pin would flirt
-    with boundary flips."""
+    is ``Dataset.aggregate`` over ≤ #blocks rows. Revenue is an EXACT
+    int64 1e-4-dollar unit sum (r4, see _rev_units) — bit-identical
+    on both sides, no float pin needed at any scale."""
     import math
 
     import numpy as np
@@ -1975,22 +1998,19 @@ def q19_disjunctive_revenue(sf_dir: str, terms=None):
                 keep |= ((code == bc) & (size >= s_lo) & (size <= s_hi)
                          & (qty >= q_lo) & (qty <= q_hi))
             t = b.filter(pa.array(keep))
-            rev = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0),
-                                          t["l_discount"]))
+            rev = _rev_units(t["l_extendedprice"], t["l_discount"])
             return pa.table({"rev": pa.array(
-                [float(pc.sum(rev).as_py() or 0.0)])})
+                [int(pc.sum(rev).as_py() or 0)], pa.int64())})
 
     parts = ds.map_batches(Partial, batch_format="pyarrow",
                            concurrency=autoscale_pool(0.5))
     got = parts.aggregate(Sum("rev", alias_name="rev"))
-    revenue = math.floor((got["rev"] or 0.0) + 0.5)
     import pandas as pd
-    return pd.DataFrame({"revenue": [float(revenue)]})
+    return pd.DataFrame({"revenue": [int(got["rev"] or 0) / 1e4]})
 
 
-SQL_Q19_DISJUNCTIVE_REVENUE = """
-SELECT floor(sum(l_extendedprice * (1 - l_discount)) + 0.5) AS revenue
+SQL_Q19_DISJUNCTIVE_REVENUE = f"""
+SELECT sum({_REV_U_SQL}) / 1e4 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1.0 AND 20.0)
@@ -2011,7 +2031,10 @@ def q11_important_parts(sf_dir: str, frac_inv: float = 500.0):
     as a dict; the share filter is then a pure map. Both the
     per-part value and the nation total are 2-dp-pinned BEFORE the
     comparison so the >-boundary is the identical double on both
-    sides (CLAUDE.md pinned-moment rule)."""
+    sides. 2-dp is GRID-SAFE here: values are sums of raw 2-dp
+    extendedprice (and the total sums 2-dp-pinned values), so every
+    achievable sum sits on the 0.01 grid, half a grid step from any
+    0.005-offset pin boundary (r4 grid rule, see _rev_units)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -2380,8 +2403,8 @@ def q6_forecast_revenue(sf_dir: str, lo: str = "1996-01-01",
     """TPC-H Q6 shape (forecast-revenue-change scalar: one filtered
     sum, the canonical zero-shuffle aggregate). One pure-map pass
     emits a single partial per batch; ``Dataset.aggregate`` folds
-    ≤ #blocks rows. WHOLE-unit pin (Q19 rule: one global float sum —
-    the pin unit must dwarf accumulation-order noise)."""
+    ≤ #blocks rows. Revenue is an EXACT int64 unit sum
+    (cents × discount_cents, r4 — see _rev_units): no float pin."""
     import datetime as _dt
     import math
 
@@ -2407,19 +2430,21 @@ def q6_forecast_revenue(sf_dir: str, lo: str = "1996-01-01",
                                       pa.scalar(0.07))),
                 pc.less(b["l_quantity"], pa.scalar(24.0))))
         t = b.filter(keep)
-        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        # extcents × disc_cents: exact 1e-4-dollar int64 units
+        rev = pc.multiply(_money_cents(t["l_extendedprice"]),
+                          _money_cents(t["l_discount"]))
         return pa.table({"r": pa.array(
-            [float(pc.sum(rev).as_py() or 0.0)])})
+            [int(pc.sum(rev).as_py() or 0)], pa.int64())})
 
     got = ds.map_batches(partial, batch_format="pyarrow") \
         .aggregate(Sum("r", alias_name="r"))
     import pandas as pd
-    return pd.DataFrame({"revenue": [
-        float(math.floor((got["r"] or 0.0) + 0.5))]})
+    return pd.DataFrame({"revenue": [int(got["r"] or 0) / 1e4]})
 
 
 SQL_Q6_FORECAST_REVENUE = """
-SELECT floor(sum(l_extendedprice * l_discount) + 0.5) AS revenue
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 1e4 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2434,7 +2459,9 @@ def q9_nation_margin(sf_dir: str):
     cost table broadcasts once as sorted partkey-aligned prices (q14
     pattern); margin and year compute map-side; ONE range shuffle
     attaches the supplier nation; per-(nation, year) partials combine
-    into a ≤ nations×years final groupby. Margin pinned 2 dp."""
+    into a ≤ nations×years final groupby. Margin is EXACT int64
+    1e-4-dollar units on both sides (r4; the r3 2-dp float pin flipped
+    a last digit on the driver — see _rev_units)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -2455,9 +2482,11 @@ def q9_nation_margin(sf_dir: str):
                          columns=["p_partkey", "p_retailprice"])
     keys = np.asarray(part["p_partkey"].to_pylist(), np.int64)
     order = np.argsort(keys)
-    prices = np.asarray(part["p_retailprice"].to_pylist(),
-                        np.float64)[order]
-    lookup_ref = ray.put((keys[order], prices))
+    # broadcast EXACT retail cents (2-dp money) — margin becomes pure
+    # int64 arithmetic, bit-identical to the oracle with no float pin
+    price_c = np.asarray(_money_cents(part["p_retailprice"]).to_pylist(),
+                         np.int64)[order]
+    lookup_ref = ray.put((keys[order], price_c))
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_partkey", "l_suppkey",
@@ -2465,15 +2494,17 @@ def q9_nation_margin(sf_dir: str):
                                     "l_discount", "l_shipdate"])
 
     def margin_prep(b: pa.Table) -> pa.Table:
-        k, pr = ray.get(lookup_ref)
+        k, pr_c = ray.get(lookup_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        cost = pr[np.searchsorted(k, pk)] * \
-            b["l_quantity"].to_numpy(zero_copy_only=False)
-        rev = pc.multiply(b["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        qty = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)  # fixture quantities are integer-valued
+        # cost in 1e-4-dollar units: retail_cents × qty × 100
+        cost_u = pr_c[np.searchsorted(k, pk)] * qty * 100
+        rev_u = _rev_units(b["l_extendedprice"],
+                           b["l_discount"]).to_numpy()
         return pa.table({
             "s_suppkey": b["l_suppkey"],
-            "margin": pc.subtract(rev, pa.array(cost)),
+            "margin": pa.array(rev_u - cost_u),
             "o_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64())})
 
     prepped = line.map_batches(margin_prep, batch_format="pyarrow")
@@ -2494,18 +2525,19 @@ def q9_nation_margin(sf_dir: str):
         .aggregate(Sum("pm", alias_name="margin"))
     pdf = agg.to_pandas()
     pdf["n_name"] = pdf["n"].map(name_of)
-    pdf["margin"] = np.floor(pdf["margin"] * 1e2 + 0.5) / 1e2
+    pdf["margin"] = pdf["margin"] / 1e4
     return pdf[["n_name", "o_year", "margin"]] \
         .sort_values(["n_name", "o_year"],
                      ascending=[True, False]).reset_index(drop=True)
 
 
-SQL_Q9_NATION_MARGIN = """
+SQL_Q9_NATION_MARGIN = f"""
 SELECT n_name, o_year,
-       floor(sum(amount) * 1e2 + 0.5) / 1e2 AS margin
+       sum(amount) / 1e4 AS margin
 FROM (SELECT n_name, EXTRACT(year FROM l_shipdate) AS o_year,
-             l_extendedprice * (1 - l_discount)
-                 - p_retailprice * l_quantity AS amount
+             {_REV_U_SQL}
+                 - CAST(round(p_retailprice * 100) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT) * 100 AS amount
       FROM lineitem
       JOIN part     ON p_partkey = l_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -2525,8 +2557,9 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
     nation/region dims broadcast; orders⋈customer (shuffle 1) carries
     the region filter; lineitem⋈that (shuffle 2) then ⋈supplier
     (shuffle 3). Numerator (bloc suppliers) and denominator sums are
-    BOTH 2-dp-pinned per year before the division, so the share is
-    the identical IEEE double on both sides."""
+    BOTH exact int64 1e-4-dollar unit sums (r4, see _rev_units), so
+    the share is one int/int division — the identical IEEE double on
+    both sides with no pin at all."""
     import datetime as _dt
 
     import numpy as np
@@ -2601,8 +2634,7 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         k, isp = ray.get(part_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
         t = b.filter(pa.array(isp[np.searchsorted(k, pk)]))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         return pa.table({"o_orderkey": t["l_orderkey"],
                          "s_suppkey": t["l_suppkey"], "rev": rev})
 
@@ -2620,7 +2652,7 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         in_bloc = pc.is_in(pc.cast(b["s_nationkey"], pa.int32()),
                            value_set=bloc_keys)
         bloc_rev = pc.if_else(pc.fill_null(in_bloc, False), b["rev"],
-                              pa.scalar(0.0))
+                              pa.scalar(0, pa.int64()))
         g = pa.table({"o_year": b["o_year"], "num": bloc_rev,
                       "den": b["rev"]}) \
             .group_by("o_year").aggregate([("num", "sum"),
@@ -2636,20 +2668,20 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         import pandas as pd
         return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
                              "mkt_share": pd.Series([], dtype="float64")})
-    num = np.floor(pdf["num"] * 1e2 + 0.5) / 1e2
-    den = np.floor(pdf["den"] * 1e2 + 0.5) / 1e2
-    pdf["mkt_share"] = num / den
+    # exact int-unit sums: the share is a single int64/int64 division,
+    # identical to the oracle's CAST(...)/CAST(...) double division
+    pdf["mkt_share"] = pdf["num"].astype("float64") / \
+        pdf["den"].astype("float64")
     return pdf[["o_year", "mkt_share"]].sort_values("o_year") \
         .reset_index(drop=True)
 
 
-SQL_Q8_MARKET_SHARE = """
+SQL_Q8_MARKET_SHARE = f"""
 SELECT o_year,
-       (floor(sum(CASE WHEN bloc THEN volume ELSE 0.0 END) * 1e2 + 0.5)
-            / 1e2)
-       / (floor(sum(volume) * 1e2 + 0.5) / 1e2) AS mkt_share
+       CAST(sum(CASE WHEN bloc THEN volume ELSE 0 END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
 FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {_REV_U_SQL} AS volume,
              ns.n_name IN ('NATION_1', 'NATION_2') AS bloc
       FROM lineitem
       JOIN part     ON p_partkey = l_partkey
@@ -2671,7 +2703,8 @@ def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
     """TPC-H Q15 shape (the top-revenue supplier(s) of a quarter —
     aggregate, then filter equal to the aggregate's MAX, ties kept).
     Per-supplier revenue: map-side partials → ONE
-    ``sorted_sum_per_group`` shuffle → 2-dp pin map-side. The global
+    ``sorted_sum_per_group`` shuffle → exact int64 1e-4-dollar units
+    map-side (r4, see _rev_units). The global
     max reduces via ``Dataset.aggregate(Max)`` (never a driver scan);
     the equality filter is a pure map over the pinned values, so ties
     survive exactly as in SQL. Name attach = one final range shuffle."""
@@ -2697,8 +2730,7 @@ def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
                                         pa.scalar(lo_ts)),
                        pc.less(b["l_shipdate"], pa.scalar(hi_ts)))
         t = b.filter(keep)
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         g = pa.table({"s_suppkey": t["l_suppkey"], "rev": rev}) \
             .group_by("s_suppkey").aggregate([("rev", "sum")])
         return g.rename_columns(["s_suppkey", "rev"])
@@ -2709,9 +2741,9 @@ def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
         ["s_suppkey"], ["rev"])
 
     def pin(b: pa.Table) -> pa.Table:
-        r = pc.divide(pc.floor(pc.add(pc.multiply(b["rev"],
-                                                  pa.scalar(1e2)),
-                                      pa.scalar(0.5))), pa.scalar(1e2))
+        # exact int-unit sum → dollars; the max-equality filter then
+        # compares identical doubles on both sides
+        r = pc.divide(pc.cast(b["rev"], pa.float64()), pa.scalar(1e4))
         return pa.table({"s_suppkey": b["s_suppkey"], "total_rev": r})
 
     pinned = compact_blocks(
@@ -2738,11 +2770,10 @@ def q15_top_supplier(sf_dir: str, lo: str = "1996-01-01",
         .sort_values("s_suppkey").reset_index(drop=True)
 
 
-SQL_Q15_TOP_SUPPLIER = """
+SQL_Q15_TOP_SUPPLIER = f"""
 WITH r AS (
   SELECT l_suppkey AS s_suppkey,
-         floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
-             / 1e2 AS total_rev
+         sum({_REV_U_SQL}) / 1e4 AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -2759,12 +2790,12 @@ def q17_small_quantity_revenue(sf_dir: str, frac: float = 0.5):
     typical quantity — the correlated per-group average). Two passes
     over lineitem: (1) per-part (sum_qty, count) via ONE
     ``sorted_sum_per_group``, average derived from the 2-dp-PINNED
-    sum so both engines compare against the identical double;
+    sum (a no-op on exact integer qty sums, kept for lockstep) so
+    both engines compare against the identical double;
     (2) the filter pass re-joins the per-part threshold by one range
     shuffle and emits one partial revenue row per batch. Output is
-    the global sum in THOUSANDS, 2-dp-pinned — the raw unit sum's
-    accumulation noise (~1e-3 at 10^9 magnitude) would sit too close
-    to a whole-unit pin boundary (CLAUDE.md sum-pin rule)."""
+    the global sum in THOUSANDS from EXACT int64 cents (r4, see
+    _rev_units) — one division, identical on both sides."""
     import math
 
     import pyarrow as pa
@@ -2809,13 +2840,14 @@ def q17_small_quantity_revenue(sf_dir: str, frac: float = 0.5):
 
     def rev_partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.less(b["l_quantity"], b["cut"]))
-        s = pc.sum(t["l_extendedprice"]).as_py() or 0.0
-        return pa.table({"r": pa.array([float(s)]),
+        s = pc.sum(_money_cents(t["l_extendedprice"])).as_py() or 0
+        return pa.table({"r": pa.array([int(s)], pa.int64()),
                          "n": pa.array([t.num_rows], pa.int64())})
 
     got = joined.map_batches(rev_partial, batch_format="pyarrow") \
         .aggregate(Sum("r", alias_name="r"), Sum("n", alias_name="n"))
-    rev_k = math.floor((got["r"] or 0.0) / 1e3 * 1e2 + 0.5) / 1e2
+    # exact cents → thousands of dollars: one division, both sides
+    rev_k = int(got["r"] or 0) / 1e5
     import pandas as pd
     return pd.DataFrame({"n_small": [int(got["n"] or 0)],
                          "revenue_k": [rev_k]})
@@ -2828,7 +2860,8 @@ WITH a AS (
              AS cut
   FROM lineitem GROUP BY l_partkey)
 SELECT count(*)::BIGINT AS n_small,
-       floor(sum(l_extendedprice) / 1e3 * 1e2 + 0.5) / 1e2 AS revenue_k
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 1e5
+           AS revenue_k
 FROM lineitem JOIN a USING (l_partkey)
 WHERE l_quantity < cut
 """
@@ -3113,6 +3146,8 @@ def q22_idle_balance(sf_dir: str,
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
     import math
     n_pos = int(mom["n"] or 0)
+    # 2-dp is grid-safe for a c_acctbal (2-dp money) sum: boundaries
+    # sit 0.005 off the 0.01 grid (r4 grid rule, see _rev_units)
     pinned_sum = math.floor((mom["s"] or 0.0) * 1e2 + 0.5) / 1e2
     threshold = (pinned_sum / n_pos) if n_pos else 0.0
 
