@@ -1037,3 +1037,58 @@ def test_pca_planted_axis_and_layout_invariance(ray_session):
     s2 = pca_transform(rd.from_arrow(t).repartition(13), c2) \
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert s1.equals(s2)
+
+
+def test_jaccard_sorted_equals_set_jaccard():
+    """The numpy merge Jaccard (r4 vectorization of the pair-verify
+    stage) must agree with the set-based reference on random multisets
+    incl. empty/disjoint/identical edges."""
+    import numpy as np
+
+    from zhtml_ray.functions.dedup import _jaccard_of_sets, _jaccard_sorted
+    rng = np.random.default_rng(42)
+    cases = [(np.zeros(0, np.uint64), np.zeros(0, np.uint64)),
+             (np.zeros(0, np.uint64),
+              np.unique(rng.integers(0, 50, 10).astype(np.uint64)))]
+    for _ in range(200):
+        a = np.unique(rng.integers(0, 40, rng.integers(0, 30))
+                      .astype(np.uint64))
+        b = np.unique(rng.integers(0, 40, rng.integers(0, 30))
+                      .astype(np.uint64))
+        cases.append((a, b))
+    for a, b in cases:
+        want = _jaccard_of_sets(set(a.tolist()), set(b.tolist()))
+        assert _jaccard_sorted(a, b) == want
+        assert _jaccard_sorted(b, a) == want
+
+
+def test_hex_hash_batch_buffer_slicing():
+    """Buffer-slice batch hashing must be byte-identical to per-row
+    hashlib over utf8 / large_utf8 / binary, sliced (nonzero offset)
+    and null-bearing arrays."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from zhtml_ray.functions.dedup import _hex_hash_batch, md5_hex_batch
+    texts = ["", "a", "héllo wörld", "x" * 5000, "line\nline2", "ascii"]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(texts, typ)
+        got = md5_hex_batch(arr).to_pylist()
+        want = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        assert got == want
+        # non-zero offset slice shares the parent's data buffer
+        sl = arr.slice(2, 3)
+        assert md5_hex_batch(sl).to_pylist() == want[2:5]
+    # chunked + binary + sha1
+    ch = pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])])
+    assert md5_hex_batch(ch).to_pylist() == [
+        hashlib.md5(t.encode()).hexdigest() for t in texts]
+    bin_arr = pa.array([t.encode() for t in texts], pa.binary())
+    assert _hex_hash_batch(bin_arr, hashlib.sha1).to_pylist() == [
+        hashlib.sha1(t.encode()).hexdigest() for t in texts]
+    # nulls fall back to the safe path, hashing "" for null
+    with_null = pa.array(["a", None, "b"])
+    assert md5_hex_batch(with_null).to_pylist() == [
+        hashlib.md5(b"a").hexdigest(), hashlib.md5(b"").hexdigest(),
+        hashlib.md5(b"b").hexdigest()]

@@ -197,6 +197,36 @@ def test_resume_with_different_config_raises(shards, tmp_path):
     assert r["complete"]
 
 
+def test_resume_plan_predating_clean_key(shards, tmp_path):
+    """A plan.json written BEFORE the 'clean' key existed must resume
+    under the current code (missing key == default false, r4 advisor:
+    raw-string tag compare broke --resume for every old output dir) —
+    while a resume that actually flips clean still refuses."""
+    import json
+
+    from zhtml_ray.stages.manifest import run_partitioned
+    out_dir = str(tmp_path / "out")
+    run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
+                    fail_after=1, extract_kwargs={"include_spans": True})
+    plan_path = str(tmp_path / "out" / "_manifests" / "plan.json")
+    with open(plan_path) as f:
+        plan = json.load(f)
+    cfg = json.loads(plan["extract_config"])
+    assert "clean" in cfg
+    del cfg["clean"]  # simulate a pre-r3 plan without the key
+    plan["extract_config"] = json.dumps(cfg, sort_keys=True)
+    with open(plan_path, "w") as f:
+        json.dump(plan, f)
+
+    with pytest.raises(ValueError, match="different extraction config"):
+        run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": True,
+                                        "clean": True})
+    r = run_partitioned(shards[:4], out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": True})
+    assert r["complete"]
+
+
 def test_partition_run_tolerates_missing_lang(ray_session, tmp_path):
     """Shards with only (url, html) — e.g. from read_html_files — must
     process, not crash on a hardcoded column list."""

@@ -230,6 +230,16 @@ def q_dsir_select(sf_dir: str, target_lang: str = "en",
             if len(bs):
                 t_mass[i] = ct_[bs].sum()
                 r_mass[i] = cr_[bs].sum()
+        # int64 cross-multiply guard: past ~2^62 the numpy product
+        # would wrap silently and flip picks — fail loudly instead
+        # (r4 advisor); if this ever trips, switch to the object-dtype
+        # Python-int compare below the assert.
+        max_t = int(t_mass.max()) if n else 0
+        max_r = int(r_mass.max()) if n else 0
+        assert max_t * nr < 2 ** 62 and max_r * nt < 2 ** 62, (
+            "dsir_select mass×total cross-multiply would overflow "
+            f"int64 (max_t={max_t}, nr={nr}, max_r={max_r}, nt={nt}); "
+            "recompute with Python-int per-row comparison")
         pick = t_mass * nr > r_mass * nt
         return pa.table({"doc_id": batch["doc_id"],
                          "t_mass": pa.array(t_mass),
@@ -920,10 +930,9 @@ def web_pipeline_ds(sf_dir: str, pages_dir: str | None = None):
     so the composite inherits the mega-doc robustness of the extract
     pipeline; pass ``pages_dir`` to run over an explicit shard set
     (e.g. one containing mega docs)."""
-    import hashlib
-
     import pyarrow as pa
 
+    from zhtml_ray.functions.dedup import md5_hex_batch
     from zhtml_ray.functions.textstats import GopherStats
     from zhtml_ray.pipelines.extract import pages_dir_for
     from zhtml_ray.stages.skew import extract_with_skew_routing
@@ -943,10 +952,10 @@ def web_pipeline_ds(sf_dir: str, pages_dir: str | None = None):
         c4 = c4.filter(c4["keep"]).drop_columns(["keep", "n_lines"])
         g = gopher(c4)
         g = g.filter(g["keep"])
-        digests = [hashlib.md5(s.encode()).hexdigest()
-                   for s in g["clean_text"].to_pylist()]
+        # buffer-slice batch md5: no per-row str materialize/encode
+        digests = md5_hex_batch(g["clean_text"])
         return pa.table({"url": g["url"],
-                         "digest": pa.array(digests, pa.string()),
+                         "digest": digests,
                          "n_kept": g["n_kept"],
                          "n_words": g["n_words"]})
 

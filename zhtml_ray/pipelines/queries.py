@@ -47,6 +47,21 @@ _REV_U_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
               "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
 
 
+def _bcast_lookup(keys, pk):
+    """Broadcast-dim lookup with FK-integrity masking: returns
+    ``(idx, found)`` for sorted ``keys``. A foreign key absent from
+    the dim table gets ``found=False`` (and a clipped, safe index)
+    instead of silently inheriting a NEIGHBORING row's attributes or
+    raising IndexError past the last key (r4 advisor). Callers drop
+    unfound rows — inner-join semantics, matching the SQL oracles."""
+    import numpy as np
+    if len(keys) == 0:
+        z = np.zeros(len(pk), np.int64)
+        return z, np.zeros(len(pk), bool)
+    idx = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+    return idx, keys[idx] == pk
+
+
 # --------------------------------------------------------------- extraction
 
 def q_extract(sf_dir: str):
@@ -292,11 +307,12 @@ def q_brand_revenue(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             pk = np.asarray(batch["l_partkey"].to_pylist(), np.int64)
-            idx = np.searchsorted(self.keys, pk)
-            brand = self.brands[idx]  # fixture FKs always resolve
-            rev = _rev_units(batch["l_extendedprice"], batch["l_discount"])
+            idx, found = _bcast_lookup(self.keys, pk)
+            brand = self.brands[idx][found]
+            rev = _rev_units(batch["l_extendedprice"],
+                             batch["l_discount"]).to_numpy()[found]
             t = pa.table({"p_brand": pa.array(brand.tolist(), pa.string()),
-                          "rev": rev})
+                          "rev": pa.array(rev)})
             return t.group_by("p_brand").aggregate([("rev", "sum")]) \
                     .rename_columns(["p_brand", "p_rev"])
 
@@ -829,8 +845,9 @@ def q14_promo_revenue(sf_dir: str, lo: str = "1996-01-01",
             rev = _rev_units(t["l_extendedprice"],
                              t["l_discount"]).to_numpy()
             pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, pk)
-            is_promo = self.promo[idx]  # fixture FKs always resolve
+            idx, found = _bcast_lookup(self.keys, pk)
+            rev = rev[found]  # inner-join: unmatched partkeys drop
+            is_promo = self.promo[idx][found]
             return pa.table({
                 "p": pa.array([int(rev[is_promo].sum())], pa.int64()),
                 "t": pa.array([int(rev.sum())], pa.int64())})
@@ -1991,12 +2008,13 @@ def q19_disjunctive_revenue(sf_dir: str, terms=None):
         def __call__(self, b: pa.Table) -> pa.Table:
             pk = b["l_partkey"].to_numpy(zero_copy_only=False)
             qty = b["l_quantity"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, pk)
+            idx, found = _bcast_lookup(self.keys, pk)
             code, size = self.codes[idx], self.sizes[idx]
             keep = np.zeros(len(pk), bool)
             for bc, s_lo, s_hi, q_lo, q_hi in term_rows:
                 keep |= ((code == bc) & (size >= s_lo) & (size <= s_hi)
                          & (qty >= q_lo) & (qty <= q_hi))
+            keep &= found  # inner-join: unmatched partkeys drop
             t = b.filter(pa.array(keep))
             rev = _rev_units(t["l_extendedprice"], t["l_discount"])
             return pa.table({"rev": pa.array(
@@ -2339,7 +2357,8 @@ def q2_min_cost_supplier(sf_dir: str, region: str = "ASIA",
     def pair_partial(b: pa.Table) -> pa.Table:
         kk, okp = ray.get(part_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        t = b.filter(pa.array(okp[np.searchsorted(kk, pk)]))
+        idx, found = _bcast_lookup(kk, pk)
+        t = b.filter(pa.array(okp[idx] & found))
         g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
         return g.rename_columns(["p_partkey", "s_suppkey"])
 
@@ -2499,13 +2518,15 @@ def q9_nation_margin(sf_dir: str):
         qty = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)) \
             .astype(np.int64)  # fixture quantities are integer-valued
         # cost in 1e-4-dollar units: retail_cents × qty × 100
-        cost_u = pr_c[np.searchsorted(k, pk)] * qty * 100
+        idx, found = _bcast_lookup(k, pk)
+        cost_u = pr_c[idx] * qty * 100
         rev_u = _rev_units(b["l_extendedprice"],
                            b["l_discount"]).to_numpy()
         return pa.table({
             "s_suppkey": b["l_suppkey"],
             "margin": pa.array(rev_u - cost_u),
-            "o_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64())})
+            "o_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64())}) \
+            .filter(pa.array(found))  # inner-join: unmatched drop
 
     prepped = line.map_batches(margin_prep, batch_format="pyarrow")
     with_n = compact_blocks(sorted_lookup_join(
@@ -2633,7 +2654,8 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
     def l_prep(b: pa.Table) -> pa.Table:
         k, isp = ray.get(part_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        t = b.filter(pa.array(isp[np.searchsorted(k, pk)]))
+        idx, found = _bcast_lookup(k, pk)
+        t = b.filter(pa.array(isp[idx] & found))
         rev = _rev_units(t["l_extendedprice"], t["l_discount"])
         return pa.table({"o_orderkey": t["l_orderkey"],
                          "s_suppkey": t["l_suppkey"], "rev": rev})
@@ -2904,8 +2926,8 @@ def q20_promo_suppliers(sf_dir: str, ptype: str = "PROMO",
     def promo_partial(b: pa.Table) -> pa.Table:
         k, isp = ray.get(lookup_ref)
         pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        keep = isp[np.searchsorted(k, pk)]
-        t = b.filter(pa.array(keep))
+        idx, found = _bcast_lookup(k, pk)
+        t = b.filter(pa.array(isp[idx] & found))
         g = pa.table({"l_suppkey": t["l_suppkey"],
                       "l_partkey": t["l_partkey"],
                       "qty": t["l_quantity"]}) \

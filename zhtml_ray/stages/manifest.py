@@ -220,11 +220,26 @@ def run_partitioned(input_files: list[str], out_dir: str,
                 "plan.json at %s predates config pinning: cannot verify "
                 "the resume uses the original extraction config",
                 plan_path)
-        elif stored["extract_config"] != cfg_tag:
-            raise ValueError(
-                "resume with a different extraction config than the "
-                f"original run ({stored['extract_config']} != {cfg_tag}); "
-                "use a fresh output dir")
+        else:
+            # compare KEY-WISE with defaults for keys the stored tag
+            # predates (e.g. "clean" added r3): an old plan without
+            # the key must equal a new tag with the key at its default
+            # — raw-string compare broke --resume for every pre-change
+            # output dir (r4 advisor)
+            stored_cfg = json.loads(stored["extract_config"])
+            new_cfg = json.loads(cfg_tag)
+            defaults = {"include_spans": True,
+                        "thresholds": repr(None), "clean": False}
+            keys = set(stored_cfg) | set(new_cfg)
+            diff = {k for k in keys
+                    if stored_cfg.get(k, defaults.get(k))
+                    != new_cfg.get(k, defaults.get(k))}
+            if diff:
+                raise ValueError(
+                    "resume with a different extraction config than the "
+                    f"original run (keys {sorted(diff)}: "
+                    f"{stored['extract_config']} != {cfg_tag}); "
+                    "use a fresh output dir")
     else:
         os.makedirs(os.path.dirname(plan_path), exist_ok=True)
         tmp = plan_path + ".tmp"
