@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode=`` selects a deterministic fake decoder so the
-Ray-side plumbing — schema, batch sizing for large binary payloads,
-actor signature, output layout — is real and tested. Swapping in a real
-decoder (PIL/torchvision/ffmpeg) is a one-line
-``fn_constructor_kwargs`` change on a real cluster.
+Decode status (r4): PNG, 24-bit BMP and PCM WAV decode FOR REAL via
+functions/mediacodec.py (pure stdlib zlib/wave + numpy —
+``real_decode_image`` / ``real_decode_audio`` sniff the magic).
+Codec-library formats (JPEG, MP3, MP4 video) remain behind the
+injectable ``decode=`` hook with the deterministic fake as the
+in-container stand-in; swapping in PIL/torchvision/ffmpeg is a
+one-line ``fn_constructor_kwargs`` change on a real cluster.
 """
 
 from __future__ import annotations
@@ -58,6 +59,67 @@ def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def gen_real_media_table(n: int, seed: int = 42,
+                         dup_every: int = 0) -> pa.Table:
+    """Synthetic media rows whose payloads are REAL encoded files —
+    PNG (seeded RGB gradients+noise), BMP for every ``dup_every``-th
+    image (same pixels, different container: a true re-encode
+    near-duplicate), and PCM WAV sine mixes — so the full decode →
+    feature → near-dup chains run through actual codecs."""
+    from zhtml_ray.functions import mediacodec
+    rng = np.random.RandomState(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        if kind == "image":
+            h, w = 40 + (i % 5) * 8, 48 + (i % 7) * 8
+            # random 8×9 block pattern upsampled to (h, w): distinct
+            # images get essentially independent dHashes (a plain
+            # gradient made every image hash identically)
+            blocks = rng.randint(0, 256, (8, 9, 3))
+            img = blocks[np.arange(h) * 8 // h][:, np.arange(w) * 9 // w] \
+                .astype(np.uint8)
+            if dup_every and (i // 3) % dup_every == dup_every - 1:
+                # same pixels, different container → hamming-0 pair
+                # with the PNG of the SAME image appended right after
+                rows["payload"].append(mediacodec.encode_png(
+                    img, filters=(i // 3) % 5))
+                rows["mime"].append("image/png")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(-1)
+                for c, v in [("media_id", n + i), ("kind", "image"),
+                             ("payload", mediacodec.encode_bmp(img)),
+                             ("mime", "image/bmp"), ("width", w),
+                             ("height", h), ("duration_ms", -1)]:
+                    rows[c].append(v)
+                continue
+            payload, mime = mediacodec.encode_png(img, filters=i % 5), \
+                "image/png"
+            dur = -1
+        elif kind == "audio":
+            t = np.arange(1600 + (i % 5) * 800) / 16000.0
+            pcm = (0.4 * np.sin(2 * np.pi * (200 + i % 700) * t)
+                   + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+            payload, mime = mediacodec.encode_wav(
+                pcm, 16000, sampwidth=1 + (i % 2)), "audio/wav"
+            h = w = -1
+            dur = int(len(t) / 16)
+        else:
+            payload, mime = rng.bytes(512), "video/mp4"
+            h = w = -1
+            dur = 1000 + i % 9000
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w if kind == "image" else -1)
+        rows["height"].append(h if kind == "image" else -1)
+        rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def filter_kind(batch: pa.Table, kind: str) -> pa.Table:
     """Vectorized kind pre-filter for the feature stages. The contract
     (ADVICE r2): every feature stage emits EXACTLY one row per input row
@@ -79,10 +141,37 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def real_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL image decode for the formats the stdlib can carry (r4):
+    PNG (zlib inflate, all five filters) and 24-bit BMP via
+    functions/mediacodec.py — pure Python/numpy, no external libs.
+    The (width, height) hints are ignored; actual dimensions come from
+    the payload. Formats that need a codec library (JPEG, WebP, …)
+    still raise, with the same injectable-decoder escape hatch."""
+    from zhtml_ray.functions import mediacodec
+    if payload[:8] == mediacodec.PNG_MAGIC:
+        return mediacodec.decode_png(payload)
+    if payload[:2] == b"BM":
+        return mediacodec.decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "container; pass decode=_fake_decode_image for the deterministic "
-        "stub, or plug PIL/torchvision here on a real cluster")
+        "only PNG/BMP decode in-container (functions/mediacodec.py); "
+        "JPEG/WebP need an image library — pass decode=_fake_decode_image "
+        "for the deterministic stub, or plug PIL/torchvision on a real "
+        "cluster")
+
+
+def real_decode_audio(payload: bytes, duration_ms: int,
+                      rate: int = 16000) -> np.ndarray:
+    """REAL audio decode for RIFF PCM WAV (stdlib ``wave`` via
+    functions/mediacodec.py), resampled to ``rate``; the declared
+    duration hint is ignored. Compressed formats still raise."""
+    from zhtml_ray.functions import mediacodec
+    if payload[:4] == b"RIFF":
+        return mediacodec.decode_wav(payload, rate=rate)
+    raise NotImplementedError(
+        "only PCM WAV decode in-container (functions/mediacodec.py); "
+        "MP3/AAC need an audio library — pass decode=_fake_decode_audio "
+        "for the deterministic stub, or plug ffmpeg/torchaudio on a "
+        "real cluster")
 
 
 class ImageFeatures:

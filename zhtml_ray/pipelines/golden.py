@@ -653,6 +653,21 @@ def _gen_media_phash(sf_dir: str) -> pa.Table:
     return out.select(["media_id", "phash"])
 
 
+def _gen_media_real_phash(sf_dir: str) -> pa.Table:
+    """Serial dHash table over the REAL-codec media fixture: payloads
+    are actual PNG/BMP files and decode goes through
+    functions/mediacodec.py (r4 — no stub anywhere in this chain).
+    Oracle pair list computed independently in DuckDB as with
+    media_phash."""
+    from zhtml_ray.functions.multimodal import (PHashBatch, filter_kind,
+                                                gen_real_media_table,
+                                                real_decode_image)
+    from zhtml_ray.pipelines.ops_queries import _media_rows_for
+    t = gen_real_media_table(_media_rows_for(sf_dir), dup_every=8)
+    out = PHashBatch(decode=real_decode_image)(filter_kind(t, "image"))
+    return out.select(["media_id", "phash"])
+
+
 def _gen_media_features(sf_dir: str) -> pa.Table:
     from zhtml_ray.functions.multimodal import ImageFeatures, gen_media_table
     from zhtml_ray.pipelines.ops_queries import _media_rows_for
@@ -832,6 +847,7 @@ _GENERATORS = {
     "pdf_extract": _gen_pdf_extract,
     "media_features": _gen_media_features,
     "media_phash": _gen_media_phash,
+    "media_real_phash": _gen_media_real_phash,
     "pca_project": _gen_pca_project,
     "audio_features": _gen_audio_features,
     "frame_sample": _gen_frame_sample,
