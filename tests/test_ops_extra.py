@@ -534,3 +534,32 @@ def test_harmonize_union_drift_semantics(ray_session):
     bad = rd.from_arrow(pa.table({"k": ["not-an-int"]}))
     with pytest.raises(Exception):
         harmonize_union([bad], target).take_all()
+
+
+def test_golden_sweep_spares_claimed_superseded_dirs(tmp_path, monkeypatch):
+    """A superseded-digest golden dir CLAIMED by a live process (its
+    .inuse.<pid> marker) must survive the sweep — a source edit during
+    a long background gate run must not delete goldens out from under
+    it (r4). Unclaimed / dead-claimed superseded dirs still sweep."""
+    import os
+
+    import zhtml_ray.pipelines.golden as g
+
+    monkeypatch.setattr(g, "GOLDEN_ROOT", str(tmp_path))
+    monkeypatch.setattr(g, "_CLEANED", False)
+    cur = f"v9_sfX_dY_s{g._source_digest()}"
+    live = tmp_path / "v9_sfX_dY_sOLDLIVE"
+    dead = tmp_path / "v9_sfX_dY_sOLDDEAD"
+    plain = tmp_path / "v9_sfX_dY_sOLDNONE"
+    keep = tmp_path / cur
+    for d in (live, dead, plain, keep):
+        d.mkdir()
+        (d / "x.parquet").write_bytes(b"stub")
+    (live / f".inuse.{os.getpid()}").touch()
+    (dead / ".inuse.999999999").touch()
+
+    g._clean_stale_current()
+    assert live.is_dir(), "claimed superseded dir was swept"
+    assert keep.is_dir(), "current-digest dir must never sweep"
+    assert not dead.exists() and not plain.exists(), \
+        "unclaimed superseded dirs must still sweep"

@@ -87,7 +87,27 @@ def _clean_stale_current() -> None:
                 pass
     cur = f"_s{_source_digest()}"
     for d in glob.glob(os.path.join(GOLDEN_ROOT, "v*_s*")):
-        if os.path.isdir(d) and not d.endswith(cur):
+        if not os.path.isdir(d) or d.endswith(cur):
+            continue
+        # a LIVE process may still be mid-gate on the superseded
+        # digest (r4: a source edit during a long background sf0.1
+        # run swept the dir out from under it — FileNotFoundError on
+        # its golden reads). Dirs are claimed via .inuse.<pid>
+        # markers; sweep only when every claimant is dead.
+        live = False
+        for m in glob.glob(os.path.join(d, ".inuse.*")):
+            try:
+                mpid = int(m.rsplit(".", 1)[1])
+            except ValueError:
+                continue
+            if pid_alive(mpid):
+                live = True
+            else:
+                try:
+                    os.remove(m)
+                except OSError:
+                    pass
+        if not live:
             sh.rmtree(d, ignore_errors=True)
 
 
@@ -949,6 +969,12 @@ def ensure_golden(name: str, sf_dir: str,
     cache = os.path.join(GOLDEN_ROOT, _cache_tag(sf_dir))
     os.makedirs(cache, exist_ok=True)
     os.makedirs(_current_dir(), exist_ok=True)
+    # claim the digest dir for this process lifetime: a concurrent run
+    # on NEWER sources must not sweep it mid-gate (see
+    # _clean_stale_current)
+    marker = os.path.join(cache, f".inuse.{os.getpid()}")
+    if not os.path.exists(marker):
+        open(marker, "w").close()
     cached = os.path.join(cache, f"{name}.parquet")
     if not os.path.exists(cached):
         tbl = _GENERATORS[name](sf_dir)
