@@ -550,3 +550,27 @@ def test_q2_matches_pandas_with_cost_tie(ray_session, tmp_path):
         .reset_index(drop=True)
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_no_float_pin_on_discount_grid_sums():
+    """Structural guard for the r4 grid rule: revenue-class sums
+    (extendedprice x (1-discount), grid 1e-4) must never again carry a
+    decimal floor-pin — they are integer-exact via _rev_units /
+    _REV_U_SQL. A 2-dp (or any coarser-than-grid) pin puts flip
+    boundaries ON achievable sums (the r3 q9 driver failure)."""
+    import re
+
+    import zhtml_ray.pipelines.ops_queries as oq
+    import zhtml_ray.pipelines.queries as q
+
+    for mod in (q, oq):
+        src = open(mod.__file__).read()
+        for m in re.finditer(r"floor\(sum\(([^)]*(?:\([^)]*\)[^)]*)*)\)",
+                             src):
+            inner = m.group(1)
+            assert "1 - l_discount" not in inner \
+                and "l_extendedprice * l_discount" not in inner, (
+                    f"{mod.__name__}: float pin on a 1e-4-grid money "
+                    f"sum reintroduced: {m.group(0)[:90]}")
+    # and the engine-side helper is actually in use
+    assert "sum({_REV_U_SQL})" in open(q.__file__).read()
