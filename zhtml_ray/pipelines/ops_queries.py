@@ -1923,6 +1923,119 @@ def _sql_jsonl_docs() -> str:
     """
 
 
+_WDS_ROOT = "/tmp/zhtml_ray_wds"
+_IPC_ROOT = "/tmp/zhtml_ray_ipc"
+
+
+def _write_wds_shards(d: str, sf_dir: str) -> None:
+    """4 WebDataset tar shards from the documents table: member names
+    ``{doc_id:08d}.txt`` / ``.lang`` (the official first-dot key/field
+    split), written serially with stdlib tarfile — the oracle then
+    recomputes the projection straight from the parquet, certifying
+    the full tar write→group-by-key→decode roundtrip."""
+    import io
+    import os
+    import tarfile
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    rows = t.to_pylist()
+    for shard in range(4):
+        with tarfile.open(os.path.join(d, f"part-{shard}.tar"),
+                          "w") as tf:
+            for r in rows[shard::4]:
+                for ext, val in (("txt", r["text"] or ""),
+                                 ("lang", r["lang"] or "")):
+                    data = val.encode("utf-8")
+                    info = tarfile.TarInfo(
+                        name=f"{int(r['doc_id']):08d}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+
+
+def q_webdataset_docs(sf_dir: str):
+    """WebDataset tar ingestion (X-source, r4 — the multimodal-corpus
+    shipping format: tar shards of ``<key>.<field>`` members): shard-
+    as-parallelism-unit read (``sources/webdataset.py``, stdlib
+    tarfile), per-shard key grouping, utf-8 field decode, then the
+    same vectorized projection as the other source smoke queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.sources.webdataset import read_webdataset
+
+    d = _ensure_pid_fixture(_WDS_ROOT, sf_dir, _write_wds_shards)
+    ds = read_webdataset(d, fields=["txt", "lang"],
+                         text_fields=("txt", "lang"))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["__key__"], pa.int64()),
+            "lang": b["lang"],
+            "n_chars_text": pc.cast(pc.utf8_length(b["txt"]),
+                                    pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_WEBDATASET_DOCS = """
+SELECT doc_id, lang, length(text)::BIGINT AS n_chars_text
+FROM documents
+"""
+
+
+def _write_ipc_shards(d: str, sf_dir: str) -> None:
+    """4 Feather-V2 (random-access Arrow IPC) shards + 1 stream-framed
+    shard from the documents table — the reader must handle both
+    framings transparently."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyarrow import ipc
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    n = t.num_rows
+    cuts = [0] + [n * i // 5 for i in range(1, 5)] + [n]
+    for shard in range(5):
+        part = t.slice(cuts[shard], cuts[shard + 1] - cuts[shard])
+        path = os.path.join(d, f"part-{shard}.arrow")
+        if shard == 4:  # streaming framing for the fallback path
+            with open(path, "wb") as f, \
+                    ipc.new_stream(f, part.schema) as w:
+                w.write_table(part)
+        else:
+            with open(path, "wb") as f, \
+                    ipc.new_file(f, part.schema) as w:
+                w.write_table(part)
+
+
+def q_arrow_ipc_docs(sf_dir: str):
+    """Arrow IPC / Feather-V2 ingestion (X-source, r4 — the format
+    embedding dumps and engine interchange ship in): file-as-
+    parallelism-unit memory-mapped read with read-level column
+    projection (``sources/arrowipc.py``), mixed random-access and
+    stream framings in one directory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.sources.arrowipc import read_arrow_ipc
+
+    d = _ensure_pid_fixture(_IPC_ROOT, sf_dir, _write_ipc_shards)
+    ds = read_arrow_ipc(d, columns=["doc_id", "text", "lang"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars_text": pc.cast(pc.utf8_length(b["text"]),
+                                    pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_ARROW_IPC_DOCS = SQL_WEBDATASET_DOCS
+
+
 _WARC_ROOT = "/tmp/zhtml_ray_warcfix"
 
 
@@ -7055,6 +7168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "csv_docs": q_csv_docs,
         "warc_docs": q_warc_docs,
+        "webdataset_docs": q_webdataset_docs,
+        "arrow_ipc_docs": q_arrow_ipc_docs,
         "session_label": q_session_label,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -7198,6 +7313,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "csv_docs": _sql_csv_docs(),
         "warc_docs": SQL_WARC_DOCS,
+        "webdataset_docs": SQL_WEBDATASET_DOCS,
+        "arrow_ipc_docs": SQL_ARROW_IPC_DOCS,
         "session_label": _sql_session_label(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
