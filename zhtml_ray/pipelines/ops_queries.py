@@ -6943,6 +6943,129 @@ FROM c
 """
 
 
+def _robots_rules() -> list[tuple[str, str, bool]]:
+    """Deterministic per-host crawl-policy rules (host, path-prefix,
+    allow) over the overlay URL space — the closed formula both the
+    engine and the SQL oracle inline. Shapes covered: a broad
+    Disallow ("/p/"), a longer Allow override ("/p/<k>"), a 3rd-level
+    re-Disallow inside the allowed subtree (host 2: "/p/23" — doc
+    d3=23 lands on host 23%7=2, so it fires even at sf0.001), and an
+    equal-length Allow/Disallow tie (host 5) where REP's
+    least-restrictive rule makes Allow win."""
+    rules: list[tuple[str, str, bool]] = []
+    for k in range(7):
+        host = f"www.h{k}.example.com"
+        rules.append((host, "/p/", False))
+        rules.append((host, f"/p/{k}", True))
+    rules.append(("www.h2.example.com", "/p/23", False))
+    rules.append(("www.h5.example.com", "/p/5", False))
+    return rules
+
+
+_URL_SPLIT_RE = r"^https://([^/]+)(/.*)?$"
+
+
+def q_robots_filter(sf_dir: str):
+    """robots.txt-style crawl-policy filter (X-web, r4 — the REP
+    evaluation every polite crawler runs per URL): per-host
+    Allow/Disallow path-prefix rules with the Robots Exclusion
+    Protocol's LONGEST-MATCH-WINS resolution and least-restrictive
+    (Allow) tie-break — unlike the flat prefix blocklist (X101),
+    rules override each other by specificity. The tiny rule table
+    broadcasts once; each batch canonicalizes its URLs, splits
+    host/path with one vectorized RE2 extract, and resolves every
+    row with one vectorized starts_with per RULE (loop bounded by
+    the rule count, never rows; zero shuffles). Wildcard/``$``
+    patterns are out of scope (prefix rules are the dominant
+    real-world case) and documented as such."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from zhtml_ray.functions.urltools import canonicalize_batch
+
+    rules = _robots_rules()
+    ref = ray.put(rules)
+
+    class Robots:
+        def __init__(self):
+            self.rules = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cu = canonicalize_batch(
+                pa.table({"url": _overlay_urls(b)}))["canonical_url"]
+            parts = pc.extract_regex(
+                cu, r"^https://(?P<host>[^/]+)(?P<pathq>/.*)?$")
+            hosts = np.asarray(
+                pc.struct_field(parts, "host").to_pylist(), object)
+            pq_ = pa.array(
+                [p or "/" for p in
+                 pc.struct_field(parts, "pathq").to_pylist()],
+                pa.string())
+            n = len(hosts)
+            best_len = np.full(n, -1, np.int64)
+            best_allow = np.ones(n, bool)   # no match → allowed
+            best_rule = np.full(n, None, object)
+            for rh, rp, ra in self.rules:
+                cand = np.flatnonzero(hosts == rh)
+                if not len(cand):
+                    continue
+                m = pc.starts_with(pq_.take(pa.array(cand, pa.int64())),
+                                   rp).to_numpy(zero_copy_only=False)
+                rows = cand[m]
+                if not len(rows):
+                    continue
+                L = len(rp)
+                upd = L > best_len[rows]
+                r_upd = rows[upd]
+                best_len[r_upd] = L
+                best_allow[r_upd] = ra
+                best_rule[r_upd] = rp
+                if ra:  # equal length: least-restrictive (Allow) wins
+                    tie = rows[L == best_len[rows]]
+                    best_allow[tie] = True
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "allowed": pa.array(best_allow),
+                "matched_rule": pa.array(best_rule.tolist(),
+                                         pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        Robots, batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+
+
+def _sql_robots_filter() -> str:
+    from zhtml_ray.functions.urltools import sql_canonical_exprs
+    _, canon = sql_canonical_exprs("url")
+    vals = ", ".join(f"('{h}', '{p}', {str(a).upper()})"
+                     for h, p, a in _robots_rules())
+    return f"""
+WITH rules(host, rpath, allow_) AS (VALUES {vals}),
+c AS (SELECT doc_id,
+             regexp_extract(cu, '{_URL_SPLIT_RE}', 1) AS host,
+             COALESCE(NULLIF(regexp_extract(cu, '{_URL_SPLIT_RE}', 2),
+                             ''), '/') AS pathq
+      FROM (SELECT doc_id, {canon} AS cu
+            FROM (SELECT doc_id, {_SQL_URL_OVERLAY} AS url
+                  FROM documents))),
+m AS (SELECT c.doc_id, r.rpath, r.allow_,
+             length(r.rpath) AS l
+      FROM c JOIN rules r
+        ON c.host = r.host AND starts_with(c.pathq, r.rpath)),
+w AS (SELECT doc_id, max(l) AS maxl FROM m GROUP BY doc_id),
+v AS (SELECT m.doc_id,
+             bool_or(m.allow_) AS any_allow,
+             min(m.rpath) AS matched_rule
+      FROM m JOIN w USING (doc_id) WHERE m.l = w.maxl
+      GROUP BY m.doc_id)
+SELECT c.doc_id,
+       COALESCE(v.any_allow, TRUE) AS allowed,
+       v.matched_rule
+FROM c LEFT JOIN v USING (doc_id)
+"""
+
+
 # disjoint, gap-bearing [lo, hi) intervals — the IP-to-geo lookup shape
 _RANGE_TABLE = [(0, 120, "xs"), (120, 220, "s"), (260, 340, "m"),
                 (340, 460, "l"), (500, 1000, "xl")]
@@ -7138,6 +7261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "range_lookup": q_range_lookup,
         "url_blocklist": q_url_blocklist,
+        "robots_filter": q_robots_filter,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_upsert": q_snapshot_upsert,
         "event_trigrams": q_event_trigrams,
@@ -7285,6 +7409,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _sql_quality_classifier(),
         "range_lookup": _sql_range_lookup(),
         "url_blocklist": _sql_url_blocklist(),
+        "robots_filter": _sql_robots_filter(),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "snapshot_upsert": _sql_snapshot_upsert(),
         "event_trigrams": _sql_event_trigrams(),
