@@ -959,8 +959,12 @@ def web_pipeline_ds(sf_dir: str, pages_dir: str | None = None):
                          "n_kept": g["n_kept"],
                          "n_words": g["n_words"]})
 
-    cleaned = drop_empty_blocks(
-        ds.map_batches(clean_stage, batch_format="pyarrow"))
+    # compact before the digest sort: clean_stage shrinks each block
+    # ~1000× (pages → ~90 B digest rows), so the sort would otherwise
+    # pay O(blocks × partitions) on confetti blocks at ANY scale
+    from zhtml_ray.stages.util import compact_blocks
+    cleaned = compact_blocks(drop_empty_blocks(
+        ds.map_batches(clean_stage, batch_format="pyarrow")))
     out = sorted_first_per_group(cleaned, ["digest"], tie_cols=["url"])
     return out.select_columns(["url", "digest", "n_kept", "n_words"])
 
