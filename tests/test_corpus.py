@@ -86,17 +86,29 @@ CASES = _load_cases()
     "fname,state,case", CASES,
     ids=[f"{c[2]['description']}[{c[1].split()[0]}]" for c in CASES])
 def test_corpus_case(fname, state, case):
-    toks, errors = tkz.tokenize(
-        case["input"], initial_state=_STATE_MAP[state],
-        last_start_tag=case.get("lastStartTag"),
-        collect_input_errors=False)
+    t = tkz.Tokenizer(case["input"], initial_state=_STATE_MAP[state],
+                      last_start_tag=case.get("lastStartTag"),
+                      collect_input_errors=False)
+    toks = list(t.tokens())
     got = _normalize(toks)
     want = _normalize_expected(case["output"])
     assert got == want, f"{case['description']}: {got!r} != {want!r}"
-    want_errs = Counter(e["code"] for e in case.get("errors", []))
-    got_errs = Counter(c for c, _ in errors)
-    assert got_errs == want_errs, (
-        f"{case['description']}: errors {dict(got_errs)} != {dict(want_errs)}")
+    case_errs = case.get("errors", [])
+    if any("line" in e for e in case_errs):
+        # position-bearing cases (upstream new-style errors /
+        # zhtml_ray19_positions.test): compare (code, line, col)
+        want_pe = Counter((e["code"], e["line"], e["col"])
+                          for e in case_errs)
+        got_pe = Counter((c, *t.line_col(off)) for c, off in t.errors)
+        assert got_pe == want_pe, (
+            f"{case['description']}: positioned errors "
+            f"{dict(got_pe)} != {dict(want_pe)}")
+    else:
+        want_errs = Counter(e["code"] for e in case_errs)
+        got_errs = Counter(c for c, _ in t.errors)
+        assert got_errs == want_errs, (
+            f"{case['description']}: errors {dict(got_errs)} != "
+            f"{dict(want_errs)}")
 
 
 def test_corpus_nonempty():
