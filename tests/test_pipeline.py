@@ -65,6 +65,13 @@ def test_entry_contract(ray_session):
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q), "every oracle key must have a query"
+    # FULL oracle coverage (r4 guard): a queries() entry without an
+    # oracle silently downgrades the driver's check to rows-only —
+    # every query must carry one unless explicitly allowlisted here
+    no_oracle_ok: set = set()
+    missing = set(q) - set(o) - no_oracle_ok
+    assert not missing, f"queries without oracle_sql: {sorted(missing)}"
+    assert len(q) >= 174
 
 
 def test_read_html_files_source(ray_session, tmp_path):
