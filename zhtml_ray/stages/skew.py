@@ -60,13 +60,29 @@ def extract_with_skew_routing(paths, columns=("url", "html", "lang"),
     barrier, no global-context mutation (session owners call
     ``cap_block_size`` for the belt-and-braces byte cap; the read's own
     per-file splitting already lands fixture giants 1-per-block).
-    ``override_num_blocks``: pin the read block count (≈2–3× total
-    cores is the measured sweet spot — fewer tasks = less driver-side
-    per-task overhead, still ≥2 waves for load balancing)."""
+    ``override_num_blocks``: pin the read block count. When omitted
+    (r4), it defaults to bench.py's measured sweet spot — ~1000 rows
+    per task with a floor of 2 waves per core: fewer tasks = less
+    driver-side per-task overhead, still ≥2 waves for balancing
+    (default-vs-64-block sweep at sf0.1: 2.7 s → 2.4 s). Giant-doc
+    isolation does NOT depend on the block count: the session's
+    ``cap_block_size`` byte cap makes the reader's dynamic splitter
+    put oversized rows in their own blocks regardless."""
     import ray.data as rd
     from zhtml_ray.pipelines.extract import extract_pages
 
     kw = {"columns": list(columns)}
+    if override_num_blocks is None:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        from zhtml_ray.stages.util import cluster_cpus
+        try:  # metadata-only row count (no data read)
+            n_rows = pads.dataset(paths).count_rows()
+            override_num_blocks = max(
+                1, min(n_rows, max(2 * cluster_cpus(), n_rows // 1000)))
+        except (OSError, pa.ArrowInvalid):  # non-path inputs: reader default
+            override_num_blocks = None
     if override_num_blocks is not None:
         kw["override_num_blocks"] = override_num_blocks
     ds = rd.read_parquet(paths, **kw)
