@@ -145,7 +145,9 @@ def bench_error_histogram(pages_dir: str) -> float:
         return pa.table({"code": vc.field("values"),
                          "p_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from zhtml_ray.stages.util import compact_blocks
+    partials = compact_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"))
     partials.groupby("code").aggregate(Sum("p_n", alias_name="n")).to_pandas()
     return time.time() - t0
 

@@ -82,21 +82,31 @@ def q_extract(sf_dir: str):
 
 def q_extract_error_histogram(sf_dir: str):
     """Error-code histogram over the extraction run (SURVEY.md §2.5):
-    explode errors structs → groupby(code).count()."""
+    per-batch partial value_counts → code-bounded groupby (r4 — the
+    exploded per-error-row form shuffled ~40 rows per DOC; partials
+    shuffle ~50 rows per BLOCK, and the tiny partial stream compacts
+    before the groupby so its sort doesn't pay per-block overhead)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
     from zhtml_ray.pipelines.extract import run_extract
+    from zhtml_ray.stages.util import compact_blocks
 
     ds = run_extract(sf_dir, include_spans=False)
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         flat = pc.list_flatten(batch.column("errors"))
-        return pa.table({"code": pc.struct_field(flat, "code")})
+        vc = pc.value_counts(pc.struct_field(flat, "code"))
+        return pa.table({"code": vc.field("values"),
+                         "p_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    ds = ds.map_batches(explode, batch_format="pyarrow")
+    parts = compact_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"))
     from zhtml_ray.pipelines.golden import ensure_golden
     ensure_golden("extract_error_histogram", sf_dir)
-    return ds.groupby("code").count().sort("code")
+    return parts.groupby("code") \
+        .aggregate(Sum("p_n", alias_name="count()")).sort("code")
 
 
 # ------------------------------------------------------- TPC-H-ish queries
