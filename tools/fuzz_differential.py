@@ -41,6 +41,17 @@ FRAGS = [
     "<frameset>", "<noscript>", "<caption>", "<colgroup>", "<col>",
     "text ", "x", " ", "\t", "\n", "\r", "\r\n", "\x00", "'", '"',
     "`", "!", "?", "/", "PUBLIC", "SYSTEM", "<!--<script>", "<b/>",
+    # unicode salt: combining, astral, noncharacter, C1, BMP CJK,
+    # private-use plane 16, U+FFFD itself
+    "é", "日本語", "́", "\U0001F600", "﷐", "￿",
+    "\U00100000", "\x85", "�", "ü=ö", "<é>", "&ümlaut;",
+]
+
+FRAGMENT_CONTEXTS = [
+    ("div", 0), ("title", 0), ("textarea", 0), ("style", 0),
+    ("script", 0), ("plaintext", 0), ("table", 0), ("tr", 0),
+    ("td", 0), ("select", 0), ("template", 0), ("html", 0),
+    ("svg", 2), ("math", 1), ("mi", 1), ("foreignObject", 2),
 ]
 
 
@@ -56,8 +67,9 @@ def main():
 
     from tests.test_tokenizer import TestFastPathEquivalence as FP
     from zhtml_ray.html import tokenizer as tkz
+    from zhtml_ray.html.encoding import sniff_decode
     from zhtml_ray.html.extract import extract_document
-    from zhtml_ray.html.treebuilder import parse
+    from zhtml_ray.html.treebuilder import parse, parse_fragment
 
     def raw_differential(s: str, state: str, last: str):
         def run():
@@ -119,6 +131,30 @@ def main():
             print(json.dumps({"fail": f"dom invariant: {bad}",
                               "input": s, "iter": i}))
             sys.exit(1)
+        # fragment lane: every context must parse without raising and
+        # keep parent links consistent
+        ctx, ns = FRAGMENT_CONTEXTS[i % len(FRAGMENT_CONTEXTS)]
+        fres = parse_fragment(s, ctx, context_ns=ns)
+        stack = [fres.document]
+        while stack:
+            n = stack.pop()
+            for c in getattr(n, "children", []):
+                if c.parent is not n:
+                    print(json.dumps({"fail": "fragment parent link",
+                                      "input": s, "ctx": ctx,
+                                      "iter": i}))
+                    sys.exit(1)
+                stack.append(c)
+        # bytes lane: mangled encodings must sniff-decode and extract
+        # without raising (crawl bytes are never trusted)
+        raw = s.encode("utf-8")
+        if i % 2:
+            cut = rng.randrange(len(raw) + 1)
+            raw = raw[:cut] + bytes([rng.randrange(256)]) + raw[cut:]
+        if i % 5 == 0:
+            raw = b"\xff\xfe" + raw  # UTF-16LE BOM over non-16 bytes
+        sniff_decode(raw)
+        extract_document(raw)
     print(json.dumps({"metric": "fuzz_differential", "iterations": i,
                       "seconds": round(time.time() - t0, 1),
                       "seed": seed, "failures": 0}))
