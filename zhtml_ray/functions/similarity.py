@@ -45,6 +45,26 @@ def _emb_matrix(col) -> np.ndarray:
     return np.asarray(col.to_pylist(), np.float32)
 
 
+def _collect_topk(sims, keys, k, qid_of, qid_out, key_out, sim_out):
+    """Shared per-batch top-k selection: tie-inclusive candidate set
+    (keep EVERY element equal to the k-th largest cosine), then order
+    by (-cosine, key) so the batch-level truncation agrees with the
+    oracle's deterministic tie-break (cosine DESC, key ASC).
+    ``qid_of[qi]`` maps the local sims row to the emitted query id."""
+    kk = min(k, sims.shape[1])
+    if kk == 0:
+        return
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        kth = np.partition(-row, kk - 1)[kk - 1]
+        cand = np.nonzero(-row <= kth)[0]
+        order = np.lexsort((keys[cand], -row[cand]))
+        for j in cand[order[:kk]]:
+            qid_out.append(qid_of[qi])
+            key_out.append(keys[j])
+            sim_out.append(float(row[j]))
+
+
 class BruteForceTopK:
     """Per-batch partial top-k against the broadcast query matrix."""
 
@@ -60,21 +80,9 @@ class BruteForceTopK:
         emb = _normalize(_emb_matrix(batch[self.col]))
         keys = np.asarray(batch[self.key].to_pylist())
         sims = self.q @ emb.T  # (n_queries, batch)
-        k = min(self.k, sims.shape[1])
         qid_out, key_out, sim_out = [], [], []
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            # tie-inclusive selection: keep EVERY element equal to the
-            # k-th largest cosine, then order by (-cosine, key) so the
-            # batch-level truncation agrees with the oracle's
-            # deterministic tie-break (cosine DESC, key ASC)
-            kth = np.partition(-row, k - 1)[k - 1]
-            cand = np.nonzero(-row <= kth)[0]
-            order = np.lexsort((keys[cand], -row[cand]))
-            for j in cand[order[:k]]:
-                qid_out.append(qi)
-                key_out.append(keys[j])
-                sim_out.append(float(row[j]))
+        _collect_topk(sims, keys, self.k, range(sims.shape[0]),
+                      qid_out, key_out, sim_out)
         return pa.table({
             "query_id": pa.array(qid_out, pa.int32()),
             self.key: pa.array(key_out),
@@ -104,6 +112,71 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
               .groupby("query_id", as_index=False).head(k)
               .reset_index(drop=True))
     return out
+
+
+class _LabelFilteredTopK:
+    """Per-batch partial top-k where query qi only scores rows whose
+    ``label_col`` equals the query's own label — the tenant-scoped /
+    hard-positive-mining form, fused into ONE pass over the corpus
+    (r4: one Dataset pipeline per distinct label paid a ~2 s Ray
+    latency floor each). Same normalized-float32 cosine and
+    deterministic tie-break as BruteForceTopK."""
+
+    def __init__(self, queries_ref, k: int, key: str, col: str,
+                 label_col: str):
+        import ray
+        q, qlabels = ray.get(queries_ref)
+        self.q = _normalize(np.asarray(q, np.float32))
+        self.qlabels = np.asarray(qlabels, object)
+        self.k = k
+        self.key = key
+        self.col = col
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch[self.col]))
+        keys = np.asarray(batch[self.key].to_pylist())
+        labs = np.asarray(batch[self.label_col].to_pylist(), object)
+        qid_out, key_out, sim_out = [], [], []
+        for lab in sorted(set(self.qlabels.tolist())):
+            qs = np.flatnonzero(self.qlabels == lab)
+            rows = np.flatnonzero(labs == lab)
+            if not len(qs) or not len(rows):
+                continue
+            sims = self.q[qs] @ emb[rows].T
+            _collect_topk(sims, keys[rows], self.k,
+                          [int(q) for q in qs],
+                          qid_out, key_out, sim_out)
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            self.key: pa.array(key_out),
+            "cosine": pa.array(sim_out, pa.float64()),
+        })
+
+
+def brute_force_topk_filtered(ds, query_vectors, query_labels,
+                              k: int = 10, key: str = "vec_id",
+                              col: str = "embedding",
+                              label_col: str = "label"):
+    """Label-filtered exact cosine top-k, one pass (see
+    _LabelFilteredTopK). Returns (query_id, key, cosine), ≤ k rows per
+    query (fewer when the label has fewer rows)."""
+    import ray
+
+    from zhtml_ray.stages.util import autoscale_pool
+
+    qref = ray.put((np.asarray(query_vectors, np.float32),
+                    list(query_labels)))
+    partials = ds.map_batches(
+        _LabelFilteredTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key,
+                                   col=col, label_col=label_col),
+        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+    pdf = partials.to_pandas()
+    return (pdf.sort_values(["query_id", "cosine", key],
+                            ascending=[True, False, True])
+               .groupby("query_id", as_index=False).head(k)
+               .reset_index(drop=True))
 
 
 # ----------------------------------------------------------------- IVF ANN

@@ -5109,38 +5109,25 @@ def q_ann_topk(sf_dir: str):
 def q_ann_topk_filtered(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Metadata-FILTERED vector search (the hard-positive-mining /
     tenant-scoped retrieval form): each query's top-k among vectors of
-    the query's OWN label only. The filter composes as a map-side
-    ``pc.equal`` pushdown in front of the same broadcast brute-force
-    kernel as ``ann_topk`` — one pass per distinct query label (≤
-    n_queries passes), each a pure map + tiny driver merge. At scale a
-    label-bucketed at-rest layout (stages/bucketed.py) would prune the
-    read instead; the operator shape is identical."""
+    the query's OWN label only. The filter fuses INTO the broadcast
+    brute-force kernel (similarity._LabelFilteredTopK): ONE pass over
+    the corpus scores each query against its own label's rows only
+    (r4 — the previous one-pipeline-per-label form paid a ~2 s Ray
+    latency floor per distinct label: 9.6 s → ~2 s at sf0.1). At
+    scale a label-bucketed at-rest layout (stages/bucketed.py) would
+    prune the read instead; the operator shape is identical."""
     import numpy as np
-    import pandas as pd
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from zhtml_ray.functions.similarity import brute_force_topk
+    from zhtml_ray.functions.similarity import brute_force_topk_filtered
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
     vecs = np.asarray(t["embedding"].to_pylist()[:n_queries],
                       np.float64)
     qlabels = t["label"].to_pylist()[:n_queries]
 
-    frames = []
-    for lab in sorted(set(qlabels)):
-        qidx = [i for i, l in enumerate(qlabels) if l == lab]
-
-        def only_lab(b, _lab=lab):
-            return b.filter(pc.equal(b["label"], _lab))
-
-        ds = _emb(sf_dir).map_batches(only_lab, batch_format="pyarrow")
-        out = brute_force_topk(ds, vecs[qidx], k=k)
-        out = out[["query_id", "vec_id"]].copy()
-        out["query_id"] = out["query_id"].map(
-            {j: qidx[j] for j in range(len(qidx))})
-        frames.append(out)
-    res = pd.concat(frames, ignore_index=True)
+    res = brute_force_topk_filtered(_emb(sf_dir), vecs, qlabels, k=k)
+    res = res[["query_id", "vec_id"]].copy()
     res["query_id"] = res["query_id"].astype("int32")
     return res.sort_values(["query_id", "vec_id"]) \
         .reset_index(drop=True)
