@@ -31,6 +31,36 @@ _CORPUS = sorted(glob.glob(os.path.join(
     os.path.dirname(__file__), "corpus", "tokenizer", "*.test")))
 
 
+def _unescape_double(obj):
+    """html5lib ``doubleEscaped`` convention: input and output strings
+    carry LITERAL ``\\uXXXX`` sequences that must be unescaped once
+    more — including lone surrogates, which JSON itself cannot encode
+    (that is the convention's whole purpose). Applied recursively to
+    the case's input and expected token payloads (r4; previously these
+    cases were skipped)."""
+    import re
+
+    def un(s):
+        # surrogate PAIRS first (the convention is UTF-16-minded:
+        # 􀀀 means U+100000, not two lone surrogates)...
+        s = re.sub(
+            r"\\u([dD][89abAB][0-9a-fA-F]{2})\\u([dD][c-fC-F][0-9a-fA-F]{2})",
+            lambda m: chr(0x10000
+                          + ((int(m.group(1), 16) - 0xD800) << 10)
+                          + (int(m.group(2), 16) - 0xDC00)), s)
+        # ...then any remaining (lone) escapes, incl. lone surrogates
+        return re.sub(r"\\u([0-9a-fA-F]{4})",
+                      lambda m: chr(int(m.group(1), 16)), s)
+
+    if isinstance(obj, str):
+        return un(obj)
+    if isinstance(obj, list):
+        return [_unescape_double(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _unescape_double(v) for k, v in obj.items()}
+    return obj
+
+
 def _load_cases():
     cases = []
     for path in _CORPUS:
@@ -38,7 +68,9 @@ def _load_cases():
             data = json.load(f)
         for t in data["tests"]:
             if t.get("doubleEscaped"):
-                continue  # upstream escape convention not needed here
+                t = dict(t)
+                t["input"] = _unescape_double(t["input"])
+                t["output"] = _unescape_double(t["output"])
             states = t.get("initialStates", ["Data state"])
             for st in states:
                 cases.append((os.path.basename(path), st, t))

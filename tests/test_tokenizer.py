@@ -748,3 +748,20 @@ def test_token_regression_grid():
         errs = [[e, o] for e, o in t.errors]
         assert toks == c["expect"]["tokens"], (c["input"], c["state"])
         assert errs == c["expect"]["errors"], (c["input"], c["state"])
+
+
+def test_lone_surrogate_input_errors():
+    """surrogate-in-input-stream (spec 13.2.3.2, r4): lone surrogates
+    error at their char offset; valid pairs do not; only reachable via
+    the direct-string API (the bytes decode path cannot produce
+    them)."""
+    from zhtml_ray.html.tokenizer import Tokenizer, _scan_lone_surrogates
+
+    assert _scan_lone_surrogates("\U0001F600ok") == []
+    assert _scan_lone_surrogates("a\ud800b") == \
+        [("surrogate-in-input-stream", 1)]
+    assert _scan_lone_surrogates("\U0001F600\udc00") == \
+        [("surrogate-in-input-stream", 1)]
+    t = Tokenizer("x\ud800", collect_input_errors=True)
+    list(t.tokens())
+    assert ("surrogate-in-input-stream", 1) in t.errors

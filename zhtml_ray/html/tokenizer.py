@@ -239,6 +239,37 @@ def _scan_input_errors(s: str) -> list[tuple[str, int]]:
         out.append((code, int(o)))
     return out
 
+
+def _scan_lone_surrogates(s: str) -> list[tuple[str, int]]:
+    """``surrogate-in-input-stream`` errors (spec 13.2.3.2) — only
+    reachable through the direct-string API: the crawl decode path
+    (html/encoding.py: utf-8 / windows-1252) can never yield a lone
+    surrogate, which is why the main LUT scan omits the class (r4
+    completeness). Vectorized pairing: a high surrogate followed by a
+    low one is a valid (astral) character; anything else in
+    D800–DFFF is lone and errors at its char offset."""
+    a = _np.frombuffer(s.encode("utf-16-le", "surrogatepass"),
+                       dtype="<u2")
+    sur = (a & _np.uint16(0xF800)) == 0xD800
+    if not sur.any():
+        return []
+    hi = (a & _np.uint16(0xFC00)) == 0xD800
+    lo = sur & ~hi
+    paired = _np.zeros(len(a), bool)   # True at the HIGH of a valid pair
+    if len(a) > 1:
+        paired[:-1] = hi[:-1] & lo[1:]
+    lone = sur.copy()
+    lone[paired] = False
+    if len(a) > 1:
+        lone[1:][paired[:-1]] = False  # the LOW of a valid pair
+    pos = _np.nonzero(lone)[0]
+    if not len(pos):
+        return []
+    # char offset = unit index − preceding PAIRED high surrogates
+    cum = _np.cumsum(paired)
+    off = pos - cum[pos]
+    return [("surrogate-in-input-stream", int(o)) for o in off.tolist()]
+
 # named tokenizer states (public: tree builder + conformance harness set these)
 DATA = "data"
 RCDATA = "rcdata"
@@ -287,6 +318,7 @@ class Tokenizer:
         self._started = False
         if collect_input_errors:
             self.errors.extend(_scan_input_errors(self.s))
+            self.errors.extend(_scan_lone_surrogates(self.s))
 
     # ---------------------------------------------------------------- misc
 
