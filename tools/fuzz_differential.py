@@ -45,6 +45,9 @@ FRAGS = [
     # private-use plane 16, U+FFFD itself
     "é", "日本語", "́", "\U0001F600", "﷐", "￿",
     "\U00100000", "\x85", "�", "ü=ö", "<é>", "&ümlaut;",
+    # lone surrogates (direct-string API only; the bytes lane round-
+    # trips them through surrogatepass utf-8 → strict-decode fallback)
+    "\ud800", "\udc00",
 ]
 
 FRAGMENT_CONTEXTS = [
@@ -147,7 +150,7 @@ def main():
                 stack.append(c)
         # bytes lane: mangled encodings must sniff-decode and extract
         # without raising (crawl bytes are never trusted)
-        raw = s.encode("utf-8")
+        raw = s.encode("utf-8", "surrogatepass")
         if i % 2:
             cut = rng.randrange(len(raw) + 1)
             raw = raw[:cut] + bytes([rng.randrange(256)]) + raw[cut:]
