@@ -1092,3 +1092,35 @@ def test_hex_hash_batch_buffer_slicing():
     assert md5_hex_batch(with_null).to_pylist() == [
         hashlib.md5(b"a").hexdigest(), hashlib.md5(b"").hexdigest(),
         hashlib.md5(b"b").hexdigest()]
+
+
+def test_lsh_index_probe_prunes_and_recalls(ray_session, tmp_path):
+    """At-rest incremental LSH (r4): a tiny new shard must open only
+    its own buckets' partitions (the incremental economics) and still
+    surface every planted near-duplicate as a candidate pair with
+    roles preserved (key_a = new side)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.functions.dedup import build_lsh_index, lsh_index_probe
+
+    base_texts = [f"base document number {i} with shared words "
+                  f"alpha beta gamma delta epsilon {i}" for i in range(80)]
+    base = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                     "text": pa.array(base_texts)})
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(rd.from_arrow(base).repartition(4), idx,
+                    n_parts=256)
+
+    new = pa.table({
+        "doc_id": pa.array([1000, 1001], pa.int64()),
+        "text": pa.array([base_texts[17],       # exact twin of 17
+                          "completely different content entirely"])})
+    stats: dict = {}
+    pairs = lsh_index_probe(idx, rd.from_arrow(new), n_parts=256,
+                            scan_stats=stats).take_all()
+    assert stats["n_parts_read"] < stats["n_parts_total"], stats
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert (1000, 17) in got
+    assert all(a >= 1000 for a, _ in got)  # roles preserved
+    assert not any(a == 1001 for a, _ in got)  # unique doc: no pairs

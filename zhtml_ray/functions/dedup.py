@@ -1037,3 +1037,104 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
         # schema — fully-emptied blocks carry NO schema at all
         return rd.from_arrow(empty)
     return out
+
+
+# ---------------------------------------------- at-rest incremental LSH
+
+def build_lsh_index(ds, out_dir: str, key: str = "doc_id",
+                    col: str = "text", n_parts: int = 64,
+                    num_perm: int = 128, bands: int = 32,
+                    shingle_k: int = 3, seed: int = 42) -> None:
+    """Persist the corpus's MinHash band buckets as an AT-REST LSH
+    index: ``(bucket, key)`` rows Hive-partitioned by
+    ``bucket_part = bucket mod n_parts`` (the X95 inverted-index
+    pattern — probes open only matching partitions). This is the
+    100 TB incremental-dedup shape: the base corpus is hashed ONCE;
+    each new shard probes the index instead of re-reading the corpus.
+    Rebuild clears the directory so stale partitions can't union in."""
+    import os
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    mh = _cached_minhash(col, num_perm, shingle_k, seed)
+    le = _cached_lsh_explode(key, bands, num_perm)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = np.mod(b["bucket"].to_numpy(zero_copy_only=False),
+                      n_parts)
+        return b.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    ds.map_batches(mh, batch_format="pyarrow") \
+        .map_batches(le, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["bucket_part"])
+
+
+def lsh_index_probe(out_dir: str, new_ds, key: str = "doc_id",
+                    col: str = "text", n_parts: int = 64,
+                    num_perm: int = 128, bands: int = 32,
+                    shingle_k: int = 3, seed: int = 42,
+                    scan_stats: dict | None = None):
+    """Probe a ``build_lsh_index`` directory with a NEW shard: returns
+    a distinct candidate-pair Dataset ``(key_a=new key, key_b=indexed
+    key)`` for every band-bucket collision. The new shard's bucket set
+    collects to the driver and broadcasts (bands × new_rows int64s —
+    the defining asymmetry of incremental dedup: the NEW side is
+    small; the INDEXED side streams through pruned partitions and
+    never materializes). Exact-Jaccard verification composes via
+    ``verify_jaccard_pairs`` over base∪new docs."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.util import compact_blocks, drop_empty_blocks
+
+    mh = _cached_minhash(col, num_perm, shingle_k, seed)
+    le = _cached_lsh_explode(key, bands, num_perm)
+    nb = pa.concat_tables(list(
+        new_ds.map_batches(mh, batch_format="pyarrow")
+              .map_batches(le, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")))
+    bucket_to_new: dict = {}
+    for b, k in zip(nb["bucket"].to_pylist(), nb[key].to_pylist()):
+        bucket_to_new.setdefault(b, []).append(k)
+    want_parts = sorted({b % n_parts for b in bucket_to_new})
+    all_dirs = sorted(glob.glob(os.path.join(out_dir, "bucket_part=*")))
+    dirs = [d for d in all_dirs
+            if int(d.rsplit("=", 1)[1]) in set(want_parts)]
+    if scan_stats is not None:
+        scan_stats["n_parts_total"] = len(all_dirs)
+        scan_stats["n_parts_read"] = len(dirs)
+    kt = nb.schema.field(key).type
+    empty = pa.table({"key_a": pa.array([], kt),
+                      "key_b": pa.array([], kt)})
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return rd.from_arrow(empty)
+    bref = ray.put(bucket_to_new)
+
+    def collide(b: pa.Table) -> pa.Table:
+        m = ray.get(bref)
+        ka, kb = [], []
+        for bk, base_key in zip(b["bucket"].to_pylist(),
+                                b[key].to_pylist()):
+            for new_key in m.get(bk, ()):
+                if new_key != base_key:
+                    ka.append(new_key)
+                    kb.append(base_key)
+        return pa.table({"key_a": pa.array(ka, kt),
+                         "key_b": pa.array(kb, kt)})
+
+    pairs = drop_empty_blocks(
+        rd.read_parquet(files, columns=["bucket", key])
+          .map_batches(collide, batch_format="pyarrow"))
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    # distinct WITHOUT canonicalizing: key_a stays the new-shard side
+    return sorted_first_per_group(compact_blocks(pairs),
+                                  ["key_a", "key_b"]).materialize()

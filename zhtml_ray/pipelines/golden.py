@@ -303,6 +303,36 @@ def _gen_ngram_jaccard(sf_dir: str) -> pa.Table:
                      "jaccard": pa.array(js, pa.float64())})
 
 
+def _gen_incremental_neardup(sf_dir: str) -> pa.Table:
+    """INDEPENDENT oracle for the at-rest LSH incremental probe:
+    brute-force Jaccard of every (new, base) doc pair across the
+    doc_id%4 split — no LSH anywhere. Matching it certifies both the
+    index probe's recall AND the verify stage's precision (r4)."""
+    ids, sets = _serial_shingle_sets(sf_dir)
+    kn, kb, js = [], [], []
+    for i in range(len(ids)):
+        if ids[i] % 4 != 0:
+            continue
+        si = sets[i]
+        for j in range(len(ids)):
+            if ids[j] % 4 == 0:
+                continue
+            sj = sets[j]
+            if not si and not sj:
+                jac = 1.0
+            elif not si or not sj:
+                jac = 0.0
+            else:
+                jac = len(si & sj) / len(si | sj)
+            if jac >= 0.8:
+                kn.append(ids[i])
+                kb.append(ids[j])
+                js.append(jac)
+    return pa.table({"key_new": pa.array(kn, pa.int64()),
+                     "key_base": pa.array(kb, pa.int64()),
+                     "jaccard": pa.array(js, pa.float64())})
+
+
 FUZZY_OFF = 1_000_000_000  # dirty-twin ids: above every real doc_id
 
 
@@ -857,6 +887,7 @@ _GENERATORS = {
     "fingerprint": _gen_fingerprint,
     "simhash": _gen_simhash,
     "ngram_jaccard": _gen_ngram_jaccard,
+    "incremental_neardup": _gen_incremental_neardup,
     "fuzzy_join": _gen_fuzzy_join,
     "minhash_dedup": _gen_minhash_dedup,
     "link_components": _gen_link_components,

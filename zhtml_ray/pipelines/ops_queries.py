@@ -4907,6 +4907,82 @@ FROM r JOIN n USING (cluster)
 """
 
 
+def q_incremental_neardup(sf_dir: str, threshold: float = 0.8):
+    """Incremental NEAR-dup against an at-rest LSH index (X-dedup,
+    r4 — the 100 TB shape X63's exact-hash snapshot dedup cannot
+    cover): the base corpus (doc_id%4 != 0) is MinHash-banded ONCE
+    into a Hive-partitioned bucket index
+    (functions/dedup.py:build_lsh_index); the new shard (doc_id%4==0)
+    probes ONLY the partitions its own buckets hash into, collides
+    in-memory against its broadcast bucket→keys map, and exact-Jaccard
+    verifies the candidates. The base corpus is never re-read beyond
+    the pruned partitions + pair-verify texts. Oracled ALGORITHM-
+    INDEPENDENTLY: serial brute-force Jaccard over every (new, base)
+    pair — recall AND precision of the at-rest probe."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.functions.dedup import (build_lsh_index,
+                                           lsh_index_probe,
+                                           verify_jaccard_pairs)
+    from zhtml_ray.pipelines.golden import ensure_golden
+
+    ensure_golden("incremental_neardup", sf_dir)
+    # per-pid index dir + dead-pid sweep (invidx hygiene rule)
+    import glob
+    import shutil
+    for d in glob.glob("/tmp/zhtml_ray_lshidx_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except (ValueError, PermissionError):
+            pass
+    out_dir = f"/tmp/zhtml_ray_lshidx_{os.getpid()}"
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def base_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(
+            pc.bit_wise_and(b["doc_id"], pa.scalar(3, pa.int64())),
+            pa.scalar(0, pa.int64())))
+
+    def new_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(
+            pc.bit_wise_and(b["doc_id"], pa.scalar(3, pa.int64())),
+            pa.scalar(0, pa.int64())))
+
+    from zhtml_ray.stages.util import drop_empty_blocks
+    base = drop_empty_blocks(
+        docs.map_batches(base_only, batch_format="pyarrow"))
+    new = drop_empty_blocks(
+        docs.map_batches(new_only, batch_format="pyarrow"))
+    build_lsh_index(base, out_dir)
+    pairs = lsh_index_probe(out_dir, new)
+    out = verify_jaccard_pairs(pairs, docs, threshold=threshold)
+
+    def rename(b: pa.Table) -> pa.Table:
+        # verify_jaccard_pairs canonicalizes (lo, hi) — restore the
+        # new/base roles from the split rule (exactly one member of
+        # every probe pair is ≡ 0 mod 4)
+        import numpy as np
+        a = b["key_a"].to_numpy(zero_copy_only=False)
+        c = b["key_b"].to_numpy(zero_copy_only=False)
+        a_new = (a & 3) == 0
+        return pa.table({
+            "key_new": pa.array(np.where(a_new, a, c), pa.int64()),
+            "key_base": pa.array(np.where(a_new, c, a), pa.int64()),
+            "jaccard": b["jaccard"]})
+
+    from zhtml_ray.stages.util import schema_safe_result
+    return schema_safe_result(
+        out.map_batches(rename, batch_format="pyarrow"))
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Standalone n-gram Jaccard near-dup pairs: LSH candidate blocking
     → EXACT word-3-gram Jaccard per pair (the brief's "n-gram Jaccard"
@@ -7303,6 +7379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_representatives": q_dedup_representatives,
         "ngram_jaccard": q_ngram_jaccard,
+        "incremental_neardup": q_incremental_neardup,
         "fuzzy_join": q_fuzzy_join,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -7334,6 +7411,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": golden_sql("minhash_dedup"),
         "dedup_representatives": _sql_dedup_representatives(),
         "ngram_jaccard": golden_sql("ngram_jaccard"),
+        "incremental_neardup": golden_sql("incremental_neardup"),
         "fuzzy_join": golden_sql("fuzzy_join"),
         "embedding_neardup": golden_sql("embedding_neardup"),
         "ivf_topk": golden_sql("ivf_topk"),
