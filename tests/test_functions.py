@@ -1124,3 +1124,35 @@ def test_lsh_index_probe_prunes_and_recalls(ray_session, tmp_path):
     assert (1000, 17) in got
     assert all(a >= 1000 for a, _ in got)  # roles preserved
     assert not any(a == 1001 for a, _ in got)  # unique doc: no pairs
+
+
+def test_lsh_index_append_lifecycle(ray_session, tmp_path):
+    """Probe → append → probe: after appending shard 1, a shard-2 twin
+    of a shard-1 doc must surface as a candidate (the full incremental
+    lifecycle; without the append it would only pair with base)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.functions.dedup import (append_lsh_index,
+                                           build_lsh_index,
+                                           lsh_index_probe)
+
+    base = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"base doc {i} alpha beta gamma delta {i}"
+                          for i in range(40)])})
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(rd.from_arrow(base).repartition(2), idx)
+
+    shard1 = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["totally novel shard one content here now"])})
+    assert lsh_index_probe(idx, rd.from_arrow(shard1)).count() == 0
+    append_lsh_index(rd.from_arrow(shard1), idx)
+
+    shard2 = pa.table({
+        "doc_id": pa.array([200], pa.int64()),
+        "text": pa.array(["totally novel shard one content here now"])})
+    got = {(r["key_a"], r["key_b"])
+           for r in lsh_index_probe(idx, rd.from_arrow(shard2)).take_all()}
+    assert (200, 100) in got

@@ -1138,3 +1138,27 @@ def lsh_index_probe(out_dir: str, new_ds, key: str = "doc_id",
     # distinct WITHOUT canonicalizing: key_a stays the new-shard side
     return sorted_first_per_group(compact_blocks(pairs),
                                   ["key_a", "key_b"]).materialize()
+
+
+def append_lsh_index(ds, out_dir: str, key: str = "doc_id",
+                     col: str = "text", n_parts: int = 64,
+                     num_perm: int = 128, bands: int = 32,
+                     shingle_k: int = 3, seed: int = 42) -> None:
+    """Append a (probed) shard's band buckets INTO an existing
+    ``build_lsh_index`` directory — the other half of the incremental
+    lifecycle: probe new docs against the index, then append them so
+    the NEXT shard sees them. Ray's parquet writer adds uniquely-named
+    files inside the existing ``bucket_part=`` partitions, so appends
+    are safe under the same partition pruning."""
+    mh = _cached_minhash(col, num_perm, shingle_k, seed)
+    le = _cached_lsh_explode(key, bands, num_perm)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = np.mod(b["bucket"].to_numpy(zero_copy_only=False),
+                      n_parts)
+        return b.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    ds.map_batches(mh, batch_format="pyarrow") \
+        .map_batches(le, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["bucket_part"])
