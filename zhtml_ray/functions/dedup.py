@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ------------------------------------------------------------- exact dedup
 
@@ -65,8 +66,12 @@ def _hex_hash_batch(arr, algo):
     if n == 0:
         return pa.array([], pa.string())
     if arr.null_count:
-        return pa.array([algo((s or "").encode()).hexdigest()
-                         for s in arr.to_pylist()], pa.string())
+        # to_pylist yields str for utf8 arrays but BYTES for binary
+        # ones; None hashes as b"" either way
+        return pa.array(
+            [algo(s if isinstance(s, bytes)
+                  else (s or "").encode()).hexdigest()
+             for s in arr.to_pylist()], pa.string())
     wide = arr.type in (pa.large_string(), pa.large_binary())
     off = np.frombuffer(arr.buffers()[1],
                         dtype=np.int64 if wide else np.int32,
@@ -1075,14 +1080,22 @@ def lsh_index_probe(out_dir: str, new_ds, key: str = "doc_id",
                     col: str = "text", n_parts: int = 64,
                     num_perm: int = 128, bands: int = 32,
                     shingle_k: int = 3, seed: int = 42,
-                    scan_stats: dict | None = None):
+                    scan_stats: dict | None = None,
+                    new_budget_rows: int = 4_000_000):
     """Probe a ``build_lsh_index`` directory with a NEW shard: returns
     a distinct candidate-pair Dataset ``(key_a=new key, key_b=indexed
-    key)`` for every band-bucket collision. The new shard's bucket set
-    collects to the driver and broadcasts (bands × new_rows int64s —
+    key)`` for every band-bucket collision. The new shard's exploded
+    bucket rows collect to the driver, sort ONCE by bucket, and
+    broadcast as two aligned arrays (bands × new_rows int64s + keys —
     the defining asymmetry of incremental dedup: the NEW side is
     small; the INDEXED side streams through pruned partitions and
-    never materializes). Exact-Jaccard verification composes via
+    never materializes). The driver-side collection is budgeted: a
+    shard exploding past ``new_budget_rows`` band rows (rows ×
+    ``bands``) fails loudly — split the shard or raise the budget;
+    the INDEXED side is the unbounded one by design, never this one.
+    Each indexed batch matches via ``np.searchsorted`` into the sorted
+    new-bucket array + repeat/offset pair expansion (r5 — no per-row
+    Python). Exact-Jaccard verification composes via
     ``verify_jaccard_pairs`` over base∪new docs."""
     import glob
     import os
@@ -1095,40 +1108,66 @@ def lsh_index_probe(out_dir: str, new_ds, key: str = "doc_id",
 
     mh = _cached_minhash(col, num_perm, shingle_k, seed)
     le = _cached_lsh_explode(key, bands, num_perm)
-    nb = pa.concat_tables(list(
-        new_ds.map_batches(mh, batch_format="pyarrow")
-              .map_batches(le, batch_format="pyarrow")
-              .iter_batches(batch_size=None, batch_format="pyarrow")))
-    bucket_to_new: dict = {}
-    for b, k in zip(nb["bucket"].to_pylist(), nb[key].to_pylist()):
-        bucket_to_new.setdefault(b, []).append(k)
-    want_parts = sorted({b % n_parts for b in bucket_to_new})
+    chunks, n_rows = [], 0
+    for t in (new_ds.map_batches(mh, batch_format="pyarrow")
+                    .map_batches(le, batch_format="pyarrow")
+                    .iter_batches(batch_size=None,
+                                  batch_format="pyarrow")):
+        n_rows += t.num_rows
+        if n_rows > new_budget_rows:
+            raise ValueError(
+                f"lsh_index_probe: new shard explodes to >{n_rows} "
+                f"band rows (budget new_budget_rows={new_budget_rows}, "
+                f"bands={bands}). The probe side must be the SMALL "
+                "side — split the shard into smaller probes or raise "
+                "the budget explicitly.")
+        chunks.append(t)
+    if chunks:
+        kt = chunks[0].schema.field(key).type
+    else:
+        kt = new_ds.schema().base_schema.field(key).type
+    empty = pa.table({"key_a": pa.array([], kt),
+                      "key_b": pa.array([], kt)})
+    if n_rows == 0:
+        return rd.from_arrow(empty)
+    nb = pa.concat_tables(chunks)
+    order = pc.sort_indices(nb["bucket"].combine_chunks())
+    new_buckets = nb["bucket"].take(order).combine_chunks() \
+                              .to_numpy(zero_copy_only=False)
+    new_keys = nb[key].take(order).combine_chunks()
+    want_parts = set(np.unique(np.mod(new_buckets, n_parts)).tolist())
     all_dirs = sorted(glob.glob(os.path.join(out_dir, "bucket_part=*")))
     dirs = [d for d in all_dirs
-            if int(d.rsplit("=", 1)[1]) in set(want_parts)]
+            if int(d.rsplit("=", 1)[1]) in want_parts]
     if scan_stats is not None:
         scan_stats["n_parts_total"] = len(all_dirs)
         scan_stats["n_parts_read"] = len(dirs)
-    kt = nb.schema.field(key).type
-    empty = pa.table({"key_a": pa.array([], kt),
-                      "key_b": pa.array([], kt)})
     files = sorted(f for d in dirs
                    for f in glob.glob(os.path.join(d, "*.parquet")))
     if not files:
         return rd.from_arrow(empty)
-    bref = ray.put(bucket_to_new)
+    bref = ray.put((new_buckets, new_keys))
 
     def collide(b: pa.Table) -> pa.Table:
-        m = ray.get(bref)
-        ka, kb = [], []
-        for bk, base_key in zip(b["bucket"].to_pylist(),
-                                b[key].to_pylist()):
-            for new_key in m.get(bk, ()):
-                if new_key != base_key:
-                    ka.append(new_key)
-                    kb.append(base_key)
-        return pa.table({"key_a": pa.array(ka, kt),
-                         "key_b": pa.array(kb, kt)})
+        nbk, nkeys = ray.get(bref)
+        bb = b["bucket"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(nbk, bb, "left")
+        hi = np.searchsorted(nbk, bb, "right")
+        cnt = hi - lo
+        sel = np.flatnonzero(cnt)
+        if sel.size == 0:
+            return empty
+        csel = cnt[sel]
+        base_idx = np.repeat(sel, csel)
+        total = int(csel.sum())
+        run_starts = np.cumsum(csel) - csel
+        new_idx = (np.repeat(lo[sel], csel)
+                   + np.arange(total) - np.repeat(run_starts, csel))
+        ka = nkeys.take(pa.array(new_idx, pa.int64()))
+        kb = b[key].combine_chunks().take(pa.array(base_idx, pa.int64()))
+        keep = pc.invert(pc.equal(ka, kb))
+        return pa.table({"key_a": ka.filter(keep),
+                         "key_b": kb.filter(keep)})
 
     pairs = drop_empty_blocks(
         rd.read_parquet(files, columns=["bucket", key])

@@ -232,14 +232,17 @@ def q_dsir_select(sf_dir: str, target_lang: str = "en",
                 r_mass[i] = cr_[bs].sum()
         # int64 cross-multiply guard: past ~2^62 the numpy product
         # would wrap silently and flip picks — fail loudly instead
-        # (r4 advisor); if this ever trips, switch to the object-dtype
-        # Python-int compare below the assert.
+        # (r4 advisor; r5: a real raise, not an assert that `python
+        # -O` strips); if this ever trips, switch to the object-dtype
+        # Python-int compare.
         max_t = int(t_mass.max()) if n else 0
         max_r = int(r_mass.max()) if n else 0
-        assert max_t * nr < 2 ** 62 and max_r * nt < 2 ** 62, (
-            "dsir_select mass×total cross-multiply would overflow "
-            f"int64 (max_t={max_t}, nr={nr}, max_r={max_r}, nt={nt}); "
-            "recompute with Python-int per-row comparison")
+        if max_t * nr >= 2 ** 62 or max_r * nt >= 2 ** 62:
+            raise ValueError(
+                "dsir_select mass×total cross-multiply would overflow "
+                f"int64 (max_t={max_t}, nr={nr}, max_r={max_r}, "
+                f"nt={nt}); recompute with Python-int per-row "
+                "comparison")
         pick = t_mass * nr > r_mass * nt
         return pa.table({"doc_id": batch["doc_id"],
                          "t_mass": pa.array(t_mass),
@@ -7089,9 +7092,18 @@ def q_robots_filter(sf_dir: str):
                 best_len[r_upd] = L
                 best_allow[r_upd] = ra
                 best_rule[r_upd] = rp
-                if ra:  # equal length: least-restrictive (Allow) wins
-                    tie = rows[L == best_len[rows]]
+                # equal length: least-restrictive (Allow) wins =
+                # bool_or over max-length matches, and the REPORTED
+                # rule is the lexicographic min of the tied paths —
+                # both mirror the oracle's bool_or/min aggregates
+                # (r5 advisor: first-applied only agreed by accident
+                # of the current rule table)
+                tie = rows[L == best_len[rows]]
+                if ra:
                     best_allow[tie] = True
+                for r in tie:
+                    if best_rule[r] is None or rp < best_rule[r]:
+                        best_rule[r] = rp
             return pa.table({
                 "doc_id": b["doc_id"],
                 "allowed": pa.array(best_allow),

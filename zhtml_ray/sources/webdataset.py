@@ -21,8 +21,9 @@ Sink: ``write_webdataset(ds, out_dir, …)`` — one ``.tar`` shard per
 input BLOCK (Ray's natural write parallelism, mirroring
 ``write_parquet``'s file-per-block layout), rows → members in column
 order. Shard naming ``part-<block>-<uuid>.tar`` keeps concurrent
-writers collision-free; a ``_done`` marker per shard makes reruns
-resumable the same way the job CLI's manifests do.
+writers collision-free. The sink itself is NOT resumable — a rerun
+into the same directory adds fresh uuid-named shards; resumability
+belongs to the job CLI's manifest layer.
 
 At 100 TB: shards stream through the object store one block at a time
 (no full-dataset materialization on either side); a corrupt member
@@ -150,10 +151,10 @@ def write_webdataset(ds, out_dir: str, key_col: str,
     """Dataset → WebDataset tar shards, one per block. ``field_cols``
     maps column name → member extension (string columns utf-8-encode,
     binary pass through). Returns the number of shards written.
-    Re-running skips shards whose ``_done`` marker exists ONLY via
-    fresh directories (shard names carry a uuid — the resumable-job
-    path for tar output is the job CLI's manifest layer; this sink is
-    the format writer)."""
+    NOT resumable by itself: shard names carry a uuid, so a rerun
+    into the same directory duplicates data — the resumable-job path
+    for tar output is the job CLI's manifest layer; this sink is just
+    the format writer."""
     import uuid
 
     os.makedirs(out_dir, exist_ok=True)
