@@ -302,3 +302,126 @@ def test_clean_stage_job(shards, tmp_path):
     # every kept row has >= 3 surviving lines by construction
     import pyarrow.compute as pc
     assert pc.min(kept["n_kept"]).as_py() >= 3
+
+
+def _neardup_shards(tmp_path) -> list[str]:
+    """6 single-doc-ish shards -> 3 partitions (group_size=2) with
+    planted duplicates: a cross-partition twin, a within-partition
+    twin pair, and a later twin of the within-pair SURVIVOR (only
+    visible if the survivor was appended to the index)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text_t = " ".join(f"alpha bravo charlie delta echo {i}"
+                      for i in range(12))
+    text_s = " ".join(f"foxtrot golf hotel india juliet {i}"
+                      for i in range(12))
+
+    def page(txt):
+        return f"<html><body><p>{txt}</p></body></html>".encode()
+
+    def uniq(i):
+        # genuinely distinct texts: every shingle carries doc id i
+        return " ".join(f"w{i}x{j} y{i}z{j} q{i}r{j}"
+                        for j in range(20))
+
+    rows = [
+        # partition 0 (shards 0,1)
+        [("http://p0/base-t", page(text_t)),
+         ("http://p0/u0", page(uniq(0)))],
+        [("http://p0/u1", page(uniq(1)))],
+        # partition 1 (shards 2,3): cross-partition dup of text_t +
+        # a within-partition twin pair on text_s
+        [("http://p1/dup-t", page(text_t)),
+         ("http://p1/twin-a", page(text_s))],
+        [("http://p1/twin-b", page(text_s)),
+         ("http://p1/u2", page(uniq(2)))],
+        # partition 2 (shards 4,5): twin of the p1 SURVIVOR (twin-a)
+        [("http://p2/dup-s", page(text_s)),
+         ("http://p2/u3", page(uniq(3)))],
+        [("http://p2/u4", page(uniq(4)))],
+    ]
+    shards = []
+    for i, docs in enumerate(rows):
+        f = str(tmp_path / f"nd-{i:02d}.parquet")
+        pq.write_table(pa.table({
+            "url": [u for u, _ in docs],
+            "html": [h for _, h in docs]}), f)
+        shards.append(f)
+    return shards
+
+
+def test_neardup_index_job_lifecycle(ray_session, tmp_path):
+    """--neardup-index end-to-end: probe -> mark -> append across
+    sequential partitions, kill/resume determinism, crash-after-append
+    recovery, and the index-config pin."""
+    import pyarrow.dataset as pads
+    import pytest
+    from zhtml_ray.stages.manifest import run_partitioned
+    from zhtml_ray.stages.neardup import pin_lsh_config
+
+    shards = _neardup_shards(tmp_path)
+    out_dir = str(tmp_path / "out")
+    idx = str(tmp_path / "lsh_index")
+
+    def keep_map(odir):
+        dset = pads.dataset(
+            sorted(glob.glob(odir + "/part-*/*.parquet")))
+        t = dset.to_table(columns=["url", "neardup_keep"])
+        return dict(zip(t["url"].to_pylist(),
+                        t["neardup_keep"].to_pylist()))
+
+    # kill after partition 0, then resume to completion
+    r1 = run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                         fail_after=1,
+                         extract_kwargs={"include_spans": False,
+                                         "neardup_index": idx})
+    assert not r1["complete"]
+    r2 = run_partitioned(shards, out_dir, group_size=2, overlap=2,
+                         extract_kwargs={"include_spans": False,
+                                         "neardup_index": idx})
+    assert r2["complete"] and r2["rows"] == 10  # append-only: no drops
+
+    keeps = keep_map(out_dir)
+    assert keeps["http://p0/base-t"]            # first sighting keeps
+    assert not keeps["http://p1/dup-t"]         # cross-partition dup
+    assert keeps["http://p1/twin-a"]            # within-pair min keeps
+    assert not keeps["http://p1/twin-b"]
+    assert not keeps["http://p2/dup-s"]         # dup of APPENDED twin-a
+    assert all(keeps[u] for u in keeps if "/u" in u)  # uniques keep
+
+    # manifest records the stage lineage
+    m1 = json.load(open(os.path.join(out_dir, "_manifests",
+                                     "part-000001.json")))
+    nd = m1["neardup"]
+    assert nd["probed"] == 4 and nd["dropped_index"] == 1
+    assert nd["dropped_within"] == 1 and nd["appended"] == 2
+
+    # crash-after-append recovery: wipe partition 1's manifest+output
+    # but LEAVE its index files (the mid-crash state); the rerun must
+    # clean them pre-probe and converge to the identical keep map
+    os.remove(os.path.join(out_dir, "_manifests", "part-000001.json"))
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "part-000001"))
+    stale = glob.glob(os.path.join(idx, "bucket_part=*",
+                                   "part-000001.parquet"))
+    assert stale  # the crashed partition DID append
+    r3 = run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                         extract_kwargs={"include_spans": False,
+                                         "neardup_index": idx})
+    assert r3["complete"]
+    m1b = json.load(open(os.path.join(out_dir, "_manifests",
+                                      "part-000001.json")))
+    assert m1b["neardup"]["stale_files_cleaned"] == len(stale)
+    assert keep_map(out_dir) == keeps
+
+    # a fresh single-shot run over a fresh index agrees exactly
+    out2, idx2 = str(tmp_path / "fresh"), str(tmp_path / "lsh2")
+    run_partitioned(shards, out2, group_size=2, overlap=1,
+                    extract_kwargs={"include_spans": False,
+                                    "neardup_index": idx2})
+    assert keep_map(out2) == keeps
+
+    # the index config is pinned: mismatched params refuse loudly
+    with pytest.raises(ValueError, match="own parameters"):
+        pin_lsh_config(idx, {"bands": 16})

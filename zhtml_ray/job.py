@@ -36,6 +36,14 @@ def main(argv=None):
                    help="append C4+Gopher clean_text/clean_keep columns "
                         "to every extracted row (config-pinned: a "
                         "--resume must match the original run)")
+    p.add_argument("--neardup-index", default=None, metavar="DIR",
+                   help="at-rest LSH index dir: probe each partition's "
+                        "extracted docs against it, append a "
+                        "neardup_keep column, and append survivors so "
+                        "later partitions/jobs dedup against them "
+                        "(bootstraps an empty dir; config-pinned via "
+                        "the dir's _lsh_config.json; forces "
+                        "sequential partitions)")
     args = p.parse_args(argv)
 
     import os
@@ -69,7 +77,8 @@ def main(argv=None):
             overlap=args.overlap,
             extract_kwargs={"batch_size": args.batch_size,
                             "include_spans": not args.no_spans,
-                            "clean": args.clean})
+                            "clean": args.clean,
+                            "neardup_index": args.neardup_index})
         print(json.dumps(summary))
         return 0 if summary["complete"] else 1
     finally:

@@ -121,11 +121,42 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
         ds = ds.union(*parts_ds[1:])
     extract_kwargs = dict(extract_kwargs)
     clean = extract_kwargs.pop("clean", False)
+    neardup_index = extract_kwargs.pop("neardup_index", None)
     out = extract_pages(ds, **extract_kwargs)
     if clean:  # job-CLI --clean: C4+Gopher columns appended per row
         from zhtml_ray.pipelines.ops_queries import append_clean_columns
         out = out.map_batches(append_clean_columns,
                               batch_format="pyarrow")
+    nd_stats = None
+    if neardup_index:
+        # --neardup-index: probe the at-rest LSH index, mark collider
+        # docs (append-only neardup_keep column — rows == inputs
+        # invariant preserved), append survivors' band rows so later
+        # partitions/jobs see them (stages/neardup.py; exactly-once
+        # via deterministic file names + pre-probe crash cleanup).
+        # materialize: the extraction is consumed twice (probe + final
+        # write) and must not re-parse — partitions are the bounded
+        # unit (group_size shards), so blocks fit the object store.
+        import ray
+
+        from zhtml_ray.stages.neardup import (partition_neardup,
+                                              pin_lsh_config)
+        out = out.materialize()
+        cfg = pin_lsh_config(neardup_index)
+        docs = out.map_batches(
+            lambda b, _c=(cfg["key"], cfg["col"]): b.select(list(_c)),
+            batch_format="pyarrow")
+        drop_keys, nd_stats = partition_neardup(docs, neardup_index,
+                                                pid, cfg)
+        dref = ray.put(drop_keys)
+
+        def mark(b: pa.Table, _k=cfg["key"]) -> pa.Table:
+            drops = ray.get(dref)
+            keep = [k not in drops for k in b[_k].to_pylist()]
+            return b.append_column("neardup_keep",
+                                   pa.array(keep, pa.bool_()))
+
+        out = out.map_batches(mark, batch_format="pyarrow")
     out.write_parquet(tmp_dir)
     # a ZERO-ROW partition (legal: an empty input shard) writes no files
     # and may not even create tmp_dir — it must still complete with an
@@ -169,6 +200,8 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
         "wall_s": round(time.time() - t0, 3),
         "output_dir": final_dir,
     }
+    if nd_stats is not None:
+        manifest["neardup"] = nd_stats
     mp = _manifest_path(out_dir, pid)
     os.makedirs(os.path.dirname(mp), exist_ok=True)
     tmp = mp + ".tmp"
@@ -195,10 +228,19 @@ def run_partitioned(input_files: list[str], out_dir: str,
     # cannot change output bytes and must not refuse a legitimate
     # recovery resume (e.g. rerun with a smaller batch size after an
     # OOM); explicit-default vs absent must compare equal (r3 review)
+    neardup_index = extract_kwargs.get("neardup_index", None)
+    if neardup_index:
+        # partition P's probe must see partitions 0..P-1's index
+        # appends — sequential by contract (stages/neardup.py)
+        neardup_index = os.path.abspath(neardup_index)
+        extract_kwargs = dict(extract_kwargs,
+                              neardup_index=neardup_index)
+        overlap = 1
     cfg_tag = json.dumps({
         "include_spans": extract_kwargs.get("include_spans", True),
         "thresholds": repr(extract_kwargs.get("thresholds", None)),
         "clean": bool(extract_kwargs.get("clean", False)),
+        "neardup_index": neardup_index,
     }, sort_keys=True)
     # the plan is pinned on first run: a resume with a different
     # group_size must not re-number partitions, and a resume with a
@@ -229,7 +271,8 @@ def run_partitioned(input_files: list[str], out_dir: str,
             stored_cfg = json.loads(stored["extract_config"])
             new_cfg = json.loads(cfg_tag)
             defaults = {"include_spans": True,
-                        "thresholds": repr(None), "clean": False}
+                        "thresholds": repr(None), "clean": False,
+                        "neardup_index": None}
             keys = set(stored_cfg) | set(new_cfg)
             diff = {k for k in keys
                     if stored_cfg.get(k, defaults.get(k))
