@@ -81,8 +81,13 @@ def test_real_decode_dispatch():
     img = _rand_img(rng, 8, 8)
     assert np.array_equal(real_decode_image(mc.encode_png(img), -1, -1), img)
     assert np.array_equal(real_decode_image(mc.encode_bmp(img), -1, -1), img)
-    with pytest.raises(NotImplementedError):
+    jimg = _rand_img(rng, 8, 8)
+    dec = real_decode_image(mc.encode_jpeg(jimg, 95), -1, -1)  # r5
+    assert dec.shape == jimg.shape
+    with pytest.raises(ValueError):  # JPEG now DISPATCHES; bad body
         real_decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", 4, 4)
+    with pytest.raises(NotImplementedError):  # WebP still raises
+        real_decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 4, 4)
     pcm = np.zeros(160, np.float32)
     assert len(real_decode_audio(mc.encode_wav(pcm, 16000), 10)) == 160
     with pytest.raises(NotImplementedError):
@@ -153,3 +158,104 @@ def test_phash_neardup_real_codecs(ray_session):
         assert (twin - n, twin) in got
     # and nothing else pairs at hamming 0 (distinct noisy images)
     assert got == {(t - n, t) for t in want_ids}
+
+
+def test_jpeg_roundtrip_color_gray_odd_sizes():
+    """Baseline JPEG encode→decode round-trips within codec-typical
+    error on smooth, flat, and noise content, color + grayscale, at
+    non-multiple-of-8 sizes and across qualities."""
+    import numpy as np
+
+    from zhtml_ray.functions.mediacodec import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:37, 0:51]
+    smooth = np.stack([np.clip(x * 4, 0, 255), np.clip(y * 5, 0, 255),
+                       np.clip(255 - (x + y) * 2, 0, 255)],
+                      axis=2).astype(np.uint8)
+    for q, tol in ((50, 16), (75, 12), (95, 6)):
+        dec = decode_jpeg(encode_jpeg(smooth, q))
+        assert dec.shape == smooth.shape
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= tol
+
+    flat = np.full((16, 16, 3), [200, 30, 90], np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 95)), flat)
+
+    rng = np.random.RandomState(1)
+    noise = rng.randint(0, 256, (24, 24, 3), np.uint8)
+    d = np.abs(decode_jpeg(encode_jpeg(noise, 95)).astype(int)
+               - noise.astype(int))
+    assert d.mean() < 8 and d.max() < 40  # q95 noise: quant error only
+
+    gray = (x * 3 + y * 2).astype(np.uint8)
+    decg = decode_jpeg(encode_jpeg(gray, 95))
+    assert decg.shape == (37, 51, 3)  # gray replicated to RGB
+    assert np.abs(decg[:, :, 0].astype(int) - gray.astype(int)).max() <= 4
+    assert np.array_equal(decg[:, :, 0], decg[:, :, 1])
+
+
+def test_jpeg_subsampling_and_restart_markers():
+    """The decoder's generic-sampling (4:2:0 → 2×2 Y per MCU, chroma
+    upsampled) and restart-interval (DRI + RSTn segmentation, DC
+    predictor reset) paths, exercised by real encoder bytes."""
+    import numpy as np
+
+    from zhtml_ray.functions.mediacodec import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:41, 0:53]
+    img = np.stack([np.clip(x * 4, 0, 255), np.clip(y * 5, 0, 255),
+                    np.clip(255 - (x + y) * 2, 0, 255)],
+                   axis=2).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 1, 3):
+            enc = encode_jpeg(img, 90, subsampling=sub,
+                              restart_interval=ri)
+            if ri:
+                assert b"\xff\xdd" in enc          # DRI present
+                assert any(bytes([0xFF, 0xD0 + k]) in enc
+                           for k in range(8))      # RSTn present
+            dec = decode_jpeg(enc)
+            d = np.abs(dec.astype(int) - img.astype(int))
+            assert dec.shape == img.shape
+            assert d.max() <= (4 if sub == "4:4:4" else 12), (sub, ri)
+    # 4:2:0 compresses smooth content harder than 4:4:4
+    assert len(encode_jpeg(img, 90, subsampling="4:2:0")) < \
+        len(encode_jpeg(img, 90))
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import numpy as np
+    import pytest
+
+    from zhtml_ray.functions.mediacodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # flip SOF0 to SOF2 (progressive) in real bytes -> loud refusal
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_real_decode_dispatch_and_lossy_twin():
+    """real_decode_image sniffs the JPEG magic, and a JPEG re-encode
+    of a PNG-encoded image dHashes within a few bits — the lossy
+    re-encode near-dup class media_real_codec_dup plants."""
+    import numpy as np
+
+    from zhtml_ray.functions.mediacodec import (decode_png, encode_jpeg,
+                                                encode_png)
+    from zhtml_ray.functions.multimodal import dhash64, real_decode_image
+
+    rng = np.random.RandomState(7)
+    blocks = rng.randint(0, 256, (8, 9, 3))
+    h, w = 48, 56
+    img = blocks[np.arange(h) * 8 // h][:, np.arange(w) * 9 // w] \
+        .astype(np.uint8)
+    png, jpg = encode_png(img), encode_jpeg(img, 95, subsampling="4:2:0")
+    a = real_decode_image(png, w, h)
+    b = real_decode_image(jpg, w, h)
+    assert np.array_equal(a, decode_png(png))
+    ham = bin(dhash64(a) ^ dhash64(b)).count("1")
+    assert ham <= 3, ham

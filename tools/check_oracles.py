@@ -21,6 +21,7 @@ pinned float must be the identical double on both sides.
 Usage: python tools/check_oracles.py [--exact] [sf_dir] [name ...]
 """
 
+import os
 import sys
 
 import duckdb
@@ -100,6 +101,15 @@ def main():
     entry = importlib.import_module("__ray_entry__")
 
     con = duckdb.connect()
+    # an in-memory connection has NO temp_directory, so a big oracle
+    # (the unrolled-HITS CTE at sf0.1: 608k edges) dies on its first
+    # spill instead of offloading — give it a roomy spill dir and a
+    # memory ceiling that leaves Ray its share (r4: the one sf0.1
+    # non-match was this, not the engine)
+    os.makedirs("/tmp/zhtml_ray_duckdb_tmp", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/zhtml_ray_duckdb_tmp'")
+    con.execute("SET max_temp_directory_size='40GB'")
+    con.execute("SET memory_limit='24GB'")
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         con.execute(

@@ -575,27 +575,33 @@ def sql_hits(links_sql: str, iters: int = 3,
              scale: int = HITS_SCALE) -> str:
     """Unrolled-iteration DuckDB oracle for :func:`hits` — same int64
     arithmetic, independently executed (DuckDB hash joins vs the
-    engine's sort-based merge plan)."""
-    parts = [f"WITH edges AS ({sql_edges_select(links_sql)}),",
-             """nodes AS (SELECT src AS node FROM edges
+    engine's sort-based merge plan). Every CTE is MATERIALIZED: each
+    level references the previous one twice, so DuckDB's default
+    inlining re-expands the chain EXPONENTIALLY (2^(4·iters) edge
+    scans — at sf0.1's 608k edges the r4 gate filled a 37 GiB spill
+    dir and died; materialized, the whole oracle is linear and
+    in-memory)."""
+    parts = [f"WITH edges AS MATERIALIZED ({sql_edges_select(links_sql)}),",
+             """nodes AS MATERIALIZED (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges),""",
-             f"h0 AS (SELECT node, {scale}::BIGINT AS h FROM nodes)"]
+             f"h0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS h "
+             "FROM nodes)"]
     for k in range(1, iters + 1):
         parts.append(f""",
-ar{k} AS (SELECT n.node, coalesce(i.s, 0)::BIGINT AS ar
+ar{k} AS MATERIALIZED (SELECT n.node, coalesce(i.s, 0)::BIGINT AS ar
   FROM nodes n LEFT JOIN
     (SELECT e.dst AS node, sum(ph.h)::BIGINT AS s
      FROM edges e JOIN h{k - 1} ph ON e.src = ph.node
      GROUP BY e.dst) i USING (node)),
-a{k} AS (SELECT node, ar * {scale}::BIGINT
+a{k} AS MATERIALIZED (SELECT node, ar * {scale}::BIGINT
               // greatest((SELECT max(ar) FROM ar{k}), 1) AS a
          FROM ar{k}),
-hr{k} AS (SELECT n.node, coalesce(i.s, 0)::BIGINT AS hr
+hr{k} AS MATERIALIZED (SELECT n.node, coalesce(i.s, 0)::BIGINT AS hr
   FROM nodes n LEFT JOIN
     (SELECT e.src AS node, sum(pa2.a)::BIGINT AS s
      FROM edges e JOIN a{k} pa2 ON e.dst = pa2.node
      GROUP BY e.src) i USING (node)),
-h{k} AS (SELECT node, hr * {scale}::BIGINT
+h{k} AS MATERIALIZED (SELECT node, hr * {scale}::BIGINT
               // greatest((SELECT max(hr) FROM hr{k}), 1) AS h
          FROM hr{k})""")
     parts.append(f"""

@@ -60,12 +60,18 @@ def gen_media_table(n: int, seed: int = 42, payload_bytes: int = 4096,
 
 
 def gen_real_media_table(n: int, seed: int = 42,
-                         dup_every: int = 0) -> pa.Table:
+                         dup_every: int = 0,
+                         jpeg_dup_every: int = 0) -> pa.Table:
     """Synthetic media rows whose payloads are REAL encoded files —
     PNG (seeded RGB gradients+noise), BMP for every ``dup_every``-th
     image (same pixels, different container: a true re-encode
     near-duplicate), and PCM WAV sine mixes — so the full decode →
-    feature → near-dup chains run through actual codecs."""
+    feature → near-dup chains run through actual codecs.
+    ``jpeg_dup_every`` (r5) additionally appends a baseline-JPEG
+    re-encode twin (id ``2n + i``, q95 4:2:0) for every
+    ``jpeg_dup_every``-th image — a LOSSY re-encode, so its dHash
+    lands within a few bits of the source rather than at hamming 0
+    (the realistic crawl re-encode class)."""
     from zhtml_ray.functions import mediacodec
     rng = np.random.RandomState(seed)
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -94,6 +100,26 @@ def gen_real_media_table(n: int, seed: int = 42,
                 for c, v in [("media_id", n + i), ("kind", "image"),
                              ("payload", mediacodec.encode_bmp(img)),
                              ("mime", "image/bmp"), ("width", w),
+                             ("height", h), ("duration_ms", -1)]:
+                    rows[c].append(v)
+                continue
+            if jpeg_dup_every and \
+                    (i // 3) % jpeg_dup_every == jpeg_dup_every - 2:
+                # lossy re-encode twin: same pixels through baseline
+                # JPEG (4:2:0) — near-identical decode, hamming ≤ 3
+                # (same inline-append-then-continue shape as the BMP
+                # twin above to keep the column lists aligned)
+                rows["payload"].append(
+                    mediacodec.encode_png(img, filters=i % 5))
+                rows["mime"].append("image/png")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(-1)
+                for c, v in [("media_id", 2 * n + i), ("kind", "image"),
+                             ("payload", mediacodec.encode_jpeg(
+                                 img, quality=95,
+                                 subsampling="4:2:0")),
+                             ("mime", "image/jpeg"), ("width", w),
                              ("height", h), ("duration_ms", -1)]:
                     rows[c].append(v)
                 continue
@@ -141,22 +167,26 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def real_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """REAL image decode for the formats the stdlib can carry (r4):
-    PNG (zlib inflate, all five filters) and 24-bit BMP via
-    functions/mediacodec.py — pure Python/numpy, no external libs.
-    The (width, height) hints are ignored; actual dimensions come from
-    the payload. Formats that need a codec library (JPEG, WebP, …)
-    still raise, with the same injectable-decoder escape hatch."""
+    """REAL image decode for the formats the stdlib can carry: PNG
+    (zlib inflate, all five filters), 24-bit BMP, and (r5) baseline
+    sequential JPEG (generic DHT/DQT, any h/v sampling, restart
+    intervals) via functions/mediacodec.py — pure Python/numpy, no
+    external libs. The (width, height) hints are ignored; actual
+    dimensions come from the payload. Formats that need a codec
+    library (WebP, AVIF, progressive JPEG…) still raise, with the
+    same injectable-decoder escape hatch."""
     from zhtml_ray.functions import mediacodec
     if payload[:8] == mediacodec.PNG_MAGIC:
         return mediacodec.decode_png(payload)
     if payload[:2] == b"BM":
         return mediacodec.decode_bmp(payload)
+    if payload[:2] == mediacodec.JPEG_MAGIC:
+        return mediacodec.decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG/BMP decode in-container (functions/mediacodec.py); "
-        "JPEG/WebP need an image library — pass decode=_fake_decode_image "
-        "for the deterministic stub, or plug PIL/torchvision on a real "
-        "cluster")
+        "only PNG/BMP/baseline-JPEG decode in-container "
+        "(functions/mediacodec.py); WebP/AVIF/progressive-JPEG need an "
+        "image library — pass decode=_fake_decode_image for the "
+        "deterministic stub, or plug PIL/torchvision on a real cluster")
 
 
 def real_decode_audio(payload: bytes, duration_ms: int,

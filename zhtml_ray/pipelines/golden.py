@@ -705,15 +705,16 @@ def _gen_media_phash(sf_dir: str) -> pa.Table:
 
 def _gen_media_real_phash(sf_dir: str) -> pa.Table:
     """Serial dHash table over the REAL-codec media fixture: payloads
-    are actual PNG/BMP files and decode goes through
-    functions/mediacodec.py (r4 — no stub anywhere in this chain).
-    Oracle pair list computed independently in DuckDB as with
-    media_phash."""
+    are actual PNG/BMP/baseline-JPEG files and decode goes through
+    functions/mediacodec.py (r4; JPEG twins r5 — no stub anywhere in
+    this chain). Oracle pair list computed independently in DuckDB as
+    with media_phash."""
     from zhtml_ray.functions.multimodal import (PHashBatch, filter_kind,
                                                 gen_real_media_table,
                                                 real_decode_image)
     from zhtml_ray.pipelines.ops_queries import _media_rows_for
-    t = gen_real_media_table(_media_rows_for(sf_dir), dup_every=8)
+    t = gen_real_media_table(_media_rows_for(sf_dir), dup_every=8,
+                             jpeg_dup_every=8)
     out = PHashBatch(decode=real_decode_image)(filter_kind(t, "image"))
     return out.select(["media_id", "phash"])
 

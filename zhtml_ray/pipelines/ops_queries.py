@@ -5834,12 +5834,14 @@ def q_media_phash_dup(sf_dir: str):
 def q_media_real_codec_dup(sf_dir: str):
     """Image near-duplicate pairs through REAL codecs end to end (r4
     — closes the r3 'never ran a real codec' gap): payloads are actual
-    PNG and 24-bit BMP files, decode is functions/mediacodec.py (pure
-    stdlib zlib + numpy, all five PNG filters), and the planted
-    duplicates are the same pixels RE-ENCODED in a different container
-    (PNG vs BMP — different bytes, identical decode), exactly the
-    re-encode duplicate class a crawl sees. Same distributed chain and
-    independent DuckDB brute-force pair oracle as media_phash_dup."""
+    PNG, 24-bit BMP and (r5) baseline-JPEG files, decode is
+    functions/mediacodec.py (pure stdlib zlib + numpy — all five PNG
+    filters; JPEG huffman + IDCT, 4:2:0), and the planted duplicates
+    are the same pixels RE-ENCODED in a different container: PNG vs
+    BMP (lossless twin, hamming 0) and PNG vs JPEG (LOSSY twin, a few
+    bits) — exactly the re-encode duplicate classes a crawl sees.
+    Same distributed chain and independent DuckDB brute-force pair
+    oracle as media_phash_dup."""
     import ray.data as rd
 
     from zhtml_ray.functions.multimodal import (filter_kind,
@@ -5849,7 +5851,8 @@ def q_media_real_codec_dup(sf_dir: str):
     from zhtml_ray.pipelines.golden import ensure_golden
 
     ensure_golden("media_real_phash", sf_dir)
-    tbl = gen_real_media_table(_media_rows_for(sf_dir), dup_every=8)
+    tbl = gen_real_media_table(_media_rows_for(sf_dir), dup_every=8,
+                               jpeg_dup_every=8)
     ds = rd.from_arrow(tbl).map_batches(
         lambda b: filter_kind(b, "image"), batch_format="pyarrow")
     return phash_neardup(ds, max_hamming=3, decode=real_decode_image)
