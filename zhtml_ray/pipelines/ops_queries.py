@@ -6684,6 +6684,63 @@ FROM embeddings
 """
 
 
+def _mlp_weights(dim: int = _EMB_DIM, hidden: int = 4):
+    """Deterministic 2-layer MLP fixture weights (both engines build
+    the SAME double constants from these literals): the small-MLP
+    shape a fastText/CCNet-style quality filter distills to.
+    Layer-2 weights are INTEGERS on purpose — the hidden units are
+    6-dp-pinned, so fractional output weights would put the logit on
+    a 7-dp grid where a 6-dp pin has flip boundaries ON achievable
+    sums (the r3 q9 / DATA-GRID rule; measured: 0.1-scale weights
+    flipped ~1/500 rows at the gate)."""
+    w1 = [[((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(hidden)]
+          for i in range(dim)]
+    b1 = [(j - 1.5) / 10.0 for j in range(hidden)]
+    w2 = [[2.0], [-1.0], [1.0], [-3.0]]
+    b2 = [0.05]
+    return w1, b1, w2, b2
+
+
+def q_mlp_classifier(sf_dir: str, threshold: float = 0.0):
+    """2-layer MLP quality scoring over the embedding column through
+    the FORMALIZED model-inference stage (functions/inference.py:
+    ModelScoreStage — r5, VERDICT #5): weights broadcast ONCE via
+    ray.put, loaded once per actor in __init__, chunked float64
+    matmuls per batch, every layer 6-dp-pinned (pin-then-derive) so
+    the hidden ReLUs and the logit are bit-identical cross-engine.
+    The SQL oracle recomputes the same pinned forward pass with
+    per-hidden-unit list_dot_product expressions."""
+    import ray
+
+    from zhtml_ray.functions.inference import score_embeddings
+
+    w1, b1, w2, b2 = _mlp_weights()
+    ref = ray.put([(w1, b1), (w2, b2)])
+    return score_embeddings(_emb(sf_dir), ref, out_col="logit_r",
+                            threshold=threshold,
+                            concurrency=autoscale_pool(0.5))
+
+
+def _sql_mlp_classifier(threshold: float = 0.0) -> str:
+    w1, b1, w2, b2 = _mlp_weights()
+    hidden = len(b1)
+    hs = []
+    for j in range(hidden):
+        col = ", ".join(repr(w1[i][j]) for i in range(len(w1)))
+        hs.append(
+            f"floor(greatest(list_dot_product(embedding::DOUBLE[], "
+            f"[{col}]::DOUBLE[]) + ({b1[j]!r}), 0.0) * 1e6 + 0.5) / 1e6"
+            f" AS h{j}")
+    logit = " + ".join(f"h{j} * ({w2[j][0]!r})" for j in range(hidden))
+    return f"""
+WITH hid AS (SELECT vec_id, {', '.join(hs)} FROM embeddings),
+lg AS (SELECT vec_id,
+              floor(({logit} + ({b2[0]!r})) * 1e6 + 0.5) / 1e6 AS logit_r
+       FROM hid)
+SELECT vec_id, logit_r, logit_r > {threshold!r} AS keep FROM lg
+"""
+
+
 def q_snapshot_diff(sf_dir: str):
     """Corpus snapshot diff (X102 — the data-ops audit between two
     crawl versions: what was added / removed / changed / kept). Old
@@ -7341,6 +7398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
+        "mlp_classifier": q_mlp_classifier,
         "range_lookup": q_range_lookup,
         "url_blocklist": q_url_blocklist,
         "robots_filter": q_robots_filter,
@@ -7491,6 +7549,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _sql_heavy_hitters(),
         "inverted_index": _sql_inverted_index(),
         "quality_classifier": _sql_quality_classifier(),
+        "mlp_classifier": _sql_mlp_classifier(),
         "range_lookup": _sql_range_lookup(),
         "url_blocklist": _sql_url_blocklist(),
         "robots_filter": _sql_robots_filter(),
