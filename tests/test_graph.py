@@ -42,11 +42,19 @@ def _rand_edges(rng, n_nodes, n_edges):
 _TIERS = [(2_000_000, 20_000_000), (0, 20_000_000), (0, 0)]
 
 
+# pagerank adds the r5 zero-shuffle tier-2 fast path: pbud selects
+# driver-merged partials (16M) vs the original sorted plan (0)
+_PR_TIERS = [(2_000_000, 20_000_000, 16_000_000),
+             (0, 20_000_000, 16_000_000),   # tier 2, zero-shuffle
+             (0, 20_000_000, 0),            # tier 2, sorted plan
+             (0, 0, 0)]                     # tier 3
+
+
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [
     (1, 30, 120), (2, 8, 10), (3, 200, 900)])
-@pytest.mark.parametrize("dbud,bbud", _TIERS)
+@pytest.mark.parametrize("dbud,bbud,pbud", _PR_TIERS)
 def test_pagerank_differential(ray_session, seed, n_nodes, n_edges,
-                               dbud, bbud):
+                               dbud, bbud, pbud):
     import ray.data as rd
     from zhtml_ray.functions.graph import pagerank
     rng = np.random.default_rng(seed)
@@ -57,7 +65,8 @@ def test_pagerank_differential(ray_session, seed, n_nodes, n_edges,
     ds = rd.from_arrow(t).repartition(13)
     got = {r["node"]: r["pagerank_scaled"]
            for r in pagerank(ds, driver_budget=dbud,
-                             broadcast_budget=bbud).take_all()}
+                             broadcast_budget=bbud,
+                             partial_budget=pbud).take_all()}
     want = serial_pagerank(edges)
     assert got == want
     # mass sanity: damped total stays within [(1-d)V·scale, V·scale]

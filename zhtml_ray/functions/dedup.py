@@ -19,7 +19,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -323,8 +322,14 @@ def dedup_candidate_pairs(pairs_ds):
             "key_b": pc.max_element_wise(batch["key_a"], batch["key_b"]),
         })
 
+    from zhtml_ray.stages.util import compact_blocks
+
+    # compact the canon partials first: sorted_bucket_apply output is
+    # ~2 tiny blocks per input block, and the range sort pays
+    # O(blocks × partitions) (measured 0.75 → 0.2 s at sf0.1, r5)
     return sorted_first_per_group(
-        pairs_ds.map_batches(canon, batch_format="pyarrow"),
+        compact_blocks(pairs_ds.map_batches(canon,
+                                            batch_format="pyarrow")),
         ["key_a", "key_b"]).materialize()
 
 
@@ -399,8 +404,10 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
     Candidate texts then reach the verify stage one of two ways:
 
     * fast path — the filtered texts fit ``broadcast_text_budget``
-      bytes: broadcast once as a dict (per-actor shingle memo de-dups
-      hub-key shingling across that hub's star pairs);
+      bytes: broadcast once as a dict, verified by stateless tasks
+      over compacted pair blocks (per-batch shingle memo de-dups
+      hub-key shingling across that hub's star pairs; r5 — the actor
+      pool spin-up dominated small pair lists);
     * scale path — at crawl-scale dup rates the candidate set is a
       constant fraction of the corpus, so beyond the budget the texts
       are JOINED onto the pair list with two merge-join-as-sort
@@ -436,31 +443,33 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
 
     if texts is not None:
         tref = ray.put(texts)
+        from zhtml_ray.stages.util import compact_blocks
 
-        class Verify:
-            def __init__(self):
-                self.texts = ray.get(tref)
-                # per-actor shingle-set memo: a hub key (every star pair
-                # of its bucket) would otherwise re-shingle once per pair
-                self._sh: dict = {}
+        # STATELESS tasks, not an actor pool (r5): ray.get of the same
+        # ObjectRef is cached per worker process, so tasks are as warm
+        # as actors after first touch — and the pool spin-up measured
+        # ~2 s of the 3.5 s verify wall on a 248-pair list. The
+        # per-BATCH shingle memo still de-dups hub keys (every star
+        # pair of a bucket lands in the same compacted block).
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            tmap = ray.get(tref)
+            memo: dict = {}
 
-            def _set(self, k):
-                s = self._sh.get(k)
+            def sset(k):
+                s = memo.get(k)
                 if s is None:
-                    s = np.unique(_shingles(self.texts.get(k, ""),
-                                            shingle_k))
-                    self._sh[k] = s
+                    s = np.unique(_shingles(tmap.get(k, ""), shingle_k))
+                    memo[k] = s
                 return s
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                sims = [_jaccard_sorted(self._set(a), self._set(b))
-                        for a, b in zip(batch["key_a"], batch["key_b"])]
-                batch = batch.copy()
-                batch["jaccard"] = sims
-                return batch
+            sims = [_jaccard_sorted(sset(a), sset(b))
+                    for a, b in zip(batch["key_a"].to_pylist(),
+                                    batch["key_b"].to_pylist())]
+            return batch.append_column("jaccard",
+                                       pa.array(sims, pa.float64()))
 
-        out = pairs.map_batches(Verify, batch_format="pandas",
-                                concurrency=autoscale_pool(0.5))
+        out = compact_blocks(pairs).map_batches(verify_bcast,
+                                                batch_format="pyarrow")
     else:
         # budget exceeded: two merge-joins-as-sorts ship each candidate
         # text to exactly the pair rows that need it
@@ -470,6 +479,35 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
         # is immune to the empty-block schema loss that makes pyarrow's
         # hash join reject filtered inputs)
         from zhtml_ray.stages.sortagg import sorted_lookup_join
+        from zhtml_ray.stages.util import compact_blocks
+
+        # r5: only CANDIDATE texts need to enter the two join
+        # shuffles. When the distinct candidate-key set fits
+        # ``key_budget`` rows (keys are O(16 B), so 32M keys ≈ 512 MB
+        # driver-side — far under the text budget that put us on this
+        # path), broadcast it as a filter: the corpus is read ONCE,
+        # non-candidates drop map-side, and both join legs read the
+        # compacted candidate slice instead of range-shuffling the
+        # full text column twice (500k bench: verify leg unchanged at
+        # ~7 s but two full corpus re-reads disappear). Past the
+        # budget the original full-corpus join plan runs unchanged.
+        key_budget = 32_000_000
+        docs_src = docs_ds
+        if n_pairs * 2 <= key_budget:
+            ks: set = set()
+            for t in pairs.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+                ks.update(t["key_a"].to_pylist())
+                ks.update(t["key_b"].to_pylist())
+            fref = ray.put(pa.array(sorted(ks)))
+
+            def keep_cand(b: pa.Table) -> pa.Table:
+                vs = ray.get(fref)
+                return b.filter(pc.is_in(b[key], value_set=vs)) \
+                        .select([key, col])
+
+            docs_src = compact_blocks(docs_ds.map_batches(
+                keep_cand, batch_format="pyarrow"))
 
         def proj_a(b: pa.Table) -> pa.Table:
             return pa.table({"key_a": b[key], "_text_a": b[col]})
@@ -477,9 +515,8 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, key: str = "doc_id",
         def proj_b(b: pa.Table) -> pa.Table:
             return pa.table({"key_b": b[key], "_text_b": b[col]})
 
-        docs_a = docs_ds.map_batches(proj_a, batch_format="pyarrow")
-        docs_b = docs_ds.map_batches(proj_b, batch_format="pyarrow")
-        from zhtml_ray.stages.util import compact_blocks
+        docs_a = docs_src.map_batches(proj_a, batch_format="pyarrow")
+        docs_b = docs_src.map_batches(proj_b, batch_format="pyarrow")
         j1 = compact_blocks(
             sorted_lookup_join(pairs, docs_a, "key_a", ["_text_a"]))
         joined = sorted_lookup_join(j1, docs_b, "key_b", ["_text_b"])
@@ -819,19 +856,18 @@ def minhash_dedup(ds, key: str = "doc_id", col: str = "text",
             m = dict(zip(lt["node"], lt["lbl"]))
         ref = ray.put(m)
 
-        class Assign:
-            def __init__(self):
-                self.m = ray.get(ref)
+        # stateless tasks (r5): ray.get of the broadcast map is cached
+        # per worker process — as warm as an actor pool without the
+        # pool's spin-up (the same measured fix as verify_bcast)
+        def assign(batch: pa.Table) -> pa.Table:
+            mm = ray.get(ref)
+            ks = batch[key].to_pylist()
+            cl = [mm.get(k, k) for k in ks]
+            dup = [c != k for c, k in zip(cl, ks)]
+            return batch.append_column("cluster", pa.array(cl)) \
+                        .append_column("is_dup", pa.array(dup, pa.bool_()))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ks = batch[key].to_pylist()
-                cl = [self.m.get(k, k) for k in ks]
-                dup = [self.m.get(k, k) != k for k in ks]
-                return batch.append_column("cluster", pa.array(cl)) \
-                            .append_column("is_dup", pa.array(dup, pa.bool_()))
-
-        return ds.map_batches(Assign, batch_format="pyarrow",
-                              concurrency=autoscale_pool(0.5))
+        return ds.map_batches(assign, batch_format="pyarrow")
 
     # big-label path: merge-join-as-sort left lookup, then fill
     # unmatched (no drop_empty_blocks scaffolding needed — see

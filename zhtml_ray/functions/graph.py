@@ -114,20 +114,26 @@ WHERE dst IS NOT NULL AND dst <> src
 
 def link_edges(links_ds):
     """links Dataset (url, href, ...) → globally distinct (src, dst)
-    edge Dataset: per-batch resolve+distinct partials, then one
-    sort-based grouped-first pass (raw link rows never reach a global
-    shuffle un-combined)."""
+    edge Dataset: per-batch resolve+distinct partials, compacted, then
+    one sort-based grouped-first pass (raw link rows never reach a
+    global shuffle un-combined). The compaction is the CLAUDE.md
+    O(blocks × partitions) rule applied at the source: the resolve map
+    inherits the parse stage's ~200-block layout, and feeding that
+    straight into the range sort measured 2.3 s where the same rows in
+    10 compacted blocks sort in 0.36 s (sf0.1, r5)."""
     from zhtml_ray.stages.sortagg import sorted_first_per_group
+    from zhtml_ray.stages.util import compact_blocks
 
     part = links_ds.map_batches(resolve_edges_batch,
                                 batch_format="pyarrow")
-    return sorted_first_per_group(part, ["src", "dst"])
+    return sorted_first_per_group(compact_blocks(part), ["src", "dst"])
 
 
 def pagerank(edges, iters: int = 5, scale: int = SCALE,
              damping: tuple[int, int] = (85, 100),
              driver_budget: int = 2_000_000,
-             broadcast_budget: int = 20_000_000):
+             broadcast_budget: int = 20_000_000,
+             partial_budget: int = 16_000_000):
     """Exact-integer damped PageRank with dangling redistribution.
 
     ``edges`` is a distinct (src, dst) Dataset. Returns a Dataset of
@@ -154,9 +160,13 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
     * ``V ≤ broadcast_budget`` — the classic big-edges/small-ranks
       plan: edges integer-coded ONCE against the broadcast sorted
       node array, then per iteration one pure map over coded edges +
-      one (dst_idx → partial sum) groupby whose ≤ V-row result
-      updates the driver-held rank vector (re-broadcast via
-      ``ray.put``). No sort anywhere in the loop.
+      a (dst_idx → partial sum) merge that updates the driver-held
+      rank vector (re-broadcast via ``ray.put``). When the per-block
+      partials fit ``partial_budget`` rows (r5), the node set, the
+      degree vector AND each iteration's contribution sums merge on
+      the driver directly — ZERO shuffles after the edges-distinct
+      (measured 2.5 → 0.9 s at 608k edges); past the budget each
+      merge runs as the original ``sorted_sum_per_group`` shuffle.
     * else — fully distributed merge-join rounds: rank attach via
       ``sorted_lookup_join``, contribution sums as per-batch partials
       + Arrow-native groupby; per-iteration driver state is two
@@ -204,49 +214,74 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
             "node": pa.array(uniq.tolist(), pa.string()),
             "pagerank_scaled": pa.array(r, pa.int64())}))
 
-    # ---- shared structure: distinct nodes, out-degrees ----------------
+    # ---- shared structure: per-block distinct-node partials -----------
     def col_nodes(col):
         def f(b: pa.Table) -> pa.Table:
             return pa.table({"node": b[col]}).group_by("node") \
                 .aggregate([])
         return f
 
-    nodes = sorted_first_per_group(
-        edges.map_batches(col_nodes("src"), batch_format="pyarrow")
+    np_ds = edges.map_batches(col_nodes("src"), batch_format="pyarrow") \
         .union(edges.map_batches(col_nodes("dst"),
-                                 batch_format="pyarrow")),
-        ["node"])
-    nodes = compact_blocks(nodes)
-    v_count = nodes.count()
+                                 batch_format="pyarrow"))
 
-    def deg_part(b: pa.Table) -> pa.Table:
-        g = b.group_by("src").aggregate([("dst", "count")])
-        return g.rename_columns(["node", "d"])
+    # r5 zero-shuffle fast path: everything tier 2 needs lands on the
+    # driver anyway (node array + degree vector), so under a partial-
+    # row budget collect the RAW per-block unique partials and
+    # dedup / degree-sum in numpy — skipping the nodes range sort, the
+    # odeg range sort, AND (below) the per-iteration contribution
+    # sort. Measured at sf0.1 (608k edges): the sorted plan spent
+    # ~2 s of its 2.5 s wall in these 7 shuffles. Over budget, the
+    # original sorted plan runs unchanged (the budget-switch
+    # convention of label_propagation / the broadcast joins).
+    node_arr = None
+    nodes = odeg_ds = None
+    if partial_budget:
+        chunks, rows = [], 0
+        for t in np_ds.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+            rows += t.num_rows
+            if rows > partial_budget:
+                chunks = None
+                break
+            chunks.append(t)
+        if chunks is not None:
+            node_arr = np.unique(np.asarray(
+                pa.concat_tables(chunks)["node"].to_pylist(), object)) \
+                if rows else np.asarray([], object)
+            v_count = len(node_arr)
+    def build_sorted_structures():
+        nodes = compact_blocks(sorted_first_per_group(np_ds, ["node"]))
 
-    def _rn(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["node", "odeg"])
+        def deg_part(b: pa.Table) -> pa.Table:
+            g = b.group_by("src").aggregate([("dst", "count")])
+            return g.rename_columns(["node", "d"])
 
-    # sorted_sum, not groupby().aggregate(): Ray's Aggregate measured
-    # ~8× slower on high-cardinality keys (BENCH/BASELINE.md)
-    odeg_ds = sorted_sum_per_group(
-        edges.map_batches(deg_part, batch_format="pyarrow"),
-        ["node"], ["d"]).map_batches(_rn, batch_format="pyarrow")
+        def _rn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["node", "odeg"])
 
-    # ---- tier 2: broadcast ranks, coded edges, no sorts in the loop ---
+        # sorted_sum, not groupby().aggregate(): Ray's Aggregate
+        # measured ~8× slower on high-cardinality keys
+        # (BENCH/BASELINE.md)
+        odeg_ds = sorted_sum_per_group(
+            edges.map_batches(deg_part, batch_format="pyarrow"),
+            ["node"], ["d"]).map_batches(_rn, batch_format="pyarrow")
+        return nodes, odeg_ds
+
+    if node_arr is None:
+        nodes, odeg_ds = build_sorted_structures()
+        v_count = nodes.count()
+
+    # ---- tier 2: broadcast ranks, coded edges ------------------------
     if v_count <= broadcast_budget:
-        node_arr = np.asarray(
-            pa.concat_tables(list(nodes.iter_batches(
-                batch_size=None,
-                batch_format="pyarrow")))["node"].to_pylist(), object)
-        node_arr.sort()
-        odeg_vec = np.zeros(len(node_arr), np.int64)
-        ot = pa.concat_tables(list(odeg_ds.iter_batches(
-            batch_size=None, batch_format="pyarrow")))
-        if ot.num_rows:
-            pos = np.searchsorted(node_arr,
-                                  np.asarray(ot["node"].to_pylist(),
-                                             object))
-            odeg_vec[pos] = ot["odeg"].to_numpy(zero_copy_only=False)
+        fast = node_arr is not None
+        if not fast:
+            node_arr = np.asarray(
+                pa.concat_tables(list(nodes.iter_batches(
+                    batch_size=None,
+                    batch_format="pyarrow")))["node"].to_pylist(),
+                object)
+            node_arr.sort()
         nref = ray.put(node_arr)
 
         def code(b: pa.Table) -> pa.Table:
@@ -260,9 +295,38 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
 
         coded = compact_blocks(edges.map_batches(
             code, batch_format="pyarrow"))
+        v = len(node_arr)
+        if fast:
+            # degree vector from ONE pass over the coded edges:
+            # per-block bincount partials (si is unique per block
+            # output), merged with a driver scatter-add — no shuffle
+            def deg_code(b: pa.Table) -> pa.Table:
+                u, c = np.unique(
+                    b["si"].to_numpy(zero_copy_only=False),
+                    return_counts=True)
+                return pa.table({"si": pa.array(u, pa.int64()),
+                                 "c": pa.array(c, pa.int64())})
+
+            odeg_vec = np.zeros(v, np.int64)
+            for t in coded.map_batches(
+                    deg_code, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"):
+                if t.num_rows:
+                    np.add.at(odeg_vec,
+                              t["si"].to_numpy(zero_copy_only=False),
+                              t["c"].to_numpy(zero_copy_only=False))
+        else:
+            odeg_vec = np.zeros(v, np.int64)
+            ot = pa.concat_tables(list(odeg_ds.iter_batches(
+                batch_size=None, batch_format="pyarrow")))
+            if ot.num_rows:
+                pos = np.searchsorted(
+                    node_arr, np.asarray(ot["node"].to_pylist(),
+                                         object))
+                odeg_vec[pos] = ot["odeg"].to_numpy(
+                    zero_copy_only=False)
         oref = ray.put(odeg_vec)
         dang = odeg_vec == 0
-        v = len(node_arr)
         r = np.full(v, scale, np.int64)
         for _ in range(iters):
             dshare = int(r[dang].sum()) // v
@@ -279,21 +343,36 @@ def pagerank(edges, iters: int = 5, scale: int = SCALE,
                 return pa.table({"di": pa.array(u, pa.int64()),
                                  "c": pa.array(cs, pa.int64())})
 
-            it = sorted_sum_per_group(
-                coded.map_batches(part, batch_format="pyarrow"),
-                ["di"], ["c"])
+            pds = coded.map_batches(part, batch_format="pyarrow")
             insum = np.zeros(v, np.int64)
-            st = pa.concat_tables(list(it.iter_batches(
-                batch_size=None, batch_format="pyarrow")))
-            if st.num_rows:
-                insum[st["di"].to_numpy(zero_copy_only=False)] = \
-                    st["c"].to_numpy(zero_copy_only=False)
+            if fast and n_edges <= partial_budget:
+                # per-iteration partials merge on the driver (≤ E
+                # rows, usually ≪) — no shuffle in the loop at all
+                for t in pds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
+                    if t.num_rows:
+                        np.add.at(
+                            insum,
+                            t["di"].to_numpy(zero_copy_only=False),
+                            t["c"].to_numpy(zero_copy_only=False))
+            else:
+                it = sorted_sum_per_group(pds, ["di"], ["c"])
+                st = pa.concat_tables(list(it.iter_batches(
+                    batch_size=None, batch_format="pyarrow")))
+                if st.num_rows:
+                    insum[st["di"].to_numpy(zero_copy_only=False)] = \
+                        st["c"].to_numpy(zero_copy_only=False)
             r = (base_add + num * (insum + dshare)) // den
         return rd.from_arrow(pa.table({
             "node": pa.array(node_arr.tolist(), pa.string()),
             "pagerank_scaled": pa.array(r, pa.int64())}))
 
     # ---- tier 3: fully distributed merge-join rounds -------------------
+    if nodes is None:
+        # the fast-path collect succeeded but broadcast_budget still
+        # rejected tier 2 (small-budget configs / tier tests): tier 3
+        # needs the sorted node/degree datasets after all
+        nodes, odeg_ds = build_sorted_structures()
     nd = sorted_lookup_join(nodes, odeg_ds, "node", ["odeg"],
                             how="left")
 
