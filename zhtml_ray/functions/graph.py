@@ -802,18 +802,23 @@ def sql_pagerank(links_sql: str, iters: int = 5, scale: int = SCALE,
     arithmetic, independently executed (DuckDB's joins/aggregates vs
     the engine's sort-based shuffle plan)."""
     num, den = damping
-    parts = [f"WITH edges AS ({sql_edges_select(links_sql)}),",
-             """nodes AS (SELECT src AS node FROM edges
+    # MATERIALIZED CTEs: every r{k} references r{k-1} twice (dangling
+    # scalar subquery + contribution join); DuckDB's default inlining
+    # re-expands the chain exponentially (the r5 link_hits lesson —
+    # this oracle OOM'd a 37 GiB spill dir at sf0.1's 608k edges)
+    parts = [f"WITH edges AS MATERIALIZED ({sql_edges_select(links_sql)}),",
+             """nodes AS MATERIALIZED (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges),
-odeg AS (SELECT src AS node, count(*)::BIGINT AS odeg
+odeg AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS odeg
          FROM edges GROUP BY 1),
-nd AS (SELECT n.node, coalesce(o.odeg, 0)::BIGINT AS odeg
+nd AS MATERIALIZED (SELECT n.node, coalesce(o.odeg, 0)::BIGINT AS odeg
        FROM nodes n LEFT JOIN odeg o USING (node)),
-nv AS (SELECT count(*)::BIGINT AS v FROM nd),""",
-             f"r0 AS (SELECT node, odeg, {scale}::BIGINT AS r FROM nd)"]
+nv AS MATERIALIZED (SELECT count(*)::BIGINT AS v FROM nd),""",
+             f"r0 AS MATERIALIZED (SELECT node, odeg, "
+             f"{scale}::BIGINT AS r FROM nd)"]
     for k in range(1, iters + 1):
         parts.append(f""",
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT nd.node, nd.odeg,
          (({den - num}::BIGINT * {scale}::BIGINT)
           + {num}::BIGINT * (coalesce(i.s, 0)
@@ -1167,14 +1172,17 @@ def sql_bfs_depth(links_sql: str, max_depth: int = 8) -> str:
     :func:`indegree_zero_seeds` — independent plan (hash joins +
     grouped min per round vs the engine's broadcast/merge-join
     frontier expansion)."""
-    parts = [f"WITH edges AS ({sql_edges_select(links_sql)}),",
-             """nodes AS (SELECT src AS node FROM edges
+    # MATERIALIZED: each d{k} references d{k-1} twice (carry + frontier
+    # join); DuckDB's default inlining re-expands the 6-round chain
+    # 2^6-fold (the r5 link_hits/pagerank lesson — OOM'd at sf0.1)
+    parts = [f"WITH edges AS MATERIALIZED ({sql_edges_select(links_sql)}),",
+             """nodes AS MATERIALIZED (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges),
-d0 AS (SELECT node, 0::BIGINT AS depth FROM nodes
+d0 AS MATERIALIZED (SELECT node, 0::BIGINT AS depth FROM nodes
        WHERE node NOT IN (SELECT dst FROM edges))"""]
     for k in range(1, max_depth + 1):
         parts.append(f""",
-d{k} AS (SELECT node, min(depth)::BIGINT AS depth FROM (
+d{k} AS MATERIALIZED (SELECT node, min(depth)::BIGINT AS depth FROM (
   SELECT node, depth FROM d{k - 1}
   UNION ALL
   SELECT e.dst, f.depth + 1 FROM edges e
