@@ -71,7 +71,7 @@ def test_entry_contract(ray_session):
     no_oracle_ok: set = set()
     missing = set(q) - set(o) - no_oracle_ok
     assert not missing, f"queries without oracle_sql: {sorted(missing)}"
-    assert len(q) >= 176
+    assert len(q) >= 179
 
 
 def test_read_html_files_source(ray_session, tmp_path):

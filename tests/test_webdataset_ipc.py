@@ -99,3 +99,52 @@ def test_arrow_ipc_roundtrip_and_projection(ray_session, tmp_path):
     proj = read_arrow_ipc(str(tmp_path), columns=["key"]).to_pandas()
     assert list(proj.columns) == ["key"]
     assert len(proj) == 2 * t.num_rows  # 3 file shards + 1 stream shard
+
+
+def test_orc_roundtrip_and_projection(ray_session, tmp_path):
+    """ORC sink → source roundtrip preserves rows/values; the read
+    prunes columns at the stripe reader; missing dir fails loudly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from zhtml_ray.sources.orcsrc import read_orc, write_orc
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"doc {i} words here" for i in range(100)]),
+        "lang": pa.array(["en", "de"] * 50)})
+    d = str(tmp_path / "orc")
+    n = write_orc(rd.from_arrow(t).repartition(4), d)
+    assert n == 4
+
+    back = read_orc(d).take_all()
+    assert {r["doc_id"] for r in back} == set(range(100))
+    by_id = {r["doc_id"]: r for r in back}
+    assert by_id[7]["text"] == "doc 7 words here"
+    assert by_id[7]["lang"] == "de"
+
+    proj = read_orc(d, columns=["doc_id"])
+    assert set(proj.schema().names) == {"doc_id"}
+    assert proj.count() == 100
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        read_orc(str(empty))
+
+
+def test_sentence_rule_edges():
+    """The pinned sentence rule: overlay plants boundaries, empty and
+    punctuation-only texts yield nothing, terminator runs attach to
+    the preceding sentence."""
+    from zhtml_ray.pipelines.ops_queries import _doc_sentences
+
+    assert _doc_sentences("") == []
+    assert _doc_sentences(None) == []
+    assert _doc_sentences("...!?") == []
+    got = _doc_sentences("one two batch three four")
+    assert [s for s, _ in got] == ["one two batch.", "three four"]
+    assert [n for _, n in got] == [3, 2]
+    got2 = _doc_sentences("a!! b? c")
+    assert [s for s, _ in got2] == ["a!!", "b?", "c"]

@@ -2043,6 +2043,187 @@ def q_arrow_ipc_docs(sf_dir: str):
 SQL_ARROW_IPC_DOCS = SQL_WEBDATASET_DOCS
 
 
+_ORC_ROOT = "/tmp/zhtml_ray_orc"
+
+
+def _write_orc_shards(d: str, sf_dir: str) -> None:
+    """4 ORC shards from the documents table via the engine's own
+    sink (sources/orcsrc.py:write_orc) — the query then certifies the
+    full write→read roundtrip against the documents view."""
+    import ray.data as rd
+
+    from zhtml_ray.sources.orcsrc import write_orc
+
+    write_orc(rd.read_parquet(f"{sf_dir}/documents.parquet")
+              .repartition(4), d)
+
+
+def q_orc_docs(sf_dir: str):
+    """Apache ORC ingestion (X50d, r5 — the Hive/Trino data-lake
+    columnar format): file-as-parallelism-unit read with column
+    projection pushed into the ORC stripe reader
+    (``sources/orcsrc.py``), over shards the engine's own ORC sink
+    wrote — a write→read roundtrip certified against the documents
+    view."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from zhtml_ray.sources.orcsrc import read_orc
+
+    d = _ensure_pid_fixture(_ORC_ROOT, sf_dir, _write_orc_shards)
+    ds = read_orc(d, columns=["doc_id", "text", "lang"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars_text": pc.cast(pc.utf8_length(b["text"]),
+                                    pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_ORC_DOCS = SQL_WEBDATASET_DOCS
+
+
+# --------------------------------------------------- sentence operators
+
+# both engines split with THIS regex (no lookbehind — RE2-safe) and
+# trim THIS exact charset; changing either silently breaks the oracle.
+# The driver fixture text carries no punctuation at all, so — like the
+# _SQL_URL_OVERLAY precedent — a deterministic overlay ('batch ' →
+# 'batch. ', leftmost non-overlapping in BOTH engines) plants real
+# sentence boundaries first; real corpora skip the overlay.
+_SENT_RE_TEXT = r"[^.!?]+[.!?]*"
+_SENT_TRIM = " \t\n\r\x0b\x0c"
+_SENT_CHUNK_TOKENS = 64
+_SENT_OVERLAY = ("batch ", "batch. ")
+
+
+def _doc_sentences(text: str):
+    """text → [(sentence, n_tokens)] under the pinned rule."""
+    import re
+    text = (text or "").replace(*_SENT_OVERLAY)
+    out = []
+    for m in re.findall(_SENT_RE_TEXT, text):
+        s = m.strip(_SENT_TRIM)
+        if s:
+            out.append((s, len(s.split())))
+    return out
+
+
+def q_sentence_split(sf_dir: str):
+    """Sentence segmentation (X143, r5 — the unit every curation rule
+    below the document level needs: PII windows, dedup spans, chunk
+    packing all start from sentences): a pinned RE2-safe terminator
+    rule (``[^.!?]+[.!?]*``, explicit trim charset) applied per doc
+    with a module-compiled regex, emitting (doc_id, sent_idx,
+    sentence, n_tokens). The oracle recomputes the identical rule in
+    DuckDB via regexp_extract_all + a lateral index unnest."""
+    import pyarrow as pa
+
+    def split(b: pa.Table) -> pa.Table:
+        ids, idxs, sents, toks = [], [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            for i, (s, n) in enumerate(_doc_sentences(txt)):
+                ids.append(did)
+                idxs.append(i)
+                sents.append(s)
+                toks.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sent_idx": pa.array(idxs, pa.int64()),
+            "sentence": pa.array(sents, pa.string()),
+            "n_tokens": pa.array(toks, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        split, batch_format="pyarrow")
+
+
+_SQL_SENT_BASE = f"""
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY t.i) - 1
+             AS sent_idx,
+         trim(arr[t.i], ' {chr(9)}{chr(10)}{chr(13)}'
+              || chr(11) || chr(12)) AS sentence
+  FROM (SELECT doc_id,
+               regexp_extract_all(replace(text, 'batch ', 'batch. '),
+                                  '[^.!?]+[.!?]*') AS arr
+        FROM documents) w,
+       unnest(range(1, len(arr) + 1)) AS t(i)
+  WHERE trim(arr[t.i], ' {chr(9)}{chr(10)}{chr(13)}'
+             || chr(11) || chr(12)) <> ''
+"""
+
+
+def _sql_sentence_split() -> str:
+    return f"""
+WITH s AS ({_SQL_SENT_BASE})
+SELECT doc_id, sent_idx, sentence,
+       len(regexp_extract_all(sentence, '\\S+'))::BIGINT AS n_tokens
+FROM s
+"""
+
+
+def q_sentence_chunks(sf_dir: str, budget: int = _SENT_CHUNK_TOKENS):
+    """Sentence-aware chunk packing (X144, r5 — the training-window
+    prep step: pack whole sentences into ≤budget-token chunks instead
+    of cutting mid-sentence): chunk_id = (tokens before this sentence)
+    // budget — a closed integer formula over the sentence stream, so
+    the boundary rule is identical in the engine's per-doc cumsum and
+    the oracle's window sum. Emits one row per (doc, chunk) with the
+    packed text and exact token/sentence counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids, cids, texts, n_s, n_t = [], [], [], [], []
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            sents = _doc_sentences(txt)
+            if not sents:
+                continue
+            toks = np.array([n for _, n in sents], np.int64)
+            before = np.concatenate(([0], np.cumsum(toks)[:-1]))
+            cid = before // budget
+            for c in np.unique(cid):
+                sel = cid == c
+                ids.append(did)
+                cids.append(int(c))
+                texts.append(" ".join(s for (s, _), m
+                                      in zip(sents, sel) if m))
+                n_s.append(int(sel.sum()))
+                n_t.append(int(toks[sel].sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(cids, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "n_sentences": pa.array(n_s, pa.int64()),
+            "n_tokens": pa.array(n_t, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow")
+
+
+def _sql_sentence_chunks(budget: int = _SENT_CHUNK_TOKENS) -> str:
+    return f"""
+WITH s AS ({_SQL_SENT_BASE}),
+tk AS (SELECT doc_id, sent_idx, sentence,
+              len(regexp_extract_all(sentence, '\\S+'))::BIGINT AS nt
+       FROM s),
+cb AS (SELECT doc_id, sent_idx, sentence, nt,
+              coalesce(sum(nt) OVER (PARTITION BY doc_id
+                  ORDER BY sent_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) // {budget} AS chunk_id
+       FROM tk)
+SELECT doc_id, chunk_id,
+       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+       count(*)::BIGINT AS n_sentences,
+       sum(nt)::BIGINT AS n_tokens
+FROM cb GROUP BY doc_id, chunk_id
+"""
+
+
 _WARC_ROOT = "/tmp/zhtml_ray_warcfix"
 
 
@@ -7434,6 +7615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_docs": q_warc_docs,
         "webdataset_docs": q_webdataset_docs,
         "arrow_ipc_docs": q_arrow_ipc_docs,
+        "orc_docs": q_orc_docs,
+        "sentence_split": q_sentence_split,
+        "sentence_chunks": q_sentence_chunks,
         "session_label": q_session_label,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -7583,6 +7767,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_docs": SQL_WARC_DOCS,
         "webdataset_docs": SQL_WEBDATASET_DOCS,
         "arrow_ipc_docs": SQL_ARROW_IPC_DOCS,
+        "orc_docs": SQL_ORC_DOCS,
+        "sentence_split": _sql_sentence_split(),
+        "sentence_chunks": _sql_sentence_chunks(),
         "session_label": _sql_session_label(),
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
