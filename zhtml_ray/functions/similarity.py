@@ -98,13 +98,15 @@ def brute_force_topk(ds, query_vectors: np.ndarray, k: int = 10,
     import ray
     import ray.data as rd
 
-    from zhtml_ray.stages.util import autoscale_pool
+    from zhtml_ray.stages.util import stateless_stage
 
     qref = ray.put(np.asarray(query_vectors, np.float32))
+    # stateless tasks, not an actor pool: setup is a cached ray.get
+    # (stages/util.py:stateless_stage, r5)
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key, col=col),
-        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+        stateless_stage(BruteForceTopK, queries_ref=qref, k=k,
+                        key=key, col=col),
+        batch_format="pyarrow")
     # global merge: tiny (n_batches × n_queries × k rows)
     pdf = partials.to_pandas()
     out = (pdf.sort_values(["query_id", "cosine", key],
@@ -163,15 +165,14 @@ def brute_force_topk_filtered(ds, query_vectors, query_labels,
     query (fewer when the label has fewer rows)."""
     import ray
 
-    from zhtml_ray.stages.util import autoscale_pool
+    from zhtml_ray.stages.util import stateless_stage
 
     qref = ray.put((np.asarray(query_vectors, np.float32),
                     list(query_labels)))
     partials = ds.map_batches(
-        _LabelFilteredTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, key=key,
-                                   col=col, label_col=label_col),
-        batch_format="pyarrow", concurrency=autoscale_pool(0.5))
+        stateless_stage(_LabelFilteredTopK, queries_ref=qref, k=k,
+                        key=key, col=col, label_col=label_col),
+        batch_format="pyarrow")
     pdf = partials.to_pandas()
     return (pdf.sort_values(["query_id", "cosine", key],
                             ascending=[True, False, True])
@@ -266,12 +267,10 @@ def ivf_topk(ds, query_vectors: np.ndarray, k: int = 10, n_probe: int = 4,
 
     cent = train_centroids(ds, n_centroids=n_centroids, col=col, seed=seed)
     cref = ray.put(cent)
-    from zhtml_ray.stages.util import autoscale_pool
-    assigned = ds.map_batches(IvfAssign,
-                              fn_constructor_kwargs=dict(centroids_ref=cref,
-                                                         col=col),
-                              batch_format="pyarrow",
-                              concurrency=autoscale_pool(0.5))
+    from zhtml_ray.stages.util import stateless_stage
+    assigned = ds.map_batches(
+        stateless_stage(IvfAssign, centroids_ref=cref, col=col),
+        batch_format="pyarrow")
     q = _normalize(np.asarray(query_vectors, np.float32))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
     wanted = sorted({int(c) for row in probe_cells for c in row})
@@ -512,18 +511,15 @@ def semantic_dedup(ds, threshold: float = 0.98, n_centroids: int = 16,
     import warnings
 
     import ray
-    from zhtml_ray.stages.util import autoscale_pool
+    from zhtml_ray.stages.util import stateless_stage
 
     cent = kmeans_fit(ds, n_centroids=n_centroids, iters=iters,
                       col=col, seed=seed)
     k = len(cent)
     cref = ray.put(cent)
-    assigned = ds.map_batches(IvfAssign,
-                              fn_constructor_kwargs=dict(centroids_ref=cref,
-                                                         col=col),
-                              batch_format="pyarrow",
-                              concurrency=autoscale_pool(0.5)
-                              ).materialize()
+    assigned = ds.map_batches(
+        stateless_stage(IvfAssign, centroids_ref=cref, col=col),
+        batch_format="pyarrow").materialize()
 
     def cell_counts(b: pa.Table) -> pa.Table:
         c = np.bincount(b["ivf_cell"].combine_chunks().to_numpy(
@@ -594,7 +590,7 @@ def build_ivf_index(ds, out_dir: str, n_centroids: int = 16,
     import shutil
 
     import ray
-    from zhtml_ray.stages.util import autoscale_pool
+    from zhtml_ray.stages.util import stateless_stage
 
     # a rebuild over a stale index would UNION old and new partitions
     # at probe time (write_parquet appends) — clear first (review find)
@@ -604,11 +600,9 @@ def build_ivf_index(ds, out_dir: str, n_centroids: int = 16,
     cent = kmeans_fit(ds, n_centroids=n_centroids, iters=iters,
                       col=col, seed=seed, **(fit_kwargs or {}))
     cref = ray.put(cent)
-    assigned = ds.map_batches(IvfAssign,
-                              fn_constructor_kwargs=dict(centroids_ref=cref,
-                                                         col=col),
-                              batch_format="pyarrow",
-                              concurrency=autoscale_pool(0.5))
+    assigned = ds.map_batches(
+        stateless_stage(IvfAssign, centroids_ref=cref, col=col),
+        batch_format="pyarrow")
     assigned.write_parquet(out_dir, partition_cols=["ivf_cell"])
     np.save(os.path.join(out_dir, "centroids.npy"), cent)
     return cent
@@ -740,9 +734,9 @@ def pca_transform(ds, components: np.ndarray, key: str = "vec_id",
                 cols[f"pc{i}"] = pa.array(S[:, i], pa.float64())
             return pa.table(cols)
 
-    from zhtml_ray.stages.util import autoscale_pool
-    return ds.map_batches(Project, batch_format="pyarrow",
-                          concurrency=autoscale_pool(0.5))
+    from zhtml_ray.stages.util import stateless_stage
+    return ds.map_batches(stateless_stage(Project),
+                          batch_format="pyarrow")
 
 
 # ------------------------------------------------- product quantization ANN
@@ -823,7 +817,7 @@ def pq_encode(ds, books: np.ndarray, key: str = "vec_id",
     that makes billion-scale ANN memory-feasible."""
     import ray
 
-    from zhtml_ray.stages.util import autoscale_pool
+    from zhtml_ray.stages.util import stateless_stage
 
     bref = ray.put(np.asarray(books, np.float32))
 
@@ -838,8 +832,8 @@ def pq_encode(ds, books: np.ndarray, key: str = "vec_id",
                 key: b[key],
                 "pq_code": pa.array(list(codes), pa.list_(pa.uint8()))})
 
-    return ds.map_batches(Encode, batch_format="pyarrow",
-                          concurrency=autoscale_pool(0.5))
+    return ds.map_batches(stateless_stage(Encode),
+                          batch_format="pyarrow")
 
 
 def pq_adc_scores(codes: np.ndarray, books: np.ndarray,
@@ -867,7 +861,7 @@ def pq_topk(codes_ds, query_vectors: np.ndarray, books: np.ndarray,
     ordered by (score DESC, key ASC) on the 6-dp-pinned score."""
     import ray
 
-    from zhtml_ray.stages.util import autoscale_pool
+    from zhtml_ray.stages.util import stateless_stage
 
     qref = ray.put(_normalize(np.asarray(query_vectors, np.float32))
                    .astype(np.float64))
@@ -900,8 +894,8 @@ def pq_topk(codes_ds, query_vectors: np.ndarray, books: np.ndarray,
                 key: pa.array(key_out),
                 "score": pa.array(sim_out, pa.float64())})
 
-    partials = codes_ds.map_batches(Score, batch_format="pyarrow",
-                                    concurrency=autoscale_pool(0.5))
+    partials = codes_ds.map_batches(stateless_stage(Score),
+                                    batch_format="pyarrow")
     pdf = partials.to_pandas()
     return (pdf.sort_values(["query_id", "score", key],
                             ascending=[True, False, True])

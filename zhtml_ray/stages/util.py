@@ -28,6 +28,22 @@ def autoscale_pool(frac: float = 0.5, lo: int = 1,
     return (lo, mx)
 
 
+def stateless_stage(cls, **ctor_kwargs):
+    """``map_batches``-ready plain function wrapping a callable-class
+    stage whose ``__init__`` only ``ray.get``s broadcast refs (and
+    trivially reshapes them): the class is constructed PER BATCH —
+    ``ray.get`` of the same ObjectRef is cached per worker process, so
+    stateless tasks are as warm as an actor pool WITHOUT the pool's
+    spin-up (r5: measured ~2 s of actor-pool startup per stage on
+    sub-second workloads across the dedup and PQ/ANN families). Keep
+    actor pools (a callable class + ``concurrency=``) for stages whose
+    setup does real work per actor — model loads, index builds."""
+    def fn(batch):
+        return cls(**ctor_kwargs)(batch)
+    fn.__name__ = f"stateless_{cls.__name__}"
+    return fn
+
+
 def drop_empty_blocks(ds):
     """Rebuild a (small, already-materialized) Dataset from its non-empty
     block refs. Ray's groupby.map_groups can emit 0-row blocks with an
