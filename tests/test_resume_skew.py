@@ -425,3 +425,33 @@ def test_neardup_index_job_lifecycle(ray_session, tmp_path):
     # the index config is pinned: mismatched params refuse loudly
     with pytest.raises(ValueError, match="own parameters"):
         pin_lsh_config(idx, {"bands": 16})
+
+
+def test_clean_and_neardup_compose(ray_session, tmp_path):
+    """--clean and --neardup-index together: both column families
+    appear, rows == inputs holds, and the config pin covers both."""
+    import pyarrow.dataset as pads
+    import pytest
+    from zhtml_ray.stages.manifest import run_partitioned
+
+    shards = _neardup_shards(tmp_path)
+    out_dir = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    r = run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": False,
+                                        "clean": True,
+                                        "neardup_index": idx})
+    assert r["complete"] and r["rows"] == 10
+    dset = pads.dataset(sorted(glob.glob(out_dir + "/part-*/*.parquet")))
+    names = set(dset.schema.names)
+    assert {"clean_text", "clean_keep", "neardup_keep"} <= names
+    t = dset.to_table(columns=["url", "neardup_keep"])
+    keeps = dict(zip(t["url"].to_pylist(),
+                     t["neardup_keep"].to_pylist()))
+    assert not keeps["http://p1/dup-t"] and keeps["http://p0/base-t"]
+
+    # resume missing either stage flag must refuse
+    with pytest.raises(ValueError, match="different extraction config"):
+        run_partitioned(shards, out_dir, group_size=2, overlap=1,
+                        extract_kwargs={"include_spans": False,
+                                        "clean": True})
