@@ -1106,9 +1106,16 @@ def build_lsh_index(ds, out_dir: str, key: str = "doc_id",
                       n_parts)
         return b.append_column("bucket_part", pa.array(part, pa.int64()))
 
+    # ONE range sort on bucket_part before the partitioned write:
+    # unsorted, every write block fans out across all n_parts dirs —
+    # blocks × n_parts tiny files (measured 41,216 files / 18 s just
+    # to OPEN them for a 500k-doc index, r5); sorted, each block spans
+    # a contiguous part range, so files ≈ blocks + n_parts and the
+    # probe's read is file-open-bound no more (2.1 s)
     ds.map_batches(mh, batch_format="pyarrow") \
         .map_batches(le, batch_format="pyarrow") \
         .map_batches(add_part, batch_format="pyarrow") \
+        .sort("bucket_part") \
         .write_parquet(out_dir, partition_cols=["bucket_part"])
 
 
@@ -1233,7 +1240,11 @@ def append_lsh_index(ds, out_dir: str, key: str = "doc_id",
                       n_parts)
         return b.append_column("bucket_part", pa.array(part, pa.int64()))
 
+    # sorted for the same blocks × n_parts file-fan-out reason as
+    # build_lsh_index: every append would otherwise add up to
+    # blocks × touched-parts tiny files to the index
     ds.map_batches(mh, batch_format="pyarrow") \
         .map_batches(le, batch_format="pyarrow") \
         .map_batches(add_part, batch_format="pyarrow") \
+        .sort("bucket_part") \
         .write_parquet(out_dir, partition_cols=["bucket_part"])
