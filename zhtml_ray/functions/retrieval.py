@@ -281,9 +281,10 @@ def build_inverted_index(ds, out_dir: str, text_col: str = "text",
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    # sorted write: avoids the blocks × buckets file fan-out (r5)
     postings_table(ds, text_col=text_col, key=key,
-                   n_buckets=n_buckets).write_parquet(
-        out_dir, partition_cols=["term_bucket"])
+                   n_buckets=n_buckets).sort("term_bucket") \
+        .write_parquet(out_dir, partition_cols=["term_bucket"])
 
 
 def inverted_index_lookup(out_dir: str, terms: list[str],

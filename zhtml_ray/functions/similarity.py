@@ -603,7 +603,9 @@ def build_ivf_index(ds, out_dir: str, n_centroids: int = 16,
     assigned = ds.map_batches(
         stateless_stage(IvfAssign, centroids_ref=cref, col=col),
         batch_format="pyarrow")
-    assigned.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    # sorted write: avoids the blocks × cells file fan-out (r5)
+    assigned.sort("ivf_cell").write_parquet(
+        out_dir, partition_cols=["ivf_cell"])
     np.save(os.path.join(out_dir, "centroids.npy"), cent)
     return cent
 

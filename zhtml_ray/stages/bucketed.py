@@ -41,8 +41,11 @@ def write_bucketed(ds, out_dir: str, key: str, n_buckets: int = 16):
         return b.append_column("bucket",
                                pa.array(bucket_of(k, n_buckets)))
 
-    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["bucket"])
+    # range-sort on bucket before the partitioned write: unsorted,
+    # every block fans out across all buckets (blocks × buckets tiny
+    # files — the measured 41k-file / 18-s-open LSH-index trap, r5)
+    ds.map_batches(tag, batch_format="pyarrow").sort("bucket") \
+        .write_parquet(out_dir, partition_cols=["bucket"])
 
 
 def bucketed_join(dir_a: str, dir_b: str, key: str,
