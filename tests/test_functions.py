@@ -1199,3 +1199,51 @@ def test_lsh_index_probe_budget_and_empty_shard(ray_session, tmp_path):
     out = lsh_index_probe(idx, rd.from_arrow(empty_shard))
     assert out.count() == 0
     assert set(out.schema().names) == {"key_a", "key_b"}
+
+
+def test_lsh_index_compaction(ray_session, tmp_path):
+    """build → append ×3 → compact: file count drops back to ~one per
+    touched partition, duplicate re-appended rows drop, sidecars
+    survive the atomic swap, and probe results are unchanged."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zhtml_ray.functions.dedup import (append_lsh_index,
+                                           build_lsh_index,
+                                           compact_lsh_index,
+                                           lsh_index_probe)
+
+    base = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"base doc {i} alpha beta gamma delta {i}"
+                          for i in range(40)])})
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(rd.from_arrow(base).repartition(2), idx)
+    with open(os.path.join(idx, "_sidecar.json"), "w") as f:
+        json.dump({"v": 1}, f)
+
+    shard = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["novel appended content here now ok"])})
+    for _ in range(3):  # same shard re-appended (crash-replay shape)
+        append_lsh_index(rd.from_arrow(shard), idx)
+    files_before = len(glob.glob(idx + "/bucket_part=*/*.parquet"))
+
+    probe = pa.table({
+        "doc_id": pa.array([200], pa.int64()),
+        "text": pa.array(["novel appended content here now ok"])})
+    before = {(r["key_a"], r["key_b"]) for r in
+              lsh_index_probe(idx, rd.from_arrow(probe)).take_all()}
+    assert (200, 100) in before
+
+    stats = compact_lsh_index(idx)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < files_before
+    assert json.load(open(os.path.join(idx, "_sidecar.json"))) == {"v": 1}
+    after = {(r["key_a"], r["key_b"]) for r in
+             lsh_index_probe(idx, rd.from_arrow(probe)).take_all()}
+    assert after == before

@@ -1080,6 +1080,70 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
     return out
 
 
+def compact_lsh_index(out_dir: str) -> dict:
+    """LSM-style compaction of a ``build_lsh_index`` directory: after
+    N ``append_lsh_index`` shards the index carries ~N files per
+    bucket_part (appends are append-only by design); this rewrites the
+    whole index sorted into a fresh sibling dir and atomically swaps
+    it in, restoring ~one file per partition. Duplicate (bucket, key)
+    rows from re-appended shards are dropped (they were already
+    harmless to probes — pairs dedup — but cost scan time). Returns
+    {"files_before", "files_after", "rows"}. Run it on the cadence
+    appends accumulate — the same story as any LSM store."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from zhtml_ray.stages.sortagg import sorted_first_per_group
+
+    files = sorted(glob.glob(os.path.join(out_dir,
+                                          "bucket_part=*", "*.parquet")))
+    if not files:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+    # bucket_part is a Hive PATH column; recompute it from bucket so
+    # the rewrite never depends on path parsing
+    n_parts = max(1, len(glob.glob(os.path.join(out_dir,
+                                                "bucket_part=*"))))
+    ds = rd.read_parquet(files)
+    # this Ray version re-infers the Hive bucket_part column even from
+    # explicit file paths — recompute it from bucket regardless
+    key_col = [c for c in ds.schema().names
+               if c not in ("bucket", "bucket_part")][0]
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = np.mod(b["bucket"].to_numpy(zero_copy_only=False),
+                      n_parts)
+        return pa.table({
+            "bucket": b["bucket"], key_col: b[key_col],
+            "bucket_part": pa.array(part, pa.int64())})
+
+    # one range sort: distinct (part, bucket, key) rows, emitted in
+    # part order so the partitioned write stays fan-out-free
+    dedup = sorted_first_per_group(
+        ds.map_batches(add_part, batch_format="pyarrow"),
+        ["bucket_part", "bucket", key_col]).materialize()
+    rows = dedup.count()
+    tmp = out_dir.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    dedup.write_parquet(tmp, partition_cols=["bucket_part"])
+    # root-level sidecars (_lsh_config.json, centroids, …) ride along
+    for name in os.listdir(out_dir):
+        src = os.path.join(out_dir, name)
+        if os.path.isfile(src):
+            shutil.copy2(src, os.path.join(tmp, name))
+    old = out_dir.rstrip("/") + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(out_dir, old)
+    os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = glob.glob(os.path.join(out_dir,
+                                         "bucket_part=*", "*.parquet"))
+    return {"files_before": len(files),
+            "files_after": len(files_after), "rows": rows}
+
+
 # ---------------------------------------------- at-rest incremental LSH
 
 def build_lsh_index(ds, out_dir: str, key: str = "doc_id",
