@@ -1089,7 +1089,11 @@ def compact_lsh_index(out_dir: str) -> dict:
     rows from re-appended shards are dropped (they were already
     harmless to probes — pairs dedup — but cost scan time). Returns
     {"files_before", "files_after", "rows"}. Run it on the cadence
-    appends accumulate — the same story as any LSM store."""
+    appends accumulate — the same story as any LSM store. Run it
+    BETWEEN jobs only: the job CLI's ``--neardup-index`` stage relies
+    on its deterministic ``part-<pid>.parquet`` file names for crash
+    recovery (stages/neardup.py:clean_partition_files), and a
+    mid-job compaction folds those into anonymous compacted files."""
     import glob
     import os
     import shutil
