@@ -1247,3 +1247,27 @@ def test_lsh_index_compaction(ray_session, tmp_path):
     after = {(r["key_a"], r["key_b"]) for r in
              lsh_index_probe(idx, rd.from_arrow(probe)).take_all()}
     assert after == before
+
+
+def test_lsh_index_config_pinned_by_builders(ray_session, tmp_path):
+    """build_lsh_index pins _lsh_config.json; append_lsh_index with
+    different parameters refuses (mismatched params would silently
+    pass every duplicate)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from zhtml_ray.functions.dedup import append_lsh_index, build_lsh_index
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta words"])})
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(rd.from_arrow(t), idx, bands=32)
+    cfg = json.load(open(os.path.join(idx, "_lsh_config.json")))
+    assert cfg["bands"] == 32 and cfg["key"] == "doc_id"
+    with pytest.raises(ValueError, match="own parameters"):
+        append_lsh_index(rd.from_arrow(t), idx, bands=16, num_perm=128)
+    append_lsh_index(rd.from_arrow(t), idx, bands=32)  # matching: ok

@@ -403,8 +403,10 @@ def test_neardup_index_job_lifecycle(ray_session, tmp_path):
     os.remove(os.path.join(out_dir, "_manifests", "part-000001.json"))
     import shutil
     shutil.rmtree(os.path.join(out_dir, "part-000001"))
+    from zhtml_ray.stages.neardup import job_tag
+    tag = job_tag(out_dir)
     stale = glob.glob(os.path.join(idx, "bucket_part=*",
-                                   "part-000001.parquet"))
+                                   f"part-{tag}000001.parquet"))
     assert stale  # the crashed partition DID append
     r3 = run_partitioned(shards, out_dir, group_size=2, overlap=1,
                          extract_kwargs={"include_spans": False,
@@ -455,3 +457,51 @@ def test_clean_and_neardup_compose(ray_session, tmp_path):
         run_partitioned(shards, out_dir, group_size=2, overlap=1,
                         extract_kwargs={"include_spans": False,
                                         "clean": True})
+
+
+def test_neardup_two_jobs_share_one_index(ray_session, tmp_path):
+    """Two different jobs appending into ONE shared index must not
+    clobber each other's partition files: job B's partition-0 crash
+    cleanup is namespaced by job tag, so job A's partition-0 appends
+    survive — and job B's docs dedup against job A's appends."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    from zhtml_ray.stages.manifest import run_partitioned
+
+    text = " ".join(f"shared corpus words {i} x{i}y" for i in range(15))
+
+    def shard(path, url, txt):
+        pq.write_table(pa.table({
+            "url": [url],
+            "html": [f"<html><body><p>{txt}</p></body></html>"
+                     .encode()]}), path)
+        return path
+
+    a = shard(str(tmp_path / "a.parquet"), "http://a/doc", text)
+    b = shard(str(tmp_path / "b.parquet"), "http://b/doc", text)
+    idx = str(tmp_path / "idx")
+
+    ra = run_partitioned([a], str(tmp_path / "out_a"), group_size=1,
+                         overlap=1,
+                         extract_kwargs={"include_spans": False,
+                                         "neardup_index": idx})
+    assert ra["complete"]
+    rb = run_partitioned([b], str(tmp_path / "out_b"), group_size=1,
+                         overlap=1,
+                         extract_kwargs={"include_spans": False,
+                                         "neardup_index": idx})
+    assert rb["complete"]
+
+    def keep(odir):
+        import glob as g
+        t = pads.dataset(sorted(g.glob(odir + "/part-*/*.parquet"))) \
+            .to_table(columns=["url", "neardup_keep"])
+        return dict(zip(t["url"].to_pylist(),
+                        t["neardup_keep"].to_pylist()))
+
+    # job A's doc survived (fresh index); job B's twin was caught
+    # against job A's append — which job B's own partition-0 cleanup
+    # must NOT have deleted
+    assert keep(str(tmp_path / "out_a"))["http://a/doc"]
+    assert not keep(str(tmp_path / "out_b"))["http://b/doc"]

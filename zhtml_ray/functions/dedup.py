@@ -1080,6 +1080,33 @@ def embedding_neardup(ds, key: str = "vec_id", col: str = "embedding",
     return out
 
 
+def _write_lsh_config(out_dir: str, **cfg) -> None:
+    """Pin the index's own parameters in ``_lsh_config.json`` (r5):
+    an index probed with different num_perm/bands/seed finds nothing
+    and silently passes every duplicate, so builders RECORD their
+    parameters and appenders VERIFY them. The job CLI's
+    ``stages/neardup.py:pin_lsh_config`` reads the same file."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "_lsh_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        diff = {k for k, v in cfg.items() if stored.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"LSH index at {out_dir} was built with "
+                f"{ {k: stored.get(k) for k in sorted(diff)} }, not "
+                f"{ {k: cfg[k] for k in sorted(diff)} }; an index is "
+                "only usable with its own parameters")
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cfg, f)
+    os.replace(tmp, path)
+
+
 def compact_lsh_index(out_dir: str) -> dict:
     """LSM-style compaction of a ``build_lsh_index`` directory: after
     N ``append_lsh_index`` shards the index carries ~N files per
@@ -1166,6 +1193,9 @@ def build_lsh_index(ds, out_dir: str, key: str = "doc_id",
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    _write_lsh_config(out_dir, key=key, col=col, n_parts=n_parts,
+                      num_perm=num_perm, bands=bands,
+                      shingle_k=shingle_k, seed=seed)
     mh = _cached_minhash(col, num_perm, shingle_k, seed)
     le = _cached_lsh_explode(key, bands, num_perm)
 
@@ -1299,7 +1329,12 @@ def append_lsh_index(ds, out_dir: str, key: str = "doc_id",
     lifecycle: probe new docs against the index, then append them so
     the NEXT shard sees them. Ray's parquet writer adds uniquely-named
     files inside the existing ``bucket_part=`` partitions, so appends
-    are safe under the same partition pruning."""
+    are safe under the same partition pruning. The append VERIFIES the
+    index's pinned ``_lsh_config.json`` (or pins it for a pre-r5
+    index) — mismatched parameters would poison every later probe."""
+    _write_lsh_config(out_dir, key=key, col=col, n_parts=n_parts,
+                      num_perm=num_perm, bands=bands,
+                      shingle_k=shingle_k, seed=seed)
     mh = _cached_minhash(col, num_perm, shingle_k, seed)
     le = _cached_lsh_explode(key, bands, num_perm)
 

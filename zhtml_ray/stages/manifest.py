@@ -139,15 +139,16 @@ def _run_one_partition(part: dict, out_dir: str, extract_kwargs: dict) -> dict:
         # unit (group_size shards), so blocks fit the object store.
         import ray
 
-        from zhtml_ray.stages.neardup import (partition_neardup,
+        from zhtml_ray.stages.neardup import (job_tag,
+                                              partition_neardup,
                                               pin_lsh_config)
         out = out.materialize()
         cfg = pin_lsh_config(neardup_index)
         docs = out.map_batches(
             lambda b, _c=(cfg["key"], cfg["col"]): b.select(list(_c)),
             batch_format="pyarrow")
-        drop_keys, nd_stats = partition_neardup(docs, neardup_index,
-                                                pid, cfg)
+        drop_keys, nd_stats = partition_neardup(
+            docs, neardup_index, pid, cfg, tag=job_tag(out_dir))
         dref = ray.put(drop_keys)
 
         def mark(b: pa.Table, _k=cfg["key"]) -> pa.Table:

@@ -83,13 +83,26 @@ def pin_lsh_config(index_dir: str, overrides: dict | None = None) -> dict:
     return cfg
 
 
-def clean_partition_files(index_dir: str, pid: int) -> int:
-    """Remove partition ``pid``'s deterministically-named append files
-    (and torn ``.tmp``s) from every bucket_part dir — crash recovery
-    before a re-probe, so the partition never collides with its own
-    previous half-append. Returns the number of files removed."""
+def job_tag(out_dir: str) -> str:
+    """Stable 8-hex namespace for one job's deterministic append files
+    (sha1 of the job OUTPUT dir's abspath — stable across resumes of
+    the same job, distinct between jobs): without it, two jobs sharing
+    one index would collide on ``part-<pid>`` names and partition P of
+    job B's crash cleanup would delete job A's partition-P appends."""
+    import hashlib
+    return hashlib.sha1(
+        os.path.abspath(out_dir).encode()).hexdigest()[:8]
+
+
+def clean_partition_files(index_dir: str, pid: int,
+                          tag: str = "") -> int:
+    """Remove THIS JOB's partition-``pid`` deterministically-named
+    append files (and torn ``.tmp``s) from every bucket_part dir —
+    crash recovery before a re-probe, so the partition never collides
+    with its own previous half-append. Returns the number of files
+    removed."""
     pat = os.path.join(index_dir, "bucket_part=*",
-                       f"part-{pid:06d}.parquet")
+                       f"part-{tag}{pid:06d}.parquet")
     removed = 0
     for f in glob.glob(pat) + glob.glob(pat + ".tmp"):
         os.remove(f)
@@ -127,7 +140,8 @@ def _collect_band_rows(docs_ds, cfg: dict, budget_rows: int) -> pa.Table:
 
 
 def append_partition_to_index(band_rows: pa.Table, index_dir: str,
-                              pid: int, cfg: dict) -> int:
+                              pid: int, cfg: dict,
+                              tag: str = "") -> int:
     """Write a partition's surviving band rows into the index with
     deterministic per-partition file names (atomic tmp+rename per
     bucket_part) — rerunnable after clean_partition_files. Returns the
@@ -140,7 +154,7 @@ def append_partition_to_index(band_rows: pa.Table, index_dir: str,
         sub = band_rows.filter(pa.array(part == v))
         d = os.path.join(index_dir, f"bucket_part={int(v)}")
         os.makedirs(d, exist_ok=True)
-        final = os.path.join(d, f"part-{pid:06d}.parquet")
+        final = os.path.join(d, f"part-{tag}{pid:06d}.parquet")
         pq.write_table(sub.select(["bucket", key]), final + ".tmp")
         os.replace(final + ".tmp", final)
         written += 1
@@ -149,7 +163,8 @@ def append_partition_to_index(band_rows: pa.Table, index_dir: str,
 
 def partition_neardup(docs_ds, index_dir: str, pid: int,
                       cfg: dict | None = None,
-                      budget_rows: int = 4_000_000):
+                      budget_rows: int = 4_000_000,
+                      tag: str = ""):
     """The per-partition probe → mark → append lifecycle.
 
     ``docs_ds``: the partition's extracted docs (must contain
@@ -162,7 +177,7 @@ def partition_neardup(docs_ds, index_dir: str, pid: int,
     from zhtml_ray.stages.sortagg import sorted_first_per_group
 
     cfg = cfg or pin_lsh_config(index_dir)
-    cleaned = clean_partition_files(index_dir, pid)
+    cleaned = clean_partition_files(index_dir, pid, tag)
     scan_stats: dict = {}
     pairs = lsh_index_probe(
         index_dir, docs_ds, key=cfg["key"], col=cfg["col"],
@@ -199,7 +214,7 @@ def partition_neardup(docs_ds, index_dir: str, pid: int,
         pa.array([k not in drop_keys
                   for k in band_rows[cfg["key"]].to_pylist()]))
     files_written = append_partition_to_index(survivors, index_dir,
-                                              pid, cfg)
+                                              pid, cfg, tag)
     n_docs = len(set(band_rows[cfg["key"]].to_pylist()))
     stats = {
         "index_dir": index_dir,
