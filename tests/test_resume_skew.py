@@ -505,3 +505,24 @@ def test_neardup_two_jobs_share_one_index(ray_session, tmp_path):
     # must NOT have deleted
     assert keep(str(tmp_path / "out_a"))["http://a/doc"]
     assert not keep(str(tmp_path / "out_b"))["http://b/doc"]
+
+
+def test_job_cli_compact_index_mode(ray_session, tmp_path, capsys):
+    """`--compact-index DIR` maintenance mode: compacts and prints
+    stats without touching --input/--output; bare invocation without
+    either mode refuses."""
+    import json as _json
+    import pyarrow as pa
+    import ray.data as rd
+    from zhtml_ray.functions.dedup import append_lsh_index, build_lsh_index
+    from zhtml_ray.job import main
+
+    idx = str(tmp_path / "idx")
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta words"])})
+    build_lsh_index(rd.from_arrow(t), idx)
+    append_lsh_index(rd.from_arrow(t), idx)
+    assert main(["--compact-index", idx]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] <= stats["files_before"]
+    assert main([]) == 2

@@ -1150,11 +1150,17 @@ def compact_lsh_index(out_dir: str) -> dict:
             "bucket": b["bucket"], key_col: b[key_col],
             "bucket_part": pa.array(part, pa.int64())})
 
+    from zhtml_ray.stages.util import compact_blocks
+
     # one range sort: distinct (part, bucket, key) rows, emitted in
-    # part order so the partitioned write stays fan-out-free
-    dedup = sorted_first_per_group(
+    # part order so the partitioned write stays fan-out-free — then
+    # COMPACT: sortagg emits ~2 small blocks per input block and the
+    # writer makes a file per (block × part crossed), which GREW the
+    # file count on a fragmented index (measured 128 → 191 before
+    # this; 128 → ~n_parts after)
+    dedup = compact_blocks(sorted_first_per_group(
         ds.map_batches(add_part, batch_format="pyarrow"),
-        ["bucket_part", "bucket", key_col]).materialize()
+        ["bucket_part", "bucket", key_col]))
     rows = dedup.count()
     tmp = out_dir.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)

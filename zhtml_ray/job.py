@@ -19,10 +19,15 @@ import sys
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="zhtml_ray.job")
-    p.add_argument("--input", required=True,
+    p.add_argument("--compact-index", default=None, metavar="DIR",
+                   help="maintenance mode: LSM-compact a --neardup-"
+                        "index directory (run BETWEEN jobs — folds "
+                        "accumulated append files back to ~one per "
+                        "partition) and exit; --input/--output unused")
+    p.add_argument("--input", required=False,
                    help="glob or directory of pages parquet shards "
                         "and/or .warc/.warc.gz crawl shards")
-    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--output", required=False, help="output directory")
     p.add_argument("--resume", action="store_true",
                    help="skip partitions with completed manifests")
     p.add_argument("--group-size", type=int, default=4,
@@ -47,6 +52,25 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import os
+    if args.compact_index:
+        import ray
+        owns = not ray.is_initialized()
+        if owns:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                     include_dashboard=False, logging_level="ERROR")
+        try:
+            from ray.data import DataContext
+            DataContext.get_current().enable_progress_bars = False
+            from zhtml_ray.functions.dedup import compact_lsh_index
+            print(json.dumps(compact_lsh_index(args.compact_index)))
+            return 0
+        finally:
+            if owns:
+                ray.shutdown()
+    if not args.input or not args.output:
+        print("--input and --output are required (unless "
+              "--compact-index)", file=sys.stderr)
+        return 2
     if os.path.isdir(args.input):
         files = sorted(f for pat in ("*.parquet", "*.warc", "*.warc.gz")
                        for f in glob.glob(os.path.join(args.input, pat)))
